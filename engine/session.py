@@ -1,0 +1,45 @@
+"""SparkSession construction with engine defaults.
+
+Settings rationale (SURVEY.md §4):
+- AQE on: runtime shuffle-partition coalescing + skew-split backstop
+  (explicit hot-key salting in engine/geo/skew.py remains the primary
+  skew tool per BASELINE.json:6 "explicit salting for hot-cell skew").
+- Arrow on: every Python-side operator is an Arrow-batched pandas UDF /
+  mapInPandas — zero per-row Python (BASELINE.json:15).
+- UTC session timezone: timestamp semantics must match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app: str = "geotile-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app)
+    if master is not None:
+        builder = builder.master(master)
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra:
+        confs.update(extra)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
