@@ -1,0 +1,251 @@
+"""A5 — polygon layer source: load, antimeridian split, cell covering
+(SURVEY.md §2.A5, §1.2; BASELINE.json:6 "joined to polygon layers").
+
+The covering turns the coarse spatial join into a plain *equi-join*: each
+polygon is covered by level-`level` grid cells tagged `full` (cell wholly
+inside → candidates skip exact PIP) or partial (exact PIP needed).
+Classification is exact: a cell is `full` iff no polygon edge intersects
+the cell rect (Liang-Barsky segment/AABB) and the cell center is inside;
+any edge intersection → partial; otherwise outside → dropped.
+
+Polygons whose lon coordinates exceed +/-180 straddle the antimeridian
+and are split into west/east parts (Sutherland-Hodgman half-plane clip)
+before covering, so every part has minlon <= maxlon.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
+    StructType,
+)
+
+from oracle.geo import mercx, mercy, morton, point_in_polygon
+
+LAYER12_PATH = "/root/repo/oracle/layer12.json"
+
+
+def _open_ring(ring: list[list[float]]) -> list[list[float]]:
+    """Drop the duplicate closing vertex if present (degenerate edge)."""
+    if len(ring) > 1 and ring[0] == ring[-1]:
+        return ring[:-1]
+    return ring
+
+
+def _clip_halfplane(ring: list[list[float]], x_cut: float, keep_le: bool):
+    """Sutherland-Hodgman clip of a ring against the vertical line x=x_cut."""
+    out: list[list[float]] = []
+    n = len(ring)
+    for i in range(n):
+        cx, cy = ring[i]
+        px, py = ring[i - 1]
+        cin = (cx <= x_cut) if keep_le else (cx >= x_cut)
+        pin = (px <= x_cut) if keep_le else (px >= x_cut)
+        if cin != pin:
+            t = (x_cut - px) / (cx - px)
+            out.append([x_cut, py + t * (cy - py)])
+        if cin:
+            out.append([cx, cy])
+    return out
+
+
+def _ring_bbox(ring) -> tuple[float, float, float, float]:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _seg_intersects_rect(ax, ay, bx, by, x0, y0, x1, y1) -> bool:
+    """Liang-Barsky segment vs closed AABB."""
+    dx, dy = bx - ax, by - ay
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+        if p == 0.0:
+            if q < 0.0:
+                return False
+        else:
+            t = q / p
+            if p < 0.0:
+                if t > t0:
+                    t0 = t
+            else:
+                if t < t1:
+                    t1 = t
+            if t0 > t1:
+                return False
+    return True
+
+
+def inv_mercy(y: float) -> float:
+    """Inverse of oracle.geo.mercy: unit-square y -> latitude degrees."""
+    return math.degrees(2.0 * math.atan(math.exp(math.pi * (1.0 - 2.0 * y))) - math.pi / 2.0)
+
+
+@dataclass
+class Polygon:
+    poly_id: str
+    name: str
+    ring: list[list[float]]                    # open outer ring [[lon,lat],..]
+    holes: list[list[list[float]]] = field(default_factory=list)
+
+    def split_antimeridian(self) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+        """-> [(outer ndarray, [hole ndarrays])] with all lon in [-180,180]."""
+        lons = [p[0] for p in self.ring]
+        if max(lons) <= 180.0 and min(lons) >= -180.0:
+            return [(np.asarray(self.ring, np.float64),
+                     [np.asarray(h, np.float64) for h in self.holes])]
+        parts = []
+        west = _clip_halfplane(self.ring, 180.0, keep_le=True)
+        if len(west) >= 3:
+            wh = [h for h in (_clip_halfplane(h, 180.0, True) for h in self.holes)
+                  if len(h) >= 3]
+            parts.append((np.asarray(west, np.float64),
+                          [np.asarray(h, np.float64) for h in wh]))
+        east = _clip_halfplane(self.ring, 180.0, keep_le=False)
+        if len(east) >= 3:
+            east = [[x - 360.0, y] for x, y in east]
+            eh = []
+            for h in self.holes:
+                hc = _clip_halfplane(h, 180.0, False)
+                if len(hc) >= 3:
+                    eh.append([[x - 360.0, y] for x, y in hc])
+            parts.append((np.asarray(east, np.float64),
+                          [np.asarray(h, np.float64) for h in eh]))
+        return parts
+
+
+def cover_part(ring: np.ndarray, holes: list[np.ndarray],
+               level: int) -> list[tuple[int, bool]]:
+    """Exact covering of one polygon part -> [(morton cell, full)]."""
+    n = 1 << level
+    minlon, minlat, maxlon, maxlat = _ring_bbox(ring.tolist())
+    cx0 = min(max(int(math.floor(mercx(minlon) * n)), 0), n - 1)
+    cx1 = min(max(int(math.floor(mercx(maxlon) * n)), 0), n - 1)
+    cy0 = min(max(int(math.floor(mercy(maxlat) * n)), 0), n - 1)
+    cy1 = min(max(int(math.floor(mercy(minlat) * n)), 0), n - 1)
+    rings = [ring] + list(holes)
+    segs = []
+    for r in rings:
+        a = r
+        b = np.roll(r, -1, axis=0)
+        segs.append(np.concatenate([a, b], axis=1))  # (E, 4): ax ay bx by
+    segs = np.concatenate(segs, axis=0)
+    ring_list = ring.tolist()
+    holes_list = [h.tolist() for h in holes]
+
+    out: list[tuple[int, bool]] = []
+    for cx in range(cx0, cx1 + 1):
+        lon0 = cx / n * 360.0 - 180.0
+        lon1 = (cx + 1) / n * 360.0 - 180.0
+        for cy in range(cy0, cy1 + 1):
+            lat1 = inv_mercy(cy / n)        # top edge (larger lat)
+            lat0 = inv_mercy((cy + 1) / n)  # bottom edge
+            touched = any(
+                _seg_intersects_rect(s[0], s[1], s[2], s[3], lon0, lat0, lon1, lat1)
+                for s in segs
+            )
+            if touched:
+                out.append((morton(cx, cy, level), False))
+            else:
+                ctr_lon = (lon0 + lon1) / 2.0
+                ctr_lat = (lat0 + lat1) / 2.0
+                if point_in_polygon(ctr_lon, ctr_lat, ring_list, holes_list):
+                    out.append((morton(cx, cy, level), True))
+    return out
+
+
+BUILD_SCHEMA = StructType([
+    StructField("cell_p", LongType(), False),
+    StructField("poly_id", StringType(), False),
+    StructField("full", BooleanType(), False),
+])
+
+LAYER_SCHEMA = StructType([
+    StructField("poly_id", StringType(), False),
+    StructField("name", StringType(), True),
+    StructField("ring_xy", ArrayType(ArrayType(DoubleType())), False),
+    StructField("holes_xy", ArrayType(ArrayType(ArrayType(DoubleType()))), True),
+    StructField("bbox", ArrayType(DoubleType()), False),
+    StructField("cells", ArrayType(LongType()), False),
+])
+
+
+@dataclass
+class PolygonLayer:
+    polygons: list[Polygon]
+
+    @classmethod
+    def from_json(cls, path: str = LAYER12_PATH) -> "PolygonLayer":
+        with open(path) as f:
+            raw = json.load(f)
+        polys = [
+            Polygon(
+                poly_id=p["poly_id"],
+                name=p.get("name", p["poly_id"]),
+                ring=_open_ring(p["ring"]),
+                holes=[_open_ring(h) for h in p.get("holes", [])],
+            )
+            for p in raw["polygons"]
+        ]
+        return cls(polys)
+
+    def parts(self) -> dict[str, list[tuple[np.ndarray, list[np.ndarray]]]]:
+        return {p.poly_id: p.split_antimeridian() for p in self.polygons}
+
+    def covering(self, level: int) -> list[tuple[int, str, bool]]:
+        """All (cell_p, poly_id, full) rows at `level`, deduplicated."""
+        seen: dict[tuple[int, str], bool] = {}
+        for p in self.polygons:
+            for ring, holes in p.split_antimeridian():
+                for cell, full in cover_part(ring, holes, level):
+                    key = (cell, p.poly_id)
+                    seen[key] = seen.get(key, False) or full
+        return sorted((c, pid, fl) for (c, pid), fl in seen.items())
+
+    def covering_size(self, level: int) -> int:
+        """Upper bound on covering rows (bbox cell count; no PIP work)."""
+        n = 1 << level
+        total = 0
+        for p in self.polygons:
+            for ring, _ in p.split_antimeridian():
+                minlon, minlat, maxlon, maxlat = _ring_bbox(ring.tolist())
+                cx0 = min(max(int(math.floor(mercx(minlon) * n)), 0), n - 1)
+                cx1 = min(max(int(math.floor(mercx(maxlon) * n)), 0), n - 1)
+                cy0 = min(max(int(math.floor(mercy(maxlat) * n)), 0), n - 1)
+                cy1 = min(max(int(math.floor(mercy(minlat) * n)), 0), n - 1)
+                total += (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        return total
+
+    def build_df(self, spark: SparkSession, level: int) -> DataFrame:
+        """The equi-join build side: (cell_p, poly_id, full)."""
+        rows = self.covering(level)
+        return spark.createDataFrame(rows, schema=BUILD_SCHEMA)
+
+    def to_df(self, spark: SparkSession, level: int) -> DataFrame:
+        """Full layer inventory DF per SURVEY.md §1.2 schema."""
+        rows = []
+        for p in self.polygons:
+            cells = sorted({c for c, pid, _ in self.covering(level) if pid == p.poly_id})
+            rows.append((
+                p.poly_id, p.name,
+                [[float(x), float(y)] for x, y in p.ring],
+                [[[float(x), float(y)] for x, y in h] for h in p.holes] or None,
+                list(_ring_bbox(p.ring)),
+                cells,
+            ))
+        return spark.createDataFrame(rows, schema=LAYER_SCHEMA)
+
+
+def rect_polygon(poly_id: str, minlon: float, minlat: float,
+                 maxlon: float, maxlat: float, name: str | None = None) -> Polygon:
+    return Polygon(
+        poly_id=poly_id, name=name or poly_id,
+        ring=[[minlon, minlat], [maxlon, minlat], [maxlon, maxlat], [minlon, maxlat]],
+    )
