@@ -1,0 +1,204 @@
+"""D10 — kNN join via cell-ring expansion + per-group top-k (SURVEY.md §2.D10).
+
+BASELINE.json:6,14 — "kNN is answered by cell-ring expansion plus a
+per-partition sort".  Shape:
+
+  1. queries get a per-query disk of cells (radius r, Arrow-batched UDF),
+     exploded to (qid, cell_p) candidate cells;
+  2. equi-join against the point table's cell prefix (the only shuffle
+     that touches the big side);
+  3. exact haversine + Window(partitionBy qid, orderBy dist,id) row_number
+     <= k — the "per-partition sort";
+  4. correctness guarantee: the k-th distance must be strictly less than
+     the provably-safe radius of the covered block (min spherical distance
+     from the query to the block boundary: meridian cross-track for the
+     east/west edges, meridian arc for the parallel edges).  Queries that
+     fail the guarantee are retried with doubled r — a driver loop that
+     collects only the failing qids, never data.
+
+At 10^12 points the expansion loop re-scans only for the (rare) failing
+queries, and the point side can be pre-partitioned/bucketed by cell_p so
+the candidate join co-locates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from oracle.geo import EARTH_RADIUS_M
+
+from .cells import cell_parent_col, demorton_np, disk_cells_np, with_cell
+from .dist import haversine_udf
+from .layer import inv_mercy
+
+
+def make_disk_r_udf(level: int):
+    """(cell_p, r) -> array of disk-r cell ids at `level`."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def disk_r(cell: pd.Series, r: pd.Series) -> pd.Series:
+        c = cell.to_numpy(np.int64)
+        rr = r.to_numpy(np.int64)
+        x, y = demorton_np(c)
+        return pd.Series(
+            [disk_cells_np(int(xv), int(yv), level, int(rv))
+             for xv, yv, rv in zip(x, y, rr)]
+        )
+
+    return disk_r
+
+
+def make_guarantee_udf(level: int):
+    """(lat, lon, cell_p, r) -> safe radius in metres (inf if unbounded).
+
+    Block = cells [x-r, x+r] x [y-r, y+r] at `level` (x wrapped, y
+    clamped).  Any point outside the block is at distance >= the returned
+    value, so kth_dist < guarantee proves the top-k is exact.
+    """
+
+    @F.pandas_udf(DoubleType())
+    def guarantee(lat: pd.Series, lon: pd.Series, cell: pd.Series,
+                  r: pd.Series) -> pd.Series:
+        n = 1 << level
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        c = cell.to_numpy(np.int64)
+        rr = r.to_numpy(np.int64)
+        x, y = demorton_np(c)
+
+        # parallel (latitude) edges: exact min distance is the meridian arc
+        y_top = y - rr          # grid row of the top edge (smaller y = north)
+        y_bot = y + rr + 1      # edge below the bottom row
+        top_bounded = y_top > 0
+        bot_bounded = y_bot < n
+        lat_top = np.array([inv_mercy(v / n) if b else 90.0
+                            for v, b in zip(y_top, top_bounded)])
+        lat_bot = np.array([inv_mercy(v / n) if b else -90.0
+                            for v, b in zip(y_bot, bot_bounded)])
+        # points north of the mercator clamp all encode into row 0, so a
+        # block touching row 0 is unbounded north (same south).
+        d_top = np.where(top_bounded,
+                         EARTH_RADIUS_M * np.radians(np.abs(lat_top - la)), np.inf)
+        d_bot = np.where(bot_bounded,
+                         EARTH_RADIUS_M * np.radians(np.abs(la - lat_bot)), np.inf)
+
+        # meridian (longitude) edges: cross-track distance
+        wrap_all = (2 * rr + 1) >= n
+        lon_w = ((x - rr) % n) / n * 360.0 - 180.0
+        lon_e = ((x + rr + 1) % n) / n * 360.0 - 180.0
+
+        def meridian_dist(dlam_deg):
+            d = np.abs((dlam_deg + 180.0) % 360.0 - 180.0)  # [0, 180]
+            d = np.minimum(d, 90.0)  # beyond 90 deg the meridian is farther
+            return EARTH_RADIUS_M * np.arcsin(
+                np.abs(np.cos(np.radians(la))) * np.sin(np.radians(d))
+            )
+
+        d_w = np.where(wrap_all, np.inf, meridian_dist(lo - lon_w))
+        d_e = np.where(wrap_all, np.inf, meridian_dist(lon_e - lo))
+
+        out = np.minimum.reduce([d_top, d_bot, d_w, d_e])
+        return pd.Series(out)
+
+    return guarantee
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
+             r0: int = 1, max_rounds: int = 12,
+             qid_col: str = "qid", id_col: str = "image_id") -> DataFrame:
+    """Exact kNN: for each query row, the k nearest points (dist asc, id
+    tiebreak).  Returns (qid, image_id, dist_m, rn).
+
+    `queries` needs (qid, lat, lon); `points` needs (id, lat, lon) and
+    reuses a `cell` column if present.
+    """
+    pts = points if "cell" in points.columns else with_cell(points)
+    pts = (
+        pts.withColumn("cell_p", cell_parent_col("cell", level))
+        .select(F.col(id_col), F.col("lat").alias("p_lat"),
+                F.col("lon").alias("p_lon"), "cell_p")
+    )
+    q = queries if "cell" in queries.columns else with_cell(queries)
+    q = q.select(qid_col, "lat", "lon",
+                 cell_parent_col("cell", level).alias("q_cell"))
+
+    disk_udf = make_disk_r_udf(level)
+    guar_udf = make_guarantee_udf(level)
+    w = Window.partitionBy(qid_col).orderBy(F.asc("dist_m"), F.asc(id_col))
+
+    pending = q.withColumn("r", F.lit(r0))
+    done_parts: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        cand_cells = pending.withColumn(
+            "cell_p", F.explode(disk_udf(F.col("q_cell"), F.col("r")))
+        )
+        cands = cand_cells.join(pts, "cell_p", "inner")
+        scored = cands.withColumn(
+            "dist_m",
+            haversine_udf(F.col("lon"), F.col("lat"),
+                          F.col("p_lon"), F.col("p_lat")),
+        )
+        topk = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+        stats = topk.groupBy(qid_col).agg(
+            F.count("*").alias("cnt"),
+            F.max("dist_m").alias("kth"),
+        )
+        # guarantee computed on the pending side so queries with ZERO
+        # candidates still get a verdict (left join -> cnt null -> retry
+        # unless the block already covers every existing point).
+        pstats = pending.withColumn(
+            "guar", guar_udf(F.col("lat"), F.col("lon"),
+                             F.col("q_cell"), F.col("r"))
+        ).select(qid_col, "guar")
+        merged = pstats.join(stats, qid_col, "left")
+        # satisfied: k candidates found and k-th strictly inside the safe
+        # radius, OR the block is unbounded in every direction (covers all
+        # points that exist).
+        satisfied = (
+            (F.col("cnt").isNotNull() & (F.col("cnt") >= k)
+             & (F.col("kth") < F.col("guar")))
+            | (F.col("guar") == F.lit(float("inf")))
+        )
+        failed = merged.filter(~satisfied).select(qid_col)
+        failed_ids = [r[0] for r in failed.collect()]
+        ok = topk.select(qid_col, id_col, "dist_m", "rn")
+        if failed_ids:
+            ok = ok.filter(~F.col(qid_col).isin(failed_ids))
+        done_parts.append(ok)
+        if not failed_ids:
+            pending = None
+            break
+        pending = pending.filter(F.col(qid_col).isin(failed_ids)) \
+                         .withColumn("r", F.col("r") * 2 + 1)
+    else:
+        raise RuntimeError(f"knn_join: queries unsatisfied after {max_rounds} rounds")
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def knn_bruteforce_df(queries: DataFrame, points: DataFrame, k: int,
+                      qid_col: str = "qid", id_col: str = "image_id") -> DataFrame:
+    """O(Q x P) cross-join baseline — test oracle + small-input fallback."""
+    pts = points.select(F.col(id_col), F.col("lat").alias("p_lat"),
+                        F.col("lon").alias("p_lon"))
+    w = Window.partitionBy(qid_col).orderBy(F.asc("dist_m"), F.asc(id_col))
+    return (
+        queries.select(qid_col, "lat", "lon")
+        .crossJoin(F.broadcast(pts))
+        .withColumn("dist_m", haversine_udf(F.col("lon"), F.col("lat"),
+                                            F.col("p_lon"), F.col("p_lat")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "dist_m", "rn")
+    )

@@ -1,0 +1,110 @@
+"""D1/D2/D4/D7 + E6 — spatial join modes, salting, range join (SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.geo import cells as ec
+from engine.geo.join import bbox_range_join, spatial_join
+from engine.geo.layer import PolygonLayer
+from engine.geo.skew import heavy_hitters, salted_equijoin
+from engine.planner import choose_join_level, plan_spatial_join
+from oracle import geo as og
+
+HOT_LON, HOT_LAT = 2.2945, 48.8584  # inside P11
+
+
+@pytest.fixture(scope="module")
+def layer():
+    return PolygonLayer.from_json()
+
+
+def _points_df(spark, seed=21, n=3000, hot_frac=0.1):
+    r = np.random.default_rng(seed)
+    lon = r.uniform(-180, 180, n)
+    lat = r.uniform(-85, 85, n)
+    nh = int(n * hot_frac)
+    lon[:nh] = HOT_LON + r.uniform(-0.01, 0.01, nh)
+    lat[:nh] = HOT_LAT + r.uniform(-0.01, 0.01, nh)
+    pdf = pd.DataFrame({"image_id": [f"i{i:06d}" for i in range(n)],
+                        "lon": lon, "lat": lat})
+    return spark.createDataFrame(pdf), lon, lat
+
+
+def _oracle_pairs(layer, lon, lat):
+    want = set()
+    for pid, parts in layer.parts().items():
+        for i in range(len(lon)):
+            if any(og.point_in_polygon(lon[i], lat[i], r.tolist(),
+                                       [h.tolist() for h in hs])
+                   for r, hs in parts):
+                want.add((f"i{i:06d}", pid))
+    return want
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_spatial_join_modes_match_oracle(spark, layer, mode):
+    df, lon, lat = _points_df(spark)
+    level = choose_join_level(layer)
+    out = spatial_join(df, layer, level=level, mode=mode)
+    got = {(r.image_id, r.poly_id) for r in out.select("image_id", "poly_id").collect()}
+    assert got == _oracle_pairs(layer, lon, lat)
+
+
+def test_spatial_join_salted_matches_unsalted(spark, layer):
+    df, lon, lat = _points_df(spark)
+    level = choose_join_level(layer)
+    probe = ec.with_cell(df)
+    probe = probe.withColumn("cell_p", ec.cell_parent_col("cell", level))
+    hot = heavy_hitters(probe, "cell_p", top=4)
+    assert hot, "hot cells should exist (10% of rows in one cell)"
+    out = spatial_join(df, layer, level=level, mode="shuffle",
+                       hot_keys=hot, salt=4)
+    got = {(r.image_id, r.poly_id) for r in out.select("image_id", "poly_id").collect()}
+    assert got == _oracle_pairs(layer, lon, lat)
+
+
+def test_salted_equijoin_no_duplicates(spark):
+    probe = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else i) for i in range(200)], "image_id int, k int"
+    )
+    build = spark.createDataFrame(
+        [(100, "hot"), (3, "a"), (5, "b")], "k int, tag string"
+    )
+    out = salted_equijoin(probe, build, key="k", hot_keys=[100], salt=8,
+                          probe_id_col="image_id")
+    rows = out.groupBy("image_id", "k", "tag").count().filter("count > 1").count()
+    assert rows == 0
+    assert out.count() == 100 + 2  # 100 hot matches + image_id 3 and 5
+
+
+def test_heavy_hitters_finds_hot_cell(spark, layer):
+    df, _, _ = _points_df(spark)
+    probe = ec.with_cell(df)
+    probe = probe.withColumn("cell_p", ec.cell_parent_col("cell", 8))
+    hot_cell = og.cell_parent(og.cell_encode(HOT_LON, HOT_LAT), 8)
+    hh = heavy_hitters(probe, "cell_p", top=1)
+    assert hh == [hot_cell]
+
+
+def test_planner_level_and_mode(layer):
+    plan = plan_spatial_join(layer)
+    assert 4 <= plan.level <= 16
+    assert plan.mode == "broadcast"
+    assert layer.covering_size(plan.level) <= 4096
+    assert layer.covering_size(plan.level + 1) > 4096
+
+
+def test_bbox_range_join(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 5.0, 5.0), (3, -0.5, 0.5)], "id int, lon double, lat double"
+    )
+    rects = spark.createDataFrame(
+        [("r1", 0.0, 0.0, 1.0, 1.0), ("r2", -1.0, 0.0, 1.0, 2.0)],
+        "rect_id string, minlon double, minlat double, maxlon double, maxlat double",
+    )
+    got = {(r.id, r.rect_id) for r in bbox_range_join(pts, rects).collect()}
+    assert got == {(1, "r1"), (1, "r2"), (3, "r2")}

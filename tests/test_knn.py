@@ -1,0 +1,89 @@
+"""D10 — kNN join vs brute force (SURVEY.md §5.5; BASELINE.json:6 kNN)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine.geo.knn import knn_bruteforce_df, knn_join
+from engine.planner import choose_knn_level
+from oracle import geo as og
+
+
+def _tables(spark, seed=17, n_pts=4000, n_q=60):
+    r = np.random.default_rng(seed)
+    plon = r.uniform(-180, 180, n_pts)
+    plat = r.uniform(-85, 85, n_pts)
+    # clump half the points into 3 cities so density varies
+    for ci, (clon, clat) in enumerate([(2.3, 48.8), (-74.0, 40.7), (139.7, 35.7)]):
+        s = slice(ci * n_pts // 6, (ci + 1) * n_pts // 6)
+        m = s.stop - s.start
+        plon[s] = clon + r.normal(0, 0.5, m)
+        plat[s] = clat + r.normal(0, 0.5, m)
+    qlon = r.uniform(-180, 180, n_q)
+    qlat = r.uniform(-85, 85, n_q)
+    forced_lon = [179.95, -179.9, 2.31, 0.0, -74.1]  # antimeridian + dense
+    forced_lat = [0.0, 10.0, 48.81, 84.9, 40.65]
+    m = min(5, n_q)
+    qlon[:m] = forced_lon[:m]
+    qlat[:m] = forced_lat[:m]
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"image_id": [f"p{i:06d}" for i in range(n_pts)], "lon": plon, "lat": plat}))
+    qs = spark.createDataFrame(pd.DataFrame(
+        {"qid": np.arange(n_q, dtype=np.int64), "lon": qlon, "lat": qlat}))
+    return pts, qs, plon, plat, qlon, qlat
+
+
+def test_knn_matches_bruteforce(spark):
+    pts, qs, plon, plat, qlon, qlat = _tables(spark)
+    k = 10
+    level = choose_knn_level(4000, k)
+    got = knn_join(qs, pts, k=k, level=level)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.qid, []).append((r.rn, r.image_id, r.dist_m))
+    pts_list = [(f"p{i:06d}", plon[i], plat[i]) for i in range(len(plon))]
+    for qi in range(len(qlon)):
+        want = og.knn_bruteforce(qlon[qi], qlat[qi], pts_list, k)
+        gl = sorted(got_map[qi])
+        assert len(gl) == k
+        assert [g[1] for g in gl] == [w[0] for w in want], f"qid {qi}"
+        # numpy's SIMD trig differs from libm by ~1 ulp; ids must match
+        # exactly, distances to 1e-6 m
+        np.testing.assert_allclose([g[2] for g in gl], [w[1] for w in want],
+                                   rtol=0, atol=1e-6)
+
+
+def test_knn_matches_spark_bruteforce_df(spark):
+    pts, qs, *_ = _tables(spark, seed=33, n_pts=1500, n_q=25)
+    k = 7
+    level = choose_knn_level(1500, k)
+    fast = {(r.qid, r.rn, r.image_id)
+            for r in knn_join(qs, pts, k=k, level=level).collect()}
+    slow = {(r.qid, r.rn, r.image_id)
+            for r in knn_bruteforce_df(qs, pts, k=k).collect()}
+    assert fast == slow
+
+
+def test_knn_k_larger_than_points(spark):
+    pts, qs, *_ = _tables(spark, seed=5, n_pts=6, n_q=4)
+    out = knn_join(qs, pts, k=10, level=4)
+    counts = {r.qid: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r.qid] = max(counts[r.qid], r.rn)
+    assert all(v == 6 for v in counts.values())
+
+
+def test_knn_level_too_fine_still_exact(spark):
+    # sparse points at a fine level forces several expansion rounds
+    pts, qs, plon, plat, qlon, qlat = _tables(spark, seed=9, n_pts=300, n_q=10)
+    k = 5
+    got = knn_join(qs, pts, k=k, level=8)
+    pts_list = [(f"p{i:06d}", plon[i], plat[i]) for i in range(len(plon))]
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.qid, []).append((r.rn, r.image_id))
+    for qi in range(len(qlon)):
+        want = [w[0] for w in og.knn_bruteforce(qlon[qi], qlat[qi], pts_list, k)]
+        assert [g[1] for g in sorted(got_map[qi])] == want
