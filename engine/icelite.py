@@ -1,0 +1,163 @@
+"""A2/A3/L1 — "icelite": engine-owned snapshot/manifest table layer over
+Parquet (SURVEY.md §2.A2/A3, §7.4.3).
+
+BASELINE.json:6,14 require pipelines "resumable from Iceberg snapshot
+checkpoints".  No Iceberg runtime jar ships in this sandbox (SURVEY.md
+§0b), so icelite reproduces the semantics surface the engine needs —
+append commits, snapshot pinning / time travel, snapshot diff, resume
+markers — behind this module, swappable for a real
+`iceberg-spark-runtime` catalog by configuration on a real cluster.
+
+Layout (one directory per table):
+    <root>/data/commit-<sid>/part-*.parquet     immutable data files
+    <root>/meta/manifest-<sid>.json             FULL file list at <sid>
+    <root>/meta/snapshots.json                  ordered snapshot log
+
+Commit protocol: data files are written first (Spark job, executors),
+then the manifest, then `snapshots.json` is swapped via write-tmp +
+os.replace — the single atomic serialization point, exactly the role of
+Iceberg's catalog pointer.  Readers resolve a snapshot to its manifest's
+file list and `spark.read.parquet(*files)` — scans stay fully parallel
+and pruned (partition columns + row-group stats still apply).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class IceliteTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "meta")
+        self.snap_path = os.path.join(self.meta_dir, "snapshots.json")
+
+    # ------------------------------------------------------------- meta
+
+    def exists(self) -> bool:
+        return os.path.exists(self.snap_path)
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        if not self.exists():
+            return []
+        with open(self.snap_path) as f:
+            return json.load(f)["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1]["sid"] if snaps else None
+
+    def _manifest(self, sid: int) -> dict[str, Any]:
+        with open(os.path.join(self.meta_dir, f"manifest-{sid:08d}.json")) as f:
+            return json.load(f)
+
+    def files(self, snapshot_id: int | None = None) -> list[str]:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return []
+        return [os.path.join(self.root, p) for p in self._manifest(sid)["files"]]
+
+    def added_files(self, snapshot_id: int) -> list[str]:
+        return [os.path.join(self.root, p)
+                for p in self._manifest(snapshot_id)["added"]]
+
+    def schema(self, snapshot_id: int | None = None) -> StructType:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        return StructType.fromJson(json.loads(self._manifest(sid)["schema"]))
+
+    def find_snapshot(self, stage: str | None = None,
+                      props: dict[str, str] | None = None) -> int | None:
+        """Latest snapshot matching a stage tag + property subset (resume)."""
+        for snap in reversed(self.snapshots()):
+            if stage is not None and snap.get("stage") != stage:
+                continue
+            sp = snap.get("props", {})
+            if props and any(sp.get(k) != v for k, v in props.items()):
+                continue
+            return snap["sid"]
+        return None
+
+    # ------------------------------------------------------------ write
+
+    def commit_append(self, df: DataFrame, stage: str | None = None,
+                      props: dict[str, str] | None = None,
+                      sort_within: list[str] | None = None) -> int:
+        """Append commit: write data files, manifest, snapshot — atomically.
+
+        `sort_within` orders rows inside each output partition before the
+        write (determinism for resume/diff tests, SURVEY.md §7.4.5).
+        """
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snaps = self.snapshots()
+        sid = (snaps[-1]["sid"] + 1) if snaps else 1
+        rel_commit = f"data/commit-{sid:08d}"
+        target = os.path.join(self.root, rel_commit)
+        out = df.sortWithinPartitions(*sort_within) if sort_within else df
+        out.write.mode("errorIfExists").parquet(target)
+        added = sorted(
+            f"{rel_commit}/{f}" for f in os.listdir(target)
+            if f.endswith(".parquet")
+        )
+        parent_files = self._manifest(snaps[-1]["sid"])["files"] if snaps else []
+        manifest = {
+            "sid": sid,
+            "files": parent_files + added,
+            "added": added,
+            "schema": df.schema.json(),
+        }
+        with open(os.path.join(self.meta_dir, f"manifest-{sid:08d}.json"), "w") as f:
+            json.dump(manifest, f)
+        snaps.append({
+            "sid": sid,
+            "ts": time.time(),
+            "op": "append",
+            "stage": stage,
+            "props": props or {},
+        })
+        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": snaps}, f)
+        os.replace(tmp, self.snap_path)
+        return sid
+
+    # ------------------------------------------------------------- read
+
+    def scan(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        """A2 — pinned-snapshot scan (time travel when snapshot_id given)."""
+        files = self.files(snapshot_id)
+        if not files:
+            sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+            if sid is None:
+                raise FileNotFoundError(f"icelite table has no snapshots: {self.root}")
+            return spark.createDataFrame([], self.schema(sid))
+        return spark.read.parquet(*files)
+
+    def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Incremental read: only rows appended by `snapshot_id`."""
+        files = self.added_files(snapshot_id)
+        if not files:
+            return spark.createDataFrame([], self.schema(snapshot_id))
+        return spark.read.parquet(*files)
+
+    def diff(self, spark: SparkSession, from_sid: int, to_sid: int) -> DataFrame:
+        """H/snapshot_diff — rows in `to_sid` not in `from_sid`.
+
+        For append-only commits this is exactly the union of files added
+        in (from_sid, to_sid] — a metadata-only plan, no EXCEPT shuffle.
+        """
+        a = set(self._manifest(from_sid)["files"])
+        b = self._manifest(to_sid)["files"]
+        new = [os.path.join(self.root, p) for p in b if p not in a]
+        if not new:
+            return spark.createDataFrame([], self.schema(to_sid))
+        return spark.read.parquet(*new)

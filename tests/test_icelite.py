@@ -1,0 +1,76 @@
+"""A2/A3/H/L2/L3 — icelite snapshots, diff, metrics, lineage (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.icelite import IceliteTable
+from engine.metrics import MetricsSink, StageMetrics
+
+
+def test_commit_scan_timetravel(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    assert not t.exists()
+    df1 = spark.range(0, 10).withColumn("tag", F.lit("a"))
+    sid1 = t.commit_append(df1, stage="s1")
+    df2 = spark.range(10, 25).withColumn("tag", F.lit("b"))
+    sid2 = t.commit_append(df2, stage="s2")
+    assert (sid1, sid2) == (1, 2)
+    assert t.scan(spark).count() == 25
+    assert t.scan(spark, sid1).count() == 10          # time travel
+    assert t.scan_added(spark, sid2).count() == 15    # incremental
+    assert t.current_snapshot_id() == 2
+
+
+def test_snapshot_diff(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 5))
+    t.commit_append(spark.range(5, 9))
+    diff = t.diff(spark, 1, 2)
+    assert sorted(r.id for r in diff.collect()) == [5, 6, 7, 8]
+    assert t.diff(spark, 2, 2).count() == 0
+
+
+def test_find_snapshot_by_stage_and_props(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(3), stage="x", props={"config": "c1"})
+    t.commit_append(spark.range(3), stage="x", props={"config": "c2"})
+    assert t.find_snapshot(stage="x", props={"config": "c1"}) == 1
+    assert t.find_snapshot(stage="x", props={"config": "c2"}) == 2
+    assert t.find_snapshot(stage="x", props={"config": "zz"}) is None
+    assert t.find_snapshot(stage="y") is None
+
+
+def test_sort_within_deterministic_files(spark, tmp_path):
+    t1 = IceliteTable(str(tmp_path / "a"))
+    t2 = IceliteTable(str(tmp_path / "b"))
+    df = spark.range(1000).withColumn("v", F.col("id") * 3)
+    t1.commit_append(df.repartition(4, "id"), sort_within=["id"])
+    t2.commit_append(df.repartition(4, "id"), sort_within=["id"])
+    a = sorted(tuple(r) for r in t1.scan(spark).collect())
+    b = sorted(tuple(r) for r in t2.scan(spark).collect())
+    assert a == b
+
+
+def test_empty_table_scan_raises(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "none"))
+    with pytest.raises(FileNotFoundError):
+        t.scan(spark)
+
+
+def test_metrics_and_lineage(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    sink = MetricsSink(root)
+    data = IceliteTable(f"{root}/stage1")
+    df, obs = sink.observed(spark.range(100).repartition(3))
+    sid = data.commit_append(df, stage="stage1")
+    rows = int(obs.get["rows_out"])
+    assert rows == 100
+    sink.emit_stage(spark, StageMetrics("r1", "stage1", sid, rows, 12.5, {}))
+    sink.emit_lineage(spark, "r1", "stage1", data, sid)
+    m = sink.metrics_df(spark).collect()
+    assert len(m) == 1 and m[0].rows_out == 100
+    lg = sink.lineage_df(spark).collect()
+    assert sum(r.rows for r in lg) == 100
+    assert len(lg) == 3  # one row per written partition file
