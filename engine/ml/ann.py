@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (task brief): brute-force
+cosine top-k baseline + LSH-bucketed approximate variant as the scale
+path; embedding-cosine near-duplicate pairs.
+
+Shapes:
+- brute force: native `zip_with`/`aggregate` dot product (JVM, codegen)
+  against a broadcast query vector -> global top-k.  Exact; O(n) per
+  query — the baseline and the verifier.
+- LSH (random hyperplane) buckets: one Arrow-batched matmul pass stamps a
+  b-bit signature per row; queries probe their own bucket plus all
+  Hamming-1 neighbors — at 10^12 rows each probe touches ~(b+1)/2^b of
+  the data instead of all of it.  Approximate; recall tested vs brute
+  force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot_expr(vec_col: str, qlit: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(vec_col: str) -> str:
+    return (
+        f"sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+
+
+def _vec_literal(q: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in q) + ")"
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector — fully
+    native expression, no Python in the scan."""
+    qlit = _vec_literal(query_vec)
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = F.expr(_dot_expr(vec_col, qlit)) / (F.expr(_norm_expr(vec_col)) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          bits: int = 8, seed: int = 42,
+                          exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    exact=True brute-forces all pairs (test oracle / small inputs);
+    otherwise LSH buckets with Hamming-1 probing bound the pair space.
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sigs = with_lsh_bucket(df, bits=bits, seed=seed, vec_col=vec_col)
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                        F.col("bucket").alias("bucket_a"))
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                        F.col("bucket").alias("bucket_b"))
+        pairs = a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.bit_count(F.col("bucket_a").bitwiseXOR(F.col("bucket_b"))) <= 1),
+        )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    cos = dot / (F.expr(_norm_expr("va")) * F.expr(_norm_expr("vb")))
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def make_lsh_bucket_udf(dim: int, bits: int = 8, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, bits))
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, np.float64) for v in vecs])
+        bitsm = (m @ planes) > 0
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series((bitsm @ weights).astype(np.int64))
+
+    return bucket_udf
+
+
+def with_lsh_bucket(df: DataFrame, bits: int = 8, seed: int = 42,
+                    vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    return df.withColumn("bucket", make_lsh_bucket_udf(dim, bits, seed)(F.col(vec_col)))
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int,
+             bits: int = 8, seed: int = 42, probe_radius: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: multi-probe LSH — probe every bucket within
+    Hamming distance <= probe_radius of the query's signature, exact
+    cosine within the probed set.  probe_radius tunes recall vs scanned
+    fraction (~sum_{i<=r} C(bits,i) / 2^bits of the table)."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, bits))
+    qsig = int(((np.asarray(query_vec) @ planes) > 0)
+               @ (1 << np.arange(bits)).astype(np.int64))
+    probes = [m ^ qsig for m in range(1 << bits)
+              if bin(m).count("1") <= probe_radius]
+    bucketed = with_lsh_bucket(df, bits=bits, seed=seed, vec_col=vec_col, dim=dim)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,63 @@
+"""D8 — as-of join (SURVEY.md §2.D8) and small relational helpers.
+
+As-of = nearest-earlier right row per key: cogrouped `applyInPandas`
+running `pd.merge_asof` inside each key group (SNIPPETS.md [1] pattern).
+The cogroup shuffles both sides by key once; within a group pandas does a
+sorted backward-inclusive merge — semantics identical to DuckDB/QuestDB
+`ASOF JOIN` (verified against DuckDB in the driver contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructField, StructType
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
+              suffix: str = "_r") -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.on <= left.on within the same `by` key (inclusive).
+
+    Output schema: all left columns + right's non-key columns (nullable,
+    suffixed on collision).
+    """
+    lcols = left.columns
+    rvalue_cols = [c for c in right.columns if c not in (on, by)]
+    rename = {c: (c + suffix if c in lcols else c) for c in rvalue_cols}
+    r_on = on + suffix if on in lcols else on
+
+    fields = list(left.schema.fields)
+    fields.append(StructField(r_on, right.schema[on].dataType, True))
+    for c in rvalue_cols:
+        f = right.schema[c]
+        fields.append(StructField(rename[c], f.dataType, True))
+    out_schema = StructType(fields)
+
+    def _merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [f.name for f in out_schema.fields]
+        if ldf.empty:
+            return pd.DataFrame(columns=out_cols)
+        ldf = ldf.sort_values(on, kind="mergesort")
+        if rdf.empty:
+            merged = ldf.copy()
+            merged[r_on] = pd.NaT if "time" in str(ldf[on].dtype) else None
+            for c in rvalue_cols:
+                merged[rename[c]] = None
+        else:
+            rdf = rdf.sort_values(on, kind="mergesort")
+            merged = pd.merge_asof(
+                ldf, rdf.rename(columns={**rename, on: r_on}),
+                left_on=on, right_on=r_on, by=by,
+                direction="backward", allow_exact_matches=True,
+            )
+        return merged[out_cols]
+
+    def _wrap(_key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge(ldf, rdf)
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(_wrap, schema=out_schema)
+    )

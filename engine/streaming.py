@@ -1,0 +1,183 @@
+"""J1-J7 — Structured Streaming surface over the bounded `events` table
+(SURVEY.md §2.J; FIXTURES.md §6).
+
+Every aggregation here is written as a *transformation function* applied
+to either a batch DataFrame or a `readStream` DataFrame — the same code
+path, so the batch run IS the oracle for the streaming end-state
+(SURVEY.md §2.J "batch-mode end-state ... is the DuckDB-checked oracle").
+
+Streams execute with `trigger(availableNow=True)` and land in icelite via
+`foreachBatch` — at scale this is the exact shape of an incremental
+ingest job (micro-batch -> snapshot commit per batch, resumable from the
+stream checkpoint AND the table snapshot).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from engine.icelite import IceliteTable
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", TimestampType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+# ----------------------------------------------------------- replay source
+
+def write_event_chunks(events_pdf: pd.DataFrame, out_dir: str,
+                       n_chunks: int = 10, shuffle_frac: float = 0.05,
+                       seed: int = 7) -> list[str]:
+    """Split events into ordered chunk files with ~shuffle_frac rows moved
+    across chunk boundaries (late data for watermark tests, FIXTURES §6)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = events_pdf.sort_values("event_id").reset_index(drop=True)
+    n = len(pdf)
+    rng = np.random.default_rng(seed)
+    chunk_of = np.minimum(np.arange(n) * n_chunks // max(n, 1), n_chunks - 1)
+    movers = rng.random(n) < shuffle_frac
+    chunk_of = np.where(
+        movers, np.maximum(chunk_of - rng.integers(1, 3, n), 0), chunk_of
+    )
+    paths = []
+    for c in range(n_chunks):
+        part = pdf[chunk_of == c]
+        p = os.path.join(out_dir, f"chunk-{c:03d}.parquet")
+        # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros
+        part.to_parquet(p, index=False, coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+        paths.append(p)
+    return paths
+
+
+def read_event_stream(spark: SparkSession, dir_path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+# ------------------------------------------------- window transformations
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour",
+                 watermark: str | None = None) -> DataFrame:
+    """J1/J2 — tumbling window counts + value sums per event_type."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour",
+                slide: str = "15 minutes",
+                watermark: str | None = None) -> DataFrame:
+    """J3 — sliding window event counts."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp(F.col("win.start")).alias("win_start"), "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str | None = None) -> DataFrame:
+    """J4 — session windows per user (gap-based)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            F.unix_timestamp(F.col("win.end")).alias("win_end"),
+            "user_id", "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """J5 — streaming dedup by event_id."""
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
+# --------------------------------------------------- stateful per-key (J6)
+
+RUNNING_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("running_count", LongType(), False),
+    StructField("running_sum", DoubleType(), False),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("cnt", LongType(), False),
+    StructField("total", DoubleType(), False),
+])
+
+
+def running_per_user(events: DataFrame) -> DataFrame:
+    """J6 — custom stateful operator: per-user running count/sum across
+    micro-batches via applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((cnt, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "running_count": [cnt], "running_sum": [total],
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update, RUNNING_SCHEMA, STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ------------------------------------------------------------ sinks (J7)
+
+def run_stream_to_icelite(sdf: DataFrame, table_root: str, checkpoint: str,
+                          mode: str = "update") -> IceliteTable:
+    """foreachBatch -> icelite append commit per micro-batch, then await
+    completion (availableNow bounds the run)."""
+    table = IceliteTable(table_root)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.commit_append(batch_df, stage=f"batch-{batch_id}")
+
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination()
+    return table

@@ -1,0 +1,84 @@
+"""Text analysis for training-data pipelines (task brief: language-ID,
+quality scoring, token counting, document fingerprinting) over the
+`documents` table.
+
+Everything here is a NATIVE column expression (split/transform/aggregate/
+regexp) — zero Python in the hot path, whole-stage codegen, and each op
+has an exact DuckDB-SQL twin used by the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+FP_MOD = 2147483647  # 2^31 - 1; rolling-hash modulus
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_frac(text: str = "text") -> Column:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    hits = F.size(F.expr(f"filter(split({text}, ' '), x -> x in ({stops}))"))
+    return hits / F.size(tokens_col(text))
+
+
+def vowel_frac(text: str | Column = "text") -> Column:
+    """Fraction of non-space characters that are vowels (langid feature)."""
+    c = F.col(text) if isinstance(text, str) else text
+    nospace = F.regexp_replace(c, " ", "")
+    vowels = F.regexp_replace(F.lower(nospace), "[^aeiou]", "")
+    return F.length(vowels) / F.length(nospace)
+
+
+def fingerprint_col(text: str | Column = "text") -> Column:
+    """Rolling polynomial hash over characters: acc = (acc*31 + ascii) mod
+    (2^31-1).  Pure integer arithmetic — bitwise identical in DuckDB
+    (list_reduce twin in __spark_entry__.oracle_sql)."""
+    name = text if isinstance(text, str) else None
+    if name is None:
+        raise NotImplementedError("fingerprint_col requires a column name")
+    return F.expr(
+        f"aggregate(split({name}, ''), 0L, "
+        f"(acc, c) -> pmod(acc * 31 + ascii(c), {FP_MOD}L))"
+    )
+
+
+def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality features: lengths, token stats, stopword/vowel ratios."""
+    toks = token_count(text)
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("char_len", F.length(F.col(text)))
+        .withColumn(
+            "avg_token_len",
+            F.round((F.length(F.col(text)) - toks + 1) / toks, 6),
+        )
+        .withColumn("stop_frac", F.round(stopword_frac(text), 6))
+        .withColumn("vowel_frac", F.round(vowel_frac(text), 6))
+    )
+
+
+def with_langid(df: DataFrame, text: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: vowel-density buckets.  Deterministic,
+    SQL-expressible; a stand-in for fasttext-style LID at 100 TB scale
+    (swap the expression, keep the plan shape)."""
+    vf = vowel_frac(text)
+    pred = (
+        F.when(vf >= 0.45, F.lit("vowelic"))
+        .when(vf >= 0.35, F.lit("balanced"))
+        .otherwise(F.lit("consonantal"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_col(text))

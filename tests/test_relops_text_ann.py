@@ -1,0 +1,187 @@
+"""D8 + text ops + dedup + ANN against driver testdata / local oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ml.ann import cosine_near_dup_pairs, cosine_topk, lsh_topk
+from engine.relops import asof_join
+from engine.text import dedup as dd
+from engine.text.ops import (
+    STOPWORDS, with_fingerprint, with_langid, with_quality,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ asof
+
+def test_asof_join_matches_pandas(spark, events):
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id", "value")
+    buys = events.filter(F.col("event_type") == "purchase") \
+        .select("ts", "user_id", F.col("value").alias("buy_value"))
+    got = asof_join(clicks, buys, on="ts", by="user_id")
+    gpd = got.toPandas().sort_values("event_id").reset_index(drop=True)
+
+    cp = clicks.toPandas().sort_values("ts", kind="mergesort")
+    bp = buys.toPandas().sort_values("ts", kind="mergesort")
+    want = pd.merge_asof(cp, bp.rename(columns={"ts": "ts_r"}),
+                         left_on="ts", right_on="ts_r", by="user_id",
+                         direction="backward")
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(gpd) == len(want)
+    pd.testing.assert_series_equal(gpd["buy_value"], want["buy_value"],
+                                   check_names=False)
+    pd.testing.assert_series_equal(gpd["ts_r"], want["ts_r"], check_names=False)
+
+
+# ------------------------------------------------------------------ text
+
+def test_quality_and_langid_columns(spark, docs):
+    out = with_langid(with_quality(docs)).limit(50).collect()
+    for r in out:
+        toks = r.text.split(" ")
+        assert r.n_tokens == len(toks)
+        assert r.char_len == len(r.text)
+        want_stop = sum(t in STOPWORDS for t in toks) / len(toks)
+        assert abs(r.stop_frac - round(want_stop, 6)) < 1e-9
+        nospace = r.text.replace(" ", "").lower()
+        want_vowel = sum(c in "aeiou" for c in nospace) / len(nospace)
+        assert abs(r.vowel_frac - round(want_vowel, 6)) < 1e-6
+        assert r.lang_pred in ("vowelic", "balanced", "consonantal")
+
+
+def test_fingerprint_matches_python(spark, docs):
+    out = with_fingerprint(docs).select("doc_id", "text", "fingerprint") \
+        .limit(30).collect()
+    for r in out:
+        acc = 0
+        for ch in r.text:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        assert r.fingerprint == acc
+
+
+# ----------------------------------------------------------------- dedup
+
+def _dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "the quick brown fox jumped over the lazy dog"),         # near dup
+        (4, "a completely different sentence about spark engines"),
+        (5, "another unrelated string with its own words entirely"),
+        (6, "the quick brown fox jumps over a lazy dog"),            # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_exact_dedup(spark):
+    df, rows = _dup_docs(spark)
+    got = {(r.rep_id, r.dup_count) for r in
+           dd.exact_dedup(df, ["text"]).collect()}
+    assert (1, 2) in got
+    assert len(got) == 5
+
+
+def test_minhash_signature_udf_matches_oracle(spark):
+    df, rows = _dup_docs(spark)
+    sig_df = df.select("doc_id", dd.make_minhash_udf()(F.col("text")).alias("sig"))
+    for r in sig_df.collect():
+        text = dict(rows)[r.doc_id]
+        assert list(r.sig) == dd.minhash_signature(text)
+
+
+def test_minhash_dedup_finds_near_dups(spark):
+    df, _ = _dup_docs(spark)
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.minhash_dedup(df, threshold=0.6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (1, 6) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_simhash_near_dups(spark):
+    df, rows = _dup_docs(spark)
+    sim_by_id = {i: dd.simhash64(t) for i, t in rows}
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           dd.simhash_near_dups(df, max_dist=10).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0
+    for (a, b), h in got.items():
+        want = bin((sim_by_id[a] ^ sim_by_id[b]) & ((1 << 64) - 1)).count("1")
+        assert h == want
+
+
+def test_ngram_jaccard_vs_query(spark):
+    df, rows = _dup_docs(spark)
+    got = {r.doc_id: r.jaccard for r in
+           dd.ngram_jaccard_vs_query(df, 1, n=3).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0
+    assert 0 < got[3] < 1.0
+    assert got[4] == 0.0
+
+
+# ------------------------------------------------------------------- ann
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    q = mat[0].astype(np.float64).tolist()
+    k = 10
+    got = cosine_topk(embs, q, k).collect()
+    sims = (mat.astype(np.float64) @ np.asarray(q)) / (
+        np.linalg.norm(mat.astype(np.float64), axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(sims, 6), -pdf["vec_id"]), reverse=True)[:k]
+    want_ids = [int(-v) for _, v in order]
+    assert [r.vec_id for r in got] == want_ids
+    assert got[0].vec_id == int(pdf["vec_id"].iloc[0])
+    assert abs(got[0].cos_sim - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall(spark, embs):
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    recalls = []
+    for qi in (0, 7, 21):
+        q = mat[qi].astype(np.float64).tolist()
+        exact = {r.vec_id for r in cosine_topk(embs, q, 10).collect()}
+        approx = {r.vec_id for r in
+                  lsh_topk(embs, q, 10, bits=6, probe_radius=3).collect()}
+        recalls.append(len(exact & approx) / 10)
+    # radius-3 probing on 6 bits scans ~65% of buckets; recall must beat
+    # the scanned fraction (locality) and the query itself must be found
+    assert np.mean(recalls) >= 0.7
+
+
+def test_cosine_near_dup_exact_vs_lsh(spark):
+    r = np.random.default_rng(3)
+    base = r.normal(size=(20, 16))
+    near = base[:5] + r.normal(0, 0.01, (5, 16))   # near-dups of rows 0-4
+    mat = np.concatenate([base, near]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(25, dtype=np.int64),
+                        "embedding": [v.tolist() for v in mat]})
+    df = spark.createDataFrame(pdf)
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_pairs(df, 0.99, exact=True).collect()}
+    assert {(i, i + 20) for i in range(5)} <= exact
+    approx = {(r.id_a, r.id_b) for r in
+              cosine_near_dup_pairs(df, 0.99, bits=6).collect()}
+    assert approx <= exact
+    assert len(approx & {(i, i + 20) for i in range(5)}) >= 3

@@ -1,0 +1,129 @@
+"""J1-J7 — Structured Streaming vs batch end-state (SURVEY.md §2.J)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import streaming as st
+from engine.icelite import IceliteTable
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+
+
+@pytest.fixture(scope="module")
+def chunks_dir(events_pdf, tmp_path_factory):
+    d = tmp_path_factory.mktemp("event_chunks")
+    st.write_event_chunks(events_pdf, str(d))
+    return str(d)
+
+
+def _stream_end_state(spark, chunks_dir, transform, tmp_path, name,
+                      mode="update", dedup_keys=None):
+    sdf = st.read_event_stream(spark, chunks_dir)
+    out = transform(sdf)
+    table = st.run_stream_to_icelite(
+        out, str(tmp_path / f"{name}_tbl"), str(tmp_path / f"{name}_ckpt"),
+        mode=mode,
+    )
+    df = table.scan(spark)
+    if dedup_keys:
+        # update-mode emits a row per batch per key; the end state is the
+        # last emission per key (max over monotone aggregates)
+        aggs = [F.max(c).alias(c) for c in df.columns if c not in dedup_keys]
+        df = df.groupBy(*dedup_keys).agg(*aggs)
+    return df
+
+
+def test_chunks_cover_all_events(spark, chunks_dir, events_pdf):
+    got = spark.read.parquet(chunks_dir).count()
+    assert got == len(events_pdf)
+
+
+def test_tumbling_stream_equals_batch(spark, chunks_dir, sf_dir, tmp_path):
+    batch = st.tumbling_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    want = {(r.win_start, r.event_type): (r.n, round(r.sum_value, 6))
+            for r in batch.collect()}
+    got_df = _stream_end_state(
+        spark, chunks_dir,
+        lambda s: st.tumbling_agg(s, watermark="3650 days"),
+        tmp_path, "tumble", dedup_keys=["win_start", "event_type"],
+    )
+    got = {(r.win_start, r.event_type): (r.n, round(r.sum_value, 6))
+           for r in got_df.collect()}
+    assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, chunks_dir, sf_dir, tmp_path):
+    batch = st.sliding_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    want = {r.win_start: r.n for r in batch.collect()}
+    got_df = _stream_end_state(
+        spark, chunks_dir,
+        lambda s: st.sliding_agg(s, watermark="3650 days"),
+        tmp_path, "slide", dedup_keys=["win_start"],
+    )
+    got = {r.win_start: r.n for r in got_df.collect()}
+    assert got == want
+
+
+def test_tight_watermark_drops_late_rows(spark, chunks_dir, sf_dir, tmp_path):
+    batch_total = st.tumbling_agg(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).agg(F.sum("n")).collect()[0][0]
+    got_df = _stream_end_state(
+        spark, chunks_dir,
+        lambda s: st.tumbling_agg(s, watermark="1 minute"),
+        tmp_path, "tight", dedup_keys=["win_start", "event_type"],
+    )
+    got_total = got_df.agg(F.sum("n")).collect()[0][0]
+    assert got_total < batch_total  # late rows were genuinely dropped
+
+
+def test_session_agg_batch_shape(spark, sf_dir):
+    out = st.session_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.win_end > r.win_start and r.n >= 1 for r in rows)
+
+
+def test_streaming_dedup(spark, events_pdf, tmp_path):
+    import pandas as pd
+
+    dup = pd.concat([events_pdf, events_pdf.head(100)], ignore_index=True)
+    d = tmp_path / "dup_chunks"
+    st.write_event_chunks(dup, str(d), n_chunks=4, shuffle_frac=0.0)
+    sdf = st.read_event_stream(spark, str(d))
+    table = st.run_stream_to_icelite(
+        st.dedup_within_watermark(sdf, "3650 days"),
+        str(tmp_path / "dedup_tbl"), str(tmp_path / "dedup_ckpt"),
+        mode="append",
+    )
+    got = table.scan(spark)
+    assert got.count() == len(events_pdf)
+    assert got.select("event_id").distinct().count() == len(events_pdf)
+
+
+def test_stateful_running_per_user(spark, chunks_dir, sf_dir, tmp_path):
+    sdf = st.read_event_stream(spark, chunks_dir)
+    table = st.run_stream_to_icelite(
+        st.running_per_user(sdf),
+        str(tmp_path / "state_tbl"), str(tmp_path / "state_ckpt"),
+        mode="update",
+    )
+    final = (
+        table.scan(spark).groupBy("user_id")
+        .agg(F.max("running_count").alias("cnt"),
+             F.max("running_sum").alias("total"))
+    )
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"))
+    )
+    g = {r.user_id: (r.cnt, round(r.total, 6)) for r in final.collect()}
+    w = {r.user_id: (r.cnt, round(r.total, 6)) for r in want.collect()}
+    assert g == w
