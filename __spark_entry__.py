@@ -1,38 +1,1111 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship spatial-join + tiling pipeline on a small
+deterministic synthetic image table (SURVEY.md §3.E1, §7.2).
+
+`queries()` / `oracle_sql()` — one key per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline ops from the task brief).
+Every SQL-expressible operator has a DuckDB oracle; the handful of
+genuinely non-SQL ops (general PIP, MinHash/SimHash pairs, LSH top-k,
+image decode, multimodal plumbing) are rows-only checked by the driver
+and exactly verified against pure-Python oracles in tests/.
+
+Oracle-parity rules used throughout (validated empirically this session):
+- geo kernels (cell/tile/quadkey/haversine) run numpy-side in Spark and
+  are reproduced closed-form in SQL — the Morton interleave is written
+  as the same magic-mask bit cascade in both engines, so the int64 cell
+  ids match EXACTLY (no rounding);
+- double aggregates that are sensitive to summation order are compared
+  as exact integer cents (`CAST(round(x*100) AS BIGINT)` before SUM);
+- timestamps are compared as strings or epoch seconds with the Spark
+  session pinned to UTC (testdata timestamps are NTZ);
+- every computed column is aliased identically on both sides (the
+  driver's value-hash sorts columns by name).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import tempfile
+from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------- helpers
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _prep(spark: SparkSession) -> None:
+    """Pin confs the oracle comparison depends on (driver session may not
+    carry engine defaults). All runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geotagged points derived from customer keys by pure
+    integer arithmetic — bit-identical in Spark and DuckDB (no trig)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.expr("(c_custkey * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(c_custkey * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+
+
+# SQL twins of the point derivation + cell math (FIXTURES.md §3).
+PTS_SQL = (
+    "pts AS (SELECT c_custkey AS id, "
+    "((c_custkey * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+    "((c_custkey * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+    "FROM customer)"
+)
+
+XY_SQL = (
+    "xy AS (SELECT id, lon, lat, "
+    "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), 1073741823) AS BIGINT) AS xi, "
+    "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))/pi())/2.0) "
+    "* 1073741824.0), 1073741823) AS BIGINT) AS yi FROM pts)"
+)
+
+
+def _part1by1_sql(v: str) -> str:
+    """SQL twin of engine.geo.cells._part1by1 (magic-mask bit spread)."""
+    e = v
+    for s, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                    (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                    (1, 0x5555555555555555)):
+        e = f"((({e}) | (({e}) << {s})) & {mask})"
+    return e
+
+
+def _morton_sql(x: str, y: str) -> str:
+    return f"({_part1by1_sql(x)} | ({_part1by1_sql(y)} << 1))"
+
+
+CELL_SQL = f"c AS (SELECT id, lon, lat, xi, yi, {_morton_sql('xi', 'yi')} AS cell FROM xy)"
+GEO_CTES = f"WITH {PTS_SQL}, {XY_SQL}, {CELL_SQL}"
+
+HAVERSINE_SQL_TMPL = (
+    "2.0*6371000.0*asin(least(1.0, sqrt("
+    "pow(sin((radians({lat2})-radians({lat1}))/2),2) + "
+    "cos(radians({lat1}))*cos(radians({lat2}))*"
+    "pow(sin((radians({lon2})-radians({lon1}))/2),2))))"
+)
+
+# Rectangular polygon layer — PIP on axis-aligned rects is expressible in
+# plain SQL with the engine's half-open edge convention (FIXTURES.md §3:
+# bottom/left inside, top/right outside).
+RECTS = [
+    ("R0", -150.0, -60.0, -30.0, 10.0),
+    ("R1", -30.0, 0.0, 60.0, 60.0),
+    ("R2", 60.0, -45.0, 175.0, 70.0),
+    ("R3", 0.0, 40.0, 30.0, 70.0),  # overlaps R1 -> multi-match rows
+]
+
+RECTS_SQL = "rects(poly_id, minlon, minlat, maxlon, maxlat) AS (VALUES " + ", ".join(
+    f"('{pid}', {a}, {b}, {c}, {d})" for pid, a, b, c, d in RECTS) + ")"
+
+RECT_JOIN_SQL = (
+    f"WITH {PTS_SQL}, {RECTS_SQL} "
+    "SELECT p.id, r.poly_id FROM pts p JOIN rects r ON "
+    "p.lon >= r.minlon AND p.lon < r.maxlon AND p.lat >= r.minlat AND p.lat < r.maxlat"
+)
+
+KNN_QUERIES = [(0, 48.85, 2.3), (1, -33.9, 151.2), (2, 40.7, -74.0),
+               (3, -1.3, 36.8), (4, 64.1, -21.9)]
+
+QVEC = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+
+
+def _rect_layer():
+    from engine.geo.layer import PolygonLayer, rect_polygon
+    return PolygonLayer([rect_polygon(pid, a, b, c, d)
+                         for pid, a, b, c, d in RECTS])
+
+
+def _knn_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), float(la), float(lo)) for q, la, lo in KNN_QUERIES],
+        schema="qid long, lat double, lon double")
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _qvec_sql() -> str:
+    return "[" + ", ".join(repr(v) for v in QVEC) + "]::DOUBLE[]"
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    return d.unionByName(dups)
+
+
+# ------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth images -> bbox extract -> cell encode -> broadcast
+    containment join vs the 12-polygon layer -> exact PIP -> tile assign
+    -> per-(polygon, tile) counts. Driver checks rows > 0."""
+    _prep(spark)
+    from engine.flagship import DEFAULT_BBOX, NARROW_COLS
+    from engine.geo.bbox import bbox_filter
+    from engine.geo.cells import cell_parent_col, with_cell
+    from engine.geo.join import candidates_join
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.pip import refine
+    from engine.geo.tiles import with_tile
+    from engine.synth import gen_images
+
+    layer = PolygonLayer.from_json()
+    imgs = gen_images(spark, 600, seed=42)
+    ext = with_cell(bbox_filter(imgs.select(*NARROW_COLS), DEFAULT_BBOX))
+    probe = ext.withColumn("cell_p", cell_parent_col("cell", 12))
+    build = layer.build_df(spark, 12)
+    cands = candidates_join(probe, build, mode="broadcast",
+                            build_rows=build.count())
+    refined = refine(cands, layer.parts())
+    tiled = with_tile(refined, z=12, quadkey_col=True)
+    return (tiled.groupBy("poly_id", "tile_z", "tile_x", "tile_y", "quadkey")
+            .agg(F.count("*").alias("n_images")))
+
+
+# ------------------------------------------------- query implementations
+
+def q_scan_parquet(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "region")
+
+
+def q_project(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("revenue_cents"),
+    )
+
+
+def q_filter_pred(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+                     & (F.col("l_returnflag") == "R")) \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_bbox_extract(spark, sf):
+    _prep(spark)
+    from engine.geo.bbox import bbox_filter
+    return bbox_filter(_points(spark, sf), (-30.0, -20.0, 60.0, 45.0))
+
+
+def q_phash_prefilter(spark, sf):
+    _prep(spark)
+    from engine.image.phash import hamming_col
+    od = _t(spark, sf, "orders")
+    h = F.expr("(o_orderkey * 1099511628211) % 4611686018427387904")
+    q = 1234605616436508552
+    return (od.select("o_orderkey", h.alias("h"))
+            .withColumn("hamming", hamming_col("h", q))
+            .filter(F.col("hamming") <= 20))
+
+
+def q_cell_encode(spark, sf):
+    _prep(spark)
+    from engine.geo.cells import with_cell
+    return with_cell(_points(spark, sf)).select("id", "cell")
+
+
+def q_cell_parent(spark, sf):
+    _prep(spark)
+    from engine.geo.cells import cell_parent_col, with_cell
+    return with_cell(_points(spark, sf)).select(
+        "id",
+        cell_parent_col("cell", 12).alias("cell_p12"),
+        cell_parent_col("cell", 8).alias("cell_p8"),
+    )
+
+
+def q_tile_assign(spark, sf):
+    _prep(spark)
+    from engine.geo.cells import with_cell
+    from engine.geo.tiles import with_tile
+    return with_tile(with_cell(_points(spark, sf)), z=10, quadkey_col=True) \
+        .select("id", "tile_z", "tile_x", "tile_y", "quadkey")
+
+
+def q_haversine(spark, sf):
+    _prep(spark)
+    from engine.geo.dist import haversine_udf
+    return _points(spark, sf).select(
+        "id",
+        F.round(haversine_udf(F.col("lon"), F.col("lat"),
+                              F.lit(2.3), F.lit(48.85)), 1).alias("dist_m"),
+    )
+
+
+def _rect_spatial_join(spark, sf, mode, salted=False):
+    from engine.geo.cells import cell_parent_col, with_cell
+    from engine.geo.join import spatial_join
+    from engine.geo.skew import heavy_hitters
+    pts = with_cell(_points(spark, sf))
+    hot = None
+    if salted:
+        probe = pts.withColumn("cell_p", cell_parent_col("cell", 7))
+        hot = heavy_hitters(probe, "cell_p", top=4)
+    return spatial_join(pts, _rect_layer(), level=7, mode=mode,
+                        hot_keys=hot, salt=4, lat_col="lat", lon_col="lon",
+                        probe_salt_col="id") \
+        .select("id", "poly_id")
+
+
+def q_spatial_join_broadcast(spark, sf):
+    _prep(spark)
+    return _rect_spatial_join(spark, sf, "broadcast")
+
+
+def q_spatial_join_partitioned(spark, sf):
+    _prep(spark)
+    return _rect_spatial_join(spark, sf, "shuffle")
+
+
+def q_salted_join(spark, sf):
+    _prep(spark)
+    return _rect_spatial_join(spark, sf, "shuffle", salted=True)
+
+
+def q_join_sortmerge(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    od = _t(spark, sf, "orders")
+    return (li.hint("MERGE").join(od, li.l_orderkey == od.o_orderkey)
+            .select("o_orderkey", "o_orderstatus", "l_linenumber",
+                    _cents("l_extendedprice").alias("price_cents")))
+
+
+def q_join_cross(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "region").select("r_name") \
+        .crossJoin(_t(spark, sf, "nation").select("n_name"))
+
+
+def q_join_range(spark, sf):
+    _prep(spark)
+    from engine.geo.join import bbox_range_join
+    rects = spark.createDataFrame(
+        [(pid, a, b, c, d) for pid, a, b, c, d in RECTS],
+        schema="poly_id string, minlon double, minlat double, maxlon double, maxlat double")
+    return bbox_range_join(_points(spark, sf), rects).select("id", "poly_id")
+
+
+def q_join_asof(spark, sf):
+    _prep(spark)
+    from engine.relops import asof_join
+    ev = _t(spark, sf, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    aj = asof_join(purch, clicks, on="ts", by="user_id")
+    return aj.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.col("ts_r").cast("string").alias("r_ts_s"),
+        F.col("value_r").alias("r_value"),
+    )
+
+
+def q_join_semi(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "customer").join(
+        _t(spark, sf, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"), "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "customer").join(
+        _t(spark, sf, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"), "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def q_knn_join(spark, sf):
+    _prep(spark)
+    from engine.geo.knn import knn_join
+    out = knn_join(_knn_queries_df(spark), _points(spark, sf),
+                   k=5, level=6, r0=2, id_col="id")
+    return out.select("qid", "id", F.round("dist_m", 1).alias("dist_m"), "rn")
+
+
+def q_agg_basic(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+        F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+def q_agg_distinct(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"))
+
+
+def q_agg_approx_cd(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    # approx estimates differ across engines by construction; the checked
+    # invariant is the rsd tolerance — TRUE on both sides when it holds.
+    return g.select(
+        "l_returnflag",
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias("ok"),
+    )
+
+
+def q_agg_rollup(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+    )
+
+
+def q_agg_cube(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"))
+
+
+def q_agg_udaf(spark, sf):
+    _prep(spark)
+
+    @F.pandas_udf("double")
+    def mean_qty(v: pd.Series) -> float:
+        return float(v.mean())
+
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.round(mean_qty("l_quantity"), 6).alias("mean_qty"))
+
+
+def q_agg_heavy_hitters(spark, sf):
+    _prep(spark)
+    from engine.geo.cells import cell_parent_col, with_cell
+    pts = with_cell(_points(spark, sf))
+    return (pts.select(cell_parent_col("cell", 8).alias("cell_p"))
+            .groupBy("cell_p").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("cell_p")).limit(20))
+
+
+def q_agg_collect(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"))
+
+
+def q_win_rank(spark, sf):
+    _prep(spark)
+    od = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return od.select(
+        "o_orderkey", "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_win_lag(spark, sf):
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def q_win_frame(spark, sf):
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov3 = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        F.sum(_cents("value")).over(running).alias("running_cents"),
+        F.sum(_cents("value")).over(mov3).alias("mov3_cents"),
+    )
+
+
+def q_sort_multi(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "lineitem").orderBy(
+        F.desc("l_returnflag"), F.asc("l_quantity"),
+        F.asc("l_orderkey"), F.asc("l_linenumber"),
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity").limit(100)
+
+
+def q_topk_global(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "orders").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"),
+    ).select("o_orderkey", "o_totalprice").limit(25)
+
+
+def q_set_union(spark, sf):
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    return n.filter("n_regionkey <= 2").select("n_name") \
+        .unionAll(n.filter("n_regionkey >= 2").select("n_name"))
+
+
+def q_set_intersect(spark, sf):
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    return n.filter("n_regionkey <= 2").select("n_name") \
+        .intersect(n.filter("n_regionkey >= 2").select("n_name"))
+
+
+def q_set_except(spark, sf):
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    return n.filter("n_regionkey <= 2").select("n_name") \
+        .exceptAll(n.filter("n_regionkey >= 2").select("n_name"))
+
+
+def _orders_narrow(df):
+    return df.select("o_orderkey", "o_custkey", "o_totalprice",
+                     F.col("o_orderdate").cast("string").alias("o_date"))
+
+
+def q_snapshot_diff(spark, sf):
+    """Two icelite append commits, then the snapshot diff — a
+    metadata-only incremental read (SURVEY.md §2.H/A2/A3)."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    od = _orders_narrow(_t(spark, sf, "orders"))
+    root = tempfile.mkdtemp(prefix="icelite-diff-")
+    table = IceliteTable(root)
+    s1 = table.commit_append(od.filter("o_orderkey % 3 <> 0"), stage="s1")
+    s2 = table.commit_append(od.filter("o_orderkey % 3 = 0"), stage="s2")
+    return table.diff(spark, s1, s2)
+
+
+def q_scan_snapshot(spark, sf):
+    """Icelite snapshot-pinned scan round-trip of `nation`."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="icelite-scan-")
+    table = IceliteTable(root)
+    sid = table.commit_append(_t(spark, sf, "nation"), stage="load")
+    return table.scan(spark, sid)
+
+
+def q_fn_string(spark, sf):
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head"),
+        F.length("text").alias("text_len"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.col("text").like("%stone%").alias("has_stone"),
+        F.split(F.col("text"), " ").getItem(0).alias("tok0"),
+    )
+
+
+def q_fn_date(spark, sf):
+    _prep(spark)
+    od = _t(spark, sf, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("date")).alias("dd"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("string").alias("mon"),
+    )
+
+
+def q_fn_math(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 3), 6).alias("pw"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("pm"),
+        F.expr("bit_count(l_orderkey)").alias("bc"),
+    )
+
+
+def q_fn_array_dot(spark, sf):
+    _prep(spark)
+    from engine.ml.ann import _dot_expr, _norm_expr, _vec_literal
+    qlit = _vec_literal(QVEC)
+    qnorm = float(np.sqrt(np.dot(QVEC, QVEC)))
+    dot = F.expr(_dot_expr("embedding", qlit))
+    cos = dot / (F.expr(_norm_expr("embedding")) * F.lit(qnorm))
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", F.round(dot, 6).alias("dot"), F.round(cos, 6).alias("cos_sim"))
+
+
+def q_fn_json(spark, sf):
+    _prep(spark)
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+def q_fn_cond(spark, sf):
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "hi")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("lo").alias("tier"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none"))
+        .alias("flag"),
+    )
+
+
+def q_stream_tumbling(spark, sf):
+    _prep(spark)
+    from engine.streaming import tumbling_agg
+    out = tumbling_agg(_t(spark, sf, "events"))
+    return out.select("win_start", "event_type", "n",
+                      F.round("sum_value", 2).alias("sum_value"))
+
+
+def q_stream_sliding(spark, sf):
+    _prep(spark)
+    from engine.streaming import sliding_agg
+    return sliding_agg(_t(spark, sf, "events"))
+
+
+def q_stream_session(spark, sf):
+    _prep(spark)
+    from engine.streaming import session_agg
+    return session_agg(_t(spark, sf, "events"))
+
+
+def q_text_quality(spark, sf):
+    _prep(spark)
+    from engine.text.ops import with_quality
+    return with_quality(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "char_len", "avg_token_len", "stop_frac",
+        "vowel_frac")
+
+
+def q_text_langid(spark, sf):
+    _prep(spark)
+    from engine.text.ops import with_langid
+    return with_langid(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def q_text_fingerprint(spark, sf):
+    _prep(spark)
+    from engine.text.ops import with_fingerprint
+    return with_fingerprint(_t(spark, sf, "documents")).select(
+        "doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark, sf):
+    _prep(spark)
+    from engine.text.dedup import exact_dedup
+    return exact_dedup(_docs_with_dups(spark, sf), ["text"])
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    _prep(spark)
+    from engine.text.dedup import ngram_jaccard_vs_query
+    return ngram_jaccard_vs_query(_t(spark, sf, "documents"), 7, n=3)
+
+
+def q_ann_cosine_topk(spark, sf):
+    _prep(spark)
+    from engine.ml.ann import cosine_topk
+    return cosine_topk(_t(spark, sf, "embeddings"), QVEC, 10, id_col="vec_id")
+
+
+def q_emb_near_dup(spark, sf):
+    _prep(spark)
+    from engine.ml.ann import cosine_near_dup_pairs
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return cosine_near_dup_pairs(emb.unionByName(dups), threshold=0.95,
+                                 id_col="vec_id", exact=True)
+
+
+# ----------------------------------------------- rows-only (no SQL twin)
+
+def q_gen_images(spark, sf):
+    _prep(spark)
+    from engine.synth import gen_images
+    return gen_images(spark, 400, seed=42).select(
+        "image_id", "w", "h", "fmt", "phash", "caption",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"))
+
+
+def q_scan_polygons(spark, sf):
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    layer = PolygonLayer.from_json()
+    return layer.to_df(spark, 10).select(
+        "poly_id", "name", F.size("cells").alias("n_cells"))
+
+
+def q_cell_ring(spark, sf):
+    _prep(spark)
+    from engine.geo.cells import make_disk_udf, with_cell
+    pts = with_cell(_points(spark, sf)).limit(50)
+    disk = make_disk_udf(10, 2)
+    from engine.geo.cells import cell_parent_col
+    return pts.select(
+        "id", cell_parent_col("cell", 10).alias("cell10")
+    ).select("id", F.explode(disk(F.col("cell10"))).alias("ring_cell"))
+
+
+def q_img_decode_stats(spark, sf):
+    _prep(spark)
+    from engine.image.codec import decode
+    from engine.synth import gen_images
+    imgs = gen_images(spark, 240, seed=42)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                   "std_gray": []}
+            for row in pdf.itertuples(index=False):
+                pix = decode(row.bytes, int(row.w), int(row.h), row.fmt)
+                out["image_id"].append(row.image_id)
+                out["mean_r"].append(round(float(pix[:, :, 0].mean()), 4))
+                out["mean_g"].append(round(float(pix[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(pix[:, :, 2].mean()), 4))
+                out["std_gray"].append(round(float(pix.mean(axis=2).std()), 4))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        _stats,
+        schema="image_id string, mean_r double, mean_g double, mean_b double, std_gray double",
+    )
+
+
+def q_pip_refine(spark, sf):
+    """General-polygon PIP (concave + holes + antimeridian) — exact oracle
+    coverage lives in tests/test_pip.py; the driver check is rows-only."""
+    _prep(spark)
+    from engine.geo.join import spatial_join
+    from engine.geo.layer import PolygonLayer
+    from engine.synth import gen_images
+    imgs = gen_images(spark, 800, seed=42).select("image_id", "lat", "lon")
+    return spatial_join(imgs, PolygonLayer.from_json(), level=12) \
+        .select("image_id", "poly_id")
+
+
+def q_dedup_minhash(spark, sf):
+    _prep(spark)
+    from engine.text.dedup import minhash_dedup
+    return minhash_dedup(_docs_with_dups(spark, sf), threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf):
+    _prep(spark)
+    from engine.text.dedup import simhash_near_dups
+    return simhash_near_dups(_docs_with_dups(spark, sf), max_dist=6)
+
+
+def q_ann_lsh_topk(spark, sf):
+    _prep(spark)
+    from engine.ml.ann import lsh_topk
+    return lsh_topk(_t(spark, sf, "embeddings"), QVEC, 10, id_col="vec_id")
+
+
+def _media_df(spark):
+    from engine.multimodal import MEDIA_SCHEMA, gen_media_local
+    return spark.createDataFrame(gen_media_local(60), schema=MEDIA_SCHEMA)
+
+
+def q_media_features(spark, sf):
+    _prep(spark)
+    from engine.multimodal import extract_features
+    out = extract_features(_media_df(spark))
+    return out.select("media_id", "media_type", "feature",
+                      F.size("values").alias("n_vals"),
+                      F.round(F.element_at("values", 1), 4).alias("v0"))
+
+
+def q_media_resize(spark, sf):
+    _prep(spark)
+    from engine.multimodal import resize_images
+    imgs = _media_df(spark).filter("media_type = 'image'")
+    out = resize_images(imgs, 8, 8)
+    return out.select("media_id", "w", "h", "fmt",
+                      F.length("bytes").alias("n_bytes"))
+
+
+def q_media_frames(spark, sf):
+    _prep(spark)
+    from engine.multimodal import sample_frames
+    vids = _media_df(spark).filter("media_type = 'video'")
+    return sample_frames(vids, every_n=2).select(
+        "media_id", "frame_idx", "w", "h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # A — scans / sources / sinks
+        "scan_parquet": q_scan_parquet,
+        "scan_snapshot": q_scan_snapshot,
+        "gen_images": q_gen_images,
+        "scan_polygons": q_scan_polygons,
+        # B — projection / filter
+        "project": q_project,
+        "filter_pred": q_filter_pred,
+        "bbox_extract": q_bbox_extract,
+        "phash_prefilter": q_phash_prefilter,
+        # C — cell / tile / image / distance kernels
+        "cell_encode": q_cell_encode,
+        "cell_parent": q_cell_parent,
+        "tile_assign": q_tile_assign,
+        "cell_ring": q_cell_ring,
+        "img_decode_stats": q_img_decode_stats,
+        "haversine": q_haversine,
+        # D — joins
+        "spatial_join_broadcast": q_spatial_join_broadcast,
+        "spatial_join_partitioned": q_spatial_join_partitioned,
+        "salted_join": q_salted_join,
+        "pip_refine": q_pip_refine,
+        "join_sortmerge": q_join_sortmerge,
+        "join_cross": q_join_cross,
+        "join_range": q_join_range,
+        "join_asof": q_join_asof,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "knn_join": q_knn_join,
+        # E — aggregation
+        "agg_basic": q_agg_basic,
+        "agg_distinct": q_agg_distinct,
+        "agg_approx_cd": q_agg_approx_cd,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "agg_udaf": q_agg_udaf,
+        "agg_heavy_hitters": q_agg_heavy_hitters,
+        "agg_collect": q_agg_collect,
+        # F — windows
+        "win_rank": q_win_rank,
+        "win_lag": q_win_lag,
+        "win_frame": q_win_frame,
+        # G — sort / top-k
+        "sort_multi": q_sort_multi,
+        "topk_global": q_topk_global,
+        # H — set ops / snapshot diff
+        "set_union": q_set_union,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "snapshot_diff": q_snapshot_diff,
+        # I — scalar functions
+        "fn_string": q_fn_string,
+        "fn_date": q_fn_date,
+        "fn_math": q_fn_math,
+        "fn_array_dot": q_fn_array_dot,
+        "fn_json": q_fn_json,
+        "fn_cond": q_fn_cond,
+        # J — streaming (batch-mode end-state)
+        "stream_tumbling": q_stream_tumbling,
+        "stream_sliding": q_stream_sliding,
+        "stream_session": q_stream_session,
+        # text analysis / dedup (training-data ops)
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        # similarity search
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_near_dup": q_emb_near_dup,
+        # multimodal plumbing
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ----------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hav_to_paris = HAVERSINE_SQL_TMPL.format(
+        lat1="lat", lon1="lon", lat2="48.85", lon2="2.3")
+    knn_vals = ", ".join(f"(CAST({q} AS BIGINT), {la}, {lo})"
+                         for q, la, lo in KNN_QUERIES)
+    knn_hav = HAVERSINE_SQL_TMPL.format(
+        lat1="q.lat", lon1="q.lon", lat2="p.lat", lon2="p.lon")
+    quadkey10 = " || ".join(
+        f"CAST(((tx >> {i}) & 1) | (((ty >> {i}) & 1) << 1) AS VARCHAR)"
+        for i in range(9, -1, -1))
+    vf = ("length(regexp_replace(lower(replace(text,' ','')), '[^aeiou]', '', 'g'))"
+          " * 1.0 / length(replace(text,' ',''))")
+    stops = ", ".join(f"'{w}'" for w in
+                      ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for"))
+    qlit = _qvec_sql()
+    cos_sql = (
+        f"round(list_sum(list_transform(list_zip(embedding, {qlit}), "
+        "p -> CAST(struct_extract(p,1) AS DOUBLE) * struct_extract(p,2))) / "
+        "(sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({qlit}, v -> v*v)))), 6)")
+    dot_sql = (
+        f"round(list_sum(list_transform(list_zip(embedding, {qlit}), "
+        "p -> CAST(struct_extract(p,1) AS DOUBLE) * struct_extract(p,2))), 6)")
+    pair_cos = (
+        "round(list_sum(list_transform(list_zip(va, vb), "
+        "p -> CAST(struct_extract(p,1) AS DOUBLE) * CAST(struct_extract(p,2) AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(va, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(vb, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))), 6)")
+
+    return {
+        "scan_parquet": "SELECT * FROM region",
+        "scan_snapshot": "SELECT * FROM nation",
+        "project": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents "
+            "FROM lineitem"),
+        "filter_pred": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'"),
+        "bbox_extract": (
+            f"WITH {PTS_SQL} SELECT id, lon, lat FROM pts "
+            "WHERE lon >= -30.0 AND lon <= 60.0 AND lat >= -20.0 AND lat <= 45.0"),
+        "phash_prefilter": (
+            "WITH h AS (SELECT o_orderkey, "
+            "(o_orderkey * 1099511628211) % 4611686018427387904 AS h FROM orders) "
+            "SELECT o_orderkey, h, CAST(bit_count(xor(h, 1234605616436508552)) AS INTEGER) AS hamming "
+            "FROM h WHERE bit_count(xor(h, 1234605616436508552)) <= 20"),
+        "cell_encode": f"{GEO_CTES} SELECT id, cell FROM c",
+        "cell_parent": (
+            f"{GEO_CTES} SELECT id, cell >> 36 AS cell_p12, cell >> 44 AS cell_p8 FROM c"),
+        "tile_assign": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "t AS (SELECT id, xi >> 20 AS tx, yi >> 20 AS ty FROM xy) "
+            f"SELECT id, CAST(10 AS INTEGER) AS tile_z, tx AS tile_x, ty AS tile_y, "
+            f"{quadkey10} AS quadkey FROM t"),
+        "haversine": (
+            f"WITH {PTS_SQL} SELECT id, round({hav_to_paris}, 1) AS dist_m FROM pts"),
+        "spatial_join_broadcast": RECT_JOIN_SQL,
+        "spatial_join_partitioned": RECT_JOIN_SQL,
+        "salted_join": RECT_JOIN_SQL,
+        "join_sortmerge": (
+            "SELECT o_orderkey, o_orderstatus, l_linenumber, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
+        "join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+        "join_range": RECT_JOIN_SQL,
+        "join_asof": (
+            "WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') "
+            "SELECT l.event_id, l.user_id, CAST(l.ts AS VARCHAR) AS ts_s, "
+            "CAST(r.ts AS VARCHAR) AS r_ts_s, r.value AS r_value "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts"),
+        "join_semi": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        "join_anti": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        "knn_join": (
+            f"WITH {PTS_SQL}, q(qid, lat, lon) AS (VALUES {knn_vals}), "
+            f"d AS (SELECT q.qid, p.id, {knn_hav} AS dist FROM q CROSS JOIN pts p), "
+            "r AS (SELECT qid, id, dist, row_number() OVER "
+            "(PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn FROM d) "
+            "SELECT qid, id, round(dist, 1) AS dist_m, CAST(rn AS INTEGER) AS rn "
+            "FROM r WHERE rn <= 5"),
+        "agg_basic": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+            "CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+            "round(AVG(l_quantity), 4) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "agg_distinct": (
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "agg_approx_cd": (
+            "SELECT l_returnflag, TRUE AS ok FROM lineitem GROUP BY l_returnflag"),
+        "agg_rollup": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+        "agg_cube": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+            "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+        "agg_udaf": (
+            "SELECT l_returnflag, round(AVG(l_quantity), 6) AS mean_qty "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "agg_heavy_hitters": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            f"c8 AS (SELECT {_morton_sql('(xi >> 22)', '(yi >> 22)')} AS cell_p FROM xy) "
+            "SELECT cell_p, COUNT(*) AS n FROM c8 GROUP BY cell_p "
+            "ORDER BY n DESC, cell_p ASC LIMIT 20"),
+        "agg_collect": (
+            "SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "win_rank": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(row_number() OVER w AS INTEGER) AS rn, "
+            "CAST(rank() OVER w AS INTEGER) AS rk, "
+            "CAST(dense_rank() OVER w AS INTEGER) AS drk, "
+            "CAST(ntile(4) OVER w AS INTEGER) AS quartile "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)"),
+        "win_lag": (
+            "SELECT event_id, user_id, "
+            "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"),
+        "win_frame": (
+            "SELECT event_id, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents "
+            "FROM events"),
+        "sort_multi": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem "
+            "ORDER BY l_returnflag DESC, l_quantity ASC, l_orderkey ASC, l_linenumber ASC "
+            "LIMIT 100"),
+        "topk_global": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"),
+        "set_union": (
+            "SELECT n_name FROM nation WHERE n_regionkey <= 2 "
+            "UNION ALL SELECT n_name FROM nation WHERE n_regionkey >= 2"),
+        "set_intersect": (
+            "SELECT n_name FROM nation WHERE n_regionkey <= 2 "
+            "INTERSECT SELECT n_name FROM nation WHERE n_regionkey >= 2"),
+        "set_except": (
+            "SELECT n_name FROM nation WHERE n_regionkey <= 2 "
+            "EXCEPT ALL SELECT n_name FROM nation WHERE n_regionkey >= 2"),
+        "snapshot_diff": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "CAST(o_orderdate AS VARCHAR) AS o_date FROM orders WHERE o_orderkey % 3 = 0"),
+        "fn_string": (
+            "SELECT doc_id, upper(substring(text, 1, 12)) AS head, "
+            "CAST(length(text) AS INTEGER) AS text_len, "
+            "concat_ws('|', lang, source) AS tag, "
+            "regexp_extract(text, '([a-z]+)', 1) AS first_word, "
+            "text LIKE '%stone%' AS has_stone, "
+            "string_split(text, ' ')[1] AS tok0 "
+            "FROM documents"),
+        "fn_date": (
+            "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, "
+            "CAST(month(o_orderdate) AS INTEGER) AS mo, "
+            "CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd, "
+            "CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS mon "
+            "FROM orders"),
+        "fn_math": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(ln(l_extendedprice), 6) AS ln_price, "
+            "round(sqrt(l_quantity), 6) AS sqrt_qty, "
+            "round(pow(l_discount + 1.0, 3), 6) AS pw, "
+            "l_orderkey % 7 AS pm, "
+            "CAST(bit_count(l_orderkey) AS INTEGER) AS bc "
+            "FROM lineitem"),
+        "fn_array_dot": (
+            f"SELECT vec_id, {dot_sql} AS dot, {cos_sql} AS cos_sim FROM embeddings"),
+        "fn_json": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"),
+        "fn_cond": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_discount > 0.05 THEN 'hi' WHEN l_discount > 0.02 THEN 'mid' "
+            "ELSE 'lo' END AS tier, "
+            "coalesce(nullif(l_returnflag, 'N'), 'none') AS flag "
+            "FROM lineitem"),
+        "stream_tumbling": (
+            "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start, "
+            "event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"),
+        "stream_sliding": (
+            "WITH e AS (SELECT epoch(ts) AS ed FROM events), "
+            "w AS (SELECT (CAST(floor(ed/900) AS BIGINT) - j) * 900 AS win_start "
+            "FROM e CROSS JOIN generate_series(0, 3) t(j)) "
+            "SELECT win_start, COUNT(*) AS n FROM w GROUP BY 1"),
+        "stream_session": (
+            "WITH s AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk "
+            "FROM events), "
+            "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+            "SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS win_start, "
+            "CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS win_end, "
+            "user_id, COUNT(*) AS n FROM g GROUP BY user_id, sid"),
+        "text_quality": (
+            "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, "
+            "CAST(length(text) AS INTEGER) AS char_len, "
+            "round((length(text) - len(toks) + 1) / len(toks), 6) AS avg_token_len, "
+            f"round(len(list_filter(toks, x -> x IN ({stops}))) / len(toks), 6) AS stop_frac, "
+            f"round({vf}, 6) AS vowel_frac "
+            "FROM d"),
+        "text_langid": (
+            f"SELECT doc_id, CASE WHEN {vf} >= 0.45 THEN 'vowelic' "
+            f"WHEN {vf} >= 0.35 THEN 'balanced' ELSE 'consonantal' END AS lang_pred "
+            "FROM documents"),
+        "text_fingerprint": (
+            "SELECT doc_id, list_reduce(list_transform(regexp_split_to_array(text, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647) "
+            "AS fingerprint FROM documents"),
+        "dedup_exact": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20) "
+            "SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS dup_count "
+            "FROM d GROUP BY text"),
+        "dedup_ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 2, 1)), "
+            "i -> array_to_string(words[i:i+2], ' '))) AS grams FROM w), "
+            "q AS (SELECT grams AS qg FROM g WHERE doc_id = 7) "
+            "SELECT g.doc_id, round(len(list_intersect(g.grams, q.qg)) * 1.0 / "
+            "len(list_distinct(g.grams || q.qg)), 6) AS jaccard "
+            "FROM g CROSS JOIN q"),
+        "ann_cosine_topk": (
+            f"WITH s AS (SELECT vec_id, {cos_sql} AS cos_sim FROM embeddings) "
+            "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+        "emb_near_dup": (
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10), "
+            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "a.embedding AS va, b.embedding AS vb "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id), "
+            f"s AS (SELECT id_a, id_b, {pair_cos} AS cos_sim FROM p) "
+            "SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.95"),
+    }

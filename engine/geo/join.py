@@ -68,6 +68,7 @@ def spatial_join(
     salt: int = 8,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    probe_salt_col: str = "image_id",
 ) -> DataFrame:
     """images x layer containment join -> image rows + poly_id.
 
@@ -80,7 +81,7 @@ def spatial_join(
     build_rows = build.count()  # driver-built covering: count is free-ish
     cands = candidates_join(
         probe, build, mode=mode, hot_keys=hot_keys, salt=salt,
-        build_rows=build_rows,
+        probe_salt_col=probe_salt_col, build_rows=build_rows,
     )
     return refine(cands, layer.parts(), lon_col=lon_col, lat_col=lat_col)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 
@@ -22,6 +23,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     Output schema: all left columns + right's non-key columns (nullable,
     suffixed on collision).
     """
+    # Re-alias every column on both sides to mint fresh expression ids:
+    # when left and right derive from the SAME scan (self-as-of), Spark's
+    # cogroup attribute dedup otherwise prunes the right side down to the
+    # grouping key (observed on 4.1: right batches arrive with only `by`).
+    left = left.select(*[F.col(c).alias(c) for c in left.columns])
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
     lcols = left.columns
     rvalue_cols = [c for c in right.columns if c not in (on, by)]
     rename = {c: (c + suffix if c in lcols else c) for c in rvalue_cols}

@@ -1,0 +1,54 @@
+"""Driver-contract parity: every `__spark_entry__.queries()` key runs, and
+every key with an `oracle_sql()` twin matches DuckDB exactly (row count +
+column names + order-insensitive canonical value multiset) — the same
+comparison the driver's verify performs at sf0.01 (here at sf0.001 for
+speed; tools/check_contract.py runs the full sf0.01 sweep)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_contract import rowset
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_oracle_key_has_query():
+    assert set(ORACLED) <= set(entry_mod.queries())
+
+
+@pytest.mark.parametrize("key", ORACLED)
+def test_oracle_parity(key, spark, sf_dir, duck):
+    df = entry_mod.queries()[key](spark, sf_dir)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    res = duck.execute(entry_mod.oracle_sql()[key])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(cols) == sorted(dcols), f"{key}: column names differ"
+    assert len(rows) == len(drows), f"{key}: row count {len(rows)} != {len(drows)}"
+    assert rowset(cols, rows) == rowset(dcols, drows), f"{key}: values differ"
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY)
+def test_rows_only_keys_nonempty(key, spark, sf_dir):
+    df = entry_mod.queries()[key](spark, sf_dir)
+    assert df.count() > 0, f"{key}: zero rows (weak driver check would be vacuous)"
