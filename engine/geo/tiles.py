@@ -23,7 +23,7 @@ from pyspark.sql.types import LongType, StringType
 
 from oracle.geo import LEVEL
 
-from .cells import demorton_np
+from .cells import compact1by1_sql, demorton_np
 
 
 def tile_xy_from_cell_np(cell: np.ndarray, z: int):
@@ -62,24 +62,55 @@ def make_tile_udfs(z: int):
     return tile_x_udf, tile_y_udf, quadkey_udf
 
 
+def tile_x_col(cell_col: str, z: int):
+    """Native de-interleave: level-z parent's even bits -> tile x."""
+    parent = f"(({cell_col}) >> {2 * (LEVEL - z)})"
+    return F.expr(compact1by1_sql(parent))
+
+
+def tile_y_col(cell_col: str, z: int):
+    parent = f"(({cell_col}) >> {2 * (LEVEL - z) + 1})"
+    return F.expr(compact1by1_sql(parent))
+
+
+def quadkey_expr(tx: str, ty: str, z: int) -> str:
+    """Native quadkey: z concatenated base-4 digits, MSB first."""
+    digits = ", ".join(
+        f"CAST(((({tx}) >> {i}) & 1) | (((({ty}) >> {i}) & 1) << 1) AS STRING)"
+        for i in range(z - 1, -1, -1))
+    return f"concat({digits})"
+
+
 def with_tile(df: DataFrame, z: int, cell_col: str = "cell",
-              quadkey_col: bool = False) -> DataFrame:
+              quadkey_col: bool = False, native: bool = True) -> DataFrame:
     """Attach tile_z / tile_x / tile_y (+ optional quadkey) columns.
 
-    Uses the *native* identity tile_morton = cell >> 2*(30-z): the Morton
-    id of the tile is just the cell's level-z parent, so the grouping key
-    for per-tile aggregation needs NO udf at all — `tile_assign` exploits
-    this.  tile_x/tile_y are de-interleaved via one Arrow batch UDF only
-    when the caller asks for explicit coords.
-    """
-    tile_x_udf, tile_y_udf, quadkey_udf = make_tile_udfs(z)
+    Native by default: tile_morton = cell >> 2*(30-z) (the tile IS the
+    cell's level-z parent), and de-interleave/quadkey are pure bit-op
+    column expressions — the whole tiling stage stays in whole-stage
+    codegen with zero Python workers.  `native=False` selects the
+    Arrow-batched numpy kernels (reference form, identical values)."""
+    if not native:
+        tile_x_udf, tile_y_udf, quadkey_udf = make_tile_udfs(z)
+        out = (
+            df.withColumn("tile_z", F.lit(z))
+            .withColumn("tile_x", tile_x_udf(F.col(cell_col)))
+            .withColumn("tile_y", tile_y_udf(F.col(cell_col)))
+        )
+        if quadkey_col:
+            out = out.withColumn("quadkey", quadkey_udf(F.col(cell_col)))
+        return out
     out = (
         df.withColumn("tile_z", F.lit(z))
-        .withColumn("tile_x", tile_x_udf(F.col(cell_col)))
-        .withColumn("tile_y", tile_y_udf(F.col(cell_col)))
+        .withColumn("tile_x", tile_x_col(cell_col, z))
+        .withColumn("tile_y", tile_y_col(cell_col, z))
     )
     if quadkey_col:
-        out = out.withColumn("quadkey", quadkey_udf(F.col(cell_col)))
+        # reference the materialized tile_x/tile_y columns — inlining the
+        # de-interleave cascade into every quadkey digit would blow the
+        # expression tree up ~700x (codegen method-size limit)
+        out = out.withColumn("quadkey",
+                             F.expr(quadkey_expr("tile_x", "tile_y", z)))
     return out
 
 

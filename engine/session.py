@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 ENGINE_CONFS: dict[str, str] = {
+    # local[N] runs everything in the driver JVM; the 1g default heap
+    # OOMs writing wide binary (image) tables. Host has 128 GiB.
+    "spark.driver.memory": "48g",
+    "spark.driver.maxResultSize": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

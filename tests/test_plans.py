@@ -1,0 +1,142 @@
+"""Plan-shape assertions (SURVEY.md §4): pushdown, pruning, join strategy,
+and native-vs-Python expression placement. These guard the properties that
+make the engine viable at 100 TB — a regression here is a silent 10-100x
+slowdown that small-data correctness tests can never catch."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.geo.bbox import bbox_filter
+from engine.geo.cells import cell_parent_col, with_cell, with_cell_prefix
+from engine.geo.join import candidates_join
+from engine.geo.layer import PolygonLayer, rect_polygon
+from engine.image.phash import phash_prefilter
+from engine.synth import gen_images
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "images")
+    gen_images(spark, 200, seed=42).write.parquet(path)
+    return path
+
+
+def test_bbox_predicates_push_to_parquet(spark, images_parquet):
+    df = bbox_filter(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"),
+        (-30.0, -20.0, 60.0, 45.0))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # all four range bounds reach the scan
+    for frag in ("GreaterThanOrEqual(lon,-30.0)", "LessThanOrEqual(lon,60.0)",
+                 "GreaterThanOrEqual(lat,-20.0)", "LessThanOrEqual(lat,45.0)"):
+        assert frag in plan, f"missing pushed filter {frag}\n{plan}"
+
+
+def test_antimeridian_bbox_still_pushes(spark, images_parquet):
+    df = bbox_filter(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"),
+        (170.0, -10.0, -170.0, 10.0))  # minlon > maxlon: crosses +/-180
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "Or(GreaterThanOrEqual(lon,170.0),LessThanOrEqual(lon,-170.0))" in plan
+
+
+def test_narrow_projection_prunes_bytes(spark, images_parquet):
+    df = with_cell(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"))
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "bytes" not in read_schema[0], read_schema
+    assert "caption" not in read_schema[0]
+
+
+def _probe_and_build(spark, images_parquet, level=7):
+    layer = PolygonLayer([rect_polygon("R", -30.0, 0.0, 60.0, 60.0)])
+    probe = with_cell(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"))
+    probe = probe.withColumn("cell_p", cell_parent_col("cell", level))
+    return probe, layer.build_df(spark, level)
+
+
+def test_broadcast_mode_plans_broadcast_hash_join(spark, images_parquet):
+    probe, build = _probe_and_build(spark, images_parquet)
+    plan = plan_of(candidates_join(probe, build, mode="broadcast",
+                                   build_rows=10), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_mode_plans_shuffled_hash_join(spark, images_parquet):
+    probe, build = _probe_and_build(spark, images_parquet)
+    plan = plan_of(candidates_join(probe, build, mode="shuffle",
+                                   build_rows=10), "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_cell_prefix_is_native_no_python_eval(spark, images_parquet):
+    # cell encode needs Python (Arrow batch), but prefix/tile-key math on an
+    # existing cell column must stay JVM-side (shiftright, codegen).
+    df = spark.read.parquet(images_parquet).select("image_id") \
+        .withColumn("cell", F.monotonically_increasing_id())
+    plan = plan_of(with_cell_prefix(df, 8), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(" in plan  # whole-stage-codegen stage marker
+
+
+def test_phash_prefilter_is_native(spark, images_parquet):
+    df = spark.read.parquet(images_parquet).select("image_id", "phash")
+    plan = plan_of(phash_prefilter(df, 12345, 10), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cell_encode_native_has_zero_python_stages(spark, images_parquet):
+    df = with_cell(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"))
+    plan = plan_of(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(" in plan  # stays inside whole-stage codegen
+
+
+def test_cell_encode_udf_form_is_single_arrow_batch_stage(spark, images_parquet):
+    df = with_cell(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"),
+        native=False)
+    plan = plan_of(df, "simple")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_native_and_udf_cell_encode_agree(spark, images_parquet):
+    src = spark.read.parquet(images_parquet).select("image_id", "lat", "lon")
+    a = {r["image_id"]: r["cell"] for r in with_cell(src).collect()}
+    b = {r["image_id"]: r["cell"]
+         for r in with_cell(src, native=False).collect()}
+    assert a == b
+
+
+def test_native_and_udf_tiles_agree(spark, images_parquet):
+    from engine.geo.tiles import with_tile
+    src = with_cell(
+        spark.read.parquet(images_parquet).select("image_id", "lat", "lon"))
+    cols = ("image_id", "tile_x", "tile_y", "quadkey")
+    a = sorted(tuple(r[c] for c in cols)
+               for r in with_tile(src, z=12, quadkey_col=True).collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in with_tile(src, z=12, quadkey_col=True,
+                                  native=False).collect())
+    assert a == b

@@ -1,0 +1,95 @@
+"""Two-parallelism scaling measurement (BASELINE.json:2,14; SURVEY.md §6).
+
+Runs the spatial-join + tile-assignment benchmark at local[N] and
+local[4N] (fresh JVM per run via subprocess), same pre-materialized
+parquet input, median of `--runs` cold runs each, and prints a JSON
+summary with throughput at both levels and the scaling efficiency
+(thr_4N / thr_N) / 4.
+
+Usage: python tools/scaling_bench.py [--n 200000] [--low 8] [--high 32]
+       [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {root!r})
+from engine.session import get_spark
+from pyspark.sql import functions as F
+from bench import bench_spatial_tile, images_table, warmup
+
+cpus = int(sys.argv[1]); n = int(sys.argv[2])
+spark = get_spark("scaling-bench", master=f"local[{{cpus}}]",
+                  shuffle_partitions=64,
+                  extra={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+warmup(spark, cpus)
+images_table.gen_sec = None
+path = images_table(spark, n)
+sec, info = bench_spatial_tile(spark, path, n)
+print("RESULT " + json.dumps({{"sec": sec, **info}}))
+"""
+
+
+def run_once(cpus: int, n: int) -> dict:
+    code = CHILD.format(root=ROOT)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n)],
+        capture_output=True, text=True, timeout=3600, cwd=ROOT)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    # materialize the input once so every run times the join, not the gen
+    run_once(args.high, args.n)
+
+    res = {}
+    for cpus in (args.low, args.high):
+        secs, rows_out = [], None
+        for _ in range(args.runs):
+            r = run_once(cpus, args.n)
+            secs.append(r["sec"])
+            rows_out = r["spatial_tile_rows_out"]
+        med = statistics.median(secs)
+        res[cpus] = {
+            "median_sec": round(med, 3),
+            "all_sec": [round(s, 3) for s in secs],
+            "rows_per_sec": round(args.n / med, 1),
+            "rows_out": rows_out,
+        }
+
+    thr_low = res[args.low]["rows_per_sec"]
+    thr_high = res[args.high]["rows_per_sec"]
+    eff = (thr_high / thr_low) / (args.high / args.low)
+    summary = {
+        "n_images": args.n,
+        "low_cpus": args.low, "high_cpus": args.high,
+        "low": res[args.low], "high": res[args.high],
+        "scaling_efficiency": round(eff, 3),
+        "identical_output": res[args.low]["rows_out"] == res[args.high]["rows_out"],
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
