@@ -583,6 +583,23 @@ def q_fn_json(spark, sf):
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k"))
 
 
+def q_fn_udf_sql(spark, sf):
+    """K6 — SQL-registered vectorized UDF: the numpy haversine registered
+    under a name and invoked from a SQL string."""
+    _prep(spark)
+    from engine.geo.dist import haversine_np
+
+    @F.pandas_udf("double")
+    def hav_paris(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(haversine_np(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), 2.3, 48.85))
+
+    spark.udf.register("hav_paris", hav_paris)
+    _points(spark, sf).createOrReplaceTempView("pts_v")
+    return spark.sql(
+        "SELECT id, round(hav_paris(lon, lat), 1) AS dist_m FROM pts_v")
+
+
 def q_fn_cond(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -783,6 +800,41 @@ def q_img_decode_stats(spark, sf):
     )
 
 
+def q_img_invariants(spark, sf):
+    """C7 — the north-rule per-row invariant as a distributed check:
+    decode -> re-encode -> decode round trip per fmt; exact for lossless
+    (rgb8/png), PSNR >= 40 dB for lossy jq; caption non-empty equality.
+    Returns one row per fmt with the worst-case PSNR and violation
+    counts (all zeros / inf+exact expected)."""
+    _prep(spark)
+    from engine.image.codec import decode, encode, psnr
+    from engine.synth import gen_images
+    imgs = gen_images(spark, 150, seed=42)
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"fmt": [], "psnr_db": [], "exact": [], "caption_ok": []}
+            for row in pdf.itertuples(index=False):
+                pix = decode(row.bytes, int(row.w), int(row.h), row.fmt)
+                rt = decode(encode(pix, row.fmt), int(row.w), int(row.h), row.fmt)
+                p = psnr(pix, rt)
+                out["fmt"].append(row.fmt)
+                out["psnr_db"].append(float(min(p, 999.0)))
+                out["exact"].append(bool((pix == rt).all()))
+                out["caption_ok"].append(bool(row.caption) and row.caption == str(row.caption))
+            yield pd.DataFrame(out)
+
+    checked = imgs.mapInPandas(
+        _check, schema="fmt string, psnr_db double, exact boolean, caption_ok boolean")
+    return checked.groupBy("fmt").agg(
+        F.round(F.min("psnr_db"), 2).alias("min_psnr_db"),
+        F.sum(F.when(~F.col("exact") & F.col("fmt").isin("rgb8", "png"), 1)
+              .otherwise(0)).alias("lossless_violations"),
+        F.sum(F.when(F.col("psnr_db") < 40.0, 1).otherwise(0)).alias("psnr_violations"),
+        F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)).alias("caption_violations"),
+    )
+
+
 def q_pip_refine(spark, sf):
     """General-polygon PIP (concave + holes + antimeridian) — exact oracle
     coverage lives in tests/test_pip.py; the driver check is rows-only."""
@@ -903,6 +955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_array_dot": q_fn_array_dot,
         "fn_json": q_fn_json,
         "fn_cond": q_fn_cond,
+        "fn_udf_sql": q_fn_udf_sql,
+        # C7 invariant surfaced as a query
+        "img_invariants": q_img_invariants,
         # J — streaming (batch-mode end-state)
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
@@ -1112,6 +1167,11 @@ def oracle_sql() -> dict[str, str]:
         "fn_json": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events"),
+        "fn_udf_sql": (
+            f"WITH {PTS_SQL} SELECT id, round("
+            + HAVERSINE_SQL_TMPL.format(lat1="lat", lon1="lon",
+                                        lat2="48.85", lon2="2.3")
+            + ", 1) AS dist_m FROM pts"),
         "fn_cond": (
             "SELECT l_orderkey, l_linenumber, "
             "CASE WHEN l_discount > 0.05 THEN 'hi' WHEN l_discount > 0.02 THEN 'mid' "

@@ -110,6 +110,65 @@ def gen_images(spark: SparkSession, n: int, seed: int = 42,
     return base.mapInPandas(_gen, schema=IMAGES_SCHEMA)
 
 
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized) — deterministic per-row stream."""
+    u = np.uint64
+    v = (v.astype(u) + u(0x9E3779B97F4A7C15))
+    v = (v ^ (v >> u(30))) * u(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> u(27))) * u(0x94D049BB133111EB)
+    return v ^ (v >> u(31))
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    return _mix64(v).astype(np.float64) / float(1 << 64)
+
+
+POINTS_SCHEMA = StructType([
+    StructField("image_id", StringType(), False),
+    StructField("lat", DoubleType(), False),
+    StructField("lon", DoubleType(), False),
+])
+
+
+def gen_points(spark: SparkSession, n: int, seed: int = 42,
+               parts: int | None = None, hot_frac: float = 0.10,
+               anti_frac: float = 0.01) -> DataFrame:
+    """The NARROW projection of the image table — (image_id, lat, lon)
+    with the same geotag distribution (hot cell, antimeridian band) but
+    no pixel payload.  Used for scale benchmarks where n makes per-row
+    image synthesis impractical: the spatial pipeline reads exactly
+    these columns from the full table anyway (bytes are pruned at the
+    scan), so throughput on this table equals throughput on the real
+    one.  Fully vectorized: a counter-based hash stream, no per-row RNG
+    objects, identical rows regardless of partitioning."""
+    base = spark.range(0, n, numPartitions=parts) if parts \
+        else spark.range(0, n)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = np.uint64(seed) * np.uint64(0x100000001B3)
+        for pdf in batches:
+            i = pdf["id"].to_numpy(np.uint64)
+            u_kind = _unit(i * np.uint64(4) + s)
+            u_lat = _unit(i * np.uint64(4) + np.uint64(1) + s)
+            u_lon = _unit(i * np.uint64(4) + np.uint64(2) + s)
+            u_side = _unit(i * np.uint64(4) + np.uint64(3) + s)
+            lat = -MAX_LAT + u_lat * (2 * MAX_LAT)
+            lon = -180.0 + u_lon * 360.0
+            hot = u_kind < hot_frac
+            lat = np.where(hot, HOT_LAT - 0.02 + u_lat * 0.04, lat)
+            lon = np.where(hot, HOT_LON - 0.02 + u_lon * 0.04, lon)
+            anti = (~hot) & (u_kind < hot_frac + anti_frac)
+            lon = np.where(anti,
+                           np.where(u_side < 0.5, 180.0 - u_lon * 0.1,
+                                    -180.0 + u_lon * 0.1), lon)
+            yield pd.DataFrame({
+                "image_id": [f"img{int(v):012d}" for v in i],
+                "lat": lat, "lon": lon,
+            })
+
+    return base.mapInPandas(_gen, schema=POINTS_SCHEMA)
+
+
 def gen_images_local(n: int, seed: int = 42, hot_frac: float = 0.10,
                      anti_frac: float = 0.01) -> pd.DataFrame:
     """Driver-local small-scale generator for tests (same rows)."""
