@@ -44,6 +44,10 @@ def _prep(spark: SparkSession) -> None:
     carry engine defaults). All runtime-settable."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Spark 4.1 HOF-predicate mis-inference guard (engine/session.py)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -167,6 +167,33 @@ BUILD_SCHEMA = StructType([
     StructField("full", BooleanType(), False),
 ])
 
+EDGE_TYPE = StructType([
+    StructField("x1", DoubleType(), False),
+    StructField("y1", DoubleType(), False),
+    StructField("x2", DoubleType(), False),
+    StructField("y2", DoubleType(), False),
+])
+
+BUILD_EDGES_SCHEMA = StructType([
+    StructField("cell_p", LongType(), False),
+    StructField("poly_id", StringType(), False),
+    StructField("full", BooleanType(), False),
+    # edges of every part that marks this cell partial (outer rings AND
+    # holes — the native even-odd test handles holes by parity); None
+    # for full cells, which skip the test entirely
+    StructField("edges", ArrayType(EDGE_TYPE), True),
+])
+
+
+def part_edges(ring: np.ndarray, holes: list[np.ndarray]) -> list[tuple]:
+    """All (x1, y1, x2, y2) edges of a polygon part, outer + holes."""
+    out: list[tuple] = []
+    for r in [ring] + list(holes):
+        b = np.roll(r, -1, axis=0)
+        for (x1, y1), (x2, y2) in zip(r.tolist(), b.tolist()):
+            out.append((float(x1), float(y1), float(x2), float(y2)))
+    return out
+
 LAYER_SCHEMA = StructType([
     StructField("poly_id", StringType(), False),
     StructField("name", StringType(), True),
@@ -223,10 +250,39 @@ class PolygonLayer:
                 total += (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
         return total
 
-    def build_df(self, spark: SparkSession, level: int) -> DataFrame:
-        """The equi-join build side: (cell_p, poly_id, full)."""
-        rows = self.covering(level)
-        return spark.createDataFrame(rows, schema=BUILD_SCHEMA)
+    def build_df(self, spark: SparkSession, level: int,
+                 with_edges: bool = False) -> DataFrame:
+        """The equi-join build side: (cell_p, poly_id, full[, edges]).
+
+        `with_edges` attaches each partial cell's candidate edge list so
+        the exact PIP refinement can run as a NATIVE even-odd crossing
+        expression (engine/geo/pip.py::refine_native) — the whole
+        spatial join then stays inside whole-stage codegen.  Full cells
+        carry no edges (they bypass the test), so the broadcast grows
+        only by O(boundary cells x polygon edges)."""
+        if not with_edges:
+            rows = self.covering(level)
+            return spark.createDataFrame(rows, schema=BUILD_SCHEMA)
+        seen: dict[tuple[int, str], dict] = {}
+        for p in self.polygons:
+            for ring, holes in p.split_antimeridian():
+                edges = part_edges(ring, holes)
+                for cell, full in cover_part(ring, holes, level):
+                    e = seen.setdefault((cell, p.poly_id),
+                                        {"full": False, "edges": []})
+                    if full:
+                        e["full"] = True
+                    else:
+                        # even-odd over concatenated disjoint-part edges
+                        # stays correct: a point inside part A crosses
+                        # A's edges an odd number of times and any other
+                        # part's an even number
+                        e["edges"].extend(edges)
+        rows = sorted(
+            (cell, pid, e["full"], None if e["full"] else e["edges"])
+            for (cell, pid), e in seen.items()
+        )
+        return spark.createDataFrame(rows, schema=BUILD_EDGES_SCHEMA)
 
     def to_df(self, spark: SparkSession, level: int) -> DataFrame:
         """Full layer inventory DF per SURVEY.md §1.2 schema."""

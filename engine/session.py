@@ -18,6 +18,14 @@ ENGINE_CONFS: dict[str, str] = {
     # OOMs writing wide binary (image) tables. Host has 128 GiB.
     "spark.driver.memory": "48g",
     "spark.driver.maxResultSize": "4g",
+    # Spark 4.1: InferFiltersFromConstraints mis-infers a predicate that
+    # contains a higher-order function onto the wrong join side (the
+    # lambda's outer references bind against the build relation ->
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The engine's native PIP
+    # refinement is such a predicate; the rule only ever adds redundant
+    # derived filters, so excluding it is safe.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
