@@ -218,6 +218,27 @@ def q_bbox_extract(spark, sf):
     return bbox_filter(_points(spark, sf), (-30.0, -20.0, 60.0, 45.0))
 
 
+def q_bbox_extract_antimeridian(spark, sf):
+    """B3 with minlon > maxlon: the box crosses the +/-180 line and
+    splits into an OR of two ranges (still parquet-pushdown-able)."""
+    _prep(spark)
+    from engine.geo.bbox import bbox_filter
+    return bbox_filter(_points(spark, sf), (150.0, -50.0, -150.0, 50.0))
+
+
+def q_snapshot_time_travel(spark, sf):
+    """A2 time travel: read the FIRST snapshot of a table that has since
+    received a second append — the pinned scan must see only commit 1."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    od = _orders_narrow(_t(spark, sf, "orders"))
+    root = tempfile.mkdtemp(prefix="icelite-tt-")
+    table = IceliteTable(root)
+    s1 = table.commit_append(od.filter("o_orderkey % 2 = 0"), stage="s1")
+    table.commit_append(od.filter("o_orderkey % 2 <> 0"), stage="s2")
+    return table.scan(spark, s1)
+
+
 def q_phash_prefilter(spark, sf):
     _prep(spark)
     from engine.image.phash import hamming_col
@@ -911,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project": q_project,
         "filter_pred": q_filter_pred,
         "bbox_extract": q_bbox_extract,
+        "bbox_extract_antimeridian": q_bbox_extract_antimeridian,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "phash_prefilter": q_phash_prefilter,
         # C — cell / tile / image / distance kernels
         "cell_encode": q_cell_encode,
@@ -1034,6 +1057,12 @@ def oracle_sql() -> dict[str, str]:
         "bbox_extract": (
             f"WITH {PTS_SQL} SELECT id, lon, lat FROM pts "
             "WHERE lon >= -30.0 AND lon <= 60.0 AND lat >= -20.0 AND lat <= 45.0"),
+        "bbox_extract_antimeridian": (
+            f"WITH {PTS_SQL} SELECT id, lon, lat FROM pts "
+            "WHERE (lon >= 150.0 OR lon <= -150.0) AND lat >= -50.0 AND lat <= 50.0"),
+        "snapshot_time_travel": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "CAST(o_orderdate AS VARCHAR) AS o_date FROM orders WHERE o_orderkey % 2 = 0"),
         "phash_prefilter": (
             "WITH h AS (SELECT o_orderkey, "
             "(o_orderkey * 1099511628211) % 4611686018427387904 AS h FROM orders) "
