@@ -435,6 +435,24 @@ def q_agg_udaf(spark, sf):
         F.round(mean_qty("l_quantity"), 6).alias("mean_qty"))
 
 
+def q_grouped_map(spark, sf):
+    """K4 — grouped-map applyInPandas (one group in, N rows out):
+    per-returnflag mean-centering of quantities."""
+    _prep(spark)
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+    def _center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        out["qty_centered"] = (pdf["l_quantity"]
+                               - pdf["l_quantity"].mean()).round(4)
+        return out
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        _center,
+        "l_orderkey long, l_linenumber int, l_returnflag string, qty_centered double")
+
+
 def q_agg_heavy_hitters(spark, sf):
     _prep(spark)
     from engine.geo.cells import cell_parent_col, with_cell
@@ -680,6 +698,26 @@ def q_stream_pipeline(spark, sf):
             .agg(F.max("n").alias("n"), F.max("sum_value").alias("sv"))
             .select("win_start", "event_type", "n",
                     F.round("sv", 2).alias("sum_value")))
+
+
+def q_stream_stateful(spark, sf):
+    """J6 end-to-end: applyInPandasWithState running per-user count/sum
+    across replayed micro-batches; the final state per user equals the
+    batch aggregate, which is the DuckDB oracle."""
+    _prep(spark)
+    from engine import streaming as st
+    events_pdf = _t(spark, sf, "events").toPandas()
+    root = tempfile.mkdtemp(prefix="stream-state-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks(events_pdf, chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, chunks)
+    out = st.running_per_user(sdf)
+    table = st.run_stream_to_icelite(out, f"{root}/tbl", f"{root}/ckpt",
+                                     mode="update")
+    df = table.scan(spark)
+    return (df.groupBy("user_id")
+            .agg(F.max("running_count").alias("n"),
+                 F.round(F.max("running_sum"), 2).alias("sum_value")))
 
 
 def q_stream_dedup(spark, sf):
@@ -962,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": q_agg_cube,
         "agg_udaf": q_agg_udaf,
         "agg_heavy_hitters": q_agg_heavy_hitters,
+        "grouped_map": q_grouped_map,
         "agg_collect": q_agg_collect,
         # F — windows
         "win_rank": q_win_rank,
@@ -990,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_session": q_stream_session,
         "stream_pipeline": q_stream_pipeline,
+        "stream_stateful": q_stream_stateful,
         "stream_dedup": q_stream_dedup,
         # L — ops: metrics / lineage tables
         "metrics_table": q_metrics_table,
@@ -1224,6 +1264,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start, "
             "event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"),
+        "grouped_map": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, "
+            "round(l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag), 4) "
+            "AS qty_centered FROM lineitem"),
+        "stream_stateful": (
+            "SELECT user_id, COUNT(*) AS n, "
+            "round(SUM(COALESCE(value, 0.0)), 2) AS sum_value "
+            "FROM events GROUP BY user_id"),
         "stream_dedup": (
             "SELECT event_id, user_id, event_type, value, "
             "CAST(ts AS VARCHAR) AS ts_s FROM events"),

@@ -137,12 +137,16 @@ def minhash_dedup(df: DataFrame, *, id_col: str = "doc_id",
     pairs = lsh_candidate_pairs(df, id_col=id_col, text_col=text_col,
                                 num_hashes=num_hashes, bands=bands, k=k,
                                 seed=seed)
+    # shingles as xxhash64 longs, not strings: array_intersect/union on
+    # int64 arrays is ~5x cheaper than on thousands of tiny strings and
+    # the Jaccard value is identical up to 64-bit hash collisions
+    # (~1e-15 per pair at 10^4 shingles)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
             F.expr(
                 f"transform(sequence(0, greatest(length({text_col}) - {k}, 0)), "
-                f"i -> substring({text_col}, i + 1, {k}))"
+                f"i -> xxhash64(substring({text_col}, i + 1, {k})))"
             )
         ).alias("shingles"),
     )

@@ -104,6 +104,33 @@ def test_phash_prefilter_is_native(spark, images_parquet):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_bucketed_join_plans_no_shuffle(spark, images_parquet, tmp_path):
+    """Same-bucketed tables co-locate: the equi-join must plan with ZERO
+    Exchange operators (the 100 TB big-big join pattern)."""
+    from engine.bucketing import bucketed_join, write_bucketed
+    imgs = spark.read.parquet(images_parquet).select("image_id", "lat", "lon")
+    feats = imgs.select("image_id", (F.length("image_id")).alias("feat"))
+    write_bucketed(imgs, "b_imgs", "image_id", 8,
+                   path=str(tmp_path / "b_imgs"))
+    write_bucketed(feats, "b_feats", "image_id", 8,
+                   path=str(tmp_path / "b_feats"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # tiny test tables would auto-broadcast; at big-big scale the
+        # planner picks SMJ on its own — force it here to expose the
+        # bucketed no-shuffle property
+        j = bucketed_join(spark, "b_imgs", "b_feats", "image_id")
+        plan = plan_of(j, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_imgs")
+        spark.sql("DROP TABLE IF EXISTS b_feats")
+
+
 def test_cell_encode_native_has_zero_python_stages(spark, images_parquet):
     df = with_cell(
         spark.read.parquet(images_parquet).select("image_id", "lat", "lon"))
