@@ -115,7 +115,9 @@ def bench_knn(spark, images_path: str, n_queries: int = 200):
     queries = spark.createDataFrame(qs, "qid long, lat double, lon double")
     pts = spark.read.parquet(images_path).select("image_id", "lat", "lon")
     t0 = time.time()
-    out = knn_join(queries, pts, k=10, level=8, r0=2)
+    # r0=3 guarantees ~49-cell disks (~150 candidates at this density):
+    # nearly every query satisfies its safe-radius bound in round 1
+    out = knn_join(queries, pts, k=10, level=8, r0=3)
     rows = out.count()
     return time.time() - t0, {"knn_rows_out": rows}
 
