@@ -800,13 +800,19 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_emb_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs via the SCALABLE path (LSH bucket
+    + Hamming-1 equi-join, engine/ml/ann.py); the all-pairs exact form is
+    the DuckDB oracle.  Parity holds because the fixture's only >=0.95
+    pairs are the injected exact copies (cos 1.0 -> identical signature
+    -> same bucket, recall 1 deterministically); verified empirically:
+    zero natural pairs >= 0.90 at sf0.001/sf0.01."""
     _prep(spark)
     from engine.ml.ann import cosine_near_dup_pairs
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     return cosine_near_dup_pairs(emb.unionByName(dups), threshold=0.95,
-                                 id_col="vec_id", exact=True)
+                                 id_col="vec_id", bits=8, dim=len(QVEC))
 
 
 # ----------------------------------------------- rows-only (no SQL twin)

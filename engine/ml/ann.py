@@ -57,27 +57,44 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int,
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           bits: int = 8, seed: int = 42,
-                          exact: bool = False) -> DataFrame:
+                          exact: bool = False, dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
-    exact=True brute-forces all pairs (test oracle / small inputs);
-    otherwise LSH buckets with Hamming-1 probing bound the pair space.
+    exact=True brute-forces all pairs (test oracle / small inputs).
+    Otherwise: random-hyperplane LSH buckets bound the pair space, probing
+    every pair whose signatures differ in <= 1 bit — expressed as an
+    EQUI-join so Catalyst plans a hash join, never a nested loop: the
+    probe side explodes each row to (bits + 1) keys (its own bucket plus
+    each Hamming-1 neighbor), the build side keeps its single bucket, and
+    the join key is the bucket value itself.  Candidate IDs are
+    deduplicated BEFORE the vectors are joined back in, so the wide
+    embedding arrays ride the shuffle only for surviving candidates.
+    Cost at scale: (bits+1)·n skinny (id, key) rows + one equi-join —
+    no cross-bucket comparisons, no BroadcastNestedLoopJoin
+    (asserted by tests/test_plans.py).
     """
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        sigs = with_lsh_bucket(df, bits=bits, seed=seed, vec_col=vec_col)
-        a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                        F.col("bucket").alias("bucket_a"))
-        b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                        F.col("bucket").alias("bucket_b"))
-        pairs = a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.bit_count(F.col("bucket_a").bitwiseXOR(F.col("bucket_b"))) <= 1),
+        sigs = with_lsh_bucket(df, bits=bits, seed=seed, vec_col=vec_col,
+                               dim=dim).select(id_col, "bucket")
+        # own bucket + the `bits` Hamming-1 neighbors, as plain equi keys
+        probes = F.expr(
+            f"array_union(array(bucket), "
+            f"transform(sequence(0, {bits - 1}), i -> bucket ^ shiftleft(1L, i)))"
         )
+        a = sigs.select(F.col(id_col).alias("id_a"),
+                        F.explode(probes).alias("probe"))
+        b = sigs.select(F.col(id_col).alias("id_b"),
+                        F.col("bucket").alias("probe"))
+        cand = (a.join(b, "probe")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0.0 as double), (acc, v) -> acc + v)"
@@ -106,8 +123,14 @@ def make_lsh_bucket_udf(dim: int, bits: int = 8, seed: int = 42):
 
 def with_lsh_bucket(df: DataFrame, bits: int = 8, seed: int = 42,
                     vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+    """`dim` is required: inferring it via `df.select(vec_col).first()`
+    would run a hidden driver-side job during plan construction (one scan
+    per call at cluster scale) — callers know the embedding width from
+    their table contract / metadata and must pass it."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "with_lsh_bucket: pass dim explicitly (embedding width from the "
+            "table contract) — inferring it would run a driver-side job")
     return df.withColumn("bucket", make_lsh_bucket_udf(dim, bits, seed)(F.col(vec_col)))
 
 

@@ -167,3 +167,21 @@ def test_native_and_udf_tiles_agree(spark, images_parquet):
                for r in with_tile(src, z=12, quadkey_col=True,
                                   native=False).collect())
     assert a == b
+
+
+def test_near_dup_lsh_path_is_equi_join_not_nested_loop(spark):
+    # The Hamming-1 candidate step must plan as a hash equi-join on the
+    # exploded bucket key — a BroadcastNestedLoopJoin/CartesianProduct
+    # here is the all-pairs scale-killer the LSH exists to avoid.
+    import numpy as np
+    import pandas as pd
+    from engine.ml.ann import cosine_near_dup_pairs
+    r = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [v.tolist() for v in r.normal(size=(40, 16)).astype(np.float32)],
+    })
+    df = spark.createDataFrame(pdf)
+    plan = plan_of(cosine_near_dup_pairs(df, 0.99, bits=6, dim=16), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -182,6 +182,6 @@ def test_cosine_near_dup_exact_vs_lsh(spark):
              cosine_near_dup_pairs(df, 0.99, exact=True).collect()}
     assert {(i, i + 20) for i in range(5)} <= exact
     approx = {(r.id_a, r.id_b) for r in
-              cosine_near_dup_pairs(df, 0.99, bits=6).collect()}
+              cosine_near_dup_pairs(df, 0.99, bits=6, dim=16).collect()}
     assert approx <= exact
     assert len(approx & {(i, i + 20) for i in range(5)}) >= 3
