@@ -205,7 +205,7 @@ def main() -> None:
         ("phash_hamming", bench_phash_hamming, (spark, images_path), 1),
         ("agg_basic", bench_agg_basic, (spark, sf_dir), 1),
         ("join_sortmerge", bench_join_sortmerge, (spark, sf_dir), 1),
-        ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir), 1),
+        ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir), 3),
         ("ann_topk", bench_ann_topk, (spark, sf_dir), 1),
     ]:
         secs = []

@@ -63,6 +63,44 @@ def write_event_chunks(events_pdf: pd.DataFrame, out_dir: str,
     return paths
 
 
+def write_event_chunks_df(events: DataFrame, out_dir: str,
+                          n_chunks: int = 5, shuffle_frac: float = 0.05,
+                          seed: int = 7) -> list[str]:
+    """Spark-side replay-chunk writer: NO driver materialization (the
+    pandas form above is for small unit-test fixtures only — collecting
+    the full events table to the driver is exactly the OOM the design
+    rules forbid, ADVICE r1).
+
+    Chunk assignment is a pure column expression: event_id range-sliced
+    into n_chunks, with a deterministic ~shuffle_frac of rows pulled 1-2
+    chunks EARLIER via xxhash64(event_id) (late data relative to their
+    timestamps, for watermark behavior).  Chunks are written in order so
+    the file-stream source's modification-time ordering replays them as
+    written.  One filtered write per chunk keeps file/mtime ordering
+    explicit; n_chunks is O(1), so the extra scans are bounded (a single
+    `partitionBy` pass is the one-shot alternative when ordering doesn't
+    matter)."""
+    import os
+
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    base = F.least(
+        F.floor((F.col("event_id") - F.lit(int(lo))) * n_chunks / span),
+        F.lit(n_chunks - 1))
+    h = F.abs(F.xxhash64("event_id", F.lit(seed)))
+    mover = (h % 1000) < int(shuffle_frac * 1000)
+    chunk = F.when(mover, F.greatest(base - 1 - (h % 2), F.lit(0))) \
+        .otherwise(base).cast("int")
+    tagged = events.withColumn("_chunk", chunk)
+    paths = []
+    for c in range(n_chunks):
+        p = os.path.join(out_dir, f"chunk-{c:03d}")
+        (tagged.filter(F.col("_chunk") == c).drop("_chunk")
+         .coalesce(1).write.mode("overwrite").parquet(p))
+        paths.append(p)
+    return paths
+
+
 def read_event_stream(spark: SparkSession, dir_path: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
     return (

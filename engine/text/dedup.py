@@ -99,6 +99,22 @@ def make_minhash_udf(num_hashes: int = 32, k: int = 4, seed: int = 42):
     return minhash_udf
 
 
+def make_shingle_udf(k: int = 4):
+    """Distinct shingle ids per doc as array<long> — the SAME
+    `_shingle_ids` byte-window kernel the MinHash signature uses, so LSH
+    recall and the exact-Jaccard verify threshold measure the identical
+    similarity (byte windows on both sides, ASCII or not).  Vectorized
+    numpy, not an interpreted `transform(...)` HOF: the SQL form costs
+    O(len) interpreted xxhash64(substring) calls per doc and disables
+    whole-stage codegen for its stage."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def shingle_udf(text: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_ids(t, k).astype(np.int64) for t in text])
+
+    return shingle_udf
+
+
 def lsh_candidate_pairs(df: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 32,
                         bands: int = 8, k: int = 4, seed: int = 42) -> DataFrame:
@@ -134,22 +150,25 @@ def minhash_dedup(df: DataFrame, *, id_col: str = "doc_id",
                   num_hashes: int = 32, bands: int = 8, k: int = 4,
                   seed: int = 42) -> DataFrame:
     """Candidate pairs verified by exact shingle Jaccard >= threshold."""
+    # Candidate pairs are tiny relative to the corpus (O(dups), not
+    # O(n^2)); checkpoint them so the LSH stage runs ONCE even though the
+    # pair set feeds both the candidate-id extraction and the verify join
+    # (lazy: materialized by the consuming action itself, no extra job).
     pairs = lsh_candidate_pairs(df, id_col=id_col, text_col=text_col,
                                 num_hashes=num_hashes, bands=bands, k=k,
-                                seed=seed)
-    # shingles as xxhash64 longs, not strings: array_intersect/union on
-    # int64 arrays is ~5x cheaper than on thousands of tiny strings and
-    # the Jaccard value is identical up to 64-bit hash collisions
-    # (~1e-15 per pair at 10^4 shingles)
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(0, greatest(length({text_col}) - {k}, 0)), "
-                f"i -> xxhash64(substring({text_col}, i + 1, {k})))"
-            )
-        ).alias("shingles"),
-    )
+                                seed=seed).localCheckpoint(eager=False)
+    # Exact-Jaccard verify: shingle sets are computed ONLY for docs that
+    # appear in a candidate pair (semi-join first) — the wide shingle
+    # arrays never exist for the 99.x% of the corpus with no candidate,
+    # and never ride a shuffle except for the candidates themselves.
+    # Ids come from the same `_shingle_ids` byte-window kernel as the
+    # signatures (injective per window up to 64-bit collisions, ~1e-15
+    # per pair at 10^4 shingles), so hashed-set Jaccard == substring-set
+    # Jaccard.
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    sh = (df.join(cand_ids, id_col, "semi")
+          .select(F.col(id_col), make_shingle_udf(k)(F.col(text_col)).alias("shingles")))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -185,3 +185,24 @@ def test_cosine_near_dup_exact_vs_lsh(spark):
               cosine_near_dup_pairs(df, 0.99, bits=6, dim=16).collect()}
     assert approx <= exact
     assert len(approx & {(i, i + 20) for i in range(5)}) >= 3
+
+
+def test_minhash_verify_shingles_match_lsh_on_non_ascii(spark):
+    # ADVICE r1: LSH candidates and the exact-Jaccard verify must hash the
+    # SAME shingle definition (utf-8 byte windows) or recall is measured
+    # against a different similarity than the threshold applies on any
+    # non-ASCII text.
+    base = "café münchen naïve façade œuvre " * 20
+    rows = [(1, base), (2, base), (3, base.replace("café", "thé")),
+            (4, "совершенно другой текст без общих элементов " * 15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           dd.minhash_dedup(df, threshold=0.6).collect()}
+    assert got[(1, 2)] == 1.0            # identical non-ASCII docs
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert not any(4 in p for p in got)
+    # UDF shingles == oracle-form byte-window kernel on non-ASCII text
+    sh_df = df.select("doc_id", dd.make_shingle_udf()(F.col("text")).alias("sh"))
+    for r in sh_df.collect():
+        want = dd._shingle_ids(dict(rows)[r.doc_id]).astype("int64")
+        assert sorted(r.sh) == sorted(want.tolist())

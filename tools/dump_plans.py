@@ -108,6 +108,73 @@ def main() -> None:
         "left to the 10 MB default threshold).",
         plan_of(cands_sh, "simple")))
 
+    # 5. kNN candidate join (one expansion round, as built in knn_join)
+    from pyspark.sql import Window
+    from engine.geo.dist import haversine_expr
+    from engine.geo.knn import make_disk_r_udf
+    queries = spark.createDataFrame(
+        [(0, 48.85, 2.3), (1, -33.9, 151.2)], "qid long, lat double, lon double")
+    pts = with_cell(spark.read.parquet(path).select("image_id", "lat", "lon")) \
+        .withColumn("cell_p", cell_parent_col("cell", 8)) \
+        .select("image_id", F.col("lat").alias("p_lat"),
+                F.col("lon").alias("p_lon"), "cell_p")
+    q = with_cell(queries).select(
+        "qid", "lat", "lon", cell_parent_col("cell", 8).alias("q_cell")) \
+        .withColumn("r", F.lit(3))
+    cand_cells = q.withColumn(
+        "cell_p", F.explode(make_disk_r_udf(8)(F.col("q_cell"), F.col("r"))))
+    scored = cand_cells.join(pts, "cell_p").withColumn(
+        "dist_m", haversine_expr(F.col("lon"), F.col("lat"),
+                                 F.col("p_lon"), F.col("p_lat")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_m"), F.asc("image_id"))
+    knn_round = scored.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= 10)
+    sections.append((
+        "kNN candidate round (D10/F4)",
+        "Per round: the (small) query side explodes its ring disk and the "
+        "join on the level-8 cell key broadcasts it — the big point table "
+        "is never shuffled; scoring is the native JVM haversine inside "
+        "codegen; per-query top-k is a window over candidates only. The "
+        "safe-radius retry loop (engine/geo/knn.py) re-runs only failing "
+        "qids and localCheckpoints each round's top-k so the candidate "
+        "join executes once per round.",
+        plan_of(knn_round, "simple")))
+
+    # 6. MinHash dedup
+    from engine.text.dedup import minhash_dedup
+    docs = spark.createDataFrame(
+        [(i, f"document body {i % 7} with shared vocabulary tokens") for i in range(200)],
+        "doc_id long, text string")
+    sections.append((
+        "MinHash+LSH dedup with exact-Jaccard verify (training-data op)",
+        "One Arrow-batched pandas-UDF pass stamps signatures; banding "
+        "explodes to (band, bucket) keys and candidate pairs come from a "
+        "hash equi-join on those keys — never an all-pairs comparison. The "
+        "pair set is checkpointed (LSH runs once), candidate ids are "
+        "extracted and SEMI-joined back so shingle arrays are computed "
+        "only for candidate docs, then two hash joins attach both shingle "
+        "sets for the native array_intersect/array_union Jaccard.",
+        plan_of(minhash_dedup(docs, threshold=0.6), "simple")))
+
+    # 7. embedding near-dup LSH path
+    from engine.ml.ann import cosine_near_dup_pairs
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(100, dtype=np.int64),
+        "embedding": [v.tolist() for v in rng.normal(size=(100, 16)).astype(np.float32)],
+    }))
+    sections.append((
+        "Embedding-cosine near-dup pairs, LSH path (similarity op)",
+        "The Hamming-1 probe is an EQUI-join: each row explodes to "
+        "(bits+1) bucket keys, the build side keeps one; a hash join on "
+        "the key bounds the pair space, candidate ids dedupe BEFORE the "
+        "wide vectors are joined back, and the exact cosine verify is a "
+        "native zip_with/aggregate expression. No BroadcastNestedLoopJoin "
+        "anywhere (asserted by tests/test_plans.py).",
+        plan_of(cosine_near_dup_pairs(emb, 0.95, bits=6, dim=16), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
