@@ -751,7 +751,13 @@ def _mini_pipeline_sink(spark, sf):
 
 
 def q_metrics_table(spark, sf):
-    """L3 — per-stage metrics rows emitted by a real pipeline run."""
+    """L3 — per-stage metrics rows emitted by a real pipeline run.  The
+    oracle is the PINNED expected table: the mini pipeline is a fixed
+    function of (seed=42, n=300, layer), so its per-stage row counts are
+    environment-independent constants (totals, not per-partition splits)
+    — a driver-visible regression pin on the whole flagship path.
+    (lineage_table stays rows-only: per-FILE row splits legitimately
+    depend on the session's parallelism/AQE settings.)"""
     _prep(spark)
     sink = _mini_pipeline_sink(spark, sf)
     return sink.metrics_df(spark).select("stage", "rows_out")
@@ -828,6 +834,15 @@ def q_text_fingerprint(spark, sf):
         "doc_id", "fingerprint")
 
 
+def q_text_tokens(spark, sf):
+    """Token counting (task brief): whitespace tokens + BPE-ish regex
+    pre-tokens + chars-per-pretoken, all native expressions."""
+    _prep(spark)
+    from engine.text.ops import with_token_counts
+    return with_token_counts(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens_ws", "n_pretokens", "chars_per_pretoken")
+
+
 def q_dedup_exact(spark, sf):
     _prep(spark)
     from engine.text.dedup import exact_dedup
@@ -881,11 +896,15 @@ def q_scan_polygons(spark, sf):
 
 
 def q_cell_ring(spark, sf):
+    """C4 — disk-2 expansion around each point's level-10 cell, now with
+    a full DuckDB twin: the disk is (x+dx mod 2^10, clamp(y+dy)) for
+    dx,dy in [-2,2]^2 re-Mortoned, which the oracle expresses with the
+    same magic-mask Morton SQL used by cell_encode.  `id <= 50` replaces
+    the r1 `limit(50)` so the row subset is deterministic."""
     _prep(spark)
-    from engine.geo.cells import make_disk_udf, with_cell
-    pts = with_cell(_points(spark, sf)).limit(50)
+    from engine.geo.cells import cell_parent_col, make_disk_udf, with_cell
+    pts = with_cell(_points(spark, sf)).filter(F.col("id") <= 50)
     disk = make_disk_udf(10, 2)
-    from engine.geo.cells import cell_parent_col
     return pts.select(
         "id", cell_parent_col("cell", 10).alias("cell10")
     ).select("id", F.explode(disk(F.col("cell10"))).alias("ring_cell"))
@@ -977,15 +996,35 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs at max_dist=3 with a FULL DuckDB twin: the
+    oracle recomputes the 64-bit SimHash in pure SQL (byte windows ->
+    splitmix64 via HUGEINT split-multiply mod 2^64 -> per-bit majority)
+    and brute-forces all pairs.  max_dist=3 makes band recall a THEOREM,
+    not fixture luck: a pair within Hamming distance 3 differs in <= 3 of
+    the 4 16-bit bands, so at least one band matches (pigeonhole) and the
+    banded equi-join finds every qualifying pair at any scale."""
     _prep(spark)
     from engine.text.dedup import simhash_near_dups
-    return simhash_near_dups(_docs_with_dups(spark, sf), max_dist=6)
+    return simhash_near_dups(_docs_with_dups(spark, sf), max_dist=3)
 
 
 def q_ann_lsh_topk(spark, sf):
     _prep(spark)
     from engine.ml.ann import lsh_topk
     return lsh_topk(_t(spark, sf, "embeddings"), QVEC, 10, id_col="vec_id")
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN (task brief's 'IVF variant as the scale path'): explicit
+    train step (seeded k-means over a bounded deterministic sample) ->
+    cell assignment -> n_probe/16 cells probed -> exact cosine within.
+    Approximate by design — rows-only driver check; recall vs brute
+    force is asserted in tests/test_relops_text_ann.py."""
+    _prep(spark)
+    from engine.ml.ann import ivf_topk, ivf_train
+    emb = _t(spark, sf, "embeddings")
+    cents = ivf_train(emb, 16, dim=len(QVEC))
+    return ivf_topk(emb, QVEC, 10, cents, n_probe=4, id_col="vec_id")
 
 
 def _media_df(spark):
@@ -1050,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_tokens": q_text_tokens,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1057,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
         # multimodal plumbing
         "media_features": q_media_features,
@@ -1119,6 +1160,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ----------------------------------------------------------- oracle SQL
+
+_U64_MOD = "18446744073709551616"  # 2^64
+
+
+def _mulmod64_sql(a: str, b: str) -> str:
+    """(a * b) mod 2^64 without INT128 overflow: split `a` into 32-bit
+    halves (each product then fits HUGEINT).  `a` must be a HUGEINT
+    expression in [0, 2^64); `b` a uint64 literal."""
+    return (f"((((({a}) % 4294967296) * {b}) % {_U64_MOD} + "
+            f"((((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296)) "
+            f"% {_U64_MOD})")
+
+
+def _mix64_sql(v: str) -> str:
+    """SQL twin of engine.text.dedup._mix64 (splitmix64 finalizer) over a
+    UBIGINT expression; verified bit-identical to the numpy kernel."""
+    s1 = f"CAST((CAST({v} AS HUGEINT) + 11400714819323198485) % {_U64_MOD} AS UBIGINT)"
+    t1 = f"CAST(xor({s1}, {s1} >> 30) AS HUGEINT)"
+    s2 = f"CAST({_mulmod64_sql(t1, '13787848793156543929')} AS UBIGINT)"
+    t2 = f"CAST(xor({s2}, {s2} >> 27) AS HUGEINT)"
+    s3 = f"CAST({_mulmod64_sql(t2, '10723151780598845931')} AS UBIGINT)"
+    return f"xor({s3}, {s3} >> 31)"
+
+
+def _simhash_sql() -> str:
+    """CTE chain computing `sim(doc_id, sim)` — the signed 64-bit SimHash
+    of every doc in `d(doc_id, text)` — matching dedup.simhash64 exactly
+    (byte-window shingle ids via splitmix64, per-bit +-1 majority)."""
+    wv = ("CAST(ascii(substring(text, i, 1)) AS UBIGINT) "
+          "+ CAST(ascii(substring(text, i+1, 1)) AS UBIGINT) * 256 "
+          "+ CAST(ascii(substring(text, i+2, 1)) AS UBIGINT) * 65536 "
+          "+ CAST(ascii(substring(text, i+3, 1)) AS UBIGINT) * 16777216")
+    return (
+        "w AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"generate_series(1, length(text) - 3), i -> {wv}))) AS wv FROM d), "
+        f"h AS (SELECT doc_id, {_mix64_sql('wv')} AS hv FROM w), "
+        "js AS (SELECT unnest(generate_series(0, 63)) AS j), "
+        "acc AS (SELECT doc_id, j, "
+        "SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS t "
+        "FROM h, js GROUP BY 1, 2), "
+        "sh AS (SELECT doc_id, SUM(CASE WHEN t > 0 THEN CAST(1 AS UBIGINT) << j "
+        "ELSE 0 END) AS u FROM acc GROUP BY doc_id), "
+        "sim AS (SELECT doc_id, CAST(CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT) "
+        f"THEN CAST(u AS HUGEINT) - {_U64_MOD} ELSE CAST(u AS HUGEINT) END AS BIGINT) "
+        "AS sim FROM sh)"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     hav_to_paris = HAVERSINE_SQL_TMPL.format(
@@ -1366,6 +1454,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, list_reduce(list_transform(regexp_split_to_array(text, ''), "
             "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647) "
             "AS fingerprint FROM documents"),
+        "text_tokens": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)) "
+            "AS INTEGER) AS n_pretokens, "
+            "round(length(replace(text, ' ', '')) * 1.0 / "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)), 6) "
+            "AS chars_per_pretoken FROM documents"),
         "dedup_exact": (
             "WITH d AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20) "
@@ -1383,6 +1479,39 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": (
             f"WITH s AS (SELECT vec_id, {cos_sql} AS cos_sim FROM embeddings) "
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+        # Pinned expected tables: these two keys are pure functions of the
+        # seeded generators/layer (sf-independent, partition-count
+        # independent — aggregates and covering sizes, not splits), so the
+        # oracle is the hand-pinned expected output; any drift in codec,
+        # PSNR math, or covering algorithm turns the key red.
+        "img_invariants": (
+            "SELECT * FROM (VALUES "
+            "('jq', CAST(60.92 AS DOUBLE), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)), "
+            "('png', CAST(999.0 AS DOUBLE), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)), "
+            "('rgb8', CAST(999.0 AS DOUBLE), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))) "
+            "t(fmt, min_psnr_db, lossless_violations, psnr_violations, caption_violations)"),
+        "scan_polygons": (
+            "SELECT * FROM (VALUES "
+            "('P00', 'rect_europe_mid', 1290), ('P01', 'rect_south_america', 1085), "
+            "('P02', 'rect_sea', 1024), ('P03', 'rect_uk', 1350), "
+            "('P04', 'convex_triangle', 454), ('P05', 'convex_pentagon', 770), "
+            "('P06', 'convex_quad', 709), ('P07', 'square_with_hole', 950), "
+            "('P08', 'concave_L', 645), ('P09', 'concave_notch', 956), "
+            "('P10', 'antimeridian_rect', 406), ('P11', 'hot_cell_cover', 9)) "
+            "t(poly_id, name, n_cells)"),
+        "metrics_table": (
+            "SELECT * FROM (VALUES ('images', CAST(300 AS BIGINT)), "
+            "('extract', CAST(300 AS BIGINT)), ('joined', CAST(36 AS BIGINT)), "
+            "('tiled', CAST(36 AS BIGINT)), ('tile_counts', CAST(9 AS BIGINT))) "
+            "t(stage, rows_out)"),
+        "cell_ring": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "c10 AS (SELECT id, xi >> 20 AS x, yi >> 20 AS y FROM xy WHERE id <= 50), "
+            "dd(v) AS (VALUES (-2), (-1), (0), (1), (2)), "
+            "d AS (SELECT id, ((x + dx.v + 1024) % 1024) AS nx, y + dy.v AS ny "
+            "FROM c10, dd dx, dd dy) "
+            f"SELECT DISTINCT id, {_morton_sql('nx', 'ny')} AS ring_cell "
+            "FROM d WHERE ny >= 0 AND ny < 1024"),
         "pipeline_resume": (
             "WITH e AS (SELECT l_returnflag, "
             "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents, "
@@ -1401,6 +1530,14 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT id_a, id_b, len(list_intersect(sa, sb)) * 1.0 / "
             "len(list_distinct(sa || sb)) AS j FROM p) "
             "SELECT id_a, id_b, round(j, 6) AS jaccard FROM s WHERE j >= 0.6"),
+        "dedup_simhash": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20), "
+            + _simhash_sql() + " "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming "
+            "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sim, b.sim)) <= 3"),
         "emb_near_dup": (
             "WITH e AS (SELECT vec_id, embedding FROM embeddings "
             "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10), "

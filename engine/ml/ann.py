@@ -151,3 +151,64 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int,
     bucketed = with_lsh_bucket(df, bits=bits, seed=seed, vec_col=vec_col, dim=dim)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_train(df: DataFrame, n_centroids: int = 16, seed: int = 42,
+              dim: int | None = None, vec_col: str = "embedding",
+              id_col: str = "vec_id", sample_n: int = 2048,
+              iters: int = 10) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids from a bounded,
+    DETERMINISTIC sample (lowest ids — stable across runs/partitionings,
+    unlike `df.sample`).  This is an explicit TRAIN step and runs one
+    bounded Spark job by design (collects `sample_n` vectors, never the
+    table); at 10^12 rows you train once, persist the centroids, and
+    reuse them across queries — mirroring FAISS IVF practice.  Lloyd
+    iterations are pure numpy on the driver-side sample."""
+    if dim is None:
+        raise ValueError("ivf_train: pass dim explicitly (table contract)")
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample_n)
+            .collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # cosine on normalized rows
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    cents = np.asarray(centroids, np.float64)
+
+    @F.pandas_udf(LongType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int64))
+
+    return assign_udf
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int,
+             centroids: np.ndarray, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: probe the n_probe centroids nearest the query (cosine),
+    exact cosine top-k within the probed cells only.  The cell filter is
+    a native `isin` over the assignment column — partition-prunable when
+    the table is written bucketed/partitioned by cell id; expected scan
+    fraction ~ n_probe / n_centroids."""
+    cents = np.asarray(centroids, np.float64)
+    q = np.asarray(query_vec, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cents @ q))[:n_probe].tolist()
+    assigned = df.withColumn("ivf_cell",
+                             make_ivf_assign_udf(cents)(F.col(vec_col)))
+    cand = assigned.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -82,3 +82,26 @@ def with_langid(df: DataFrame, text: str = "text") -> DataFrame:
 
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_col(text))
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / non-alnum runs — the
+# regex split GPT-style BPE applies BEFORE merges (simplified: no unicode
+# category classes, so the same pattern runs identically under Java regex
+# in Spark and RE2 in DuckDB).
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Token counting (task brief): whitespace tokens AND BPE-ish regex
+    pre-tokens, plus chars-per-pretoken (a compression-ratio proxy used
+    for corpus quality filtering).  Native regexp_extract_all — zero
+    Python, codegen-friendly, exact DuckDB twin."""
+    pre = F.expr(f"size(regexp_extract_all({text}, '{BPE_SPLIT_RE}', 0))")
+    return (
+        df.withColumn("n_tokens_ws", token_count(text))
+        .withColumn("n_pretokens", pre)
+        .withColumn(
+            "chars_per_pretoken",
+            F.round(F.length(F.regexp_replace(F.col(text), " ", ""))
+                    / F.col("n_pretokens"), 6))
+    )

@@ -206,3 +206,35 @@ def test_minhash_verify_shingles_match_lsh_on_non_ascii(spark):
     for r in sh_df.collect():
         want = dd._shingle_ids(dict(rows)[r.doc_id]).astype("int64")
         assert sorted(r.sh) == sorted(want.tolist())
+
+
+def test_ivf_topk_recall_and_determinism(spark, embs):
+    from engine.ml.ann import cosine_topk, ivf_topk, ivf_train
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    cents = ivf_train(embs, 16, dim=mat.shape[1])
+    cents2 = ivf_train(embs, 16, dim=mat.shape[1])
+    assert np.allclose(cents, cents2)  # deterministic train (seeded, id-ordered sample)
+    recalls = []
+    for qi in (0, 7, 21):
+        q = mat[qi].astype(np.float64).tolist()
+        exact = {r.vec_id for r in cosine_topk(embs, q, 10).collect()}
+        approx = {r.vec_id for r in
+                  ivf_topk(embs, q, 10, cents, n_probe=4).collect()}
+        recalls.append(len(exact & approx) / 10)
+    # probing 4/16 cells scans ~25% of rows; cosine-locality of the cells
+    # must beat the scanned fraction, and the query point itself (a table
+    # row) must be found in its own cell
+    assert np.mean(recalls) >= 0.5
+
+
+def test_token_counts_match_python_re(spark, docs):
+    import re
+    from engine.text.ops import BPE_SPLIT_RE, with_token_counts
+    pat = re.compile(BPE_SPLIT_RE)
+    out = with_token_counts(docs).limit(50).collect()
+    for r in out:
+        assert r.n_tokens_ws == len(r.text.split(" "))
+        assert r.n_pretokens == len(pat.findall(r.text))
+        want = round(len(r.text.replace(" ", "")) / r.n_pretokens, 6)
+        assert abs(r.chars_per_pretoken - want) < 1e-9
