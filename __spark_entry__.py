@@ -25,6 +25,7 @@ Oracle-parity rules used throughout (validated empirically this session):
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable, Iterator
 
@@ -1161,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ----------------------------------------------------------- oracle SQL
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 _U64_MOD = "18446744073709551616"  # 2^64
 
 
@@ -1479,6 +1482,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": (
             f"WITH s AS (SELECT vec_id, {cos_sql} AS cos_sim FROM embeddings) "
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+        # Golden-file oracles: sf-independent synthetic keys (seeded
+        # generators + fixed layers, no driver table feeds them) diffed
+        # against committed expected outputs (oracle/golden/*.parquet,
+        # regenerate: tools/make_goldens.py).  Regression pins — the
+        # independent per-row verification is pytest's reference-kernel
+        # parity (test_synth/test_codec/test_pip); the golden makes any
+        # drift driver-visible.
+        **{k: f"SELECT * FROM read_parquet('{_REPO}/oracle/golden/{k}.parquet')"
+           for k in ("gen_images", "img_decode_stats", "pip_refine",
+                     "media_features", "media_resize", "media_frames")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

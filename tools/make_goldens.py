@@ -1,0 +1,50 @@
+"""Regenerate the golden expected outputs under oracle/golden/.
+
+These back the DuckDB oracles of the sf-INDEPENDENT synthetic keys
+(`gen_images`, `img_decode_stats`, `pip_refine`, `media_*`): each key is
+a pure function of seeded generators + fixed layers — no driver table
+feeds it — so its exact output is a constant the driver can diff against
+(`SELECT * FROM read_parquet('<repo>/oracle/golden/<key>.parquet')`).
+
+Honesty note: a golden file is a REGRESSION PIN generated from the engine
+itself, not an independent re-derivation.  The independent verification
+of these paths lives in pytest (test_synth / test_codec / test_pip
+compare the distributed kernels against standalone reference
+implementations); the golden oracle then makes any drift driver-visible.
+
+Usage: python tools/make_goldens.py   (rewrites oracle/golden/*.parquet)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
+               "media_features", "media_resize", "media_frames")
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from engine.session import get_spark
+
+    spark = get_spark("goldens", master="local[8]", shuffle_partitions=16,
+                      extra={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = os.path.join(ROOT, "oracle", "golden")
+    os.makedirs(out_dir, exist_ok=True)
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.01"  # ignored: golden keys read no tables
+    for key in GOLDEN_KEYS:
+        pdf = qs[key](spark, sf).toPandas()
+        path = os.path.join(out_dir, f"{key}.parquet")
+        pdf.to_parquet(path, index=False)
+        print(f"{key}: {len(pdf)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
