@@ -725,6 +725,63 @@ def q_stream_stateful(spark, sf):
                  F.round(F.max("running_sum"), 2).alias("sum_value")))
 
 
+def q_stream_join(spark, sf):
+    """J8 — stream-static enrichment: replayed event micro-batches join
+    the static customer dimension per batch (broadcast hash join), then
+    aggregate per market segment; update-mode emissions land in icelite
+    and the end state per key is its LAST emission (max_by on the
+    monotone count), which equals the batch join+agg — the DuckDB twin."""
+    _prep(spark)
+    from engine import streaming as st
+    root = tempfile.mkdtemp(prefix="stream-join-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    out = st.enriched_agg(sdf, dim)
+    table = st.run_stream_to_icelite(out, f"{root}/tbl", f"{root}/ckpt",
+                                     mode="update")
+    df = table.scan(spark)
+    return (df.groupBy("c_mktsegment")
+            .agg(F.max("n").alias("n"),
+                 F.round(F.max_by("sum_value", "n"), 2).alias("sum_value")))
+
+
+def q_tile_raster(spark, sf):
+    """Raster<->vector: per-tile 16x16 occupancy raster built by a
+    grouped-map over natively pre-aggregated (tile, pixel) counts; the
+    emitted scalar raster signature (n/nnz/max/index-weighted sums) is
+    order-free, so the DuckDB twin recomputes it from the same level-30
+    grid arithmetic without arrays."""
+    _prep(spark)
+    from engine.geo.raster import rasterize_tiles
+    return rasterize_tiles(_points(spark, sf), z=6, grid_bits=4)
+
+
+def q_snapshot_merge(spark, sf):
+    """Bounded-diff ETL (MERGE upsert): a restated-orders delta merges
+    into the base snapshot via left-anti + union, the result committed
+    as a NEW icelite snapshot and read back from its files — so the key
+    checks the merge semantics AND the snapshot round trip."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    from engine.relops import merge_upsert
+    od = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    delta = od.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("RESTATED").alias("o_orderpriority"))
+    merged = merge_upsert(od, delta, ["o_orderkey"])
+    table = IceliteTable(tempfile.mkdtemp(prefix="merge-") + "/t")
+    sid = table.commit_append(merged, stage="merge")
+    return table.scan(spark, sid).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_orderpriority").alias("priority"))
+
+
 def q_stream_dedup(spark, sf):
     """J5 batch form: exact-duplicate rows collapse to the original set
     (the streaming form, dropDuplicatesWithinWatermark, is covered in
@@ -1082,10 +1139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pipeline": q_stream_pipeline,
         "stream_stateful": q_stream_stateful,
         "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
         # L — ops: metrics / lineage / resume
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
         "pipeline_resume": q_pipeline_resume,
+        "snapshot_merge": q_snapshot_merge,
+        "tile_raster": q_tile_raster,
         # text analysis / dedup (training-data ops)
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1122,16 +1182,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "cell_ring": q_cell_ring,
         "img_decode_stats": q_img_decode_stats,
-        "haversine": q_haversine,
         "spatial_join_broadcast": q_spatial_join_broadcast,
         "spatial_join_partitioned": q_spatial_join_partitioned,
-        "salted_join": q_salted_join,
         "pip_refine": q_pip_refine,
         "knn_join": q_knn_join,
-        "join_asof": q_join_asof,
         "grouped_map": q_grouped_map,
         "agg_udaf": q_agg_udaf,
         # --- position 51+: r1-green relational/scalar keys (rotated) ---
+        "haversine": q_haversine,
+        "salted_join": q_salted_join,
+        "join_asof": q_join_asof,
         "join_sortmerge": q_join_sortmerge,
         "join_cross": q_join_cross,
         "join_range": q_join_range,
@@ -1432,6 +1492,27 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": (
             "SELECT event_id, user_id, event_type, value, "
             "CAST(ts AS VARCHAR) AS ts_s FROM events"),
+        "stream_join": (
+            "SELECT c_mktsegment, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
+            "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1"),
+        "tile_raster": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "px AS (SELECT id, xi >> 24 AS tx, yi >> 24 AS ty, "
+            "((yi >> 20) & 15) * 16 + ((xi >> 20) & 15) AS pix FROM xy), "
+            "c AS (SELECT tx, ty, pix, COUNT(*) AS w FROM px GROUP BY 1, 2, 3) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, tx AS tile_x, ty AS tile_y, "
+            "SUM(w) AS n_points, CAST(COUNT(*) AS INTEGER) AS nnz, "
+            "MAX(w) AS max_count, SUM(w * (pix + 1)) AS wsum, "
+            "SUM(w * w) AS sqsum FROM c GROUP BY 2, 3"),
+        "snapshot_merge": (
+            "WITH delta AS (SELECT o_orderkey, o_custkey, "
+            "o_totalprice + 10.0 AS p, 'RESTATED' AS pri "
+            "FROM orders WHERE o_orderkey % 100 = 0), "
+            "base AS (SELECT o_orderkey, o_custkey, o_totalprice AS p, "
+            "o_orderpriority AS pri FROM orders WHERE o_orderkey % 100 <> 0) "
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(round(p * 100) AS BIGINT) AS price_cents, pri AS priority "
+            "FROM (SELECT * FROM delta UNION ALL SELECT * FROM base)"),
         "stream_session": (
             "WITH s AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk "

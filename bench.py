@@ -163,6 +163,17 @@ def bench_minhash_dedup(spark, sf_dir: str):
     return time.time() - t0, {"minhash_pairs": rows}
 
 
+def bench_tile_raster(spark, images_path: str):
+    """Raster<->vector: per-tile 16x16 occupancy rasters over the full
+    image table (native tile/pixel bit math -> pre-aggregated counts ->
+    grouped-map raster kernel)."""
+    from engine.geo.raster import rasterize_tiles
+    df = spark.read.parquet(images_path).select("lat", "lon")
+    t0 = time.time()
+    rows = rasterize_tiles(df, z=6, grid_bits=4).count()
+    return time.time() - t0, {"raster_tiles": rows}
+
+
 def bench_ann_topk(spark, sf_dir: str):
     from engine.ml.ann import cosine_topk
     qvec = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
@@ -207,6 +218,7 @@ def main() -> None:
         ("join_sortmerge", bench_join_sortmerge, (spark, sf_dir), 1),
         ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir), 3),
         ("ann_topk", bench_ann_topk, (spark, sf_dir), 1),
+        ("tile_raster", bench_tile_raster, (spark, images_path), 1),
     ]:
         secs = []
         for _ in range(reps):

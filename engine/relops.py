@@ -68,3 +68,15 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
         .cogroup(right.groupBy(by))
         .applyInPandas(_wrap, schema=out_schema)
     )
+
+
+def merge_upsert(base: DataFrame, delta: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """Snapshot merge (MERGE INTO upsert semantics for the bounded-diff
+    ETL, north_star "bounded spatial diffing/ETL"): rows of `base` whose
+    key does NOT appear in `delta`, plus every `delta` row.  One
+    left-anti hash join + union — the anti join shuffles on the merge
+    key exactly once and the delta side (the diff) is typically small
+    enough for Catalyst/AQE to broadcast it."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ module style)
+    return delta.unionByName(base.join(delta.select(keys), keys, "left_anti"))

@@ -219,3 +219,16 @@ def run_stream_to_icelite(sdf: DataFrame, table_root: str, checkpoint: str,
     )
     q.awaitTermination()
     return table
+
+
+def enriched_agg(events: DataFrame, dim: DataFrame,
+                 key: str = "user_id") -> DataFrame:
+    """J8 — stream-static enrichment join: per-micro-batch the streaming
+    side hash-joins the static dimension (broadcast by Catalyst when
+    small) and aggregates per segment.  Works identically on a batch
+    frame, so the batch run is the end-state oracle."""
+    return (
+        events.join(dim, key)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )

@@ -175,6 +175,20 @@ def main() -> None:
         "anywhere (asserted by tests/test_plans.py).",
         plan_of(cosine_near_dup_pairs(emb, 0.95, bits=6, dim=16), "simple")))
 
+    # 8. per-tile raster
+    from engine.geo.raster import rasterize_tiles
+    raster = rasterize_tiles(
+        spark.read.parquet(path).select("lat", "lon"), z=6, grid_bits=4)
+    sections.append((
+        "Raster<->vector per-tile occupancy raster (C3b/K4)",
+        "Tile + in-tile pixel assignment is pure bit arithmetic on the "
+        "level-30 mercator ints (codegen); a NATIVE partial-aggregated "
+        "count on (tile, px, py) runs before the shuffle, so a hot tile "
+        "ships at most 16x16 rows regardless of its point count; the "
+        "grouped-map raster kernel (np.add.at) touches only counted "
+        "pixels. One shuffle total.",
+        plan_of(raster, "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
