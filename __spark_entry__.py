@@ -5,10 +5,13 @@ deterministic synthetic image table (SURVEY.md §3.E1, §7.2).
 
 `queries()` / `oracle_sql()` — one key per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline ops from the task brief).
-Every SQL-expressible operator has a DuckDB oracle; the handful of
-genuinely non-SQL ops (general PIP, MinHash/SimHash pairs, LSH top-k,
-image decode, multimodal plumbing) are rows-only checked by the driver
-and exactly verified against pure-Python oracles in tests/.
+Round-2 state: 80 keys, 77 with a DuckDB oracle (SQL twin, golden
+expected file, or pinned constant table — see the comments inside
+`oracle_sql()`); the 3 rows-only keys are the two approximate ANN top-k
+ops (recall <1 by design, pytest-verified vs brute force) and
+`lineage_table` (per-FILE row splits legitimately vary with the
+session's parallelism/AQE).  Everything else is exactly verified against
+pure-Python oracles in tests/ as well.
 
 Oracle-parity rules used throughout (validated empirically this session):
 - geo kernels (cell/tile/quadkey/haversine) run numpy-side in Spark and

@@ -160,6 +160,12 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
         # one execution of the big candidates join per round: topk is at
         # most |pending| x k rows, so materializing it locally is cheap
         # and the stats / verdict / output reads below all reuse it
+        # NOTE: localCheckpoint pins the materialized round to EXECUTOR
+        # storage — on a real cluster an executor loss after truncation
+        # cannot recompute (lineage is gone) and the job fails/retries
+        # from the stage; acceptable for a bounded retry loop (rounds are
+        # cheap to re-run), use reliable checkpoint() on a DFS dir if the
+        # cluster churns executors.
         topk = topk.localCheckpoint(eager=True)
         stats = topk.groupBy(qid_col).agg(
             F.count("*").alias("cnt"),

@@ -186,7 +186,7 @@ def main() -> None:
         "count on (tile, px, py) runs before the shuffle, so a hot tile "
         "ships at most 16x16 rows regardless of its point count; the "
         "grouped-map raster kernel (np.add.at) touches only counted "
-        "pixels. One shuffle total.",
+        "pixels. Two shuffles: the (tile,px,py) count with map-side partial aggregation over the raw points, then a tiny regroup to tile (bounded by grid^2 rows per tile).",
         plan_of(raster, "simple")))
 
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",

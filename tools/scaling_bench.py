@@ -71,10 +71,43 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--interleave", action="store_true",
+                    help="alternate (low, high) run PAIRS and report the "
+                         "median per-pair throughput ratio — robust to the "
+                         "host's minute-scale throughput drift, which the "
+                         "sequential protocol aliases into the ratio")
     args = ap.parse_args()
 
     # materialize the input once so every run times the join, not the gen
     run_child(args.high, args.n, 0)
+
+    if args.interleave:
+        pairs = []
+        lows, highs = [], []
+        rows_out = set()
+        for _ in range(args.runs):
+            lo = run_child(args.low, args.n, 1)
+            hi = run_child(args.high, args.n, 1)
+            tl, th = lo["secs"][0], hi["secs"][0]
+            lows.append(tl)
+            highs.append(th)
+            pairs.append((tl / th) / (args.high / args.low))
+            rows_out |= {lo["spatial_tile_rows_out"],
+                         hi["spatial_tile_rows_out"]}
+        summary = {
+            "n_images": args.n,
+            "low_cpus": args.low, "high_cpus": args.high,
+            "protocol": "interleaved-pairs",
+            "low_sec": [round(s, 3) for s in lows],
+            "high_sec": [round(s, 3) for s in highs],
+            "pair_efficiencies": [round(e, 3) for e in pairs],
+            "scaling_efficiency": round(statistics.median(pairs), 3),
+            "low_rows_per_sec": round(args.n / statistics.median(lows), 1),
+            "high_rows_per_sec": round(args.n / statistics.median(highs), 1),
+            "identical_output": len(rows_out) == 1,
+        }
+        print(json.dumps(summary, indent=2))
+        return
 
     res = {}
     for cpus in (args.low, args.high):
