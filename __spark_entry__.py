@@ -785,6 +785,46 @@ def q_snapshot_merge(spark, sf):
         F.col("o_orderpriority").alias("priority"))
 
 
+def q_snapshot_evolve(spark, sf):
+    """Iceberg-parity add-column schema evolution: commit 1 writes the
+    narrow orders view, commit 2 appends rows carrying a NEW o_flag
+    column; the current-view scan is pinned to the latest recorded
+    schema, so pre-evolution files surface o_flag as NULL
+    (schema-on-read, engine/icelite.py::scan)."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    t = IceliteTable(tempfile.mkdtemp(prefix="evolve-") + "/t")
+    od = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    t.commit_append(od.filter(F.col("o_orderkey") % 2 == 1))
+    t.commit_append(od.filter(F.col("o_orderkey") % 2 == 0)
+                    .withColumn("o_flag", F.lit("v2")))
+    return t.scan(spark).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderpriority", "o_flag")
+
+
+def q_snapshot_compact(spark, sf):
+    """Iceberg-parity small-file compaction: three incremental append
+    commits, then a REPLACE commit rewriting the current view into
+    fewer files.  Row-identical by construction (asserted: file count
+    really shrank; the pre-compaction snapshot still time-travels)."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    t = IceliteTable(tempfile.mkdtemp(prefix="compact-") + "/t")
+    od = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    for m in (0, 1, 2):
+        t.commit_append(od.filter(F.col("o_orderkey") % 3 == m))
+    sid = t.compact(spark, target_files=1)
+    assert len(t.files(sid)) < len(t.files(sid - 1)), "compaction no-op"
+    return t.scan(spark, sid).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderpriority")
+
+
 def q_stream_dedup(spark, sf):
     """J5 batch form: exact-duplicate rows collapse to the original set
     (the streaming form, dropDuplicatesWithinWatermark, is covered in
@@ -1148,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_table": q_lineage_table,
         "pipeline_resume": q_pipeline_resume,
         "snapshot_merge": q_snapshot_merge,
+        "snapshot_evolve": q_snapshot_evolve,
+        "snapshot_compact": q_snapshot_compact,
         "tile_raster": q_tile_raster,
         # text analysis / dedup (training-data ops)
         "text_quality": q_text_quality,
@@ -1181,17 +1223,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "phash_prefilter": q_phash_prefilter,
         "cell_encode": q_cell_encode,
-        "cell_parent": q_cell_parent,
         "tile_assign": q_tile_assign,
         "cell_ring": q_cell_ring,
         "img_decode_stats": q_img_decode_stats,
         "spatial_join_broadcast": q_spatial_join_broadcast,
-        "spatial_join_partitioned": q_spatial_join_partitioned,
         "pip_refine": q_pip_refine,
         "knn_join": q_knn_join,
         "grouped_map": q_grouped_map,
         "agg_udaf": q_agg_udaf,
         # --- position 51+: r1-green relational/scalar keys (rotated) ---
+        "cell_parent": q_cell_parent,
+        "spatial_join_partitioned": q_spatial_join_partitioned,
         "haversine": q_haversine,
         "salted_join": q_salted_join,
         "join_asof": q_join_asof,
@@ -1507,6 +1549,16 @@ def oracle_sql() -> dict[str, str]:
             "SUM(w) AS n_points, CAST(COUNT(*) AS INTEGER) AS nnz, "
             "MAX(w) AS max_count, SUM(w * (pix + 1)) AS wsum, "
             "SUM(w * w) AS sqsum FROM c GROUP BY 2, 3"),
+        "snapshot_evolve": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "o_orderpriority, "
+            "CASE WHEN o_orderkey % 2 = 0 THEN 'v2' ELSE NULL END AS o_flag "
+            "FROM orders"),
+        "snapshot_compact": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "o_orderpriority FROM orders"),
         "snapshot_merge": (
             "WITH delta AS (SELECT o_orderkey, o_custkey, "
             "o_totalprice + 10.0 AS p, 'RESTATED' AS pri "

@@ -2,18 +2,20 @@
 each decoded image to slippy-map/H3 tiles"): per-tile occupancy rasters.
 
 Vector points -> tile + in-tile pixel assignment stays NATIVE (bit
-arithmetic on the level-30 mercator grid ints — codegen, no Python);
-only the raster construction itself is a grouped-map (K4): each tile
-group's points become a (grid x grid) uint32 count raster via one
-vectorized `np.add.at`, and the emitted row carries the raster's scalar
-signature (n_points / nnz / max / index-weighted sums) so a DuckDB twin
-can hash-check it without shipping the array.
+arithmetic on the level-30 mercator grid ints — codegen, no Python).
+Two emission paths:
 
-Scale shape: one shuffle on the tile key (map-side pre-aggregation of
-(tile, pixel) counts happens for free when `pre_agg=True` — the
-grouped-map then rasters counted pixels, not raw points, so a hot tile
-costs at most grid^2 rows in the shuffle instead of its point count —
-the same skew bound the salted join gives the containment path).
+- `rasterize_tiles` (stats): the raster's order-free scalar signature
+  (n_points / nnz / max / index-weighted sums) computed ENTIRELY with
+  native aggregation — zero Python. This is the at-scale shape: one
+  map-side-combined shuffle on (tile, pixel), one tiny regroup to tile.
+  (A first cut built each tile's grid in a per-group applyInPandas and
+  spent ~1.7 ms of Python overhead per group — 7 of 9 seconds at a mere
+  4096 tiles. Measured, removed: stats never needed the array.)
+- `rasterize_tile_grids` (arrays): when the caller needs the actual
+  grid (e.g. rendering PNG tiles), pixels are collected per tile and
+  ONE Arrow-batched pandas UDF builds all grids in a batch — thousands
+  of tiles per Python call instead of one.
 """
 
 from __future__ import annotations
@@ -22,11 +24,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from engine.geo.cells import LEVEL, merc_xy_sql
-
-RASTER_SCHEMA = ("tile_z int, tile_x long, tile_y long, n_points long, "
-                 "nnz int, max_count long, wsum long, sqsum long")
 
 
 def with_tile_pixel(df: DataFrame, z: int, grid_bits: int = 4,
@@ -48,38 +48,65 @@ def with_tile_pixel(df: DataFrame, z: int, grid_bits: int = 4,
     )
 
 
-def rasterize_tiles(df: DataFrame, z: int = 6, grid_bits: int = 4,
-                    lat: str = "lat", lon: str = "lon",
-                    pre_agg: bool = True) -> DataFrame:
-    """Per-tile occupancy raster stats (see module docstring).
-
-    pre_agg=True (default, the at-scale shape) counts (tile, px, py)
-    natively BEFORE the grouped-map, so the shuffle carries at most
-    grid^2 rows per tile regardless of skew; pre_agg=False rasters raw
-    points (exercises the same kernel on unaggregated groups)."""
+def _pixel_counts(df: DataFrame, z: int, grid_bits: int,
+                  lat: str, lon: str) -> DataFrame:
+    """(tile_x, tile_y, pix, w): map-side-combined counts per in-tile
+    pixel — a hot tile ships at most grid^2 rows through the shuffle
+    regardless of its point count (the same skew bound salting gives
+    the containment join)."""
     grid = 1 << grid_bits
-    tp = with_tile_pixel(df, z, grid_bits, lat, lon)
-    if pre_agg:
-        src = tp.groupBy("tile_x", "tile_y", "px", "py") \
-            .agg(F.count("*").alias("w"))
-    else:
-        src = tp.select("tile_x", "tile_y", "px", "py", F.lit(1).alias("w"))
+    return (
+        with_tile_pixel(df, z, grid_bits, lat, lon)
+        .withColumn("pix", (F.col("py") * grid + F.col("px")).cast("long"))
+        .groupBy("tile_x", "tile_y", "pix")
+        .agg(F.count("*").alias("w"))
+    )
 
-    def _raster(pdf: pd.DataFrame) -> pd.DataFrame:
-        r = np.zeros((grid, grid), np.int64)
-        np.add.at(r, (pdf["py"].to_numpy(), pdf["px"].to_numpy()),
-                  pdf["w"].to_numpy())
-        flat = r.ravel()
-        idx = np.arange(flat.size, dtype=np.int64)
-        return pd.DataFrame({
-            "tile_z": [z],
-            "tile_x": [int(pdf["tile_x"].iloc[0])],
-            "tile_y": [int(pdf["tile_y"].iloc[0])],
-            "n_points": [int(flat.sum())],
-            "nnz": [int((flat > 0).sum())],
-            "max_count": [int(flat.max())],
-            "wsum": [int((flat * (idx + 1)).sum())],
-            "sqsum": [int((flat * flat).sum())],
-        })
 
-    return src.groupBy("tile_x", "tile_y").applyInPandas(_raster, RASTER_SCHEMA)
+def rasterize_tiles(df: DataFrame, z: int = 6, grid_bits: int = 4,
+                    lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Per-tile occupancy-raster signature, fully native (see module
+    docstring): n_points / nnz / max_count and the index-weighted sums
+    wsum = Σ w·(pix+1), sqsum = Σ w² — order-free, so a SQL twin can
+    hash-check them exactly."""
+    return (
+        _pixel_counts(df, z, grid_bits, lat, lon)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("w").alias("n_points"),
+             F.count("*").cast("int").alias("nnz"),
+             F.max("w").alias("max_count"),
+             F.sum(F.col("w") * (F.col("pix") + 1)).alias("wsum"),
+             F.sum(F.col("w") * F.col("w")).alias("sqsum"))
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                "n_points", "nnz", "max_count", "wsum", "sqsum")
+    )
+
+
+def rasterize_tile_grids(df: DataFrame, z: int = 6, grid_bits: int = 4,
+                         lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Materialized per-tile grids: (tile_z, tile_x, tile_y,
+    grid array<long> of length grid^2, row-major).  Pixel counts are
+    collected per tile natively, then one Arrow-batched scalar pandas
+    UDF scatters them into dense grids — thousands of tiles per Python
+    invocation, not one (the per-group applyInPandas overhead measured
+    in the module docstring)."""
+    grid = 1 << grid_bits
+    cells = grid * grid
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def scatter(pairs: pd.Series) -> pd.Series:
+        out = []
+        for lst in pairs:
+            g = np.zeros(cells, np.int64)
+            for item in lst:
+                g[item["pix"]] = item["w"]
+            out.append(g)
+        return pd.Series(out)
+
+    counted = _pixel_counts(df, z, grid_bits, lat, lon)
+    return (
+        counted.groupBy("tile_x", "tile_y")
+        .agg(F.collect_list(F.struct("pix", "w")).alias("pw"))
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                scatter(F.col("pw")).alias("grid"))
+    )

@@ -129,18 +129,67 @@ class IceliteTable:
         os.replace(tmp, self.snap_path)
         return sid
 
+    def commit_replace(self, df: DataFrame, stage: str | None = None,
+                       props: dict[str, str] | None = None,
+                       op: str = "replace") -> int:
+        """REPLACE commit: the new snapshot's file list is exactly the
+        files written here — prior files stay on disk (older snapshots
+        keep reading them; time travel is preserved) but leave the
+        current view.  This is the commit type behind compaction and
+        MERGE results, mirroring Iceberg's rewrite/overwrite snapshots."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snaps = self.snapshots()
+        sid = (snaps[-1]["sid"] + 1) if snaps else 1
+        rel_commit = f"data/commit-{sid:08d}"
+        target = os.path.join(self.root, rel_commit)
+        df.write.mode("errorIfExists").parquet(target)
+        added = sorted(
+            f"{rel_commit}/{f}" for f in os.listdir(target)
+            if f.endswith(".parquet")
+        )
+        manifest = {"sid": sid, "files": added, "added": added,
+                    "schema": df.schema.json()}
+        with open(os.path.join(self.meta_dir, f"manifest-{sid:08d}.json"), "w") as f:
+            json.dump(manifest, f)
+        snaps.append({"sid": sid, "ts": time.time(), "op": op,
+                      "stage": stage, "props": props or {}})
+        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": snaps}, f)
+        os.replace(tmp, self.snap_path)
+        return sid
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> int:
+        """Small-file compaction: rewrite the CURRENT view into
+        `target_files` files via a replace commit.  Row-identical by
+        construction (read -> coalesce -> write); older snapshots still
+        time-travel to the pre-compaction files.  At cluster scale this
+        is the maintenance job that keeps scan task counts sane after
+        many small incremental commits."""
+        cur = self.scan(spark)
+        return self.commit_replace(cur.coalesce(target_files), op="compact")
+
     # ------------------------------------------------------------- read
 
     def scan(self, spark: SparkSession,
              snapshot_id: int | None = None) -> DataFrame:
-        """A2 — pinned-snapshot scan (time travel when snapshot_id given)."""
+        """A2 — pinned-snapshot scan (time travel when snapshot_id given).
+
+        The read is pinned to the snapshot's RECORDED schema
+        (schema-on-read): files written before an add-column evolution
+        lack the new columns and surface them as NULL, exactly Iceberg's
+        add-column semantics.  Evolution rule: appended frames must
+        carry a superset of the previous columns (add-only); the latest
+        commit's schema governs the current view."""
         files = self.files(snapshot_id)
         if not files:
             sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
             if sid is None:
                 raise FileNotFoundError(f"icelite table has no snapshots: {self.root}")
             return spark.createDataFrame([], self.schema(sid))
-        return spark.read.parquet(*files)
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        return spark.read.schema(self.schema(sid)).parquet(*files)
 
     def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Incremental read: only rows appended by `snapshot_id`."""

@@ -74,3 +74,38 @@ def test_metrics_and_lineage(spark, tmp_path):
     lg = sink.lineage_df(spark).collect()
     assert sum(r.rows for r in lg) == 100
     assert len(lg) == 3  # one row per written partition file
+
+
+def test_compaction_row_identical_and_time_travels(spark, tmp_path):
+    from engine.icelite import IceliteTable
+    from pyspark.sql import functions as F
+    t = IceliteTable(str(tmp_path / "ct"))
+    df = spark.range(0, 300).withColumn("v", F.col("id") * 2)
+    for m in (0, 1, 2):
+        t.commit_append(df.filter(F.col("id") % 3 == m))
+    pre_sid = t.current_snapshot_id()
+    pre_files = len(t.files(pre_sid))
+    pre_rows = sorted((r.id, r.v) for r in t.scan(spark).collect())
+    sid = t.compact(spark, target_files=1)
+    assert len(t.files(sid)) < pre_files
+    assert sorted((r.id, r.v) for r in t.scan(spark, sid).collect()) == pre_rows
+    # pre-compaction snapshot still reads the OLD files (time travel)
+    assert sorted((r.id, r.v) for r in t.scan(spark, pre_sid).collect()) == pre_rows
+    assert len(t.files(pre_sid)) == pre_files
+
+
+def test_add_column_evolution_schema_on_read(spark, tmp_path):
+    from engine.icelite import IceliteTable
+    from pyspark.sql import functions as F
+    t = IceliteTable(str(tmp_path / "ev"))
+    base = spark.range(0, 50).withColumn("v", F.col("id") * 2)
+    sid1 = t.commit_append(base)
+    sid2 = t.commit_append(
+        spark.range(50, 80).withColumn("v", F.col("id") * 2)
+        .withColumn("tag", F.lit("new")))
+    cur = t.scan(spark)
+    assert cur.columns == ["id", "v", "tag"]
+    rows = {r.id: r.tag for r in cur.collect()}
+    assert rows[0] is None and rows[60] == "new" and len(rows) == 80
+    # time travel to sid1 keeps the OLD schema (no tag column)
+    assert t.scan(spark, sid1).columns == ["id", "v"]

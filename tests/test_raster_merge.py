@@ -29,10 +29,18 @@ def _stats(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
-def test_raster_pre_agg_matches_raw(spark, pts):
-    a = _stats(rasterize_tiles(pts, z=5, grid_bits=4, pre_agg=True))
-    b = _stats(rasterize_tiles(pts, z=5, grid_bits=4, pre_agg=False))
-    assert a == b and len(a) > 0
+def test_raster_grids_consistent_with_stats(spark, pts):
+    from engine.geo.raster import rasterize_tile_grids
+    stats = {(r.tile_x, r.tile_y): (r.n_points, r.nnz, r.max_count, r.wsum,
+                                    r.sqsum)
+             for r in rasterize_tiles(pts, z=5, grid_bits=4).collect()}
+    grids = {(r.tile_x, r.tile_y): np.asarray(r.grid, np.int64)
+             for r in rasterize_tile_grids(pts, z=5, grid_bits=4).collect()}
+    assert grids.keys() == stats.keys()
+    for k, g in grids.items():
+        idx = np.arange(g.size)
+        assert stats[k] == (int(g.sum()), int((g > 0).sum()), int(g.max()),
+                            int((g * (idx + 1)).sum()), int((g * g).sum()))
 
 
 def test_raster_stats_match_numpy(spark, pts):
