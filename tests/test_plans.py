@@ -185,3 +185,38 @@ def test_near_dup_lsh_path_is_equi_join_not_nested_loop(spark):
     plan = plan_of(cosine_near_dup_pairs(df, 0.99, bits=6, dim=16), "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_auto_mode_picks_broadcast_for_small_build(spark, images_parquet):
+    probe, build = _probe_and_build(spark, images_parquet)
+    plan = plan_of(candidates_join(probe, build, mode="auto", build_rows=10),
+                   "simple")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_auto_mode_picks_shuffle_for_huge_build(spark, images_parquet):
+    probe, build = _probe_and_build(spark, images_parquet)
+    plan = plan_of(candidates_join(probe, build, mode="auto",
+                                   build_rows=10**9), "simple")
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_minhash_dedup_plan_has_no_nested_loop(spark):
+    from engine.text.dedup import minhash_dedup
+    docs = spark.createDataFrame(
+        [(i, f"text body {i % 5} common words") for i in range(60)],
+        "doc_id long, text string")
+    plan = plan_of(minhash_dedup(docs, threshold=0.6), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_raster_stats_path_has_zero_python_stages(spark, images_parquet):
+    from engine.geo.raster import rasterize_tiles
+    df = rasterize_tiles(
+        spark.read.parquet(images_parquet).select("lat", "lon"), z=6)
+    plan = plan_of(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    # exactly two exchanges: (tile,pixel) partial-agg shuffle + tile regroup
+    assert plan.count("Exchange") == 2, plan

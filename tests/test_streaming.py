@@ -127,3 +127,44 @@ def test_stateful_running_per_user(spark, chunks_dir, sf_dir, tmp_path):
     g = {r.user_id: (r.cnt, round(r.total, 6)) for r in final.collect()}
     w = {r.user_id: (r.cnt, round(r.total, 6)) for r in want.collect()}
     assert g == w
+
+
+def test_stream_checkpoint_restart_processes_only_new_files(
+        spark, events_pdf, sf_dir, tmp_path):
+    """Kill-and-resume for the STREAM itself: a second availableNow run
+    with the SAME checkpoint skips already-committed files and processes
+    only the newly arrived ones; the icelite end state equals the batch
+    aggregate over ALL events."""
+    import os
+    chunks = str(tmp_path / "chunks")
+    os.makedirs(chunks)
+    half = len(events_pdf) // 2
+    st.write_event_chunks(events_pdf.iloc[:half], chunks, n_chunks=2)
+    tbl_root, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+    def run():
+        sdf = st.read_event_stream(spark, chunks)
+        return st.run_stream_to_icelite(
+            st.tumbling_agg(sdf, watermark="3650 days"), tbl_root, ckpt,
+            mode="update")
+
+    t1 = run()
+    sids_after_first = t1.current_snapshot_id()
+    # late arrival: remaining events land as a new chunk file
+    st.write_event_chunks(
+        events_pdf.iloc[half:].reset_index(drop=True), chunks + "/late",
+        n_chunks=1)
+    # file source watches the top dir only if files appear there: move it
+    os.replace(chunks + "/late/chunk-000.parquet", chunks + "/chunk-090.parquet")
+    os.rmdir(chunks + "/late")
+    t2 = run()
+    assert t2.current_snapshot_id() > sids_after_first  # resumed, new batches
+    df = t2.scan(spark)
+    end = df.groupBy("win_start", "event_type").agg(
+        F.max("n").alias("n"), F.round(F.max("sum_value"), 2).alias("sv"))
+    batch = st.tumbling_agg(
+        spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        "win_start", "event_type", "n", F.round("sum_value", 2).alias("sv"))
+    got = sorted(tuple(r) for r in end.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
