@@ -213,4 +213,12 @@ def gen_media_local(n: int, seed: int = 42) -> pd.DataFrame:
             frames = rng.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)
             rows.append((f"m{i:06d}", kind, "rawvid", encode_rawvid(frames),
                          8, 8, None, 6))
-    return pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+    df = pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+    # mixed int/None columns silently become float64 in pandas; Spark's
+    # non-Arrow createDataFrame verifier then rejects 24.0 for an
+    # IntegerType field (only surfaces under a session WITHOUT the
+    # engine's Arrow conf — e.g. the driver's). Keep python ints + None.
+    for c in ("w", "h", "sample_rate", "n_frames"):
+        df[c] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in df[c]], dtype=object)
+    return df

@@ -68,3 +68,16 @@ def test_sample_frames(spark, media_df):
     for r in frames:
         assert r.frame_idx in (0, 2, 4)
         assert len(bytes(r.bytes)) == 8 * 8 * 3
+
+
+def test_gen_media_local_numeric_fields_are_int_or_none():
+    # regression: mixed int/None columns silently became float64 (24.0),
+    # which Spark's NON-Arrow createDataFrame verifier rejects for
+    # IntegerType — i.e. every session without the engine's Arrow conf,
+    # including the driver's
+    import pandas as pd
+    from engine.multimodal import gen_media_local
+    df = gen_media_local(12)
+    for c in ("w", "h", "sample_rate", "n_frames"):
+        for v in df[c]:
+            assert v is None or type(v) is int, (c, v, type(v))
