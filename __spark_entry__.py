@@ -477,6 +477,40 @@ def q_agg_collect(spark, sf):
         .alias("statuses"))
 
 
+def q_agg_percentile(spark, sf):
+    """E8 — exact percentiles (Spark `percentile` = linear interpolation,
+    DuckDB `quantile_cont` twin) + median per group."""
+    _prep(spark)
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("price_p25"))
+
+
+def q_fn_explode(spark, sf):
+    """I/UDTF surface — posexplode of a computed array (token positions),
+    the lateral-view generator form; DuckDB twin via unnest WITH
+    ORDINALITY."""
+    _prep(spark)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).filter(F.length("token") >= 7)
+
+
+def q_win_dist(spark, sf):
+    """F5 — distribution window functions: percent_rank + cume_dist."""
+    _prep(spark)
+    od = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return od.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
 def q_win_rank(spark, sf):
     _prep(spark)
     od = _t(spark, sf, "orders")
@@ -1262,6 +1296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_math": q_fn_math,
         "fn_array_dot": q_fn_array_dot,
         "fn_json": q_fn_json,
+        # r2 breadth adds — pytest-oracled now, rotate into the driver
+        # window in r3 (window priority went to snapshot/stream/raster ops)
+        "agg_percentile": q_agg_percentile,
+        "fn_explode": q_fn_explode,
+        "win_dist": q_win_dist,
     }
 
 
@@ -1437,6 +1476,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, "
             "array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses "
             "FROM lineitem GROUP BY l_returnflag"),
+        "agg_percentile": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+            "round(quantile_cont(l_quantity, 0.9), 6) AS p90, "
+            "round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25 "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "fn_explode": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents WHERE doc_id < 40), "
+            "e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, "
+            "toks FROM d) "
+            "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token "
+            "FROM e WHERE length(toks[i]) >= 7"),
+        "win_dist": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "round(percent_rank() OVER w, 6) AS pr, "
+            "round(cume_dist() OVER w, 6) AS cd "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)"),
         "win_rank": (
             "SELECT o_orderkey, o_orderpriority, "
             "CAST(row_number() OVER w AS INTEGER) AS rn, "
