@@ -174,7 +174,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from engine.geo.cells import cell_parent_col, with_cell
     from engine.geo.join import candidates_join
     from engine.geo.layer import PolygonLayer
-    from engine.geo.pip import refine
+    from engine.geo.pip import refine_native
     from engine.geo.tiles import with_tile
     from engine.synth import gen_images
 
@@ -182,10 +182,10 @@ def entry(spark: SparkSession) -> DataFrame:
     imgs = gen_images(spark, 600, seed=42)
     ext = with_cell(bbox_filter(imgs.select(*NARROW_COLS), DEFAULT_BBOX))
     probe = ext.withColumn("cell_p", cell_parent_col("cell", 12))
-    build = layer.build_df(spark, 12)
+    build = layer.build_df(spark, 12, with_edges=True)
     cands = candidates_join(probe, build, mode="broadcast",
                             build_rows=build.count())
-    refined = refine(cands, layer.parts())
+    refined = refine_native(cands)  # zero-Python exact PIP (r2 default)
     tiled = with_tile(refined, z=12, quadkey_col=True)
     return (tiled.groupBy("poly_id", "tile_z", "tile_x", "tile_y", "quadkey")
             .agg(F.count("*").alias("n_images")))

@@ -69,21 +69,28 @@ def spatial_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     probe_salt_col: str = "image_id",
-    refine_mode: str = "pandas",
+    refine_mode: str = "native",
 ) -> DataFrame:
     """images x layer containment join -> image rows + poly_id.
 
     `images` needs lat/lon; a `cell` column is reused if present, else
     encoded (native codegen expression).
 
-    `refine_mode`: "pandas" (default) runs the exact PIP as ONE
-    Arrow-batched vectorized numpy ray cast; "native" expresses it as an
-    even-odd higher-order-function column over per-cell edge arrays.
-    Both produce bit-identical verdicts (same IEEE arithmetic). Pandas
-    is the measured default: Spark's higher-order functions are not
-    code-generated, and their presence disables whole-stage codegen for
-    the entire fused stage — at 64M rows the native form is ~2x slower
-    end-to-end than shipping candidates through Arrow to numpy.
+    `refine_mode`: "native" (default since r2) expresses the exact PIP
+    as an even-odd higher-order-function column over per-cell edge
+    arrays — ZERO Python stages; "pandas" ships candidates through one
+    Arrow batch to a vectorized numpy ray cast.  Both produce
+    bit-identical verdicts (same IEEE arithmetic; asserted by
+    tests/test_pip_native.py).  The default is measured, and
+    scale-dependent: an early 64M-row local[8] run had the HOF form ~2x
+    slower (HOFs are interpreted and disable codegen for their fused
+    stage), but at 512M rows on the r2 protocol the native form is
+    2.2-2.5x FASTER at both local[2] and local[8] (6.9M / 23.8M rows/s
+    vs 3.1M / 9.4M) — eliminating the per-slot Python worker removes
+    the second hardware thread each task occupies, which dominates once
+    the scan is long enough to amortize compile cost.  It also scales
+    at 0.867 N->4N (>= 0.8 target) where the pandas form is host-bound
+    at ~0.75 (BASELINE.md).  Re-measure before changing this default.
     """
     df = images if "cell" in images.columns else with_cell(images, lat_col, lon_col)
     probe = df.withColumn("cell_p", cell_parent_col("cell", level))

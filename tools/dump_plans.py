@@ -68,26 +68,29 @@ def main() -> None:
         "is 3 columns; `bytes`/`caption` are pruned.",
         plan_of(df)))
 
-    # 2. flagship spatial join + tiling
+    # 2. flagship spatial join + tiling (native PIP — r2 default)
+    from engine.geo.pip import refine_native
     layer = PolygonLayer.from_json()
-    build = layer.build_df(spark, 8)
+    build = layer.build_df(spark, 8, with_edges=True)
     probe = with_cell(bbox_filter(
         spark.read.parquet(path).select(*NARROW_COLS), DEFAULT_BBOX)) \
         .withColumn("cell_p", cell_parent_col("cell", 8))
     cands = candidates_join(probe, build, mode="broadcast",
                             build_rows=build.count())
-    counts = (refine(cands, layer.parts())
+    counts = (refine_native(cands)
               .groupBy("poly_id", tile_key_col("cell", 12).alias("tile"))
               .agg(F.count("*").alias("n")))
     sections.append((
         "Flagship spatial join + per-tile counts (C1/C2/D1/D3/C3/E1)",
-        "One whole-stage-codegen span covers scan -> bbox filter -> native "
-        "Morton encode -> prefix -> BroadcastHashJoin (the exploded polygon "
-        "covering is the build side; no shuffle touches the big table). "
-        "Exactly ONE Python stage exists: the exact-PIP MapInPandas over "
-        "candidates. The per-tile aggregation shuffles only the already-"
-        "refined rows with map-side partial aggregation; the tile key is a "
-        "native shiftright of the cell id (no UDF).",
+        "scan -> bbox filter -> native Morton encode -> prefix -> "
+        "BroadcastHashJoin (the exploded edge-carrying polygon covering is "
+        "the build side; no shuffle touches the big table) -> exact PIP as "
+        "a native even-odd HOF filter — ZERO Python stages anywhere in the "
+        "flagship (r2: the HOF form measured 2.2-2.5x faster than the "
+        "Arrow/pandas ray cast at 512M rows and scales 0.867 N->4N; the "
+        "pandas form remains as refine_mode='pandas'). The per-tile "
+        "aggregation shuffles only refined rows with map-side partial "
+        "aggregation; the tile key is a native shiftright of the cell id.",
         plan_of(counts)))
 
     # 3. phash prefilter
