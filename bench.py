@@ -214,17 +214,20 @@ def main() -> None:
     import statistics
 
     for name, fn, args, reps in [
-        # the two heavy pipelines report the median of 3 runs (SURVEY §6
-        # protocol): run 1 additionally pays one-time query compilation,
-        # which at cluster scale amortizes to nothing
+        # EVERY query reports the median of 3 runs (SURVEY §6 protocol):
+        # run 1 additionally pays one-time query compilation (amortizes
+        # to nothing at cluster scale), and this shared host freezes for
+        # multi-second windows — a single-rep 0.2s query has been
+        # observed at 7-14s inside one (BASELINE.md host-drift notes);
+        # the median absorbs one poisoned rep per query
         ("spatial_tile", bench_spatial_tile, (spark, images_path, n_images), 3),
         ("knn", bench_knn, (spark, images_path), 3),
-        ("phash_hamming", bench_phash_hamming, (spark, images_path), 1),
-        ("agg_basic", bench_agg_basic, (spark, sf_dir), 1),
-        ("join_sortmerge", bench_join_sortmerge, (spark, sf_dir), 1),
+        ("phash_hamming", bench_phash_hamming, (spark, images_path), 3),
+        ("agg_basic", bench_agg_basic, (spark, sf_dir), 3),
+        ("join_sortmerge", bench_join_sortmerge, (spark, sf_dir), 3),
         ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir), 3),
-        ("ann_topk", bench_ann_topk, (spark, sf_dir), 1),
-        ("tile_raster", bench_tile_raster, (spark, images_path), 1),
+        ("ann_topk", bench_ann_topk, (spark, sf_dir), 3),
+        ("tile_raster", bench_tile_raster, (spark, images_path), 3),
     ]:
         secs = []
         for _ in range(reps):
