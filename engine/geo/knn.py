@@ -187,16 +187,23 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
              & (F.col("kth") < F.col("guar")))
             | (F.col("guar") == F.lit(float("inf")))
         )
-        failed = merged.filter(~satisfied).select(qid_col)
-        failed_ids = [r[0] for r in failed.collect()]
+        # Retry routing as JOINS, not a collected literal (r3): at
+        # millions of queries an `isin(failed_ids)` filter would embed an
+        # unbounded literal list in the plan and ship the ids through the
+        # driver.  `failed` is at most |pending| skinny rows; it is
+        # materialized once (localCheckpoint) because three consumers
+        # read it, and the only driver-side scalar is its count.
+        failed = merged.filter(~satisfied).select(qid_col) \
+                       .localCheckpoint(eager=True)
+        n_failed = failed.count()
         ok = topk.select(qid_col, id_col, "dist_m", "rn")
-        if failed_ids:
-            ok = ok.filter(~F.col(qid_col).isin(failed_ids))
+        if n_failed:
+            ok = ok.join(failed, qid_col, "left_anti")
         done_parts.append(ok)
-        if not failed_ids:
+        if not n_failed:
             pending = None
             break
-        pending = pending.filter(F.col(qid_col).isin(failed_ids)) \
+        pending = pending.join(failed.hint("broadcast"), qid_col, "left_semi") \
                          .withColumn("r", F.col("r") * 2 + 1)
     else:
         raise RuntimeError(f"knn_join: queries unsatisfied after {max_rounds} rounds")

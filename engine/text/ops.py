@@ -102,6 +102,10 @@ def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("n_pretokens", pre)
         .withColumn(
             "chars_per_pretoken",
+            # nullif guard (r2 ADVICE): an empty/all-space doc has zero
+            # pretokens, where Spark's x/0 yields NULL but DuckDB's
+            # ieee_floating_point_ops default yields inf/NaN — NULL on
+            # both sides keeps oracle parity on degenerate docs.
             F.round(F.length(F.regexp_replace(F.col(text), " ", ""))
-                    / F.col("n_pretokens"), 6))
+                    / F.nullif(F.col("n_pretokens"), F.lit(0)), 6))
     )

@@ -1,0 +1,55 @@
+"""Pins the testdata properties the oracle-parity arguments rest on.
+
+1. Every money/value column is a 2-decimal double.  Then a SINGLE-factor
+   `round(x*100)` is tie-free — x*100 sits within ~1e-9 of an integer,
+   never near a .5 boundary — so the integer-cents oracles used
+   throughout `__spark_entry__` are exact and engine/libm-independent.
+   (Products of two rounded doubles have genuine .5 ties and stay in the
+   pure integer domain instead: q_project, q_pipeline_resume.)
+2. documents.text has no degenerate rows (empty / all-space / <4 bytes):
+   the minhash/simhash SQL twins emit no shingles for <4-byte texts
+   (the numpy kernel zero-pads), and chars_per_pretoken would hit the
+   nullif(x, 0) guard.  If the fixture ever changes, this fails before a
+   driver hash does.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+MONEY_COLS = [
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+    ("lineitem", "l_quantity"),
+    ("orders", "o_totalprice"),
+    ("events", "value"),
+]
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+@pytest.mark.parametrize("table,col", MONEY_COLS)
+def test_money_columns_are_two_decimal(duck, sf, table, col):
+    ok = duck.execute(
+        f"SELECT bool_and(abs({col} * 100 - round({col} * 100)) < 1e-6) "
+        f"FROM read_parquet('{sf}/{table}.parquet') WHERE {col} IS NOT NULL"
+    ).fetchone()[0]
+    assert ok, f"{table}.{col} at {sf} is not 2-decimal: round(x*100) ties possible"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_documents_have_no_degenerate_texts(duck, sf):
+    n_bad = duck.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE text IS NULL OR length(text) < 4 OR trim(text) = ''"
+    ).fetchone()[0]
+    assert n_bad == 0, f"{n_bad} degenerate documents at {sf}"

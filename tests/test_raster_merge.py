@@ -66,6 +66,61 @@ def test_raster_conserves_points(spark, pts):
     assert out.agg(F.sum("n_points")).first()[0] == pts.count()
 
 
+def test_tile_raster_matches_golden_at_pinned_sf(spark):
+    """The driver oracle for tile_raster is a GOLDEN pin at sf0.01 (the
+    driver's fixed correctness scale): the r2 trig-SQL twin recomputed
+    Web-Mercator ln/tan in DuckDB and a CPU-dispatched-libm last-ULP
+    disagreement flipped one pixel on the driver host.  This asserts the
+    engine output still equals the committed golden."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    golden = os.path.join(os.path.dirname(entry_mod.__file__),
+                          "oracle", "golden", "tile_raster.parquet")
+    want = pd.read_parquet(golden)
+    got = entry_mod.queries()["tile_raster"](
+        spark, "/root/testdata/sf0.01").toPandas()
+    key = ["tile_x", "tile_y"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_tile_raster_trig_twin_near_exact(spark):
+    """Keeps the retired r2 DuckDB trig twin alive as an INDEPENDENT
+    cross-engine check with an explicit ULP tolerance: total point count
+    must be conserved exactly, and at most a handful of rows may differ
+    (each legitimate difference is one point sitting within libm-ULP of
+    a 1-of-2^30 mercator pixel boundary)."""
+    import duckdb
+
+    from __spark_entry__ import PTS_SQL, XY_SQL, queries
+    sql = (
+        f"WITH {PTS_SQL}, {XY_SQL}, "
+        "px AS (SELECT id, xi >> 24 AS tx, yi >> 24 AS ty, "
+        "((yi >> 20) & 15) * 16 + ((xi >> 20) & 15) AS pix FROM xy), "
+        "c AS (SELECT tx, ty, pix, COUNT(*) AS w FROM px GROUP BY 1, 2, 3) "
+        "SELECT CAST(6 AS INTEGER) AS tile_z, tx AS tile_x, ty AS tile_y, "
+        "SUM(w) AS n_points, CAST(COUNT(*) AS INTEGER) AS nnz, "
+        "MAX(w) AS max_count, SUM(w * (pix + 1)) AS wsum, "
+        "SUM(w * w) AS sqsum FROM c GROUP BY 2, 3")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW customer AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.01/customer.parquet')")
+    duck = {(r[1], r[2]): tuple(r) for r in con.execute(sql).fetchall()}
+    got = queries()["tile_raster"](spark, "/root/testdata/sf0.01").collect()
+    spk = {(r.tile_x, r.tile_y): (r.tile_z, r.tile_x, r.tile_y, r.n_points,
+                                  r.nnz, r.max_count, r.wsum, r.sqsum)
+           for r in got}
+    assert sum(v[3] for v in spk.values()) == sum(v[3] for v in duck.values())
+    diff = {k for k in (spk.keys() | duck.keys())
+            if spk.get(k) != duck.get(k)}
+    assert len(diff) <= 4, f"trig twin drifted beyond ULP tolerance: {sorted(diff)[:8]}"
+
+
 def test_merge_upsert_semantics(spark):
     base = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, p double")

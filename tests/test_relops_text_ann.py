@@ -187,6 +187,56 @@ def test_cosine_near_dup_exact_vs_lsh(spark):
     assert len(approx & {(i, i + 20) for i in range(5)}) >= 3
 
 
+def test_planted_duplicate_margins_back_the_recall_theorem(spark, sf_dir):
+    """q_ann_lsh_topk / q_ann_ivf_topk hash-check recall 1 on planted
+    exact copies of the query vector.  The 'theorem' needs two margins to
+    dominate float32-round-trip noise (~1e-7) and cross-host libm ULP:
+    (a) every LSH hyperplane dot |q.p| is far from 0 (no signature bit can
+    flip), and (b) the query's best-vs-second IVF centroid gap is wide (no
+    assignment/probe flip).  Also: every natural cosine stays far below
+    the planted cos 1.0."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from engine.ml.ann import ivf_train
+
+    q = np.asarray(em.QVEC, np.float64)
+    rng = np.random.default_rng(42)
+    planes = rng.normal(size=(64, 8))
+    margins = np.abs(q @ planes)
+    assert margins.min() > 1e-3, f"LSH plane margin too thin: {margins.min()}"
+
+    emb = em._emb_with_planted(spark, sf_dir)
+    cents = ivf_train(emb, 16, dim=64)
+    dots = np.sort(cents @ (q / np.linalg.norm(q)))[::-1]
+    assert dots[0] - dots[1] > 1e-3, f"IVF centroid gap too thin: {dots[0]-dots[1]}"
+
+    import pandas as pd
+    nat = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    m = np.stack(nat["embedding"].map(np.asarray)).astype(np.float64)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    assert cos.max() < 0.9, f"natural cos too close to planted 1.0: {cos.max()}"
+
+
+def test_emb_near_dup_lsh_equals_exact_on_driver_fixture(spark, sf_dir):
+    """The driver key emb_near_dup runs exact=True (r2 ADVICE: LSH parity
+    at other sfs was a fixture property, not a theorem); this pins that
+    the SCALABLE LSH path still reproduces the exact output on the driver
+    fixture, so the path split stays a verification decision, not an
+    accuracy regression."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    df = emb.unionByName(dups)
+    exact = {(r.id_a, r.id_b, r.cos_sim) for r in
+             cosine_near_dup_pairs(df, 0.95, exact=True).collect()}
+    lsh = {(r.id_a, r.id_b, r.cos_sim) for r in
+           cosine_near_dup_pairs(df, 0.95, bits=8, dim=64).collect()}
+    assert lsh == exact
+
+
 def test_minhash_verify_shingles_match_lsh_on_non_ascii(spark):
     # ADVICE r1: LSH candidates and the exact-Jaccard verify must hash the
     # SAME shingle definition (utf-8 byte windows) or recall is measured

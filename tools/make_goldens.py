@@ -24,7 +24,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
-               "media_features", "media_resize", "media_frames")
+               "media_features", "media_resize", "media_frames",
+               # tile_raster is the one table-fed golden: it is pinned at
+               # the driver's fixed correctness scale (sf0.01 per the
+               # driver contract).  Its r2 trig-SQL twin recomputed the
+               # Web-Mercator ln/tan in DuckDB, and a single last-ULP
+               # libm disagreement (CPU-dispatched glibc vs local) moved
+               # one point across a 1-of-2^30 pixel boundary -> hash
+               # fail in the driver container while passing locally.
+               "tile_raster")
 
 
 def main() -> None:
@@ -38,7 +46,9 @@ def main() -> None:
     out_dir = os.path.join(ROOT, "oracle", "golden")
     os.makedirs(out_dir, exist_ok=True)
     qs = entry_mod.queries()
-    sf = "/root/testdata/sf0.01"  # ignored: golden keys read no tables
+    # synthetic keys ignore sf; tile_raster is PINNED at sf0.01 (the
+    # driver's fixed correctness scale)
+    sf = "/root/testdata/sf0.01"
     for key in GOLDEN_KEYS:
         pdf = qs[key](spark, sf).toPandas()
         path = os.path.join(out_dir, f"{key}.parquet")
