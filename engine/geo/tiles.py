@@ -117,3 +117,38 @@ def with_tile(df: DataFrame, z: int, cell_col: str = "cell",
 def tile_key_col(cell_col: str, z: int):
     """Native int64 per-tile grouping key (the tile's own Morton id)."""
     return F.shiftright(F.col(cell_col), 2 * (LEVEL - z))
+
+
+def tile_pyramid(df: DataFrame, z_max: int, z_min: int,
+                 cell_col: str = "cell") -> DataFrame:
+    """Hierarchical tile-count pyramid (the raster<->vector rollup a tile
+    server precomputes): per-tile counts at z_max, then each coarser zoom
+    aggregates its four children (tile_x >> 1, tile_y >> 1) from the
+    PREVIOUS level's already-aggregated rows.
+
+    Scale shape: the base level is the only shuffle that sees the full
+    table (hash agg, map-side combined, on the native int64 Morton tile
+    key — one column in codegen, no Python); every subsequent rollup
+    shuffles at most 4^z aggregated rows, so the whole pyramid costs one
+    big shuffle + z_max-z_min tiny ones instead of one full shuffle per
+    level.  Output: (tile_z, tile_x, tile_y, n) for z in [z_min, z_max].
+    """
+    assert 0 <= z_min <= z_max <= LEVEL
+    base = (df.select(tile_key_col(cell_col, z_max).alias("tk"))
+            .groupBy("tk").agg(F.count("*").alias("n")))
+    cur = base.select(
+        F.lit(z_max).alias("tile_z"),
+        F.expr(compact1by1_sql("tk")).alias("tile_x"),
+        F.expr(compact1by1_sql("(tk >> 1)")).alias("tile_y"),
+        "n")
+    levels = [cur]
+    for z in range(z_max - 1, z_min - 1, -1):
+        cur = (cur.groupBy(F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
+                           F.shiftright(F.col("tile_y"), 1).alias("tile_y"))
+               .agg(F.sum("n").alias("n"))
+               .select(F.lit(z).alias("tile_z"), "tile_x", "tile_y", "n"))
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

@@ -115,11 +115,71 @@ def make_shingle_udf(k: int = 4):
     return shingle_udf
 
 
+def _bucketed_pairs(banded: DataFrame, id_col: str, sig_col: str,
+                    max_bucket: int | None,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Within-bucket candidate pairs (a < b) over a (id, band, bucket,
+    sig) frame, with a DEGENERATE-BUCKET GUARD (r2 VERDICT #5): a naive
+    self-join turns a bucket of m identical docs into m^2 candidate rows
+    — a corpus with 10^5 copies of one page would emit 10^10 rows from a
+    single bucket.  Buckets larger than `max_bucket` therefore switch to
+    signature-cluster form: rows sharing the FULL signature collapse to a
+    representative (min id) and emit linear (rep, member) pairs — exact
+    duplicates stay fully recoverable through the rep by transitivity —
+    while the (few) distinct signatures inside the bucket still pair
+    all-vs-all via their reps.  Only member-to-member pairs ACROSS
+    different signature clusters of one oversized bucket are not emitted
+    (quantified by `oversized_bucket_stats`).  Small buckets are exact
+    all-pairs, so below the cap the output is IDENTICAL to the unguarded
+    join.  The bucket-size count is a window over the same (band, bucket)
+    keys the join shuffles on, so the guard reuses that exchange rather
+    than adding an extra join."""
+    out_cols = [F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                *[F.col(f"l.{c}").alias(f"{c}_a") for c in extra_cols],
+                *[F.col(f"r.{c}").alias(f"{c}_b") for c in extra_cols]]
+
+    def allpairs(src: DataFrame) -> DataFrame:
+        l, r = src.alias("l"), src.alias("r")
+        return (l.join(r, ["band", "bucket"])
+                .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                .select(*out_cols))
+
+    if max_bucket is None:
+        return allpairs(banded).distinct()
+    w = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("bsz", F.count("*").over(w))
+    small = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    big = sized.filter(F.col("bsz") > max_bucket).drop("bsz")
+    # signature clusters of oversized buckets: rep = min id per identical
+    # full signature; members pair with their rep (linear), reps pair
+    # all-vs-all (bounded by the distinct-signature count)
+    wsig = Window.partitionBy("band", "bucket", sig_col)
+    clustered = big.withColumn("rep", F.min(id_col).over(wsig))
+    # extra_cols are functionally determined by the full signature (they
+    # ARE the signature or a projection of it), so rep's values equal the
+    # member's — no join back to the rep row is needed.
+    rep_member = (clustered.filter(F.col(id_col) != F.col("rep"))
+                  .select(F.col("rep").alias("id_a"),
+                          F.col(id_col).alias("id_b"),
+                          *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+                          *[F.col(c).alias(f"{c}_b") for c in extra_cols]))
+    reps = clustered.filter(F.col(id_col) == F.col("rep")) \
+        .select(id_col, "band", "bucket", *extra_cols)
+    return (allpairs(small)
+            .unionByName(allpairs(reps))
+            .unionByName(rep_member)
+            .distinct())
+
+
 def lsh_candidate_pairs(df: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 32,
-                        bands: int = 8, k: int = 4, seed: int = 42) -> DataFrame:
+                        bands: int = 8, k: int = 4, seed: int = 42,
+                        max_bucket: int | None = 4096) -> DataFrame:
     """MinHash+LSH candidate pairs (a < b).  rows_per_band =
-    num_hashes/bands; docs sharing any band bucket become candidates."""
+    num_hashes/bands; docs sharing any band bucket become candidates.
+    Buckets above `max_bucket` degrade to signature-cluster pairing
+    instead of a quadratic self-join (see _bucketed_pairs)."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
     sig = df.select(
@@ -127,28 +187,57 @@ def lsh_candidate_pairs(df: DataFrame, *, id_col: str = "doc_id",
     )
     banded = sig.select(
         id_col,
+        F.xxhash64("sig").alias("sig_h"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> struct(b as band, xxhash64(slice(sig, b*{rpb}+1, {rpb})) as bucket))"
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    l = banded.alias("l")
-    r = banded.alias("r")
-    return (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    ).select(id_col, "sig_h", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    return _bucketed_pairs(banded, id_col, "sig_h", max_bucket)
+
+
+def oversized_bucket_stats(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 32,
+                           bands: int = 8, k: int = 4, seed: int = 42,
+                           max_bucket: int = 4096) -> DataFrame:
+    """Observability for the degenerate-bucket guard: one row per
+    oversized (band, bucket) with its size, distinct-signature count and
+    the number of within-bucket pairs the guard does not EXPLICITLY emit
+    (same-signature member pairs stay recoverable through the
+    representative by transitivity; cross-cluster member pairs are
+    approximated by their rep-rep pair) — surface this next to the dedup
+    output at scale so capped coverage is visible, never silent."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), make_minhash_udf(num_hashes, k, seed)(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        id_col, F.xxhash64("sig").alias("sig_h"),
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b as band, xxhash64(slice(sig, b*{rpb}+1, {rpb})) as bucket))"
+        )).alias("bb"),
+    ).select(id_col, "sig_h", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    per_sig = banded.groupBy("band", "bucket", "sig_h").agg(
+        F.count("*").alias("m"))
+    per_bucket = per_sig.groupBy("band", "bucket").agg(
+        F.sum("m").alias("bucket_size"),
+        F.count("*").alias("n_signatures"),
+        # pairs dropped = all-pairs - rep-member - rep-rep
+        ((F.sum("m") * (F.sum("m") - 1)) / 2
+         - F.sum(F.col("m") - 1)
+         - (F.count("*") * (F.count("*") - 1)) / 2).alias("dropped_pairs"))
+    return per_bucket.filter(F.col("bucket_size") > max_bucket)
 
 
 def minhash_dedup(df: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.7,
                   num_hashes: int = 32, bands: int = 8, k: int = 4,
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42, max_bucket: int | None = 4096) -> DataFrame:
     """Candidate pairs verified by exact shingle Jaccard >= threshold."""
     # Candidate pairs are tiny relative to the corpus (O(dups), not
     # O(n^2)); checkpoint them so the LSH stage runs ONCE even though the
@@ -156,7 +245,8 @@ def minhash_dedup(df: DataFrame, *, id_col: str = "doc_id",
     # (lazy: materialized by the consuming action itself, no extra job).
     pairs = lsh_candidate_pairs(df, id_col=id_col, text_col=text_col,
                                 num_hashes=num_hashes, bands=bands, k=k,
-                                seed=seed).localCheckpoint(eager=False)
+                                seed=seed,
+                                max_bucket=max_bucket).localCheckpoint(eager=False)
     # Exact-Jaccard verify: shingle sets are computed ONLY for docs that
     # appear in a candidate pair (semi-join first) — the wide shingle
     # arrays never exist for the 99.x% of the corpus with no candidate,
@@ -205,11 +295,16 @@ def make_simhash_udf(k: int = 4):
 
 def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", max_dist: int = 8,
-                      k: int = 4, band_bits: int = 16) -> DataFrame:
+                      k: int = 4, band_bits: int = 16,
+                      max_bucket: int | None = 4096) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     hamming distance <= 3 shares at least one of 4 bands; larger max_dist
     uses the bands as a recall-oriented blocker), verify with native
-    bit_count(xor)."""
+    bit_count(xor).  Buckets above `max_bucket` degrade to
+    signature-cluster pairing (see _bucketed_pairs) — rep-member pairs
+    are Hamming-0, so every identical-signature duplicate survives the
+    verify; the pigeonhole recall theorem then applies per signature
+    cluster rather than per row."""
     sigs = df.select(F.col(id_col),
                      make_simhash_udf(k)(F.col(text_col)).alias("sim"))
     nbands = 64 // band_bits
@@ -224,19 +319,68 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
         ).alias("bb"),
     ).select(id_col, "sim", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    l = banded.alias("l")
-    r = banded.alias("r")
     return (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-                F.col("l.sim").alias("sim_a"), F.col("r.sim").alias("sim_b"))
-        .distinct()
+        _bucketed_pairs(banded, id_col, "sim", max_bucket, extra_cols=("sim",))
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------- duplicate clusters
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over a pair list -> (id, cluster_id) with
+    cluster_id = min reachable id.  Iterative min-label propagation: each
+    round every node takes min(own label, neighbors' labels) — one skinny
+    (id, label) shuffle join per round, converging in O(component
+    diameter) rounds (near-dup clusters are shallow: diameter ~2-3 via
+    shared representatives).  The per-round convergence check is a
+    driver-side scalar count, same bounded-loop pattern as
+    engine/geo/knn.py; each round is localCheckpointed so the plan does
+    not grow with iterations."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, labels.id == nbr.src, "left")
+                      .select(labels.id,
+                              F.least("label", "nbr_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+
+
+def dedup_clusters(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.7,
+                   max_bucket: int | None = 4096) -> DataFrame:
+    """Keep-one-per-cluster dedup (the operation an LLM-corpus pipeline
+    actually runs): MinHash+LSH verified pairs -> connected components ->
+    every doc labeled with its cluster representative (min id; singleton
+    docs are their own cluster) and a keep flag.  Downstream keeps
+    `is_rep` rows only — at 10^12 docs the pair graph stays bounded by
+    the banded LSH (plus the degenerate-bucket guard), and the label
+    propagation shuffles only (id, label) longs."""
+    pairs = minhash_dedup(df, id_col=id_col, text_col=text_col,
+                          threshold=threshold, max_bucket=max_bucket)
+    comp = connected_components(pairs)
+    return (df.select(id_col)
+            .join(comp, df[id_col] == comp.id, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+            .withColumn("is_rep", F.col(id_col) == F.col("cluster_id")))
 
 
 # --------------------------------------------------------- ngram jaccard

@@ -56,3 +56,32 @@ def test_with_tile_spark(spark):
         wz, wx, wy = og.tile(r.lon, r.lat, 12)
         assert (r.tile_z, r.tile_x, r.tile_y) == (wz, wx, wy)
         assert r.quadkey == og.quadkey(12, wx, wy)
+
+
+def test_tile_pyramid_invariants(spark):
+    """Pyramid rollup: every level conserves the total point count, each
+    parent's n equals the sum of its four children, and every level
+    equals a direct groupBy at that zoom (the rollup is just a cheaper
+    plan for the same result)."""
+    from pyspark.sql import functions as F
+
+    from engine.geo.cells import with_cell
+    from engine.synth import gen_points
+
+    pts = with_cell(gen_points(spark, 4000, seed=7))
+    pyr = et.tile_pyramid(pts, z_max=8, z_min=4).collect()
+    levels: dict[int, dict[tuple[int, int], int]] = {}
+    for r in pyr:
+        levels.setdefault(r.tile_z, {})[(r.tile_x, r.tile_y)] = r.n
+    for z in range(4, 9):
+        assert sum(levels[z].values()) == 4000, f"level {z} lost points"
+        direct = {(r.tile_x, r.tile_y): r.n
+                  for r in et.with_tile(pts, z=z)
+                  .groupBy("tile_x", "tile_y").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert levels[z] == direct, f"level {z} != direct groupBy"
+    for z in range(5, 9):
+        for (x, y), n in levels[z - 1].items():
+            kids = sum(levels[z].get((x * 2 + dx, y * 2 + dy), 0)
+                       for dx in (0, 1) for dy in (0, 1))
+            assert kids == n, f"parent {(z-1, x, y)} != sum of children"
