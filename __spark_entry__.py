@@ -1183,7 +1183,13 @@ def q_dedup_minhash(spark, sf):
     LSH recall is deterministic-1 for this seed, so the banded path
     reproduces the brute-force truth exactly.  Jaccard values match
     because both sides hash k-byte windows injectively (set sizes are
-    hash-invariant; fixture is pure ASCII so byte == char windows)."""
+    hash-invariant; fixture is pure ASCII so byte == char windows).
+    SF PIN (r2 ADVICE): 32-hash/8-band recall at J>=0.92 is an
+    empirical fixture fact, not a theorem — the all-pairs twin is
+    asserted equal to the LSH output at BOTH verification scales
+    (sf0.001 via tests/test_entry_contract.py::test_oracle_parity,
+    sf0.01 via tools/check_contract.py); rerun those before trusting
+    this key at any new sf."""
     _prep(spark)
     from engine.text.dedup import minhash_dedup
     return minhash_dedup(_docs_with_dups(spark, sf), threshold=0.6)

@@ -169,6 +169,33 @@ def bench_minhash_dedup(spark, sf_dir: str):
     return time.time() - t0, {"minhash_pairs": rows}
 
 
+def bench_dedup_clusters(spark, sf_dir: str):
+    """Keep-one-per-cluster dedup end-to-end: LSH candidates -> exact
+    verify -> connected components (iterative min-label propagation)."""
+    from engine.text.dedup import dedup_clusters
+    t0 = time.time()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source",
+        "n_chars")
+    # 8 rows/band, same rationale as bench_minhash_dedup: 4-row bands
+    # flood the candidate set (~1M pairs) on this fixture vocabulary
+    out = dedup_clusters(d.unionByName(dups), threshold=0.6, num_hashes=64)
+    n_clusters = out.filter("is_rep").count()
+    return time.time() - t0, {"dedup_n_clusters": n_clusters}
+
+
+def bench_tile_pyramid(spark, images_path: str):
+    """z12->z6 tile-count pyramid over the full image table: one full
+    map-side-combined shuffle at the base zoom + tiny rollups."""
+    from engine.geo.cells import with_cell
+    from engine.geo.tiles import tile_pyramid
+    t0 = time.time()
+    pts = with_cell(spark.read.parquet(images_path).select("lat", "lon"))
+    rows = tile_pyramid(pts, z_max=12, z_min=6).count()
+    return time.time() - t0, {"pyramid_rows": rows}
+
+
 def bench_tile_raster(spark, images_path: str):
     """Raster<->vector: per-tile 16x16 occupancy rasters over the full
     image table (native tile/pixel bit math -> pre-aggregated counts ->
@@ -228,6 +255,8 @@ def main() -> None:
         ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir), 3),
         ("ann_topk", bench_ann_topk, (spark, sf_dir), 3),
         ("tile_raster", bench_tile_raster, (spark, images_path), 3),
+        ("tile_pyramid", bench_tile_pyramid, (spark, images_path), 3),
+        ("dedup_clusters", bench_dedup_clusters, (spark, sf_dir), 3),
     ]:
         secs = []
         for _ in range(reps):

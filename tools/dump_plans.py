@@ -195,6 +195,36 @@ def main() -> None:
         "overhead (9 s for 4096 tiles) and was removed.",
         plan_of(raster, "simple")))
 
+    # 9. tile pyramid rollup (r3)
+    from engine.geo.tiles import tile_pyramid
+    pyr = tile_pyramid(
+        with_cell(spark.read.parquet(path).select("lat", "lon")),
+        z_max=10, z_min=6)
+    sections.append((
+        "Tile-count pyramid rollup (C3c, r3)",
+        "Exactly TWO shuffles for any level count: the base hash agg on "
+        "the native int64 Morton tile key (map-side combined — the only "
+        "exchange that sees the full table), then each aggregated row "
+        "explodes its ancestor chain (z, x>>i, y>>i) and ONE groupBy "
+        "rolls every level up over <=levels x 4^z_max skinny rows.  A "
+        "per-level union was measured 3.6 s vs 0.8 s for this form at "
+        "200 k rows (AQE round per tiny rollup + re-stated base subtree) "
+        "and replaced in r3.",
+        plan_of(pyr, "simple")))
+
+    # 10. duplicate clustering guard path (r3)
+    from engine.text.dedup import lsh_candidate_pairs
+    sections.append((
+        "LSH candidates with the degenerate-bucket guard (M15, r3)",
+        "Bucket sizes come from a window over the SAME (band, bucket) "
+        "keys the candidate self-join shuffles on, so the guard rides the "
+        "existing exchange. Oversized buckets route through the "
+        "signature-cluster branch (min-id rep per identical signature -> "
+        "linear rep-member pairs); small buckets take the exact all-pairs "
+        "branch — below the cap the output is identical to the unguarded "
+        "join (pytest-asserted).",
+        plan_of(lsh_candidate_pairs(docs, max_bucket=4096), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
