@@ -5,7 +5,7 @@ deterministic synthetic image table (SURVEY.md §3.E1, §7.2).
 
 `queries()` / `oracle_sql()` — one key per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline ops from the task brief).
-Round-3 state: 87 keys, 86 with a DuckDB oracle (SQL twin, golden
+Round-3 state: 91 keys, 90 with a DuckDB oracle (SQL twin, golden
 expected file, or pinned constant table — see the comments inside
 `oracle_sql()`); the only rows-only key is `lineage_table` (per-FILE row
 splits legitimately vary with the session's parallelism/AQE).  The two
@@ -1279,6 +1279,63 @@ def q_tile_pyramid(spark, sf):
     return tile_pyramid(with_cell(_points(spark, sf)), z_max=10, z_min=6)
 
 
+def q_stream_stream_join(spark, sf):
+    """J9 (r3): watermarked stream-stream inner join — clicks and views
+    replayed as two independent file-source streams, joined on user
+    within a 2 h attribution window (append mode -> icelite sink).
+    Inner-join matches are emitted exactly once regardless of batch
+    boundaries, and the fixture run uses an effectively-unbounded
+    watermark delay (see engine.streaming.stream_stream_join docstring),
+    so the end state equals the batch time-range join — the DuckDB twin."""
+    _prep(spark)
+    from engine import streaming as st
+    root = tempfile.mkdtemp(prefix="stream-ssj-")
+    ev = _t(spark, sf, "events")
+    st.write_event_chunks_df(ev.filter(F.col("event_type") == "click"),
+                             f"{root}/clicks", n_chunks=3)
+    st.write_event_chunks_df(ev.filter(F.col("event_type") == "view"),
+                             f"{root}/views", n_chunks=3)
+    out = st.stream_stream_join(
+        st.read_event_stream(spark, f"{root}/clicks/chunk-*"),
+        st.read_event_stream(spark, f"{root}/views/chunk-*"))
+    table = st.run_stream_to_icelite(out, f"{root}/tbl", f"{root}/ckpt",
+                                     mode="append")
+    return table.scan(spark).select("click_id", "view_id", "user_id")
+
+
+def q_emb_centroid(spark, sf):
+    """M-family (r3): per-label embedding centroids as exact integer
+    sums — FLOOR(val * 1e6) per element (tie-free, bit-identical across
+    engines), then order-free int64 sums per (label, dim).  Shuffle
+    volume is O(partitions * labels * dim) via partial aggregation —
+    independent of row count, the 100 TB shape."""
+    _prep(spark)
+    from engine.ml.centroid import label_centroids
+    return label_centroids(_t(spark, sf, "embeddings"))
+
+
+def q_geo_area_centroid(spark, sf):
+    """B-family (r3): per-ring signed shoelace 2*area + centroid
+    numerators over the antimeridian-split polygon layer, all exact
+    int64 after FLOOR-quantization (engine/geo/measure.py docstring has
+    the overflow bounds).  Native transform/zip_with/aggregate HOFs —
+    zero Python, zero shuffle.  The DuckDB twin recomputes the fold as
+    lead()-window cross products over the inlined vertex list."""
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import area_centroid, rings_df
+    return area_centroid(rings_df(PolygonLayer.from_json(), spark))
+
+
+def q_text_topterms(spark, sf):
+    """Text-analysis family (r3): per-doc top-3 terms by count, ties
+    lexicographic — explode/count/window with both shuffles keyed on
+    doc_id (skew bounded by the largest document)."""
+    _prep(spark)
+    from engine.text.ops import top_terms
+    return top_terms(_t(spark, sf, "documents"), k=3, min_len=3)
+
+
 def _media_df(spark):
     from engine.multimodal import MEDIA_SCHEMA, gen_media_local
     return spark.createDataFrame(gen_media_local(60), schema=MEDIA_SCHEMA)
@@ -1321,8 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         float-tie sweep (project, grouped_map, agg_udaf, stream sums),
         the graduated ANN keys, exact-path emb_near_dup, guard-affected
         dedup_minhash/dedup_simhash, nullif-guarded text_tokens,
-        anti-join knn_join, cache-keyed metrics/lineage — plus the two
-        NEW operators (dedup_clusters, tile_pyramid);
+        anti-join knn_join, cache-keyed metrics/lineage — plus the six
+        NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
+        emb_centroid, geo_area_centroid, text_topterms);
     (c) the flagship spatial path, kept continuously driver-verified;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
     Rotated-out keys (51+) are r2-green and untouched this round; every
@@ -1351,6 +1409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "tile_pyramid": q_tile_pyramid,
+        "stream_stream_join": q_stream_stream_join,
+        "emb_centroid": q_emb_centroid,
+        "geo_area_centroid": q_geo_area_centroid,
+        "text_topterms": q_text_topterms,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -1503,6 +1565,44 @@ def oracle_sql() -> dict[str, str]:
         "p -> CAST(struct_extract(p,1) AS DOUBLE) * CAST(struct_extract(p,2) AS DOUBLE))) / "
         "(sqrt(list_sum(list_transform(va, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))) * "
         "sqrt(list_sum(list_transform(vb, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))), 6)")
+
+    # geo_area_centroid: inline the same antimeridian-split ring vertex
+    # list engine.geo.measure.rings_df builds (shared INPUT; the shoelace
+    # ARITHMETIC is recomputed independently via lead()-window SQL).
+    # repr(float) round-trips exactly, so DuckDB parses identical doubles.
+    from engine.geo.layer import PolygonLayer as _PL
+    ring_rows = []
+    for _p in _PL.from_json().polygons:
+        for _pi, (_outer, _holes) in enumerate(_p.split_antimeridian()):
+            _rid = f"{_p.poly_id}:{_pi}"
+            _rings = [("outer", f"{_rid}:outer", _outer)] + [
+                ("hole", f"{_rid}:hole{_hi}", _h)
+                for _hi, _h in enumerate(_holes)]
+            for _kind, _rname, _ring in _rings:
+                for _seq, (_x, _y) in enumerate(_ring):
+                    ring_rows.append(
+                        f"('{_p.poly_id}', '{_rname}', '{_kind}', {_seq}, "
+                        f"{float(_x)!r}, {float(_y)!r})")
+    ring_vals = ", ".join(ring_rows)
+    shoelace_sql = (
+        f"WITH v(poly_id, ring_id, kind, seq, lon, lat) AS (VALUES {ring_vals}), "
+        "q AS (SELECT poly_id, ring_id, kind, seq, "
+        "CAST(floor(lon * 1000000.0) AS BIGINT) AS x6, "
+        "CAST(floor(lat * 1000000.0) AS BIGINT) AS y6, "
+        "CAST(floor(lon * 1000.0) AS BIGINT) AS x3, "
+        "CAST(floor(lat * 1000.0) AS BIGINT) AS y3 FROM v), "
+        "e AS (SELECT poly_id, ring_id, kind, x6, y6, x3, y3, "
+        "coalesce(lead(x6) OVER w, first_value(x6) OVER w) AS nx6, "
+        "coalesce(lead(y6) OVER w, first_value(y6) OVER w) AS ny6, "
+        "coalesce(lead(x3) OVER w, first_value(x3) OVER w) AS nx3, "
+        "coalesce(lead(y3) OVER w, first_value(y3) OVER w) AS ny3 FROM q "
+        "WINDOW w AS (PARTITION BY ring_id ORDER BY seq)) "
+        "SELECT poly_id, ring_id, kind, CAST(COUNT(*) AS INTEGER) AS n_vertices, "
+        "CAST(SUM(x6 * ny6 - nx6 * y6) AS BIGINT) AS area2_q6, "
+        "CAST(SUM((x3 + nx3) * (x3 * ny3 - nx3 * y3)) AS BIGINT) AS cx_num_q3, "
+        "CAST(SUM((y3 + ny3) * (x3 * ny3 - nx3 * y3)) AS BIGINT) AS cy_num_q3, "
+        "CAST(SUM(x3 * ny3 - nx3 * y3) AS BIGINT) AS area2_q3 "
+        "FROM e GROUP BY 1, 2, 3")
 
     return {
         "scan_parquet": "SELECT * FROM region",
@@ -1917,4 +2017,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id), "
             f"s AS (SELECT id_a, id_b, {pair_cos} AS cos_sim FROM p) "
             "SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.95"),
+        # r3 breadth adds — all four in exact integer / set domain (no
+        # float-tie class, per the r3 oracle-hardening rule).
+        "stream_stream_join": (
+            "SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id "
+            "FROM events c JOIN events v "
+            "ON c.event_type = 'click' AND v.event_type = 'view' "
+            "AND v.user_id = c.user_id "
+            "AND v.ts >= c.ts - INTERVAL 120 MINUTE AND v.ts <= c.ts"),
+        "emb_centroid": (
+            "WITH ix AS (SELECT unnest(generate_series(1, 64)) AS i), "
+            "x AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos, embedding[i] AS val "
+            "FROM embeddings, ix) "
+            "SELECT label, pos, COUNT(*) AS n, "
+            "CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) "
+            "AS BIGINT) AS sum_q6 FROM x GROUP BY 1, 2"),
+        "geo_area_centroid": shoelace_sql,
+        "text_topterms": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z]+')) AS term "
+            "FROM documents), "
+            "c AS (SELECT doc_id, term, COUNT(*) AS n FROM t "
+            "WHERE length(term) >= 3 GROUP BY 1, 2), "
+            "r AS (SELECT doc_id, term, n, CAST(row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
+            "FROM c) "
+            "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
     }

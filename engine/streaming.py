@@ -232,3 +232,33 @@ def enriched_agg(events: DataFrame, dim: DataFrame,
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+def stream_stream_join(clicks: DataFrame, views: DataFrame,
+                       watermark: str = "3650 days",
+                       lag_minutes: int = 120) -> DataFrame:
+    """J9 — watermarked stream-stream inner join: each click joins the
+    views of the same user within the preceding `lag_minutes` (the
+    classic ad-attribution shape).  Both sides carry watermarks and the
+    join has an event-time range bound, so Spark's state store evicts
+    rows once the watermark passes click_ts - lag (bounded state at
+    scale).  The correctness keys run with an effectively-infinite
+    watermark delay: the replayed chunks span the whole fixture window,
+    and a production-size delay would evict early views before a late
+    click arrives — dropping matches the batch oracle keeps.  In
+    production the delay is the real out-of-orderness bound (minutes),
+    which makes state O(rate * lag), not O(history).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"))
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts"))
+    cond = (
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts")
+           - F.expr(f"INTERVAL {int(lag_minutes)} MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    return c.join(v, cond, "inner").select("click_id", "view_id", "user_id")

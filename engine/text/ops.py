@@ -109,3 +109,31 @@ def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
             F.round(F.length(F.regexp_replace(F.col(text), " ", ""))
                     / F.nullif(F.col("n_pretokens"), F.lit(0)), 6))
     )
+
+
+def top_terms(df: DataFrame, text: str = "text", k: int = 3,
+              min_len: int = 3) -> DataFrame:
+    """Per-doc top-k terms by frequency (ties broken lexicographically) —
+    the keyword-extraction primitive of a corpus-curation pipeline
+    (task brief "text analysis").  Lowercase split on non-letter runs,
+    explode, two-level count, per-doc row_number window.
+
+    Scale shape: the explode fans out to O(total tokens) rows but the
+    count aggregation partial-combines per (doc_id, term) before the
+    exchange, and the window partitions by doc_id — both shuffles key on
+    the document, so skew is bounded by the largest single document.
+    All-native; the DuckDB twin is the same split/count/row_number.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        df.select("doc_id",
+                  F.explode(F.split(F.lower(F.col(text)), "[^a-z]+"))
+                  .alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("term"))
+    return (terms.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

@@ -220,3 +220,35 @@ def test_raster_stats_path_has_zero_python_stages(spark, images_parquet):
     assert "FlatMapGroupsInPandas" not in plan
     # exactly two exchanges: (tile,pixel) partial-agg shuffle + tile regroup
     assert plan.count("Exchange") == 2, plan
+
+
+def test_emb_centroid_partial_agg_before_exchange(spark, sf_dir):
+    """Shuffle volume must be O(partitions * labels * dim), not O(rows):
+    the partial HashAggregate has to sit BELOW the Exchange."""
+    from engine.ml.centroid import label_centroids
+    df = label_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    plan = plan_of(df)
+    assert "partial_sum(FLOOR(" in plan  # map-side combine of the int sums
+    # simple mode prints root-first: final agg, then Exchange, then partial
+    simple = plan_of(df, "simple")
+    assert simple.index("HashAggregate") < simple.index("Exchange") \
+        < simple.rindex("HashAggregate")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_area_centroid_no_shuffle_no_python(spark):
+    """Per-ring shoelace is a pure projection: no Exchange, no Python."""
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import area_centroid, rings_df
+    df = area_centroid(rings_df(PolygonLayer.from_json(), spark))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_terms_shuffles_key_on_doc(spark, sf_dir):
+    from engine.text.ops import top_terms
+    df = top_terms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan
