@@ -225,6 +225,41 @@ def main() -> None:
         "join (pytest-asserted).",
         plan_of(lsh_candidate_pairs(docs, max_bucket=4096), "simple")))
 
+    # 11. embedding centroids (r3)
+    from engine.ml.centroid import label_centroids
+    emb64 = spark.createDataFrame(pd.DataFrame({
+        "label": (np.arange(100) % 7).astype(np.int32),
+        "embedding": [v.tolist() for v in
+                      rng.normal(size=(100, 16)).astype(np.float32)],
+    }))
+    sections.append((
+        "Per-label embedding centroids (M16, r3)",
+        "posexplode fans out to rows x dim, but the partial HashAggregate "
+        "sits BELOW the exchange, so shuffle volume is "
+        "O(partitions x labels x dim) — independent of row count. The "
+        "FLOOR(val * 1e6) int64 sums are order-free, so the result is "
+        "identical under any partitioning/AQE.",
+        plan_of(label_centroids(emb64), "simple")))
+
+    # 12. polygon area/centroid (r3)
+    from engine.geo.measure import area_centroid, rings_df
+    sections.append((
+        "Polygon shoelace area + centroid (B5, r3)",
+        "A pure projection: transform/zip_with/aggregate HOF fold per "
+        "ring — no Exchange, no Python, embarrassingly parallel over "
+        "10^12 rings.",
+        plan_of(area_centroid(rings_df(layer, spark)), "simple")))
+
+    # 13. per-doc top terms (r3)
+    from engine.text.ops import top_terms
+    sections.append((
+        "Per-doc top-k terms (M17, r3)",
+        "explode -> count partial-combines per (doc_id, term) before the "
+        "exchange; the row_number window re-partitions on doc_id only — "
+        "both shuffles key on the document, so skew is bounded by the "
+        "largest single doc.",
+        plan_of(top_terms(docs), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
