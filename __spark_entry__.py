@@ -5,7 +5,7 @@ deterministic synthetic image table (SURVEY.md §3.E1, §7.2).
 
 `queries()` / `oracle_sql()` — one key per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline ops from the task brief).
-Round-3 state: 91 keys, 90 with a DuckDB oracle (SQL twin, golden
+Round-3 state: 94 keys, 93 with a DuckDB oracle (SQL twin, golden
 expected file, or pinned constant table — see the comments inside
 `oracle_sql()`); the only rows-only key is `lineage_table` (per-FILE row
 splits legitimately vary with the session's parallelism/AQE).  The two
@@ -1336,6 +1336,58 @@ def q_text_topterms(spark, sf):
     return top_terms(_t(spark, sf, "documents"), k=3, min_len=3)
 
 
+def q_cell_compact(spark, sf):
+    """C-family (r3): S2-style covering compaction — complete sibling
+    quads collapse to their parent, level 8 down to 4, over the
+    12-polygon layer covering (engine/geo/cells.py::compact_cells; one
+    window shuffle per level step, no distinct/anti-join).  The DuckDB
+    twin gets the same covering rows as inline VALUES (shared INPUT, as
+    with geo_area_centroid's vertices) and recomputes the compaction
+    ARITHMETIC independently via per-level count-window CTEs — all
+    integer domain, no float-tie class."""
+    _prep(spark)
+    from engine.geo.cells import compact_cells
+    from engine.geo.layer import PolygonLayer
+    cov = PolygonLayer.from_json().build_df(spark, 8) \
+        .select("poly_id", F.col("cell_p").alias("cell"))
+    return compact_cells(cov, level=8, min_level=4)
+
+
+def q_data_split(spark, sf):
+    """Training-data op (r3): deterministic train/val/test assignment —
+    bucket = splitmix64(doc_id + mix64(seed)) % 10^4, an Arrow-batched
+    pure function of the row key (stable under repartition/resume/
+    append; zero shuffle).  The DuckDB twin recomputes the identical
+    avalanche via the verified HUGEINT split-multiply kernel
+    (_mix64_sql), so the hash check covers the full kernel."""
+    _prep(spark)
+    from engine.ml.split import assign_splits
+    return assign_splits(_t(spark, sf, "documents"), seed=42) \
+        .select("doc_id", "bucket", "split")
+
+
+def q_phash_dedup(spark, sf):
+    """Image-modality near-dup (r3): banded perceptual-hash LSH — 4x16-bit
+    bands bucket-join candidates, native bit_count(xor) <= 3 verify.
+    Recall 1 by pigeonhole (dist 3 < 4 bands).  The synthetic corpus has
+    no natural pairs under Hamming 14, so the key injects deterministic
+    near-dups: each of the first 40 images gets a copy with bits k%64 and
+    (3k+17)%64 flipped (never equal -> dist exactly 2).  The DuckDB twin
+    derives the same dup rows from the inlined base (image_id, phash)
+    values and verifies by ALL-PAIRS exact Hamming — banding recall is
+    therefore hash-checked against brute force, like dedup_simhash."""
+    _prep(spark)
+    from engine.image.phash import phash_near_dups
+    from engine.synth import gen_images
+    base = gen_images(spark, 400, seed=42).select("image_id", "phash")
+    k = "CAST(substring(image_id, 4) AS INT)"
+    dups = base.filter(F.expr(f"{k} < 40")).select(
+        F.concat("image_id", F.lit("d")).alias("image_id"),
+        F.expr(f"phash ^ shiftleft(1L, {k} % 64) "
+               f"^ shiftleft(1L, (3 * {k} + 17) % 64)").alias("phash"))
+    return phash_near_dups(base.unionByName(dups), max_dist=3)
+
+
 def _media_df(spark):
     from engine.multimodal import MEDIA_SCHEMA, gen_media_local
     return spark.createDataFrame(gen_media_local(60), schema=MEDIA_SCHEMA)
@@ -1378,9 +1430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         float-tie sweep (project, grouped_map, agg_udaf, stream sums),
         the graduated ANN keys, exact-path emb_near_dup, guard-affected
         dedup_minhash/dedup_simhash, nullif-guarded text_tokens,
-        anti-join knn_join, cache-keyed metrics/lineage — plus the six
+        anti-join knn_join, cache-keyed metrics/lineage — plus the nine
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
-        emb_centroid, geo_area_centroid, text_topterms);
+        emb_centroid, geo_area_centroid, text_topterms, cell_compact,
+        data_split, phash_dedup);
     (c) the flagship spatial path, kept continuously driver-verified;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
     Rotated-out keys (51+) are r2-green and untouched this round; every
@@ -1413,6 +1466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid": q_emb_centroid,
         "geo_area_centroid": q_geo_area_centroid,
         "text_topterms": q_text_topterms,
+        "cell_compact": q_cell_compact,
+        "data_split": q_data_split,
+        "phash_dedup": q_phash_dedup,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -1603,6 +1659,67 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM((y3 + ny3) * (x3 * ny3 - nx3 * y3)) AS BIGINT) AS cy_num_q3, "
         "CAST(SUM(x3 * ny3 - nx3 * y3) AS BIGINT) AS area2_q3 "
         "FROM e GROUP BY 1, 2, 3")
+
+    # cell_compact: inline the level-8 covering rows (shared INPUT, as
+    # with geo_area_centroid's vertices); the compaction itself —
+    # complete-quad detection + promotion per level — is recomputed
+    # independently via count-window CTEs.  All-integer domain.
+    cov_vals = ", ".join(
+        f"('{pid}', CAST({cell} AS BIGINT))"
+        for cell, pid, _ in _PL.from_json().covering(8))
+    compact_ctes = [f"l8(poly_id, cell) AS (VALUES {cov_vals})"]
+    compact_fins = []
+    for _lv in range(8, 4, -1):
+        compact_ctes.append(
+            f"c{_lv} AS (SELECT poly_id, cell, cell // 4 AS parent, "
+            f"COUNT(*) OVER (PARTITION BY poly_id, cell // 4) AS n "
+            f"FROM l{_lv})")
+        compact_fins.append(
+            f"SELECT poly_id, CAST({_lv} AS INTEGER) AS level, cell "
+            f"FROM c{_lv} WHERE n < 4")
+        compact_ctes.append(
+            f"l{_lv - 1} AS (SELECT poly_id, parent AS cell FROM c{_lv} "
+            f"WHERE n = 4 AND cell % 4 = 0)")
+    compact_fins.append(
+        "SELECT poly_id, CAST(4 AS INTEGER) AS level, cell FROM l4")
+    compact_sql = ("WITH " + ", ".join(compact_ctes) + " "
+                   + " UNION ALL ".join(compact_fins))
+
+    # data_split: the full splitmix64 avalanche recomputed in SQL via
+    # the verified HUGEINT split-multiply kernel; seed enters as the
+    # same pre-mixed additive offset the engine inlines.
+    from engine.ml.split import seed_offset as _seed_off
+    _b = (f"CAST({_mix64_sql(f'(CAST(doc_id AS HUGEINT) + {_seed_off(42)}) % {_U64_MOD}')}"
+          " % 10000 AS BIGINT)")
+    data_split_sql = (
+        f"WITH b AS (SELECT doc_id, {_b} AS bucket FROM documents) "
+        "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
+        "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b")
+
+    # phash_dedup: base (image_id, phash) inlined (shared INPUT from the
+    # deterministic generator, like gen_images' golden); the dup-row
+    # derivation AND the near-dup search are recomputed independently —
+    # the twin uses ALL-PAIRS exact Hamming, so the banded LSH path is
+    # hash-checked against brute force (recall-1 pigeonhole evidence).
+    from engine.synth import gen_images_local as _gil
+    _ph_rows = _gil(400, seed=42)
+    ph_vals = ", ".join(
+        f"('{r.image_id}', CAST({int(r.phash)} AS BIGINT))"
+        for r in _ph_rows.itertuples())
+    phash_dedup_sql = (
+        f"WITH base(image_id, phash) AS (VALUES {ph_vals}), "
+        "b2 AS (SELECT image_id, phash, "
+        "CAST(substring(image_id, 4) AS INT) AS k FROM base), "
+        "d AS (SELECT image_id || 'd' AS image_id, "
+        "xor(xor(phash, CAST(1 AS BIGINT) << (k % 64)), "
+        "CAST(1 AS BIGINT) << ((3 * k + 17) % 64)) AS phash "
+        "FROM b2 WHERE k < 40), "
+        "u AS (SELECT image_id, phash FROM base "
+        "UNION ALL SELECT image_id, phash FROM d) "
+        "SELECT a.image_id AS id_a, b.image_id AS id_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist "
+        "FROM u a JOIN u b ON a.image_id < b.image_id "
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3")
 
     return {
         "scan_parquet": "SELECT * FROM region",
@@ -2043,4 +2160,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
             "FROM c) "
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
+        "cell_compact": compact_sql,
+        "data_split": data_split_sql,
+        "phash_dedup": phash_dedup_sql,
     }

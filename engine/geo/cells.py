@@ -210,3 +210,45 @@ def make_disk_udf(level: int, k: int):
         )
 
     return disk_udf
+
+
+def compact_cells(df: DataFrame, level: int, min_level: int,
+                  cell_col: str = "cell",
+                  group_cols: tuple[str, ...] = ("poly_id",)) -> DataFrame:
+    """S2-style covering compaction (``S2CellUnion::Normalize`` semantics):
+    wherever all four children of a parent cell are present in a group's
+    covering, replace them by the parent, repeated down to ``min_level``.
+    Input rows are distinct level-``level`` cells per group; output is the
+    mixed-level minimal covering ``(group_cols..., level:int, cell:long)``
+    covering exactly the same leaf area (oracle/geo.py
+    ``compact_cells_py`` is the sequential twin).
+
+    Scale shape: one window shuffle per level step, all on the skinny
+    (group, cell) frame — no distinct/anti-join passes.  A complete quad
+    is detected with a count window over (group, parent) and the parent
+    row is emitted by keeping exactly the child with ``cell & 3 == 0``
+    (children of one parent are parent*4 + {0,1,2,3}), so promotion
+    needs no dedup shuffle.  The loop is driver-side but bounded by
+    ``level - min_level`` (a constant); every iteration's frame shrinks.
+    Coverings are layer metadata (polygons × cells, millions of rows at
+    most) — this never touches the 10^12-row fact table.
+    """
+    from pyspark.sql import Window
+
+    assert 0 <= min_level < level <= LEVEL
+    gcols = [F.col(c) for c in group_cols]
+    cur = df.select(*group_cols, F.col(cell_col).alias("cell"))
+    finalized = []
+    for lv in range(level, min_level, -1):
+        w = Window.partitionBy(*group_cols, F.shiftright("cell", 2))
+        cur = cur.withColumn("_qn", F.count(F.lit(1)).over(w))
+        finalized.append(
+            cur.filter(F.col("_qn") < 4)
+            .select(*gcols, F.lit(lv).alias("level"), "cell"))
+        cur = (cur.filter((F.col("_qn") == 4) & (F.col("cell").bitwiseAND(3) == 0))
+               .select(*gcols, F.shiftright("cell", 2).alias("cell")))
+    out = finalized[0]
+    for f in finalized[1:]:
+        out = out.unionByName(f)
+    return out.unionByName(
+        cur.select(*gcols, F.lit(min_level).alias("level"), "cell"))

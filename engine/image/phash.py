@@ -63,3 +63,54 @@ def phash_prefilter(df: DataFrame, query_hash: int, max_dist: int,
                     phash_col: str = "phash") -> DataFrame:
     """B4 — keep rows within Hamming distance `max_dist` of `query_hash`."""
     return df.filter(hamming_col(phash_col, query_hash) <= max_dist)
+
+
+def phash_near_dups(df: DataFrame, *, id_col: str = "image_id",
+                    phash_col: str = "phash", max_dist: int = 3,
+                    bands: int = 4,
+                    max_bucket: int | None = 4096) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: band the 64-bit
+    phash into `bands` equal bit slices, bucket-join on any equal band,
+    verify candidates with exact native bit_count(xor) <= `max_dist`.
+    Output (id_a, id_b, dist), id_a < id_b.
+
+    Recall is a pigeonhole THEOREM, not a probability (same argument as
+    dedup_simhash): two hashes within Hamming distance d <= bands - 1
+    differ in fewer bits than there are bands, so at least one
+    64/bands-bit band is untouched and they collide in that band's
+    bucket.  Default 4 bands of 16 bits guarantees every pair at
+    dist <= 3.
+
+    Scale shape: all-native (the hash already exists as a column — zero
+    Python stages, unlike the text LSH which must first compute
+    signatures); candidates come from a (band, bucket) hash equi-join,
+    never an all-pairs comparison, and oversized buckets (mass-duplicated
+    images: one phash value repeated m times would otherwise emit m^2
+    rows from a single bucket) degrade to signature-cluster pairing via
+    the same `_bucketed_pairs` guard the text dedups use — exact dups
+    stay recoverable through their representative by transitivity.
+
+    Banding uses arithmetic shiftright + 0xFFFF mask, so the sign bits
+    of the int64 never leak between bands.
+    """
+    from engine.text.dedup import _bucketed_pairs
+
+    assert 64 % bands == 0
+    width = 64 // bands
+    assert max_dist <= bands - 1, "pigeonhole guarantee needs dist < bands"
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col), F.col(phash_col).alias("_ph"),
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b as band, shiftright({phash_col}, b * {width}) "
+            f"& {mask}L as bucket))")).alias("bb"),
+    ).select(id_col, "_ph", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    pairs = _bucketed_pairs(banded, id_col, "_ph", max_bucket,
+                            extra_cols=("_ph",))
+    return (pairs
+            .withColumn("dist", F.bit_count(
+                F.col("_ph_a").bitwiseXOR(F.col("_ph_b"))))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))

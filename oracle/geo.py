@@ -196,3 +196,23 @@ def bbox_cover_cells(
     return sorted(
         morton(x, y, level) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)
     )
+
+
+def compact_cells_py(
+    cells: list[int], level: int, min_level: int
+) -> list[tuple[int, int]]:
+    """Sequential oracle for S2-style covering compaction: wherever all 4
+    children of a parent are present, replace them by the parent, repeated
+    down to `min_level`.  Returns sorted (level, cell) pairs covering
+    exactly the same leaf area as the input (engine/geo/cells.py
+    ``compact_cells`` must match this exactly)."""
+    out: list[tuple[int, int]] = []
+    cur = set(cells)
+    for lv in range(level, min_level, -1):
+        by_parent: dict[int, int] = {}
+        for c in cur:
+            by_parent[c >> 2] = by_parent.get(c >> 2, 0) + 1
+        out.extend((lv, c) for c in cur if by_parent[c >> 2] < 4)
+        cur = {p for p, n in by_parent.items() if n == 4}
+    out.extend((min_level, c) for c in cur)
+    return sorted(out)

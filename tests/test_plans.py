@@ -252,3 +252,39 @@ def test_top_terms_shuffles_key_on_doc(spark, sf_dir):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_data_split_zero_shuffle_one_arrow_stage(spark, sf_dir):
+    """Split assignment is a pure Arrow-batched projection: no Exchange,
+    exactly one Python stage (the splitmix64 kernel)."""
+    from engine.ml.split import assign_splits
+    df = assign_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert plan_of(df, "simple").count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_compact_cells_no_python_bounded_shuffles(spark):
+    """Compaction is all-native window work on the skinny covering frame:
+    zero Python stages, one window exchange per level step."""
+    from engine.geo.cells import compact_cells
+    layer = PolygonLayer.from_json()
+    cov = layer.build_df(spark, 8).select(
+        "poly_id", F.col("cell_p").alias("cell"))
+    plan = plan_of(compact_cells(cov, level=8, min_level=4))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 4  # one count-window per level 8..5
+
+
+def test_phash_near_dups_native_equijoin(spark):
+    """Image near-dup: zero Python stages (hash is already a column) and
+    candidates from a hash equi-join — never a nested-loop/cartesian."""
+    from engine.image.phash import phash_near_dups
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("i"), F.col("id")).alias("image_id"),
+        (F.xxhash64("id")).alias("phash"))
+    plan = plan_of(phash_near_dups(df, max_dist=3))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

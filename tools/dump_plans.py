@@ -260,6 +260,28 @@ def main() -> None:
         "largest single doc.",
         plan_of(top_terms(docs), "simple")))
 
+    # 14. covering compaction (r3)
+    from engine.geo.cells import compact_cells
+    cov8 = layer.build_df(spark, 8).select(
+        "poly_id", F.col("cell_p").alias("cell"))
+    sections.append((
+        "Covering compaction (C4b, r3)",
+        "One count-window exchange per level step on the skinny "
+        "(group, cell) frame; complete quads promote by keeping the "
+        "cell & 3 == 0 child, so there is no distinct/anti-join pass. "
+        "Runs on layer metadata (coverings), never the fact table.",
+        plan_of(compact_cells(cov8, level=8, min_level=4), "simple")))
+
+    # 15. data split (r3)
+    from engine.ml.split import assign_splits
+    sections.append((
+        "Deterministic train/val/test split (M18, r3)",
+        "Zero shuffle: scan -> one ArrowEvalPython (the splitmix64 "
+        "avalanche, numpy wraparound u64 that ANSI-mode SQL cannot "
+        "express) -> native CASE projection. A pure function of the row "
+        "key — stable under repartition, resume, and appends.",
+        plan_of(assign_splits(docs), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
