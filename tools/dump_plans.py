@@ -282,6 +282,19 @@ def main() -> None:
         "key — stable under repartition, resume, and appends.",
         plan_of(assign_splits(docs), "simple")))
 
+    # 16. phash image near-dup (r3)
+    from engine.image.phash import phash_near_dups
+    imgs_ph = spark.range(0, 500).select(
+        F.concat(F.lit("i"), F.col("id")).alias("image_id"),
+        F.xxhash64("id").alias("phash"))
+    sections.append((
+        "Image near-dup by perceptual hash (M19, r3)",
+        "The hash is already a column, so the whole path is native: band "
+        "extraction is shiftright+mask in codegen, candidates come from a "
+        "(band, bucket) hash equi-join (never nested-loop/cartesian), and "
+        "the verify is bit_count(xor) <= d. Zero Python stages.",
+        plan_of(phash_near_dups(imgs_ph, max_dist=3), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
