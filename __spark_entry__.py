@@ -5,7 +5,7 @@ deterministic synthetic image table (SURVEY.md §3.E1, §7.2).
 
 `queries()` / `oracle_sql()` — one key per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline ops from the task brief).
-Round-3 state: 94 keys, 93 with a DuckDB oracle (SQL twin, golden
+Round-3 state: 95 keys, 94 with a DuckDB oracle (SQL twin, golden
 expected file, or pinned constant table — see the comments inside
 `oracle_sql()`); the only rows-only key is `lineage_table` (per-FILE row
 splits legitimately vary with the session's parallelism/AQE).  The two
@@ -1388,6 +1388,33 @@ def q_phash_dedup(spark, sf):
     return phash_near_dups(base.unionByName(dups), max_dist=3)
 
 
+def q_spatial_diff(spark, sf):
+    """The north star's literal "OSM-style BOUNDED SPATIAL DIFFING"
+    composite (r3): two icelite snapshot commits -> metadata-only
+    incremental diff (no EXCEPT shuffle; the changed rows are exactly
+    the files added between the snapshots) -> bbox bound (plain range
+    predicates, pushed to the parquet scan) -> per-tile changed-row
+    counts at z6 (native Morton tile keys, map-side-combined agg).
+    Points are the integer-derived _points so the twin recomputes every
+    stage in exact arithmetic + the same tile trig the twice-green
+    tile_assign twin uses (z6 is strictly coarser than its z10)."""
+    _prep(spark)
+    from engine.geo.bbox import bbox_filter
+    from engine.geo.cells import with_cell
+    from engine.geo.tiles import with_tile
+    from engine.icelite import IceliteTable
+    pts = _points(spark, sf)
+    root = tempfile.mkdtemp(prefix="icelite-sdiff-")
+    table = IceliteTable(root)
+    s1 = table.commit_append(pts.filter("id % 3 <> 0"), stage="base")
+    s2 = table.commit_append(pts.filter("id % 3 = 0"), stage="delta")
+    changed = table.diff(spark, s1, s2)
+    bounded = bbox_filter(changed, (-120.0, -80.0, 120.0, -40.0))
+    return (with_tile(with_cell(bounded), z=6)
+            .groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_changed")))
+
+
 def _media_df(spark):
     from engine.multimodal import MEDIA_SCHEMA, gen_media_local
     return spark.createDataFrame(gen_media_local(60), schema=MEDIA_SCHEMA)
@@ -1430,10 +1457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         float-tie sweep (project, grouped_map, agg_udaf, stream sums),
         the graduated ANN keys, exact-path emb_near_dup, guard-affected
         dedup_minhash/dedup_simhash, nullif-guarded text_tokens,
-        anti-join knn_join, cache-keyed metrics/lineage — plus the nine
+        anti-join knn_join, cache-keyed metrics/lineage — plus the ten
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
-        data_split, phash_dedup);
+        data_split, phash_dedup, spatial_diff);
     (c) the flagship spatial path, kept continuously driver-verified;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
     Rotated-out keys (51+) are r2-green and untouched this round; every
@@ -1469,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "data_split": q_data_split,
         "phash_dedup": q_phash_dedup,
+        "spatial_diff": q_spatial_diff,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2163,4 +2191,16 @@ def oracle_sql() -> dict[str, str]:
         "cell_compact": compact_sql,
         "data_split": data_split_sql,
         "phash_dedup": phash_dedup_sql,
+        # spatial_diff: the bounded-diff composite in exact/established
+        # arithmetic — membership of the second commit is id % 3 = 0,
+        # the bbox is plain comparisons, tiles are xi >> 24 (z6) from
+        # the same trig CTE the twice-green tile_assign twin uses.
+        "spatial_diff": (
+            f"WITH {PTS_SQL}, {XY_SQL} "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, xi >> 24 AS tile_x, "
+            "yi >> 24 AS tile_y, CAST(COUNT(*) AS BIGINT) AS n_changed "
+            "FROM xy WHERE id % 3 = 0 "
+            "AND lon >= -120.0 AND lon <= 120.0 "
+            "AND lat >= -80.0 AND lat <= -40.0 "
+            "GROUP BY 1, 2, 3"),
     }

@@ -288,3 +288,31 @@ def test_phash_near_dups_native_equijoin(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_diff_is_metadata_diff_plus_one_shuffle(spark, sf_dir, tmp_path):
+    """The bounded-spatial-diff composite: changed rows come from the
+    snapshot manifests (a plain scan of the delta files — no EXCEPT/
+    anti-join shuffle), the bbox is pushed to that scan, tiling is
+    native, and the only Exchange is the final partial-combined agg."""
+    from engine.geo.bbox import bbox_filter
+    from engine.geo.cells import with_cell
+    from engine.geo.tiles import with_tile
+    from engine.icelite import IceliteTable
+    pts = spark.range(0, 3000).select(
+        F.col("id"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 160 - 80.0).alias("lat"))
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.commit_append(pts.filter("id % 3 <> 0"), stage="base")
+    s2 = t.commit_append(pts.filter("id % 3 = 0"), stage="delta")
+    df = (with_tile(with_cell(bbox_filter(
+            t.diff(spark, s1, s2), (-120.0, -60.0, 120.0, 60.0))), z=6)
+          .groupBy("tile_z", "tile_x", "tile_y")
+          .agg(F.count("*").alias("n_changed")))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(lon,-120.0)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    simple = plan_of(df, "simple")
+    assert simple.count("Exchange") == 1  # only the agg shuffle
+    assert "partial_count" in plan  # map-side combine below it
