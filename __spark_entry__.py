@@ -5,7 +5,7 @@ deterministic synthetic image table (SURVEY.md §3.E1, §7.2).
 
 `queries()` / `oracle_sql()` — one key per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline ops from the task brief).
-Round-3 state: 95 keys, 94 with a DuckDB oracle (SQL twin, golden
+Round-3 state: 96 keys, 95 with a DuckDB oracle (SQL twin, golden
 expected file, or pinned constant table — see the comments inside
 `oracle_sql()`); the only rows-only key is `lineage_table` (per-FILE row
 splits legitimately vary with the session's parallelism/AQE).  The two
@@ -324,6 +324,23 @@ def q_spatial_join_partitioned(spark, sf):
 def q_salted_join(spark, sf):
     _prep(spark)
     return _rect_spatial_join(spark, sf, "shuffle", salted=True)
+
+
+def q_spatial_join_compact(spark, sf):
+    """D1b (r3): the containment join over the COMPACTED covering —
+    full interior quads merged to their S2 parents (build is
+    O(perimeter), 12x smaller at level 12), probe explodes native
+    ancestor keys per level present, equi-join on (blevel, cell_p).
+    Exact same containment set as the plain join (pytest-asserted on
+    the full 12-polygon layer); the driver twin is the same
+    RECT_JOIN_SQL the broadcast/shuffle/salted keys share."""
+    _prep(spark)
+    from engine.geo.cells import with_cell
+    from engine.geo.join import spatial_join
+    pts = with_cell(_points(spark, sf))
+    return spatial_join(pts, _rect_layer(), level=7, mode="broadcast",
+                        lat_col="lat", lon_col="lon",
+                        compact_min_level=3).select("id", "poly_id")
 
 
 def q_join_sortmerge(spark, sf):
@@ -1457,10 +1474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         float-tie sweep (project, grouped_map, agg_udaf, stream sums),
         the graduated ANN keys, exact-path emb_near_dup, guard-affected
         dedup_minhash/dedup_simhash, nullif-guarded text_tokens,
-        anti-join knn_join, cache-keyed metrics/lineage — plus the ten
+        anti-join knn_join, cache-keyed metrics/lineage — plus the eleven
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
-        data_split, phash_dedup, spatial_diff);
+        data_split, phash_dedup, spatial_diff, spatial_join_compact);
     (c) the flagship spatial path, kept continuously driver-verified;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
     Rotated-out keys (51+) are r2-green and untouched this round; every
@@ -1497,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_split": q_data_split,
         "phash_dedup": q_phash_dedup,
         "spatial_diff": q_spatial_diff,
+        "spatial_join_compact": q_spatial_join_compact,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2195,6 +2213,7 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic — membership of the second commit is id % 3 = 0,
         # the bbox is plain comparisons, tiles are xi >> 24 (z6) from
         # the same trig CTE the twice-green tile_assign twin uses.
+        "spatial_join_compact": RECT_JOIN_SQL,
         "spatial_diff": (
             f"WITH {PTS_SQL}, {XY_SQL} "
             "SELECT CAST(6 AS INTEGER) AS tile_z, xi >> 24 AS tile_x, "

@@ -34,28 +34,32 @@ BROADCAST_MAX_BUILD_ROWS = 2_000_000  # ~2M (cell_p, poly_id) rows ≈ 50 MB
 def candidates_join(
     probe: DataFrame,
     build: DataFrame,
-    key: str = "cell_p",
+    key: str | list[str] = "cell_p",
     mode: str = "auto",
     hot_keys: list[int] | None = None,
     salt: int = 8,
     probe_salt_col: str = "image_id",
     build_rows: int | None = None,
 ) -> DataFrame:
-    """Coarse equi-join on the cell prefix; broadcast / shuffle / salted."""
+    """Coarse equi-join on the cell prefix (or a composite key such as
+    (blevel, cell_p) for the compacted multi-level build); broadcast /
+    shuffle / salted."""
+    keys = [key] if isinstance(key, str) else list(key)
     if mode == "auto":
         n = build_rows if build_rows is not None else build.count()
         mode = "broadcast" if n <= BROADCAST_MAX_BUILD_ROWS else "shuffle"
     if hot_keys:
         # salted path (D4): only meaningful for the shuffle join — under a
         # broadcast there is no shuffle to skew, but we keep it exercisable.
-        return salted_equijoin(probe, build, key=key, hot_keys=hot_keys,
+        assert len(keys) == 1, "salted path joins on the single cell key"
+        return salted_equijoin(probe, build, key=keys[0], hot_keys=hot_keys,
                                salt=salt, probe_id_col=probe_salt_col,
                                broadcast_build=(mode == "broadcast"))
     if mode == "broadcast":
-        return probe.join(F.broadcast(build), key, "inner")
+        return probe.join(F.broadcast(build), keys, "inner")
     return (
-        probe.repartition(key)
-        .join(build.hint("SHUFFLE_HASH"), key, "inner")
+        probe.repartition(*[F.col(k) for k in keys])
+        .join(build.hint("SHUFFLE_HASH"), keys, "inner")
     )
 
 
@@ -70,8 +74,23 @@ def spatial_join(
     lon_col: str = "lon",
     probe_salt_col: str = "image_id",
     refine_mode: str = "native",
+    compact_min_level: int | None = None,
 ) -> DataFrame:
     """images x layer containment join -> image rows + poly_id.
+
+    `compact_min_level`: when set, the build side is the COMPACTED
+    covering (PolygonLayer.build_df_compact — full interior quads merge
+    down to this level, boundary cells stay at `level`), and the probe
+    explodes its ancestor cell at each level present in the build (a
+    native shiftright array, fan-out <= level - compact_min_level + 1).
+    The join becomes an equi-join on (blevel, cell_p).  Same exact
+    output as the uncompacted join: compacted cells of one polygon are
+    disjoint, so a point still matches each polygon at most once before
+    refinement.  Use for fine join levels where the O(4^z) uncompacted
+    covering would blow the broadcast budget — the compacted build is
+    O(perimeter), e.g. 12x smaller at level 12 on the test layer.
+    Incompatible with hot_keys salting (the salted path targets the
+    single-level hot-cell shuffle).
 
     `images` needs lat/lon; a `cell` column is reused if present, else
     encoded (native codegen expression).
@@ -93,14 +112,31 @@ def spatial_join(
     at ~0.75 (BASELINE.md).  Re-measure before changing this default.
     """
     df = images if "cell" in images.columns else with_cell(images, lat_col, lon_col)
-    probe = df.withColumn("cell_p", cell_parent_col("cell", level))
-    build = layer.build_df(df.sparkSession, level,
-                           with_edges=(refine_mode == "native"))
-    build_rows = build.count()  # driver-built covering: count is free-ish
-    cands = candidates_join(
-        probe, build, mode=mode, hot_keys=hot_keys, salt=salt,
-        probe_salt_col=probe_salt_col, build_rows=build_rows,
-    )
+    if compact_min_level is not None:
+        assert hot_keys is None, "compact join does not compose with salting"
+        build, levels = layer.build_df_compact(
+            df.sparkSession, level, compact_min_level,
+            with_edges=(refine_mode == "native"))
+        anc = F.explode(F.array(*[
+            F.struct(F.lit(lv).cast("int").alias("blevel"),
+                     cell_parent_col("cell", lv).alias("cell_p"))
+            for lv in levels]))
+        probe = df.withColumn("_anc", anc).select(
+            *df.columns, F.col("_anc.blevel").alias("blevel"),
+            F.col("_anc.cell_p").alias("cell_p"))
+        cands = candidates_join(
+            probe, build, key=["blevel", "cell_p"], mode=mode,
+            build_rows=build.count(),
+        ).drop("blevel")
+    else:
+        probe = df.withColumn("cell_p", cell_parent_col("cell", level))
+        build = layer.build_df(df.sparkSession, level,
+                               with_edges=(refine_mode == "native"))
+        build_rows = build.count()  # driver-built covering: count is free-ish
+        cands = candidates_join(
+            probe, build, mode=mode, hot_keys=hot_keys, salt=salt,
+            probe_salt_col=probe_salt_col, build_rows=build_rows,
+        )
     if refine_mode == "native":
         return refine_native(cands, lon_col=lon_col, lat_col=lat_col)
     if refine_mode == "scalar":

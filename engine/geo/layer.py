@@ -23,8 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from oracle.geo import mercx, mercy, morton, point_in_polygon
@@ -283,6 +283,63 @@ class PolygonLayer:
             for (cell, pid), e in seen.items()
         )
         return spark.createDataFrame(rows, schema=BUILD_EDGES_SCHEMA)
+
+    def build_df_compact(self, spark: SparkSession, level: int,
+                         min_level: int, with_edges: bool = True):
+        """Compacted equi-join build side -> (DataFrame, levels).
+
+        S2-CellUnion normalization applied to the FULL covering cells
+        only: four full children always make a full parent, so interior
+        quads collapse level by level down to `min_level` with exact
+        semantics (a full cell needs no edges — candidates in it bypass
+        the PIP test).  Boundary (partial) cells cannot merge (their
+        parents are not full) and stay at `level` with their edge lists.
+
+        Scale rationale: the uncompacted covering grows O(area) = O(4^z)
+        with the join level while the compacted one grows O(perimeter) =
+        O(2^z) — on the 12-polygon layer, level 12 shrinks 144 577 ->
+        12 067 build rows (12x).  That keeps fine-level coverings inside
+        the broadcast budget; the price is a probe-side ancestor fan-out
+        bounded by len(levels) (<= level - min_level + 1), all native
+        shiftright in codegen (engine/geo/join.py::spatial_join
+        compact_min_level).
+
+        Returns the build frame with schema (blevel:int, cell_p, poly_id,
+        full[, edges]) and the sorted list of levels actually present,
+        which the probe explodes over (absent levels cost nothing).
+        """
+        from oracle.geo import compact_cells_py
+
+        seen: dict[tuple[int, str], dict] = {}
+        for p in self.polygons:
+            for ring, holes in p.split_antimeridian():
+                edges = part_edges(ring, holes) if with_edges else None
+                for cell, full in cover_part(ring, holes, level):
+                    e = seen.setdefault((cell, p.poly_id),
+                                        {"full": False, "edges": []})
+                    if full:
+                        e["full"] = True
+                    elif with_edges:
+                        e["edges"].extend(edges)
+        full_by_poly: dict[str, list[int]] = {}
+        rows = []
+        for (cell, pid), e in sorted(seen.items()):
+            if e["full"]:
+                full_by_poly.setdefault(pid, []).append(cell)
+            else:
+                rows.append((level, cell, pid, False,
+                             e["edges"] if with_edges else None))
+        for pid, cells in sorted(full_by_poly.items()):
+            for lv, cell in compact_cells_py(cells, level, min_level):
+                rows.append((lv, cell, pid, True, None))
+        schema = StructType([
+            StructField("blevel", IntegerType(), False),
+            *BUILD_EDGES_SCHEMA.fields])
+        if not with_edges:
+            rows = [r[:4] for r in rows]
+            schema = StructType(schema.fields[:4])
+        levels = sorted({r[0] for r in rows})
+        return spark.createDataFrame(rows, schema=schema), levels
 
     def to_df(self, spark: SparkSession, level: int) -> DataFrame:
         """Full layer inventory DF per SURVEY.md §1.2 schema."""

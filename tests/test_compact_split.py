@@ -194,3 +194,37 @@ def test_phash_near_dups_guard_identity_below_cap(spark):
     b = {(r.id_a, r.id_b, r.dist)
          for r in phash_near_dups(df, max_dist=3, max_bucket=None).collect()}
     assert a == b
+
+
+# ------------------------------------------- compacted containment join
+
+def test_compact_join_equals_uncompacted(spark):
+    """spatial_join(compact_min_level=...) must produce the exact same
+    (id, poly_id) containment set as the plain join at the same level —
+    on the full 12-polygon layer (holes, antimeridian, hot cell)."""
+    from engine.geo.join import spatial_join
+    from engine.synth import gen_points
+    pts = gen_points(spark, 4000, seed=9)
+    layer = PolygonLayer.from_json()
+    plain = {(r.image_id, r.poly_id)
+             for r in spatial_join(pts, layer, level=10)
+             .select("image_id", "poly_id").collect()}
+    compact = {(r.image_id, r.poly_id)
+               for r in spatial_join(pts, layer, level=10,
+                                     compact_min_level=5)
+               .select("image_id", "poly_id").collect()}
+    assert compact == plain and len(plain) > 0
+
+
+def test_compact_join_build_is_smaller_and_broadcast(spark):
+    from engine.geo.layer import PolygonLayer as PL
+    layer = PL.from_json()
+    full = layer.build_df(spark, 10, with_edges=True)
+    comp, levels = layer.build_df_compact(spark, 10, 5, with_edges=True)
+    n_full, n_comp = full.count(), comp.count()
+    assert n_comp < n_full / 3  # 9648 -> ~2967 on this layer
+    assert levels and min(levels) >= 5 and max(levels) == 10
+    # full cells in the compacted build never carry edges; partial always do
+    rows = comp.collect()
+    assert all((r.edges is None) == r.full for r in rows)
+    assert all(r.blevel == 10 for r in rows if not r.full)

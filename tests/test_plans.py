@@ -316,3 +316,19 @@ def test_spatial_diff_is_metadata_diff_plus_one_shuffle(spark, sf_dir, tmp_path)
     simple = plan_of(df, "simple")
     assert simple.count("Exchange") == 1  # only the agg shuffle
     assert "partial_count" in plan  # map-side combine below it
+
+
+def test_compact_join_is_broadcast_hash_on_composite_key(spark, images_parquet):
+    """Compact containment join: probe ancestor fan-out is a native
+    explode (no Python), the join is a BroadcastHashJoin on the
+    composite (blevel, cell_p) key, and the native refine keeps the
+    whole flagship path at zero Python stages."""
+    from engine.geo.join import spatial_join
+    imgs = spark.read.parquet(images_parquet).select("image_id", "lat", "lon")
+    df = spatial_join(imgs, PolygonLayer.from_json(), level=10,
+                      mode="broadcast", compact_min_level=5)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "blevel" in plan and "cell_p" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
