@@ -295,6 +295,49 @@ def main() -> None:
         "the verify is bit_count(xor) <= d. Zero Python stages.",
         plan_of(phash_near_dups(imgs_ph, max_dist=3), "simple")))
 
+    # 17. compacted containment join (r3)
+    from engine.geo.join import spatial_join
+    imgs_narrow = spark.read.parquet(path).select("image_id", "lat", "lon")
+    sections.append((
+        "Compacted containment join (D1b, r3)",
+        "Build = the COMPACTED covering (full interior quads merged to "
+        "parents — O(perimeter) rows, 12x smaller at level 12), probe "
+        "explodes its native shiftright ancestor per level present, and "
+        "the candidates come from one BroadcastHashJoin on the composite "
+        "(blevel, cell_p) key. Fan-out is bounded by the level span; the "
+        "native even-odd refine keeps the whole path at zero Python "
+        "stages. Extends the broadcast regime to fine join levels where "
+        "the O(4^z) uncompacted covering would blow the budget.",
+        plan_of(spatial_join(imgs_narrow, layer, level=10,
+                             mode="broadcast", compact_min_level=5),
+                "simple")))
+
+    # 18. bounded spatial diff (r3)
+    import tempfile as _tf
+    from engine.icelite import IceliteTable
+    from engine.geo.tiles import with_tile
+    pts = spark.read.parquet(path).select(
+        F.col("image_id").alias("id"), "lat", "lon")
+    root = _tf.mkdtemp(prefix="icelite-plans-")
+    table = IceliteTable(root)
+    s1 = table.commit_append(pts.filter(F.crc32(F.col("id")) % 3 != 0),
+                             stage="base")
+    s2 = table.commit_append(pts.filter(F.crc32(F.col("id")) % 3 == 0),
+                             stage="delta")
+    changed = table.diff(spark, s1, s2)
+    bounded = bbox_filter(changed, (-120.0, -80.0, 120.0, -40.0))
+    sdiff = (with_tile(with_cell(bounded), z=6)
+             .groupBy("tile_z", "tile_x", "tile_y")
+             .agg(F.count("*").alias("n_changed")))
+    sections.append((
+        "Bounded spatial diff (OSM-style diffing composite, r3)",
+        "Snapshot diff is METADATA-only: the changed rows are exactly the "
+        "files added between the two icelite snapshots, so the scan reads "
+        "just those files — no EXCEPT/anti-join shuffle against the base "
+        "snapshot. The bbox bound is pushed to that scan and the per-tile "
+        "rollup is the single (map-side-combined) exchange in the job.",
+        plan_of(sdiff, "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
