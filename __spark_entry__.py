@@ -1432,6 +1432,21 @@ def q_spatial_diff(spark, sf):
             .agg(F.count("*").alias("n_changed")))
 
 
+def q_tile_focal(spark, sf):
+    """Raster map-algebra (r3): focal/neighborhood sum over the per-tile
+    count raster — for each occupied z6 tile, the total point count in
+    its 3x3 tile window (x cyclic mod 2^z at the antimeridian, y
+    clipped at the poles).  Full table touched once (map-side-combined
+    tile_counts agg); the sparse raster is checkpointed, neighbor
+    contributions are a native 9-way offset explode + skinny regroup.
+    Pure integer counts end to end, so the twin (same z6 tile trig CTE
+    as the twice-green tile_assign/spatial_diff twins, then integer
+    offset/sum arithmetic) is tie-free."""
+    _prep(spark)
+    from engine.geo.raster import focal_sum
+    return focal_sum(_points(spark, sf), z=6, radius=1)
+
+
 def _media_df(spark):
     from engine.multimodal import MEDIA_SCHEMA, gen_media_local
     return spark.createDataFrame(gen_media_local(60), schema=MEDIA_SCHEMA)
@@ -1515,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "spatial_diff": q_spatial_diff,
         "spatial_join_compact": q_spatial_join_compact,
+        "tile_focal": q_tile_focal,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2214,6 +2230,25 @@ def oracle_sql() -> dict[str, str]:
         # the bbox is plain comparisons, tiles are xi >> 24 (z6) from
         # the same trig CTE the twice-green tile_assign twin uses.
         "spatial_join_compact": RECT_JOIN_SQL,
+        # tile_focal — integer tile counts + 3x3 offset sums; the only
+        # float exposure is the z6 tile trig CTE shared with the
+        # twice-green tile_assign twin (coarse 2^6 grid, integer-derived
+        # points — not the 2^30 pixel grid that made tile_raster
+        # sf-pinned).  x wraps mod 64; y neighbors off the raster are
+        # dropped by the inner join to the occupied set on both sides.
+        "tile_focal": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "base AS (SELECT xi >> 24 AS tile_x, yi >> 24 AS tile_y, "
+            "COUNT(*) AS n FROM xy GROUP BY 1, 2), "
+            "offs AS (SELECT t1.dx, t2.dy FROM generate_series(-1, 1) t1(dx) "
+            "CROSS JOIN generate_series(-1, 1) t2(dy)), "
+            "contrib AS (SELECT ((b.tile_x + o.dx) % 64 + 64) % 64 AS tile_x, "
+            "b.tile_y + o.dy AS tile_y, b.n FROM base b CROSS JOIN offs o), "
+            "s AS (SELECT tile_x, tile_y, CAST(SUM(n) AS BIGINT) AS focal_n "
+            "FROM contrib GROUP BY 1, 2) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, b.tile_x, b.tile_y, b.n, "
+            "s.focal_n FROM base b JOIN s USING (tile_x, tile_y)"
+        ),
         "spatial_diff": (
             f"WITH {PTS_SQL}, {XY_SQL} "
             "SELECT CAST(6 AS INTEGER) AS tile_z, xi >> 24 AS tile_x, "

@@ -82,6 +82,66 @@ def rasterize_tiles(df: DataFrame, z: int = 6, grid_bits: int = 4,
     )
 
 
+def tile_counts(df: DataFrame, z: int,
+                lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Per-tile point counts at zoom z — the sparse count raster.  One
+    map-side-combined hash agg on native int tile coords (the only
+    shuffle that sees the full table; ≤ 4^z output rows)."""
+    xi, yi = merc_xy_sql(lon, lat)
+    sh = LEVEL - z
+    return (
+        df.withColumn("_xi", F.expr(xi)).withColumn("_yi", F.expr(yi))
+        .select(F.expr(f"_xi >> {sh}").alias("tile_x"),
+                F.expr(f"_yi >> {sh}").alias("tile_y"))
+        .groupBy("tile_x", "tile_y").agg(F.count("*").alias("n"))
+    )
+
+
+def focal_sum(df: DataFrame, z: int = 6, radius: int = 1,
+              lat: str = "lat", lon: str = "lon",
+              checkpoint: bool = True) -> DataFrame:
+    """Raster focal (neighborhood) aggregation — classic map-algebra
+    "focal sum": for every occupied tile, the total point count over the
+    (2r+1)² tile window centered on it.  Tile space is cyclic in x
+    (slippy tiles wrap at the antimeridian: neighbor x is taken mod 2^z)
+    and clipped in y (no wrap past the poles).
+
+    Scale shape: the full table is touched ONCE (the `tile_counts` hash
+    agg, map-side combined).  The sparse raster (≤ 4^z rows) is
+    localCheckpoint'ed so it is not recomputed for its two uses, then
+    each tile row explodes its (2r+1)² native offset structs and one
+    skinny groupBy sums contributions per neighbor coordinate; the final
+    inner join back to the occupied set (AQE will broadcast it) keeps
+    the output domain = occupied tiles, so windows over empty tiles are
+    never materialized.  Everything is integer bit/add arithmetic in
+    whole-stage codegen — zero Python stages.
+
+    Output: (tile_z:int, tile_x, tile_y, n, focal_n).
+    """
+    n_tiles = 1 << z
+    base = tile_counts(df, z, lat, lon)
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)])
+    contrib = (
+        base.select("tile_x", "tile_y", "n", F.explode(offs).alias("o"))
+        .select(F.pmod(F.col("tile_x") + F.col("o.dx"),
+                       F.lit(n_tiles)).alias("tile_x"),
+                (F.col("tile_y") + F.col("o.dy")).alias("tile_y"), "n")
+    )
+    sums = contrib.groupBy("tile_x", "tile_y") \
+        .agg(F.sum("n").alias("focal_n"))
+    return (
+        base.join(sums, ["tile_x", "tile_y"], "inner")
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                "n", "focal_n")
+    )
+
+
 def rasterize_tile_grids(df: DataFrame, z: int = 6, grid_bits: int = 4,
                          lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Materialized per-tile grids: (tile_z, tile_x, tile_y,

@@ -332,3 +332,21 @@ def test_compact_join_is_broadcast_hash_on_composite_key(spark, images_parquet):
     assert "blevel" in plan and "cell_p" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_focal_sum_is_native_two_agg_shuffles(spark, images_parquet):
+    """Focal sum: full table hits only the base tile_counts agg (map-side
+    combined); neighbor fan-out is a native offset explode; zero Python
+    stages; no cartesian/BNLJ anywhere."""
+    from engine.geo.raster import focal_sum
+    imgs = spark.read.parquet(images_parquet).select("lat", "lon")
+    df = focal_sum(imgs, z=5, radius=1, checkpoint=False)
+    plan = plan_of(df, "simple")
+    assert "partial_count" in plan          # map-side combine on the base agg
+    assert "partial_sum" in plan            # and on the focal regroup
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the full-table scan feeds exactly one aggregation: lat/lon only ever
+    # reach the tile_counts subtree (2-column ReadSchema)
+    assert plan.count("FileScan") == 2      # base reused twice (unchckpt'd plan)
+    assert "ReadSchema: struct<lat:double,lon:double>" in plan_of(df)

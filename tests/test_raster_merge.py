@@ -128,3 +128,54 @@ def test_merge_upsert_semantics(spark):
         [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, p double")
     got = {r.k: (r.v, r.p) for r in merge_upsert(base, delta, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+# ----------------------------------------------------------- focal sum
+
+def _focal_numpy(pts_pdf, z, radius):
+    """Dense-numpy reference for focal_sum: rasterize counts on the full
+    2^z x 2^z grid, sum the (2r+1)^2 window with cyclic x / clipped y."""
+    from oracle.geo import lonlat_to_xy
+    n = 1 << z
+    xy = [lonlat_to_xy(lo, la, level=z)
+          for lo, la in zip(pts_pdf["lon"], pts_pdf["lat"])]
+    tx = np.array([p[0] for p in xy], np.int64)
+    ty = np.array([p[1] for p in xy], np.int64)
+    grid = np.zeros((n, n), np.int64)
+    np.add.at(grid, (tx, ty), 1)
+    focal = np.zeros_like(grid)
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            shifted = np.roll(grid, dx, axis=0)  # cyclic x
+            if dy > 0:
+                shifted = np.concatenate(
+                    [np.zeros((n, dy), np.int64), shifted[:, :-dy]], axis=1)
+            elif dy < 0:
+                shifted = np.concatenate(
+                    [shifted[:, -dy:], np.zeros((n, -dy), np.int64)], axis=1)
+            focal += shifted
+    return {(int(x), int(y)): (int(grid[x, y]), int(focal[x, y]))
+            for x, y in zip(tx, ty)}
+
+
+def test_focal_sum_matches_dense_numpy(spark, pts):
+    from engine.geo.raster import focal_sum
+    pdf = pts.toPandas()
+    want = _focal_numpy(pdf, z=5, radius=1)
+    got = {(r.tile_x, r.tile_y): (r.n, r.focal_n)
+           for r in focal_sum(pts, z=5, radius=1).collect()}
+    assert got == want and len(got) > 100
+
+
+def test_focal_sum_wraps_x_and_clips_y(spark):
+    from engine.geo.raster import focal_sum
+    # two points in x-adjacent tiles ACROSS the antimeridian at z=2
+    # (tile x 0 and 3), same y band near the top edge (clipped, no y wrap)
+    df = spark.createDataFrame(
+        [(0, -170.0, 80.0), (1, 170.0, 80.0)], "id long, lon double, lat double")
+    rows = {(r.tile_x, r.tile_y): (r.n, r.focal_n)
+            for r in focal_sum(df, z=2, radius=1).collect()}
+    assert len(rows) == 2
+    for (x, y), (n, fn) in rows.items():
+        assert n == 1 and fn == 2  # each sees the other through the wrap
+        assert y == 0  # top row: the y-1 neighbors fell off the raster
