@@ -1432,6 +1432,92 @@ def q_spatial_diff(spark, sf):
             .agg(F.count("*").alias("n_changed")))
 
 
+def q_split_leakage_safe(spark, sf):
+    """Training-data op (r3): LEAKAGE-SAFE train/val/test split — the
+    bucket hashes the duplicate group's representative (min doc_id over
+    the exact-content group), so duplicated text can never straddle
+    train and eval.  Runs on the dup-injected corpus so groups are
+    non-trivial; the twin recomputes rep via min() OVER (PARTITION BY
+    text) — grouping by raw text where the engine groups by
+    sha2(text,256), identical partitions absent a SHA-256 collision —
+    and the bucket via the verified HUGEINT mix64 kernel.  Integer
+    domain end to end."""
+    _prep(spark)
+    from engine.ml.split import assign_splits_grouped
+    return assign_splits_grouped(_docs_with_dups(spark, sf), seed=42) \
+        .select("doc_id", "rep_id", "bucket", "split")
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.75, "fr": 1.0, "es": 1.0, "zh": 0.25}
+
+
+def q_sample_stratified(spark, sf):
+    """Training-data op (r3): deterministic per-stratum Bernoulli
+    sampling — downsample dominant languages (en 0.5, zh 0.25, ...) via
+    mix64(doc_id + mix64(seed)) % 10^6 < integer threshold.  Zero
+    shuffle, pure function of (doc_id, seed); the kept uniform `u`
+    column hash-checks the kernel itself against the DuckDB HUGEINT
+    twin.  All-integer comparisons — no float ties exist."""
+    _prep(spark)
+    from engine.ml.split import sample_stratified
+    return sample_stratified(_t(spark, sf, "documents"), SAMPLE_RATES,
+                             seed=43).select("doc_id", "lang", "u")
+
+
+def _grid_rects() -> list[tuple[str, float, float, float, float]]:
+    """80 deterministic axis-aligned rects with INTEGER-degree bounds
+    (exact in both engines; no float ties exist) — the layer x layer
+    overlap fixture.  Pure integer arithmetic, mirrored verbatim into
+    the poly_overlap twin's VALUES list."""
+    rects = []
+    for i in range(80):
+        x0 = (i * 2654435761) % 300 - 150
+        y0 = (i * 40503 + 7) % 140 - 70
+        w = 4 + (i * 7919) % 27
+        h = 3 + (i * 104729) % 17
+        rects.append((f"G{i:03d}", float(x0), float(y0),
+                      float(min(x0 + w, 180)), float(min(y0 + h, 84))))
+    return rects
+
+
+def q_poly_overlap(spark, sf):
+    """D11 (r3): layer x layer polygon-overlap join (OSM-conflation
+    shape) — covering-cell equi-join candidates (provable superset of
+    the intersecting pairs: any common point's cell is in both
+    coverings) refined by the exact strict bbox predicate (half-open
+    [min,max) rects intersect iff max(min) < min(max) on both axes).
+    Self-conflation over 80 deterministic integer-degree rects; the
+    DuckDB twin is brute-force ALL-PAIRS over the same inlined bounds,
+    so the covering candidate generation + refine is hash-checked
+    against exhaustive search."""
+    _prep(spark)
+    from engine.geo.join import covering_overlap_join
+    from engine.geo.layer import PolygonLayer, rect_polygon
+    rects = _grid_rects()
+    layer = PolygonLayer([rect_polygon(*r) for r in rects])
+    cands = covering_overlap_join(layer, None, spark, level=5)
+    bounds = spark.createDataFrame(
+        rects, "poly_id string, minlon double, minlat double, "
+               "maxlon double, maxlat double")
+    a = bounds.select(F.col("poly_id").alias("poly_a"),
+                      F.col("minlon").alias("alon0"),
+                      F.col("maxlon").alias("alon1"),
+                      F.col("minlat").alias("alat0"),
+                      F.col("maxlat").alias("alat1"))
+    b = bounds.select(F.col("poly_id").alias("poly_b"),
+                      F.col("minlon").alias("blon0"),
+                      F.col("maxlon").alias("blon1"),
+                      F.col("minlat").alias("blat0"),
+                      F.col("maxlat").alias("blat1"))
+    return (cands.join(F.broadcast(a), "poly_a")
+            .join(F.broadcast(b), "poly_b")
+            .filter((F.col("alon0") < F.col("blon1"))
+                    & (F.col("blon0") < F.col("alon1"))
+                    & (F.col("alat0") < F.col("blat1"))
+                    & (F.col("blat0") < F.col("alat1")))
+            .select("poly_a", "poly_b"))
+
+
 def q_tile_focal(spark, sf):
     """Raster map-algebra (r3): focal/neighborhood sum over the per-tile
     count raster — for each occupied z6 tile, the total point count in
@@ -1531,6 +1617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_diff": q_spatial_diff,
         "spatial_join_compact": q_spatial_join_compact,
         "tile_focal": q_tile_focal,
+        "poly_overlap": q_poly_overlap,
+        "split_leakage_safe": q_split_leakage_safe,
+        "sample_stratified": q_sample_stratified,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -1756,6 +1845,31 @@ def oracle_sql() -> dict[str, str]:
     data_split_sql = (
         f"WITH b AS (SELECT doc_id, {_b} AS bucket FROM documents) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
+        "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b")
+
+    # sample_stratified: the same HUGEINT mix64 kernel with seed 43 and
+    # denom 10^6; per-lang integer thresholds — pure integer filter.
+    _u = (f"CAST({_mix64_sql(f'(CAST(doc_id AS HUGEINT) + {_seed_off(43)}) % {_U64_MOD}')}"
+          " % 1000000 AS BIGINT)")
+    _thr = ("CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * 1_000_000))}"
+        for s, r in sorted(SAMPLE_RATES.items())) + " ELSE 1000000 END")
+    sample_strat_sql = (
+        f"WITH s AS (SELECT doc_id, lang, {_u} AS u FROM documents) "
+        f"SELECT doc_id, lang, u FROM s WHERE u < ({_thr})")
+
+    # split_leakage_safe: rep = min id over the exact-text group (the
+    # engine partitions by sha2(text,256) — identical groups absent a
+    # SHA-256 collision), bucket = mix64(rep) via the verified HUGEINT
+    # kernel.  Integer domain end to end.
+    _bg = (f"CAST({_mix64_sql(f'(CAST(rep_id AS HUGEINT) + {_seed_off(42)}) % {_U64_MOD}')}"
+           " % 10000 AS BIGINT)")
+    split_leak_sql = (
+        "WITH d AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20), "
+        "r AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id FROM d), "
+        f"b AS (SELECT doc_id, rep_id, {_bg} AS bucket FROM r) "
+        "SELECT doc_id, rep_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
         "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b")
 
     # phash_dedup: base (image_id, phash) inlined (shared INPUT from the
@@ -2224,12 +2338,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
         "cell_compact": compact_sql,
         "data_split": data_split_sql,
+        "split_leakage_safe": split_leak_sql,
+        "sample_stratified": sample_strat_sql,
         "phash_dedup": phash_dedup_sql,
         # spatial_diff: the bounded-diff composite in exact/established
         # arithmetic — membership of the second commit is id % 3 = 0,
         # the bbox is plain comparisons, tiles are xi >> 24 (z6) from
         # the same trig CTE the twice-green tile_assign twin uses.
         "spatial_join_compact": RECT_JOIN_SQL,
+        # poly_overlap — all-pairs brute force over the same inlined
+        # integer-degree bounds the engine's covering join refines; the
+        # engine must reproduce exhaustive search exactly.
+        "poly_overlap": (
+            "WITH rects(poly_id, minlon, minlat, maxlon, maxlat) AS "
+            "(VALUES " + ", ".join(
+                f"('{pid}', {a}, {b}, {c}, {d})"
+                for pid, a, b, c, d in _grid_rects()) + ") "
+            "SELECT a.poly_id AS poly_a, b.poly_id AS poly_b "
+            "FROM rects a JOIN rects b ON a.poly_id < b.poly_id "
+            "AND a.minlon < b.maxlon AND b.minlon < a.maxlon "
+            "AND a.minlat < b.maxlat AND b.minlat < a.maxlat"
+        ),
         # tile_focal — integer tile counts + 3x3 offset sums; the only
         # float exposure is the z6 tile trig CTE shared with the
         # twice-green tile_assign twin (coarse 2^6 grid, integer-derived

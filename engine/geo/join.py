@@ -148,6 +148,45 @@ def spatial_join(
     return refine(cands, layer.parts(), lon_col=lon_col, lat_col=lat_col)
 
 
+def covering_overlap_join(
+    layer_a: PolygonLayer,
+    layer_b: PolygonLayer | None,
+    spark,
+    level: int,
+    mode: str = "broadcast",
+) -> DataFrame:
+    """D11 — layer x layer overlap-candidate join (OSM-conflation shape:
+    which polygons of two layers — admin vs landuse, old vs new extract —
+    potentially intersect).
+
+    Candidates = polygon pairs whose level-`level` coverings share a
+    cell.  This is a SUPERSET of the truly-intersecting pairs for any
+    polygon shapes: a common point lies in some level-`level` cell, and
+    a covering contains every cell its polygon touches, so that cell is
+    in both coverings.  Exact geometry refinement is the caller's
+    concern (for axis-aligned rect layers it is a native strict bbox
+    predicate; see __spark_entry__.q_poly_overlap).
+
+    `layer_b=None` means self-conflation: pairs within `layer_a`, each
+    unordered pair emitted once as poly_a < poly_b.
+
+    Scale shape: both sides are covering metadata (O(cells), never the
+    fact table).  The join is a hash equi-join on the cell id —
+    broadcast by default, `mode='shuffle'` repartitions both sides for
+    layers too large to broadcast — and the distinct collapses the
+    multi-cell matches with one map-side-combined shuffle of skinny
+    (poly_a, poly_b) rows."""
+    a = layer_a.build_df(spark, level).select(
+        F.col("cell_p").alias("cell"), F.col("poly_id").alias("poly_a"))
+    self_join = layer_b is None
+    b = (layer_a if self_join else layer_b).build_df(spark, level).select(
+        F.col("cell_p").alias("cell"), F.col("poly_id").alias("poly_b"))
+    pairs = candidates_join(a, b, key="cell", mode=mode)
+    if self_join:
+        pairs = pairs.filter(F.col("poly_a") < F.col("poly_b"))
+    return pairs.select("poly_a", "poly_b").distinct()
+
+
 def bbox_range_join(points: DataFrame, rects: DataFrame,
                     lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """D7 — non-equi bbox-overlap theta join (BNLJ).

@@ -64,6 +64,71 @@ def split_col(bucket: Column, weights: tuple[float, ...] = (0.8, 0.1, 0.1),
     return (expr.otherwise(names[-1])).alias("split")
 
 
+def assign_splits_grouped(df: DataFrame, group_cols: list[str] | None = None,
+                          id_col: str = "doc_id", seed: int = 42,
+                          weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                          names: tuple[str, ...] = ("train", "val", "test"),
+                          buckets: int = 10_000) -> DataFrame:
+    """LEAKAGE-SAFE split: every member of a duplicate group lands in
+    the same split — the bucket hashes the GROUP's representative
+    (min id over the group), not the row id.  Splitting duplicates
+    independently leaks train text into eval; this is the standard
+    guard (dedup-aware splitting) every corpus pipeline needs.
+
+    The group key defaults to the exact content digest
+    sha2(text, 256) — collision-free in practice, and the shuffle/sort
+    key is a fixed 64-char digest instead of an unbounded document.
+    Pass `group_cols` to group by other columns (e.g. a precomputed
+    MinHash cluster_id from dedup_clusters for NEAR-dup-safe splits —
+    the composition is the same one-window form).
+
+    Scale shape: ONE hash-partition window shuffle (min over the group;
+    no join back), then the same zero-shuffle Arrow bucket kernel +
+    native CASE as assign_splits.  Deterministic under repartition,
+    resume, and appends as long as group membership is stable."""
+    from pyspark.sql import Window
+
+    key = [F.col(c) for c in group_cols] if group_cols \
+        else [F.sha2(F.col("text"), 256)]
+    rep = F.min(id_col).over(Window.partitionBy(*key)).alias("rep_id")
+    out = df.select(*df.columns, rep)
+    b = bucket_udf(seed, buckets)(F.col("rep_id")).alias("bucket")
+    return out.withColumn("bucket", b).withColumn(
+        "split", split_col(F.col("bucket"), weights, names, buckets))
+
+
+def sample_stratified(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      seed: int = 43, default_rate: float = 1.0,
+                      denom: int = 1_000_000) -> DataFrame:
+    """Deterministic stratified (per-stratum Bernoulli) sampling — the
+    corpus-rebalancing op (downsample the dominant language/source):
+    keep a row iff  mix64(id + mix64(seed)) % denom < round(rate·denom)
+    for its stratum's rate.
+
+    Zero shuffle: one Arrow-batched hash projection + a native CASE
+    threshold filter.  A pure function of (id, seed): the sample is
+    reproducible across reruns, stable under repartition/appends, and
+    per-stratum sample sizes converge to rate·|stratum| by the
+    avalanche property.  The kept uniform `u` column lets callers (and
+    the DuckDB twin) audit the kernel exactly — all-integer, no float
+    threshold ties (rates are rounded to integer thresholds once).
+
+    The UDF is marked nondeterministic ONLY to stop Catalyst from
+    substituting the `u` alias into the pushed-down filter and running
+    the Arrow kernel twice (once below the filter, once for the output
+    column); the kernel itself is a pure function of (id, seed)."""
+    u = bucket_udf(seed, denom).asNondeterministic()(F.col(id_col)).alias("u")
+    thr = None
+    for s, r in sorted(rates.items()):
+        t = int(round(r * denom))
+        cond = F.col(stratum_col) == s
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (thr.otherwise(int(round(default_rate * denom))) if thr is not None
+           else F.lit(int(round(default_rate * denom))))
+    return df.withColumn("u", u).filter(F.col("u") < thr)
+
+
 def assign_splits(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
                   weights: tuple[float, ...] = (0.8, 0.1, 0.1),
                   names: tuple[str, ...] = ("train", "val", "test"),

@@ -228,3 +228,71 @@ def test_compact_join_build_is_smaller_and_broadcast(spark):
     rows = comp.collect()
     assert all((r.edges is None) == r.full for r in rows)
     assert all(r.blevel == 10 for r in rows if not r.full)
+
+
+# ------------------------------------- leakage-safe split + stratified sample
+
+def test_grouped_split_keeps_dup_groups_together(spark, sf_dir):
+    from engine.ml.split import assign_splits_grouped
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = docs.filter("doc_id < 30").selectExpr(
+        "doc_id + 500000 AS doc_id", "text", "lang", "source", "n_chars")
+    rows = assign_splits_grouped(docs.unionByName(dups), seed=7).select(
+        "doc_id", "rep_id", "split").collect()
+    by_id = {r.doc_id: r for r in rows}
+    for i in range(30):
+        a, b = by_id[i], by_id[i + 500000]
+        assert a.rep_id == b.rep_id == i  # min id over the text group
+        assert a.split == b.split         # never straddles train/eval
+    # plain per-row split WOULD separate some pair (sanity of the guard)
+    from engine.ml.split import assign_splits
+    plain = {r.doc_id: r.split
+             for r in assign_splits(docs.unionByName(dups), seed=7)
+             .select("doc_id", "split").collect()}
+    assert any(plain[i] != plain[i + 500000] for i in range(30))
+
+
+def test_grouped_split_on_custom_group_col(spark, sf_dir):
+    from engine.ml.split import assign_splits_grouped
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = assign_splits_grouped(docs, group_cols=["lang"], seed=7).select(
+        "lang", "rep_id", "split").distinct().collect()
+    # one (rep, split) per language — whole stratum moves together
+    assert len(rows) == docs.select("lang").distinct().count()
+
+
+def test_stratified_sample_exact_kernel_and_rates(spark, sf_dir):
+    from engine.ml.split import sample_stratified
+    from engine.ml.split import seed_offset
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.5, "zh": 0.0, "de": 1.0}
+    kept = sample_stratified(docs, rates, seed=43).select(
+        "doc_id", "lang", "u").collect()
+    assert all(r.lang != "zh" for r in kept)          # rate 0 drops all
+    ids = np.array([r.doc_id for r in kept], np.int64).astype(np.uint64)
+    exp = (_mix64(ids + np.uint64(seed_offset(43))) % np.uint64(1_000_000))
+    for r, e in zip(kept, exp.astype(np.int64)):
+        assert r.u == e
+        assert (r.lang != "en") or (e < 500_000)
+    n_de_all = docs.filter("lang = 'de'").count()
+    assert sum(1 for r in kept if r.lang == "de") == n_de_all  # rate 1 keeps all
+    # default_rate applies to strata absent from the dict
+    n_fr_all = docs.filter("lang = 'fr'").count()
+    assert sum(1 for r in kept if r.lang == "fr") == n_fr_all
+
+
+def test_stratified_sample_reproducible_and_converges(spark):
+    from engine.ml.split import sample_stratified
+    df = (spark.range(0, 40_000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                      .otherwise("de")))
+    a = {r.doc_id for r in
+         sample_stratified(df, {"en": 0.25, "de": 0.75}, seed=5).collect()}
+    b = {r.doc_id for r in
+         sample_stratified(df.repartition(13), {"en": 0.25, "de": 0.75},
+                           seed=5).collect()}
+    assert a == b
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_de = len(a) - n_en
+    assert abs(n_en / 20_000 - 0.25) < 0.02
+    assert abs(n_de / 20_000 - 0.75) < 0.02

@@ -350,3 +350,36 @@ def test_focal_sum_is_native_two_agg_shuffles(spark, images_parquet):
     # reach the tile_counts subtree (2-column ReadSchema)
     assert plan.count("FileScan") == 2      # base reused twice (unchckpt'd plan)
     assert "ReadSchema: struct<lat:double,lon:double>" in plan_of(df)
+
+
+def test_grouped_split_is_one_window_shuffle_plus_arrow(spark, sf_dir):
+    """Leakage-safe split: exactly one exchange (the digest window) and
+    exactly one Arrow stage (the mix64 bucket kernel) — no join back."""
+    from engine.ml.split import assign_splits_grouped
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(assign_splits_grouped(docs, seed=7), "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Join" not in plan
+
+
+def test_stratified_sample_is_zero_shuffle(spark, sf_dir):
+    from engine.ml.split import sample_stratified
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(sample_stratified(docs, {"en": 0.5}, seed=43), "simple")
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_poly_overlap_is_broadcast_no_cartesian(spark):
+    from engine.geo.join import covering_overlap_join
+    from engine.geo.layer import PolygonLayer as PL, rect_polygon
+    layer = PL([rect_polygon(f"P{i}", float(i * 3 - 60), -10.0,
+                             float(i * 3 - 50), 10.0) for i in range(20)])
+    plan = plan_of(covering_overlap_join(layer, None, spark, 5), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # distinct = partial HashAggregate below the shuffle + final above;
+    # exactly one SHUFFLE exchange (the BroadcastExchange is not one)
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
