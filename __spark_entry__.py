@@ -1518,6 +1518,36 @@ def q_poly_overlap(spark, sf):
             .select("poly_a", "poly_b"))
 
 
+def q_zonal_stats(spark, sf):
+    """Zonal statistics (r3): per-polygon-zone aggregates of the point
+    value column via the exact containment join (covering candidates +
+    PIP refine) and one map-side-combined hash agg — the aggregate half
+    of the raster<->vector bridge.  Values are the integer point ids,
+    so count/sum/min/max are exact in both engines; zone membership is
+    the thrice-green RECT_JOIN_SQL predicate.  sum cast to long on both
+    sides (DuckDB SUM(BIGINT) widens to HUGEINT)."""
+    _prep(spark)
+    from engine.geo.join import zonal_stats
+    out = zonal_stats(_points(spark, sf), _rect_layer(), level=7,
+                      value_col="id", mode="broadcast")
+    return out.withColumn("sum_v", F.col("sum_v").cast("long"))
+
+
+def q_img_augment(spark, sf):
+    """Training-data op (r3): deterministic geometric augmentation
+    (hflip / vflip / rot90 / center-crop) over the synthetic image
+    table — one Arrow-batched mapInPandas stage, pixels never leave the
+    workers, output is skinny metadata (dims, phash, exact uint8 pixel
+    checksum).  Golden-file oracle (sf-independent seeded generator);
+    the transform algebra (involution, rot90^4 = id, permutation-
+    invariant checksums, crop dims) is pytest-asserted independently."""
+    _prep(spark)
+    from engine.image.augment import augment_images
+    from engine.synth import gen_images
+    return augment_images(gen_images(spark, 200, seed=42)) \
+        .select("image_id", "op", "w", "h", "phash", "pix_sum")
+
+
 def q_tile_focal(spark, sf):
     """Raster map-algebra (r3): focal/neighborhood sum over the per-tile
     count raster — for each occupied z6 tile, the total point count in
@@ -1620,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_overlap": q_poly_overlap,
         "split_leakage_safe": q_split_leakage_safe,
         "sample_stratified": q_sample_stratified,
+        "zonal_stats": q_zonal_stats,
+        "img_augment": q_img_augment,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2217,7 +2249,8 @@ def oracle_sql() -> dict[str, str]:
         # drift driver-visible.
         **{k: f"SELECT * FROM read_parquet('{_REPO}/oracle/golden/{k}.parquet')"
            for k in ("gen_images", "img_decode_stats", "pip_refine",
-                     "media_features", "media_resize", "media_frames")},
+                     "media_features", "media_resize", "media_frames",
+                     "img_augment")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the
@@ -2346,6 +2379,18 @@ def oracle_sql() -> dict[str, str]:
         # the bbox is plain comparisons, tiles are xi >> 24 (z6) from
         # the same trig CTE the twice-green tile_assign twin uses.
         "spatial_join_compact": RECT_JOIN_SQL,
+        # zonal_stats — the thrice-green containment predicate + one
+        # GROUP BY; integer value domain (point ids), sum cast to
+        # BIGINT on both sides (DuckDB widens SUM(BIGINT) to HUGEINT).
+        "zonal_stats": (
+            f"WITH {PTS_SQL}, {RECTS_SQL} "
+            "SELECT r.poly_id, COUNT(*) AS n, "
+            "CAST(SUM(p.id) AS BIGINT) AS sum_v, "
+            "MIN(p.id) AS min_v, MAX(p.id) AS max_v "
+            "FROM pts p JOIN rects r ON "
+            "p.lon >= r.minlon AND p.lon < r.maxlon "
+            "AND p.lat >= r.minlat AND p.lat < r.maxlat "
+            "GROUP BY r.poly_id"),
         # poly_overlap — all-pairs brute force over the same inlined
         # integer-degree bounds the engine's covering join refines; the
         # engine must reproduce exhaustive search exactly.

@@ -187,6 +187,44 @@ def covering_overlap_join(
     return pairs.select("poly_a", "poly_b").distinct()
 
 
+def zonal_stats(
+    points: DataFrame,
+    layer: PolygonLayer,
+    level: int,
+    value_col: str,
+    mode: str = "broadcast",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    **join_kwargs,
+) -> DataFrame:
+    """Zonal statistics — the aggregate half of the raster<->vector
+    bridge: per-polygon-zone aggregates of a point/pixel value column
+    (count / sum / min / max), zone membership decided by the exact
+    containment join (covering candidates + PIP refine).
+
+    The classic GIS op is "aggregate raster cells per polygon zone";
+    here the rasterized side is any point table (each pixel/point row
+    carries its value), so the same function serves per-zone image
+    counts, per-zone pixel sums from `rasterize_tiles` output, or
+    per-zone attribute stats.
+
+    Scale shape: the containment join's shape (broadcast covering or
+    salted shuffle — all `spatial_join` modes compose), then ONE
+    map-side-combined hash aggregation on poly_id: a hot zone ships at
+    most one partial row per task through the shuffle, so zone skew is
+    bounded the same way the salted join bounds cell skew.  Only
+    (poly_id, value) survive the join projection."""
+    joined = spatial_join(points, layer, level=level, mode=mode,
+                          lat_col=lat_col, lon_col=lon_col, **join_kwargs)
+    v = F.col(value_col)
+    return (joined.select("poly_id", value_col)
+            .groupBy("poly_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(v).alias("sum_v"),
+                 F.min(v).alias("min_v"),
+                 F.max(v).alias("max_v")))
+
+
 def bbox_range_join(points: DataFrame, rects: DataFrame,
                     lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """D7 — non-equi bbox-overlap theta join (BNLJ).

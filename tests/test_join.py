@@ -145,3 +145,29 @@ def test_covering_overlap_two_layers(spark):
     cands = {(r.poly_a, r.poly_b)
              for r in covering_overlap_join(la, lb, spark, 6).collect()}
     assert ("A", "B") in cands and ("A", "C") not in cands
+
+
+# ------------------------------------------------------- zonal stats
+
+def test_zonal_stats_matches_brute_force(spark):
+    from engine.geo.join import zonal_stats
+    from engine.geo.layer import PolygonLayer, rect_polygon
+    rects = [("Z0", -60.0, -30.0, 20.0, 30.0),
+             ("Z1", 0.0, 0.0, 90.0, 60.0)]     # overlap: multi-zone points
+    layer = PolygonLayer([rect_polygon(*r) for r in rects])
+    pts = spark.createDataFrame(
+        [(i, float((i * 37) % 240 - 120), float((i * 53) % 120 - 60), i * 10)
+         for i in range(400)],
+        "id long, lon double, lat double, v long")
+    got = {r.poly_id: (r.n, r.sum_v, r.min_v, r.max_v)
+           for r in zonal_stats(pts, layer, level=6, value_col="v").collect()}
+    exp = {}
+    for i in range(400):
+        lon, lat, v = (i * 37) % 240 - 120, (i * 53) % 120 - 60, i * 10
+        for pid, x0, y0, x1, y1 in rects:
+            if x0 <= lon < x1 and y0 <= lat < y1:   # half-open convention
+                n, s, lo, hi = exp.get(pid, (0, 0, None, None))
+                exp[pid] = (n + 1, s + v,
+                            v if lo is None else min(lo, v),
+                            v if hi is None else max(hi, v))
+    assert got == exp and len(exp) == 2

@@ -371,6 +371,19 @@ def test_stratified_sample_is_zero_shuffle(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_zonal_stats_one_agg_shuffle_after_broadcast_join(spark):
+    """Zonal agg: broadcast containment join (no shuffle) + ONE
+    map-side-combined hash agg shuffle on poly_id; only (poly_id,
+    value) projected into the aggregation."""
+    import __spark_entry__ as m
+    df = m.queries()["zonal_stats"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2   # partial below, final above
+
+
 def test_poly_overlap_is_broadcast_no_cartesian(spark):
     from engine.geo.join import covering_overlap_join
     from engine.geo.layer import PolygonLayer as PL, rect_polygon

@@ -338,6 +338,65 @@ def main() -> None:
         "rollup is the single (map-side-combined) exchange in the job.",
         plan_of(sdiff, "simple")))
 
+    # 19. layer x layer overlap join (r3)
+    from engine.geo.join import covering_overlap_join
+    from engine.geo.layer import rect_polygon
+    olayer = PolygonLayer([rect_polygon(f"P{i}", float(i * 3 - 60), -10.0,
+                                        float(i * 3 - 50), 10.0)
+                           for i in range(20)])
+    sections.append((
+        "Layer x layer overlap join (D11, r3)",
+        "Conflation candidates: both sides are covering METADATA (O(cells) "
+        "rows, never a fact table), joined with one BroadcastHashJoin on "
+        "the cell id; the distinct collapses multi-cell matches with one "
+        "map-side-combined shuffle of skinny (poly_a, poly_b) rows. "
+        "`mode='shuffle'` swaps in a hash-partitioned join for layer pairs "
+        "too large to broadcast. Exact geometry refine composes on top "
+        "(native bbox predicate for rect layers).",
+        plan_of(covering_overlap_join(olayer, None, spark, 5), "simple")))
+
+    # 20. zonal statistics (r3)
+    from engine.geo.join import zonal_stats
+    pts_v = spark.read.parquet(path).select(
+        F.col("image_id").alias("id"), "lat", "lon",
+        F.crc32("image_id").alias("v"))
+    sections.append((
+        "Zonal statistics (D12, r3)",
+        "The aggregate half of raster<->vector: exact containment join "
+        "(broadcast covering + native even-odd PIP refine — zero Python) "
+        "then ONE map-side-combined hash aggregation on poly_id. Only "
+        "(poly_id, value) survive into the agg, and a hot zone ships at "
+        "most one partial row per task through the single shuffle.",
+        plan_of(zonal_stats(pts_v, layer, level=8, value_col="v"),
+                "simple")))
+
+    # 21. leakage-safe split + stratified sample (r3)
+    from engine.ml.split import assign_splits_grouped, sample_stratified
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 40}", "en" if i % 2 else "de") for i in range(200)],
+        "doc_id long, text string, lang string")
+    sections.append((
+        "Leakage-safe split + stratified sample (M20/M21, r3)",
+        "Grouped split: ONE window shuffle on the sha2(text) digest (min "
+        "id over the duplicate group; no join back), then the zero-shuffle "
+        "Arrow mix64 bucket kernel and a native CASE. Stratified sample "
+        "(second plan): zero shuffles — one ArrowEvalPython projection "
+        "and a native integer-threshold filter.",
+        plan_of(assign_splits_grouped(docs), "simple") + "\n"
+        + plan_of(sample_stratified(docs, {"en": 0.5}), "simple")))
+
+    # 22. image augmentation (r3)
+    from engine.image.augment import augment_images
+    sections.append((
+        "Image augmentation (M22, r3)",
+        "One Arrow-batched MapInPandas stage over the 5 needed columns "
+        "(ReadSchema pruned to image_id/bytes/w/h/fmt); pixels are "
+        "decoded, permuted and checksummed on the workers, and only "
+        "skinny metadata rows leave the stage. Zero shuffles; augmenting "
+        "k ops per image multiplies rows inside the task, never through "
+        "an exchange.",
+        plan_of(augment_images(spark.read.parquet(path)), "formatted")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
