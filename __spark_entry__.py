@@ -1353,6 +1353,70 @@ def q_text_topterms(spark, sf):
     return top_terms(_t(spark, sf, "documents"), k=3, min_len=3)
 
 
+def q_text_tfidf(spark, sf):
+    """M23 (r3): corpus-weighted (tf-idf) top-3 terms per doc with the
+    integer-exact RATIONAL idf — score_q = tf·10⁶ div df (same
+    penalize-common-terms signal as log(N/df) without its cross-engine
+    float ties).  Vocabulary-sized df table broadcast back onto tf."""
+    _prep(spark)
+    from engine.text.ops import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3, min_len=3)
+
+
+def q_hard_negatives(spark, sf):
+    """M24 (r3): contrastive hard-negative mining — per anchor doc, the
+    2 same-language docs closest by length (diff ≤ 16), via the banded
+    block join whose ±1-block probe provably covers every qualifying
+    pair (floor-quotient lemma).  The DuckDB twin is brute-force
+    ALL-PAIRS over the same predicate, so the blocking scheme is
+    hash-checked against exhaustive search.  All-integer."""
+    _prep(spark)
+    from engine.ml.negatives import hard_negatives
+    return hard_negatives(_t(spark, sf, "documents"), max_diff=16, k=2)
+
+
+_TILE_LAYOUT_CACHE: dict = {}
+
+
+def _tile_layout_path(spark, sf):
+    """One tile-partitioned write of the point table per (session, sf) —
+    the physical-design key reads it back with a tile predicate."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _TILE_LAYOUT_CACHE:
+        from engine.geo.cells import with_cell
+        from engine.geo.tiles import write_tile_partitioned
+        path = tempfile.mkdtemp(prefix="tile-layout-") + "/pts"
+        write_tile_partitioned(with_cell(_points(spark, sf)), path, z=3)
+        _TILE_LAYOUT_CACHE[key] = path
+    return _TILE_LAYOUT_CACHE[key]
+
+
+def q_tile_partitioned_scan(spark, sf):
+    """A8 (r3): tile-partitioned physical layout — write the point table
+    into Hive-style tile_x=<x>/tile_y=<y> directories (cell-sorted
+    within files), read back two tiles through a partition-column-only
+    predicate: the scan's PartitionFilters prune every other directory
+    (plan-asserted in tests/test_plans.py — scan cost ∝ tiles touched,
+    not table size; the 100 TB layout story).  The twin recomputes tile
+    membership from the shared trig CTE: xi >> 27 at z3."""
+    _prep(spark)
+    from engine.geo.tiles import read_tiles
+    path = _tile_layout_path(spark, sf)
+    return read_tiles(spark, path, [(2, 6), (5, 7)]) \
+        .select("id", F.col("tile_x").cast("long").alias("tile_x"),
+                F.col("tile_y").cast("long").alias("tile_y"))
+
+
+def q_sessionize(spark, sf):
+    """F6 (r3): batch sessionization of the events table — gap > 30 min
+    starts a new per-user session (lag + running-sum boundary flags,
+    one exchange for window AND rollup).  Integer epoch-micros end to
+    end; the DuckDB twin is the same lag/cumsum in SQL."""
+    _prep(spark)
+    from engine.relops import sessionize
+    return sessionize(_t(spark, sf, "events"), gap_s=1800)
+
+
 def q_cell_compact(spark, sf):
     """C-family (r3): S2-style covering compaction — complete sibling
     quads collapse to their parent, level 8 down to 4, over the
@@ -1518,6 +1582,20 @@ def q_poly_overlap(spark, sf):
             .select("poly_a", "poly_b"))
 
 
+def q_cell_geohash(spark, sf):
+    """C7b (r3): geohash encode — the second hierarchical cell index
+    (string-prefix hierarchy) beside the Morton/S2 cells.  One native
+    codegen expression (integer interleave + base32 lookup, no trig, no
+    Python); gh4 demonstrates the parent-cell-as-string-truncation
+    property.  The DuckDB twin runs the IDENTICAL SQL text — floor of
+    correctly-rounded linear maps + integer shifts, exact in both."""
+    _prep(spark)
+    from engine.geo.geohash import geohash_prefix_col, with_geohash
+    return with_geohash(_points(spark, sf), precision=8) \
+        .withColumn("gh4", geohash_prefix_col("gh", 4)) \
+        .select("id", "gh", "gh4")
+
+
 def q_zonal_stats(spark, sf):
     """Zonal statistics (r3): per-polygon-zone aggregates of the point
     value column via the exact containment join (covering candidates +
@@ -1546,6 +1624,18 @@ def q_img_augment(spark, sf):
     from engine.synth import gen_images
     return augment_images(gen_images(spark, 200, seed=42)) \
         .select("image_id", "op", "w", "h", "phash", "pix_sum")
+
+
+def q_tile_edges(spark, sf):
+    """Raster map-algebra (r3): boundary/edge extraction over the z6
+    occupancy raster — an occupied tile is edge iff any 4-neighbor
+    (x cyclic, y clipped) is unoccupied; the input to contour tracing /
+    polygonization.  Same one-pass + checkpoint + offset-explode
+    skeleton as tile_focal; integer counts end to end so the twin (the
+    shared z6 tile trig CTE + 4-row offset VALUES) is tie-free."""
+    _prep(spark)
+    from engine.geo.raster import edge_tiles
+    return edge_tiles(_points(spark, sf), z=6)
 
 
 def q_tile_focal(spark, sf):
@@ -1608,12 +1698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         anti-join knn_join, cache-keyed metrics/lineage — plus the eleven
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
-        data_split, phash_dedup, spatial_diff, spatial_join_compact);
+        data_split, phash_dedup, spatial_diff, spatial_join_compact)
+        and the twelve late-r3 adds (tile_focal, poly_overlap,
+        split_leakage_safe, sample_stratified, zonal_stats, img_augment,
+        cell_geohash, text_tfidf, hard_negatives, tile_edges,
+        sessionize, tile_partitioned_scan);
     (c) the flagship spatial path, kept continuously driver-verified;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
-    Rotated-out keys (51+) are r2-green and untouched this round; every
-    key regardless of position is verified by tools/check_contract.py
-    and the pytest oracle-parity suite."""
+    Rotated-out keys (51+) are r1+r2 double-green and untouched this
+    round; every key regardless of position is verified by
+    tools/check_contract.py and the pytest oracle-parity suite."""
     return {
         # --- (a) never-checked + r2-red (fixed) ---
         "agg_percentile": q_agg_percentile,
@@ -1652,6 +1746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "zonal_stats": q_zonal_stats,
         "img_augment": q_img_augment,
+        "cell_geohash": q_cell_geohash,
+        "text_tfidf": q_text_tfidf,
+        "hard_negatives": q_hard_negatives,
+        "tile_edges": q_tile_edges,
+        "sessionize": q_sessionize,
+        "tile_partitioned_scan": q_tile_partitioned_scan,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -1878,6 +1978,14 @@ def oracle_sql() -> dict[str, str]:
         f"WITH b AS (SELECT doc_id, {_b} AS bucket FROM documents) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
         "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b")
+
+    # cell_geohash: one SQL text serves both engines (built by the same
+    # function the Spark key compiles with F.expr).
+    from engine.geo.geohash import geohash_sql as _ghsql
+    _gh = _ghsql("lon", "lat", 8)
+    geohash_twin_sql = (
+        f"WITH {PTS_SQL} "
+        f"SELECT id, {_gh} AS gh, substring({_gh}, 1, 4) AS gh4 FROM pts")
 
     # sample_stratified: the same HUGEINT mix64 kernel with seed 43 and
     # denom 10^6; per-lang integer thresholds — pure integer filter.
@@ -2369,6 +2477,54 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
             "FROM c) "
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
+        # tile_partitioned_scan — tile membership recomputed from the
+        # shared trig CTE (xi >> 27 = z3 tile): the engine's read-back
+        # through directory pruning must equal direct derivation.
+        "tile_partitioned_scan": (
+            f"WITH {PTS_SQL}, {XY_SQL} "
+            "SELECT id, xi >> 27 AS tile_x, yi >> 27 AS tile_y FROM xy "
+            "WHERE (xi >> 27 = 2 AND yi >> 27 = 6) "
+            "OR (xi >> 27 = 5 AND yi >> 27 = 7)"),
+        # sessionize — same lag/cumsum in DuckDB SQL over integer
+        # epoch-microseconds (epoch_us), gap 30 min.
+        "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us "
+            "FROM events), "
+            "f AS (SELECT user_id, event_id, us, CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "s AS (SELECT user_id, us, CAST(SUM(ns) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM f) "
+            "SELECT user_id, session_seq, COUNT(*) AS n_events, "
+            "MIN(us) AS start_us, MAX(us) AS end_us, "
+            "MAX(us) - MIN(us) AS duration_us "
+            "FROM s GROUP BY 1, 2"),
+        # hard_negatives — brute-force all-pairs same-lang length-diff
+        # search + the same (diff, neg_id) ranking; the engine's banded
+        # block join must reproduce exhaustive search exactly.
+        "hard_negatives": (
+            "WITH p AS (SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id, "
+            "abs(a.n_chars - b.n_chars) AS diff FROM documents a "
+            "JOIN documents b ON a.lang = b.lang AND a.doc_id <> b.doc_id "
+            "AND abs(a.n_chars - b.n_chars) <= 16), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id "
+            "ORDER BY diff ASC, neg_id ASC) AS INTEGER) AS rnk FROM p) "
+            "SELECT anchor_id, neg_id, diff, rnk FROM r WHERE rnk <= 2"),
+        # text_tfidf — same split/count CTEs + vocabulary df + integer
+        # rational idf (// is DuckDB integer division; Spark `div`).
+        "text_tfidf": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z]+')) AS term "
+            "FROM documents), "
+            "c AS (SELECT doc_id, term, COUNT(*) AS tf FROM t "
+            "WHERE length(term) >= 3 GROUP BY 1, 2), "
+            "v AS (SELECT term, COUNT(*) AS df FROM c GROUP BY 1), "
+            "s AS (SELECT c.doc_id, c.term, c.tf, v.df, "
+            "(c.tf * 1000000) // v.df AS score_q FROM c JOIN v USING (term)), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_q DESC, term ASC) AS INTEGER) AS rnk FROM s) "
+            "SELECT doc_id, term, tf, df, score_q, rnk FROM r WHERE rnk <= 3"),
         "cell_compact": compact_sql,
         "data_split": data_split_sql,
         "split_leakage_safe": split_leak_sql,
@@ -2379,6 +2535,10 @@ def oracle_sql() -> dict[str, str]:
         # the bbox is plain comparisons, tiles are xi >> 24 (z6) from
         # the same trig CTE the twice-green tile_assign twin uses.
         "spatial_join_compact": RECT_JOIN_SQL,
+        # cell_geohash — the IDENTICAL SQL text the Spark expression
+        # compiles (engine/geo/geohash.py builds both): integer
+        # interleave + base32 substring lookup, zero trig.
+        "cell_geohash": geohash_twin_sql,
         # zonal_stats — the thrice-green containment predicate + one
         # GROUP BY; integer value domain (point ids), sum cast to
         # BIGINT on both sides (DuckDB widens SUM(BIGINT) to HUGEINT).
@@ -2423,6 +2583,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(6 AS INTEGER) AS tile_z, b.tile_x, b.tile_y, b.n, "
             "s.focal_n FROM base b JOIN s USING (tile_x, tile_y)"
         ),
+        # tile_edges — same z6 tile CTE; 4-neighbor occupancy counted by
+        # the symmetric contribution trick, LEFT join keeps isolated
+        # tiles (occ_nbrs 0).  Integer end to end.
+        "tile_edges": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "base AS (SELECT xi >> 24 AS tile_x, yi >> 24 AS tile_y, "
+            "COUNT(*) AS n FROM xy GROUP BY 1, 2), "
+            "offs(dx, dy) AS (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)), "
+            "contrib AS (SELECT ((b.tile_x + o.dx) % 64 + 64) % 64 AS tile_x, "
+            "b.tile_y + o.dy AS tile_y FROM base b CROSS JOIN offs o), "
+            "nb AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS occ "
+            "FROM contrib GROUP BY 1, 2) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, b.tile_x, b.tile_y, b.n, "
+            "COALESCE(nb.occ, 0) AS occ_nbrs, "
+            "CAST(COALESCE(nb.occ, 0) < 4 AS INTEGER) AS is_edge "
+            "FROM base b LEFT JOIN nb USING (tile_x, tile_y)"),
         "spatial_diff": (
             f"WITH {PTS_SQL}, {XY_SQL} "
             "SELECT CAST(6 AS INTEGER) AS tile_z, xi >> 24 AS tile_x, "

@@ -142,6 +142,49 @@ def focal_sum(df: DataFrame, z: int = 6, radius: int = 1,
     )
 
 
+def edge_tiles(df: DataFrame, z: int = 6, lat: str = "lat",
+               lon: str = "lon", checkpoint: bool = True) -> DataFrame:
+    """Raster edge/boundary extraction — the vectorize-a-raster
+    primitive: an occupied tile is an EDGE tile iff at least one of its
+    4-neighbors (von Neumann: x cyclic mod 2^z, y clipped at the poles
+    — out-of-range neighbors count as unoccupied) is unoccupied.  The
+    edge set is the boundary ring of the occupancy raster, the input to
+    contour tracing / polygonization.
+
+    Scale shape (same skeleton as focal_sum): the full table is touched
+    once by the map-side-combined tile_counts agg; the sparse raster is
+    checkpointed, each occupied tile sends 4 native offset
+    contributions, one skinny regroup counts occupied neighbors per
+    tile, and the inner join back to the occupied set bounds the output
+    domain.  Integer end to end, zero Python.
+
+    Output: (tile_z, tile_x, tile_y, n, occ_nbrs, is_edge:int)."""
+    n_tiles = 1 << z
+    base = tile_counts(df, z, lat, lon)
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))])
+    contrib = (
+        base.select("tile_x", "tile_y", F.explode(offs).alias("o"))
+        .select(F.pmod(F.col("tile_x") + F.col("o.dx"),
+                       F.lit(n_tiles)).alias("tile_x"),
+                (F.col("tile_y") + F.col("o.dy")).alias("tile_y"))
+    )
+    nbrs = contrib.groupBy("tile_x", "tile_y") \
+        .agg(F.count("*").alias("_occ"))
+    # LEFT join: an isolated tile (zero occupied neighbors) receives no
+    # contribution row at all — it is maximally edge, not absent
+    return (
+        base.join(nbrs, ["tile_x", "tile_y"], "left")
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                "n", F.coalesce(F.col("_occ"), F.lit(0)).alias("occ_nbrs"))
+        .withColumn("is_edge", (F.col("occ_nbrs") < 4).cast("int"))
+    )
+
+
 def rasterize_tile_grids(df: DataFrame, z: int = 6, grid_bits: int = 4,
                          lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Materialized per-tile grids: (tile_z, tile_x, tile_y,

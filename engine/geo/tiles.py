@@ -152,3 +152,46 @@ def tile_pyramid(df: DataFrame, z_max: int, z_min: int,
                      F.col("l.tx").alias("tile_x"),
                      F.col("l.ty").alias("tile_y"))
             .agg(F.sum("n").alias("n")))
+
+
+def write_tile_partitioned(df: DataFrame, path: str, z: int = 3,
+                           cell_col: str = "cell",
+                           sort_cols: tuple = ("cell",)) -> None:
+    """Tile-partitioned PHYSICAL LAYOUT — the on-disk organization for
+    the 10^12-row table: rows land in tile_x=<x>/tile_y=<y> directories
+    (Hive-style), sorted within each output file by `sort_cols` (cell
+    order ⇒ spatially clustered row groups, so min/max row-group stats
+    prune within files too).
+
+    At read time any tile predicate becomes a PartitionFilters entry —
+    directories outside the predicate are never LISTED, let alone read:
+    the scan cost of a bbox query is proportional to the tiles it
+    touches, not the table.  This plus cell-sorted row groups is the
+    complete physical-design story for the flagship at 100 TB.
+
+    `partitionBy` shuffles nothing by itself (each task writes its own
+    per-tile files); use a prior `repartition(tile_x, tile_y)` only if
+    small-files pressure matters more than the extra exchange."""
+    out = with_tile(df, z, cell_col=cell_col)
+    # the dynamic-partition writer requires its input sorted by the
+    # partition columns (else it injects its OWN sort and discards any
+    # prior ordering — observed): lead with (tile_x, tile_y) so the
+    # required ordering is already satisfied and the trailing sort_cols
+    # order survives into each file
+    (out.sortWithinPartitions("tile_x", "tile_y",
+                              *[F.col(c) for c in sort_cols])
+        .write.mode("overwrite")
+        .partitionBy("tile_x", "tile_y")
+        .parquet(path))
+
+
+def read_tiles(spark, path: str, tiles: list[tuple[int, int]]) -> DataFrame:
+    """Read back a tile-partitioned layout restricted to `tiles` —
+    the predicate is partition-column-only, so it resolves to directory
+    pruning (assert `PartitionFilters` in the scan; tests do)."""
+    df = spark.read.parquet(path)
+    cond = None
+    for tx, ty in tiles:
+        c = (F.col("tile_x") == tx) & (F.col("tile_y") == ty)
+        cond = c if cond is None else cond | c
+    return df.filter(cond)

@@ -80,3 +80,41 @@ def merge_upsert(base: DataFrame, delta: DataFrame,
     enough for Catalyst/AQE to broadcast it."""
     from pyspark.sql import functions as F  # noqa: F401 (parity w/ module style)
     return delta.unionByName(base.join(delta.select(keys), keys, "left_anti"))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_s: int = 1800,
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """BATCH sessionization — assemble per-user event sequences into
+    gap-delimited sessions (the batch complement of the streaming
+    session window, J4): a new session starts whenever the gap to the
+    previous event of the same user exceeds `gap_s`.
+
+    Classic lag+cumsum form, all-native: session boundary = integer
+    microsecond-gap comparison, session_seq = running sum of boundary
+    flags, then the per-session rollup.  The window and the rollup key
+    on the SAME (user) partitioning, so Catalyst plans ONE exchange for
+    the whole job (window sort + partial-combined agg reuse it); skew is
+    bounded by the busiest user.
+
+    Output: (user_id, session_seq, n_events, start_us, end_us,
+    duration_us) — integer epoch-microseconds end to end (exact in
+    every engine; no float time math)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col),
+                                             F.asc(order_tiebreak))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1) \
+        .otherwise(0)
+    seq = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (events
+            .withColumn("_us", us)
+            .withColumn("session_seq", seq)
+            .groupBy(user_col, "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("_us").alias("start_us"),
+                 F.max("_us").alias("end_us"))
+            .withColumn("duration_us", F.col("end_us") - F.col("start_us")))

@@ -137,3 +137,53 @@ def top_terms(df: DataFrame, text: str = "text", k: int = 3,
     w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("term"))
     return (terms.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
+
+
+def tfidf_top_terms(df: DataFrame, text: str = "text", k: int = 3,
+                    min_len: int = 3, scale: int = 1_000_000,
+                    broadcast_vocab: bool = True,
+                    materialize_tf: bool = True) -> DataFrame:
+    """Corpus-weighted top-k terms per doc — tf-idf with a RATIONAL idf:
+    score_q = (tf · scale) div df, integer-exact in every engine (the
+    classic log(N/df) weighting is a one-line swap but its float values
+    are tie- and ULP-prone under cross-engine hashing; 1/df is the same
+    "penalize corpus-common terms" signal).  Ties break lexicographic.
+
+    Scale shape: tf = one (doc_id, term) partial-combined shuffle; the
+    document-frequency table is VOCABULARY-sized (one row per distinct
+    term — millions of rows at corpus scale, not corpus-sized) and is
+    derived from tf with a second partial-combined shuffle, then joined
+    back — broadcast by default (a 10M-term vocab is ~100 MB;
+    set broadcast_vocab=False for a shuffle equi-join on term when it
+    isn't).  The final per-doc window re-keys on doc_id, so skew is
+    bounded by the largest single document throughout.
+
+    `materialize_tf` (default): tf feeds BOTH the scored join and the
+    vocabulary derivation, but Catalyst column-prunes the two subtrees
+    differently (the vocab branch drops the count), so ReuseExchange
+    does NOT fire and the corpus would be scanned + exploded TWICE
+    (measured: 0 ReusedExchange, 2 scans).  One localCheckpoint of the
+    already-aggregated (doc_id, term, tf) rows — far smaller than the
+    token stream — makes it one pass.  Same cluster caveat as
+    knn_join's per-round checkpoint: executor-local storage."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select("doc_id",
+                  F.explode(F.split(F.lower(F.col(text)), "[^a-z]+"))
+                  .alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=False)
+    vocab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = tf.join(vocab, "term").withColumn(
+        "score_q", F.expr(f"(tf * {scale}) div df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("doc_id", "term", "tf", "df", "score_q", "rnk"))

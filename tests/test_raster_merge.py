@@ -179,3 +179,40 @@ def test_focal_sum_wraps_x_and_clips_y(spark):
     for (x, y), (n, fn) in rows.items():
         assert n == 1 and fn == 2  # each sees the other through the wrap
         assert y == 0  # top row: the y-1 neighbors fell off the raster
+
+
+# ------------------------------------------------------- edge extraction
+
+def test_edge_tiles_match_dense_numpy(spark, pts):
+    from engine.geo.raster import edge_tiles
+    from oracle.geo import lonlat_to_xy
+    pdf = pts.toPandas()
+    z, n = 5, 1 << 5
+    xy = [lonlat_to_xy(lo, la, level=z)
+          for lo, la in zip(pdf["lon"], pdf["lat"])]
+    grid = np.zeros((n, n), np.int64)
+    np.add.at(grid, ([p[0] for p in xy], [p[1] for p in xy]), 1)
+    occ = grid > 0
+    want = {}
+    for x, y in zip(*np.nonzero(occ)):
+        nbr = int(occ[(x - 1) % n, y]) + int(occ[(x + 1) % n, y])
+        if y > 0:
+            nbr += int(occ[x, y - 1])
+        if y < n - 1:
+            nbr += int(occ[x, y + 1])
+        want[(int(x), int(y))] = (int(grid[x, y]), nbr, int(nbr < 4))
+    got = {(r.tile_x, r.tile_y): (r.n, r.occ_nbrs, r.is_edge)
+           for r in edge_tiles(pts, z=z).collect()}
+    assert got == want and len(got) > 100
+    assert any(v[2] for v in got.values())      # some edges exist
+    assert any(not v[2] for v in got.values())  # ...and some interior
+
+
+def test_edge_tiles_isolated_tile_is_edge(spark):
+    from engine.geo.raster import edge_tiles
+    # one lonely point: its tile has zero occupied neighbors (LEFT join
+    # path) and must still appear, maximally edge
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id long, lon double, lat double")
+    rows = edge_tiles(df, z=6).collect()
+    assert len(rows) == 1
+    assert rows[0].occ_nbrs == 0 and rows[0].is_edge == 1

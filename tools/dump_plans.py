@@ -397,6 +397,88 @@ def main() -> None:
         "an exchange.",
         plan_of(augment_images(spark.read.parquet(path)), "formatted")))
 
+    # 23. geohash encode (r3)
+    from engine.geo.geohash import geohash_col
+    sections.append((
+        "Geohash encode (C7b, r3)",
+        "The second cell index: one native codegen expression (integer "
+        "quantize + magic-mask interleave + unrolled base32 substring "
+        "lookup) — no Python, no shuffle, no trig. The parent hierarchy "
+        "is string truncation, so prefix joins and partition pruning "
+        "work on an ordinary string column.",
+        plan_of(spark.read.parquet(path).select(
+            "image_id", geohash_col().alias("gh")), "simple")))
+
+    # 24. corpus tf-idf + hard negatives (r3)
+    from engine.text.ops import tfidf_top_terms
+    from engine.ml.negatives import hard_negatives
+    docs_tbl = spark.createDataFrame(
+        [(i, f"alpha beta doc {i % 9}", "en" if i % 2 else "de",
+          100 + (i * 7) % 45) for i in range(300)],
+        "doc_id long, text string, lang string, n_chars int")
+    sections.append((
+        "Corpus tf-idf top-terms (M23, r3)",
+        "tf is checkpointed once (column pruning defeats ReuseExchange, "
+        "so without it the corpus is scanned + exploded twice — "
+        "measured); the vocabulary-sized df table broadcasts back onto "
+        "tf and the per-doc window re-keys on doc_id (WindowGroupLimit "
+        "prunes to top-k before the exchange).",
+        plan_of(tfidf_top_terms(docs_tbl), "simple")))
+    sections.append((
+        "Contrastive hard-negative mining (M24, r3)",
+        "Banded block join: the anchor side explodes 3 probe blocks, "
+        "the negative side keys on its own block — one shuffle "
+        "equi-join on (stratum, block), never a cartesian product; the "
+        "±1 probe provably covers every pair within the cutoff "
+        "(floor-quotient lemma). Per-anchor ranking is a window with "
+        "WindowGroupLimit partial pruning. All-native integer columns.",
+        plan_of(hard_negatives(docs_tbl), "simple")))
+
+    # 25. raster edge extraction (r3)
+    from engine.geo.raster import edge_tiles
+    sections.append((
+        "Raster edge/boundary extraction (C3e, r3)",
+        "Same skeleton as the focal sum: one map-side-combined pass "
+        "over the table builds the sparse occupancy raster "
+        "(checkpointed), each occupied tile emits 4 native offset "
+        "contributions, a skinny regroup counts occupied neighbors and "
+        "the LEFT join back keeps isolated tiles (occ_nbrs 0, maximally "
+        "edge). Integer end to end, zero Python.",
+        plan_of(edge_tiles(spark.read.parquet(path).select(
+            "image_id", "lat", "lon"), z=6), "simple")))
+
+    # 26. batch sessionization (r3)
+    from engine.relops import sessionize
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 9) for i in range(500)],
+        "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    sections.append((
+        "Batch sessionization (F6, r3)",
+        "Gap-delimited sessions: the boundary-flag window, the running "
+        "sum, and the per-session rollup all key on user_id, so "
+        "Catalyst plans ONE hash exchange for the entire job (sorts and "
+        "partial aggregation reuse it). Integer epoch-micros — no float "
+        "time math.",
+        plan_of(sessionize(ev), "simple")))
+
+    # 27. tile-partitioned layout read-back (r3)
+    import tempfile as _tf2
+    from engine.geo.tiles import read_tiles, write_tile_partitioned
+    lay = _tf2.mkdtemp(prefix="plans-layout-") + "/pts"
+    write_tile_partitioned(
+        with_cell(spark.read.parquet(path).select("image_id", "lat", "lon")),
+        lay, z=3)
+    sections.append((
+        "Tile-partitioned layout scan (A8, r3)",
+        "The physical-design story: the table lives in Hive-style "
+        "tile_x/tile_y directories (cell-sorted within files). A tile "
+        "predicate resolves to PartitionFilters — directories outside "
+        "the predicate are never listed, so the scan reads tiles, not "
+        "the table. Note the empty PushedFilters: nothing is filtered "
+        "post-scan; pruning happened at the directory level.",
+        plan_of(read_tiles(spark, lay, [(2, 3), (4, 4)]), "formatted")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
