@@ -1407,6 +1407,33 @@ def q_tile_partitioned_scan(spark, sf):
                 F.col("tile_y").cast("long").alias("tile_y"))
 
 
+UDTF_BOXES = [("B0", -10.0, -10.0, 25.0, 15.0),
+              ("B1", 100.0, 40.0, 150.0, 70.0),
+              ("B2", -180.0, -60.0, -120.0, -20.0),
+              ("B3", 170.0, -5.0, 179.0, 5.0)]
+
+
+def q_udtf_bbox_tiles(spark, sf):
+    """K7 (r3): Python UDTF (table function) — the lateral-join half of
+    the extension mechanism: each viewport bbox expands to its covering
+    z4 slippy tiles via `LATERAL bbox_tiles(...)`.  Arrow transfer
+    enabled; the UDTF sits on the SMALL (viewport) side by design — the
+    fact-table side of any subsequent tile join stays native.  The twin
+    recomputes corner tiles from the shared mercator formula at z4 and
+    cross-joins generate_series ranges."""
+    _prep(spark)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    from engine.udtf_ops import register_udtfs
+    register_udtfs(spark)
+    spark.createDataFrame(
+        UDTF_BOXES, "box_id string, minlon double, minlat double, "
+                    "maxlon double, maxlat double") \
+        .createOrReplaceTempView("udtf_boxes")
+    return spark.sql(
+        "SELECT b.box_id, t.tile_x, t.tile_y FROM udtf_boxes b, "
+        "LATERAL bbox_tiles(b.minlon, b.minlat, b.maxlon, b.maxlat, 4) t")
+
+
 def q_sessionize(spark, sf):
     """F6 (r3): batch sessionization of the events table — gap > 30 min
     starts a new per-user session (lag + running-sum boundary flags,
@@ -1699,10 +1726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the twelve late-r3 adds (tile_focal, poly_overlap,
+        and the thirteen late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
-        sessionize, tile_partitioned_scan);
+        sessionize, tile_partitioned_scan, udtf_bbox_tiles);
     (c) the flagship spatial path, kept continuously driver-verified;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
     Rotated-out keys (51+) are r1+r2 double-green and untouched this
@@ -1752,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_edges": q_tile_edges,
         "sessionize": q_sessionize,
         "tile_partitioned_scan": q_tile_partitioned_scan,
+        "udtf_bbox_tiles": q_udtf_bbox_tiles,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2477,6 +2505,23 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
             "FROM c) "
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
+        # udtf_bbox_tiles — corner tiles from the shared mercator
+        # formula at z4 (coarse 16-grid; same ln/tan text as XY_SQL),
+        # expanded with generate_series — the UDTF must reproduce it.
+        "udtf_bbox_tiles": (
+            "WITH boxes(box_id, minlon, minlat, maxlon, maxlat) AS (VALUES "
+            + ", ".join(f"('{b}', {a}, {c}, {d}, {e})"
+                        for b, a, c, d, e in UDTF_BOXES) + "), "
+            "c AS (SELECT box_id, "
+            "greatest(least(CAST(floor(((minlon + 180.0)/360.0) * 16.0) AS BIGINT), 15), 0) AS x0, "
+            "greatest(least(CAST(floor(((maxlon + 180.0)/360.0) * 16.0) AS BIGINT), 15), 0) AS x1, "
+            "greatest(least(CAST(floor(((1.0 - ln(tan(pi()/4.0 + radians(maxlat)/2.0))/pi())/2.0) * 16.0) AS BIGINT), 15), 0) AS y0, "
+            "greatest(least(CAST(floor(((1.0 - ln(tan(pi()/4.0 + radians(minlat)/2.0))/pi())/2.0) * 16.0) AS BIGINT), 15), 0) AS y1 "
+            "FROM boxes), "
+            "xs AS (SELECT box_id, unnest(generate_series(x0, x1)) AS tile_x, "
+            "y0, y1 FROM c) "
+            "SELECT box_id, tile_x, "
+            "unnest(generate_series(y0, y1)) AS tile_y FROM xs"),
         # tile_partitioned_scan — tile membership recomputed from the
         # shared trig CTE (xi >> 27 = z3 tile): the engine's read-back
         # through directory pruning must equal direct derivation.

@@ -479,6 +479,26 @@ def main() -> None:
         "post-scan; pruning happened at the directory level.",
         plan_of(read_tiles(spark, lay, [(2, 3), (4, 4)]), "formatted")))
 
+    # 28. python UDTF lateral expansion (r3)
+    from engine.udtf_ops import register_udtfs
+    register_udtfs(spark)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.createDataFrame(
+        [("A", -10.0, -10.0, 25.0, 15.0)],
+        "box_id string, minlon double, minlat double, maxlon double, "
+        "maxlat double").createOrReplaceTempView("plans_boxes")
+    sections.append((
+        "Python UDTF lateral expansion (K7, r3)",
+        "The table-function half of the extension surface: each "
+        "viewport bbox expands to its covering tiles via LATERAL. The "
+        "UDTF evaluates per input row by contract, so it belongs on the "
+        "small (viewport) side only — Arrow transfer is enabled and the "
+        "fact-table side of any subsequent tile join stays native.",
+        plan_of(spark.sql(
+            "SELECT b.box_id, t.tile_x, t.tile_y FROM plans_boxes b, "
+            "LATERAL bbox_tiles(b.minlon, b.minlat, b.maxlon, b.maxlat, 4) t"
+        ), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
