@@ -909,6 +909,36 @@ def q_snapshot_compact(spark, sf):
         "o_orderpriority")
 
 
+def q_snapshot_expire(spark, sf):
+    """Iceberg-parity snapshot EXPIRY (r3): two appends + a compaction
+    REPLACE, then expire all but the newest snapshot — the append-era
+    small files (orphaned by the REPLACE) are physically deleted, the
+    manifests and snapshot entries dropped, and the current view is
+    row-identical (the twin recomputes it from the commit filters).
+    In-query asserts: files really deleted, exactly one snapshot
+    survives, expired time travel raises."""
+    _prep(spark)
+    import os as _os
+    from engine.icelite import IceliteTable
+    t = IceliteTable(tempfile.mkdtemp(prefix="expire-") + "/t")
+    od = _t(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                        "o_orderpriority")
+    for m in (0, 1):
+        t.commit_append(od.filter(F.col("o_orderkey") % 3 == m))
+    old_sid = t.current_snapshot_id()
+    cur = t.compact(spark, target_files=1)
+    expired, deleted = t.expire_snapshots(keep_last=1)
+    assert expired and deleted > 0, "expiry reclaimed nothing"
+    assert [s["sid"] for s in t.snapshots()] == [cur]
+    assert all(_os.path.exists(p) for p in t.files(cur))
+    try:
+        t.scan(spark, old_sid)
+        raise AssertionError("expired snapshot still scannable")
+    except FileNotFoundError:
+        pass
+    return t.scan(spark, cur)
+
+
 def q_stream_dedup(spark, sf):
     """J5 batch form: exact-duplicate rows collapse to the original set
     (the streaming form, dropDuplicatesWithinWatermark, is covered in
@@ -1726,11 +1756,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the thirteen late-r3 adds (tile_focal, poly_overlap,
+        and the fourteen late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
-        sessionize, tile_partitioned_scan, udtf_bbox_tiles);
-    (c) the flagship spatial path, kept continuously driver-verified;
+        sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire);
+    (c) the flagship spatial machinery, continuously driver-verified
+        through the r3 keys that compose it (spatial_join_compact =
+        covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
+        focal/edges) plus the scan/generator sources;
     (d) fill: r1-green keys rotated back IN for a second lifetime row.
     Rotated-out keys (51+) are r1+r2 double-green and untouched this
     round; every key regardless of position is verified by
@@ -1780,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tile_partitioned_scan": q_tile_partitioned_scan,
         "udtf_bbox_tiles": q_udtf_bbox_tiles,
+        "snapshot_expire": q_snapshot_expire,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2505,6 +2539,13 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
             "FROM c) "
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
+        # snapshot_expire — current view after append+append+compact+
+        # expire = the union of the two commit filters (expiry is
+        # row-preserving by construction; the in-query asserts cover
+        # the metadata/file-deletion side).
+        "snapshot_expire": (
+            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+            "WHERE o_orderkey % 3 IN (0, 1)"),
         # udtf_bbox_tiles — corner tiles from the shared mercator
         # formula at z4 (coarse 16-grid; same ln/tan text as XY_SQL),
         # expanded with generate_series — the UDTF must reproduce it.

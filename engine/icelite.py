@@ -170,6 +170,48 @@ class IceliteTable:
         cur = self.scan(spark)
         return self.commit_replace(cur.coalesce(target_files), op="compact")
 
+    def expire_snapshots(self, keep_last: int = 1) -> tuple[list[int], int]:
+        """Snapshot expiry (Iceberg `expireSnapshots` parity) — the
+        retention half of table maintenance: drop all but the last
+        `keep_last` snapshots and physically delete every data file no
+        surviving snapshot references.
+
+        Semantics match Iceberg exactly: append-chain files survive as
+        long as ANY keeper references them (an appended file is in every
+        descendant's file list), so expiry only reclaims files orphaned
+        by REPLACE commits (compaction, merge rewrites).  Time travel to
+        a surviving snapshot keeps working; to an expired one raises.
+
+        Metadata-only except the unlink loop; the snapshot list rewrite
+        is the same atomic tmp+rename every commit uses.  Returns
+        (expired sids, deleted file count)."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return ([], 0)
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live: set[str] = set()
+        for s in keep:
+            live.update(self._manifest(s["sid"])["files"])
+        dead: set[str] = set()
+        for s in drop:
+            dead.update(f for f in self._manifest(s["sid"])["files"]
+                        if f not in live)
+        deleted = 0
+        for rel in sorted(dead):
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
+        for s in drop:
+            mp = os.path.join(self.meta_dir, f"manifest-{s['sid']:08d}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": keep}, f)
+        os.replace(tmp, self.snap_path)
+        return ([s["sid"] for s in drop], deleted)
+
     # ------------------------------------------------------------- read
 
     def scan(self, spark: SparkSession,

@@ -109,3 +109,44 @@ def test_add_column_evolution_schema_on_read(spark, tmp_path):
     assert rows[0] is None and rows[60] == "new" and len(rows) == 80
     # time travel to sid1 keeps the OLD schema (no tag column)
     assert t.scan(spark, sid1).columns == ["id", "v"]
+
+
+# ----------------------------------------------------------- snapshot expiry
+
+def test_expire_keeps_append_chain_files(spark, tmp_path):
+    # append-only history: every old file is referenced by the newest
+    # snapshot, so expiry drops metadata but deletes ZERO data files
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 10))
+    t.commit_append(spark.range(10, 20))
+    sid3 = t.commit_append(spark.range(20, 30))
+    expired, deleted = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2] and deleted == 0
+    assert [s["sid"] for s in t.snapshots()] == [sid3]
+    assert sorted(r.id for r in t.scan(spark).collect()) == list(range(30))
+
+
+def test_expire_reclaims_replace_orphans(spark, tmp_path):
+    import os
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 50).repartition(4))
+    t.commit_append(spark.range(50, 100).repartition(4))
+    cur = t.compact(spark, target_files=1)
+    n_data_files = lambda: sum(
+        f.endswith(".parquet") for root, _, fs in os.walk(t.data_dir)
+        for f in fs)
+    before = n_data_files()
+    expired, deleted = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2] and deleted == 8        # the orphaned appends
+    assert n_data_files() == before - 8
+    assert sorted(r.id for r in t.scan(spark, cur).collect()) == list(range(100))
+
+
+def test_expire_noop_and_expired_timetravel_raises(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    s1 = t.commit_append(spark.range(5))
+    assert t.expire_snapshots(keep_last=3) == ([], 0)   # nothing to drop
+    t.commit_append(spark.range(5, 9))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.scan(spark, s1)
