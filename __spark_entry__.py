@@ -1080,6 +1080,20 @@ def q_text_tokens(spark, sf):
         "doc_id", "n_tokens_ws", "n_pretokens", "chars_per_pretoken")
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing (late r3) — the concat-then-chunk step between
+    dedup and shard writing in an LLM training pipeline: docs ordered by
+    id within each source are chunked into 20 000-char bins; bin_id =
+    exclusive-prefix-sum DIV capacity.  Pure-int64 window arithmetic, so
+    the SQL twin is bit-exact (no float-tie class, r2 VERDICT #4)."""
+    _prep(spark)
+    from engine.text.ops import pack_sequences
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    return pack_sequences(d, capacity=20000, group_cols=("source",)).select(
+        "source", "doc_id", "n_chars", "pack_off", "bin_id", "bin_offset")
+
+
 def q_dedup_exact(spark, sf):
     _prep(spark)
     from engine.text.dedup import exact_dedup
@@ -1756,10 +1770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the fourteen late-r3 adds (tile_focal, poly_overlap,
+        and the fifteen late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
-        sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire);
+        sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
+        pack_sequences);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
@@ -1814,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_partitioned_scan": q_tile_partitioned_scan,
         "udtf_bbox_tiles": q_udtf_bbox_tiles,
         "snapshot_expire": q_snapshot_expire,
+        "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2539,6 +2555,17 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
             "FROM c) "
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
+        # pack_sequences — concat-then-chunk packing is a window prefix
+        # sum + int64 division: exact on both engines by construction.
+        "pack_sequences": (
+            "WITH p AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER ("
+            "PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_off "
+            "FROM documents) "
+            "SELECT source, doc_id, n_chars, pack_off, "
+            "CAST(pack_off // 20000 AS BIGINT) AS bin_id, "
+            "CAST(pack_off % 20000 AS BIGINT) AS bin_offset FROM p"),
         # snapshot_expire — current view after append+append+compact+
         # expire = the union of the two commit filters (expiry is
         # row-preserving by construction; the in-query asserts cover

@@ -187,3 +187,43 @@ def tfidf_top_terms(df: DataFrame, text: str = "text", k: int = 3,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("doc_id", "term", "tf", "df", "score_q", "rnk"))
+
+
+def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
+                   weight_col: str = "n_chars", capacity: int = 20000,
+                   group_cols: tuple[str, ...] = ("source",),
+                   n_shards: int | None = None) -> DataFrame:
+    """Greedy concat-then-chunk sequence packing — the step an LLM
+    training pipeline runs between dedup and tokenized-shard writing:
+    documents are concatenated in a deterministic order (by `id_col`
+    within each group) and the resulting stream is chunked into bins of
+    `capacity` weight units (chars/tokens).  A doc belongs to the bin
+    where it STARTS (`bin_id` = exclusive-prefix-sum DIV capacity), so a
+    doc straddling a boundary overflows its bin by at most its own
+    weight — the standard concat-then-chunk approximation, deterministic
+    and exactly expressible in ANSI SQL (window prefix sum + integer
+    division; pure int64, no float anywhere, so the DuckDB twin is
+    bit-exact).
+
+    Scale shape: ONE window shuffle keyed by `group_cols` (plus an
+    optional deterministic `pack_shard` = xxhash64(id) % n_shards when a
+    single group is too large to sort in one task at 100 TB — shards
+    pack independently, which only adds one partial bin per shard).
+    Adds `pack_off` (exclusive prefix weight), `bin_id`, and
+    `bin_offset` (start offset within the bin)."""
+    from pyspark.sql import Window
+
+    parts = [F.col(c) for c in group_cols]
+    out = df
+    if n_shards is not None:
+        out = out.withColumn(
+            "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)))
+        parts.append(F.col("pack_shard"))
+    w = (Window.partitionBy(*parts).orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (out
+            .withColumn("pack_off",
+                        F.coalesce(F.sum(F.col(weight_col).cast("long")).over(w),
+                                   F.lit(0).cast("long")))
+            .withColumn("bin_id", F.expr(f"pack_off DIV {capacity}"))
+            .withColumn("bin_offset", F.expr(f"pack_off % {capacity}")))
