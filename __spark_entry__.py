@@ -1094,6 +1094,22 @@ def q_pack_sequences(spark, sf):
         "source", "doc_id", "n_chars", "pack_off", "bin_id", "bin_offset")
 
 
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination (late r3): docs 0-49 are the benchmark
+    set; the train side (everything else, including the exact copies of
+    docs 0-19 that _docs_with_dups plants at id+100000) is flagged when
+    it shares any word 5-gram with it.  The planted copies guarantee
+    true positives; natural phrase overlaps are handled identically on
+    both engines because grams are exact strings (no hashing)."""
+    _prep(spark)
+    from engine.text.ops import decontaminate
+    full = _docs_with_dups(spark, sf)
+    ev = full.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    tr = full.filter(F.col("doc_id") >= 50).select("doc_id", "text")
+    return decontaminate(tr, ev, n=5).select(
+        "doc_id", "n_hit_grams", "contaminated")
+
+
 def q_dedup_exact(spark, sf):
     _prep(spark)
     from engine.text.dedup import exact_dedup
@@ -1770,11 +1786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the fifteen late-r3 adds (tile_focal, poly_overlap,
+        and the sixteen late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
         sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
-        pack_sequences);
+        pack_sequences, decontaminate);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
@@ -1830,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_bbox_tiles": q_udtf_bbox_tiles,
         "snapshot_expire": q_snapshot_expire,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2555,6 +2572,22 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
             "FROM c) "
             "SELECT doc_id, term, n, rnk FROM r WHERE rnk <= 3"),
+        # decontaminate — exact-string word 5-grams (same list exprs as
+        # the ngram_jaccard twin), eval = doc_id < 50, train = the rest
+        # of the dup-injected corpus.
+        "decontaminate": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20), "
+            "w AS (SELECT doc_id, string_split(text, ' ') AS words FROM d), "
+            "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 4, 1)), "
+            "i -> array_to_string(words[i:i+4], ' ')))) AS gram FROM w), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50), "
+            "h AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hit_grams "
+            "FROM g JOIN ev USING (gram) WHERE g.doc_id >= 50 GROUP BY g.doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_hit_grams, 0) AS n_hit_grams, "
+            "COALESCE(h.n_hit_grams, 0) > 0 AS contaminated "
+            "FROM d LEFT JOIN h ON d.doc_id = h.doc_id WHERE d.doc_id >= 50"),
         # pack_sequences — concat-then-chunk packing is a window prefix
         # sum + int64 division: exact on both engines by construction.
         "pack_sequences": (

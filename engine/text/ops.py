@@ -227,3 +227,42 @@ def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
                                    F.lit(0).cast("long")))
             .withColumn("bin_id", F.expr(f"pack_off DIV {capacity}"))
             .withColumn("bin_offset", F.expr(f"pack_off % {capacity}")))
+
+
+def ngrams_col(text_col: str = "text", n: int = 5) -> Column:
+    """Distinct word n-grams as array<string> (the exact-string form —
+    no hashing, so the DuckDB twin is the same list expression).  Docs
+    shorter than n words yield their whole text as the single gram
+    (slice clamps identically on both engines)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))")
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5, broadcast_eval: bool = True) -> DataFrame:
+    """Eval-set decontamination — flag every training doc sharing any
+    word n-gram with the eval/benchmark set, the standard guard against
+    benchmark leakage into a training corpus.
+
+    Scale shape: the eval side collapses to a DISTINCT gram set (eval
+    sets are tiny next to a 100 TB corpus — broadcast by default, or a
+    gram-keyed shuffle equi-join with `broadcast_eval=False` when it
+    isn't); the train side streams scan → gram explode → broadcast-hash
+    semi-probe → one doc_id-keyed count-distinct agg.  The corpus is
+    read once and no train-side gram ever rides a shuffle except the
+    hits.  Exact strings, no hashing — bit-identical in ANSI SQL."""
+    grams = ngrams_col(text_col, n)
+    ev = (eval_df.select(F.explode(grams).alias("gram")).distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (train.select(F.col(id_col), F.explode(grams).alias("gram"))
+            .join(ev, "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_hit_grams")))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .withColumn("n_hit_grams",
+                        F.coalesce("n_hit_grams", F.lit(0).cast("long")))
+            .withColumn("contaminated", F.col("n_hit_grams") > 0))
