@@ -499,6 +499,35 @@ def main() -> None:
             "LATERAL bbox_tiles(b.minlon, b.minlat, b.maxlon, b.maxlat, 4) t"
         ), "simple")))
 
+    # 29. sequence packing (late r3)
+    from engine.text.ops import pack_sequences
+    sections.append((
+        "Sequence packing (M25, late r3)",
+        "Concat-then-chunk training-bin assignment: ONE hash exchange "
+        "keyed on (source, pack_shard) feeds the window prefix sum; "
+        "bin_id/bin_offset are integer projections of it, so the whole "
+        "operator is a single shuffle + codegen arithmetic. The "
+        "deterministic xxhash64 shard bounds per-task sort size for "
+        "100 TB groups (each shard packs independently — one partial "
+        "bin per shard of waste).",
+        plan_of(pack_sequences(
+            docs_tbl.select("doc_id", F.lit("a").alias("source"),
+                            F.col("n_chars").cast("long").alias("n_chars")),
+            capacity=1000, group_cols=("source",), n_shards=4), "simple")))
+
+    # 30. eval-set decontamination (late r3)
+    from engine.text.ops import decontaminate
+    ev_tbl = docs_tbl.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    tr_tbl = docs_tbl.filter(F.col("doc_id") >= 30).select("doc_id", "text")
+    sections.append((
+        "Eval-set decontamination (M26, late r3)",
+        "The eval side collapses to a DISTINCT gram set and broadcasts; "
+        "the train side streams scan -> gram explode -> BroadcastHashJoin "
+        "probe -> one doc_id-keyed count-distinct aggregate. The corpus "
+        "is read once and no train-side gram ever rides a shuffle — only "
+        "the (doc_id, gram) hits reach the exchange.",
+        plan_of(decontaminate(tr_tbl, ev_tbl, n=5), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
