@@ -1615,6 +1615,22 @@ def q_sample_stratified(spark, sf):
                              seed=43).select("doc_id", "lang", "u")
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+
+
+def q_resample_mixture(spark, sf):
+    """Training-data op (late r3): deterministic mixture reweighting —
+    per-source epoch weights (src0 x2.5 upsampled, src1 x0.3
+    downsampled, src2 dropped, rest x1) via stochastic rounding on the
+    same mix64 row-key kernel as sample_stratified (seed 44).  Copies
+    carry an epoch index; zero shuffle; all-integer thresholds."""
+    _prep(spark)
+    from engine.ml.split import resample_mixture
+    return resample_mixture(_t(spark, sf, "documents"), MIX_WEIGHTS,
+                            seed=44).select(
+        "doc_id", "source", "u", "n_copies", "epoch")
+
+
 def _grid_rects() -> list[tuple[str, float, float, float, float]]:
     """80 deterministic axis-aligned rects with INTEGER-degree bounds
     (exact in both engines; no float ties exist) — the layer x layer
@@ -1786,11 +1802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the sixteen late-r3 adds (tile_focal, poly_overlap,
+        and the seventeen late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
         sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
-        pack_sequences, decontaminate);
+        pack_sequences, decontaminate, resample_mixture);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
@@ -1847,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_expire": q_snapshot_expire,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "resample_mixture": q_resample_mixture,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2092,6 +2109,26 @@ def oracle_sql() -> dict[str, str]:
     sample_strat_sql = (
         f"WITH s AS (SELECT doc_id, lang, {_u} AS u FROM documents) "
         f"SELECT doc_id, lang, u FROM s WHERE u < ({_thr})")
+
+    # resample_mixture: same kernel with seed 44; floor(w) + stochastic
+    # ceiling via integer frac thresholds, epochs unnested 0..n-1.
+    import math as _math
+    _um = (f"CAST({_mix64_sql(f'(CAST(doc_id AS HUGEINT) + {_seed_off(44)}) % {_U64_MOD}')}"
+           " % 1000000 AS BIGINT)")
+    _mix_base = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {int(_math.floor(w))}"
+        for s, w in sorted(MIX_WEIGHTS.items())) + " ELSE 1 END")
+    _mix_frac = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {int(round((w - _math.floor(w)) * 1_000_000))}"
+        for s, w in sorted(MIX_WEIGHTS.items())) + " ELSE 0 END")
+    resample_sql = (
+        f"WITH s AS (SELECT doc_id, source, {_um} AS u FROM documents), "
+        f"c AS (SELECT doc_id, source, u, CAST(({_mix_base}) + "
+        f"CASE WHEN u < ({_mix_frac}) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS n_copies FROM s) "
+        "SELECT doc_id, source, u, n_copies, "
+        "unnest(generate_series(0, n_copies - 1)) AS epoch "
+        "FROM c WHERE n_copies > 0")
 
     # split_leakage_safe: rep = min id over the exact-text group (the
     # engine partitions by sha2(text,256) — identical groups absent a
@@ -2675,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "data_split": data_split_sql,
         "split_leakage_safe": split_leak_sql,
         "sample_stratified": sample_strat_sql,
+        "resample_mixture": resample_sql,
         "phash_dedup": phash_dedup_sql,
         # spatial_diff: the bounded-diff composite in exact/established
         # arithmetic — membership of the second commit is id % 3 = 0,

@@ -138,3 +138,47 @@ def assign_splits(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
     b = bucket_udf(seed, buckets)(F.col(id_col)).alias("bucket")
     return df.withColumn("bucket", b).withColumn(
         "split", split_col(F.col("bucket"), weights, names, buckets))
+
+
+def resample_mixture(df: DataFrame, weights: dict[str, float],
+                     stratum_col: str = "source", id_col: str = "doc_id",
+                     seed: int = 44, default_weight: float = 1.0,
+                     denom: int = 1_000_000) -> DataFrame:
+    """Deterministic mixture reweighting — the data-MIXING step that
+    sets per-source epoch counts for a training run (wiki x2.5,
+    crawl x0.3, ...), unifying up- and down-sampling: each row of
+    stratum s is emitted floor(w_s) or ceil(w_s) times, taking the
+    ceiling iff  mix64(id + mix64(seed)) % denom < frac(w_s)·denom,
+    so realized per-stratum sizes converge to w_s·|stratum| with zero
+    coordination (stochastic rounding on a pure row-key hash).  Copies
+    carry an `epoch` index (0..n_copies-1) so downstream shard writers
+    can spread repeats across epochs; w_s = 0 drops the stratum.
+
+    Scale shape: zero shuffle — the same Arrow bucket kernel as
+    assign_splits, a native CASE pair, and an explode whose fan-out is
+    bounded by ceil(max weight).  A pure function of (id, seed):
+    stable under repartition, resume, and appends.  All-integer
+    thresholds — no float-tie class."""
+    import math
+
+    u = bucket_udf(seed, denom).asNondeterministic()(F.col(id_col)).alias("u")
+
+    def case_over(value_of, default):
+        e = None
+        for s, w in sorted(weights.items()):
+            cond = F.col(stratum_col) == s
+            e = F.when(cond, value_of(w)) if e is None \
+                else e.when(cond, value_of(w))
+        return e.otherwise(default) if e is not None else F.lit(default)
+
+    base = case_over(lambda w: int(math.floor(w)),
+                     int(math.floor(default_weight)))
+    frac = case_over(lambda w: int(round((w - math.floor(w)) * denom)),
+                     int(round((default_weight - math.floor(default_weight))
+                               * denom)))
+    return (df.withColumn("u", u)
+            .withColumn("n_copies",
+                        (base + F.when(F.col("u") < frac, 1).otherwise(0))
+                        .cast("long"))
+            .filter(F.col("n_copies") > 0)
+            .withColumn("epoch", F.explode(F.expr("sequence(0, n_copies - 1)"))))

@@ -528,6 +528,22 @@ def main() -> None:
         "the (doc_id, gram) hits reach the exchange.",
         plan_of(decontaminate(tr_tbl, ev_tbl, n=5), "simple")))
 
+    # 31. mixture reweighting (late r3)
+    from engine.ml.split import resample_mixture
+    sections.append((
+        "Mixture reweighting (M27, late r3)",
+        "Per-source epoch weighting with ZERO shuffle: one Arrow bucket "
+        "kernel stage (the same mix64 row-key hash as the split ops), a "
+        "native CASE pair for floor/frac thresholds, and a Generate "
+        "whose fan-out is bounded by ceil(max weight). No exchange "
+        "appears anywhere in the plan — the op composes with a "
+        "downstream partitioned write without imposing any partitioning "
+        "of its own.",
+        plan_of(resample_mixture(
+            docs_tbl.select("doc_id", F.concat(
+                F.lit("s"), F.col("doc_id") % 4).alias("source")),
+            {"s0": 2.5, "s1": 0.3, "s2": 0.0}), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
