@@ -1404,6 +1404,26 @@ def q_geo_area_centroid(spark, sf):
     return area_centroid(rings_df(PolygonLayer.from_json(), spark))
 
 
+def q_simplify_rings(spark, sf):
+    """B-family (late r3): Douglas-Peucker ring simplification in exact
+    integer domain — FLOOR-q6 quantization, arbitrary-precision cross^2
+    vs tol^2*len^2 comparisons (no float-ULP class), lowest-index tie
+    break.  Input: 8 deterministic zigzag rings (240-520 vertices,
+    coords in exact 1/1024-degree multiples, LCG noise — no libm trig
+    anywhere, so the golden is bit-identical on any IEEE-754 host).
+    The spikes survive 0.02-degree simplification, the ±4/1024-degree
+    noise does not.  Oracle = golden pin; independent verification is
+    tests/test_simplify.py's DP property suite (tolerance guarantee,
+    idempotence, collinear collapse)."""
+    _prep(spark)
+    from engine.geo.measure import RING_SCHEMA
+    from engine.geo.simplify import dense_zigzag_rings, simplify_rings
+    rings = spark.createDataFrame(dense_zigzag_rings(), schema=RING_SCHEMA)
+    return simplify_rings(rings, tol_deg=0.02).select(
+        "poly_id", "ring_id", "kind", "n_vertices_in", "n_vertices_out",
+        "sx_q6", "sy_q6")
+
+
 def q_text_topterms(spark, sf):
     """Text-analysis family (r3): per-doc top-3 terms by count, ties
     lexicographic — explode/count/window with both shuffles keyed on
@@ -1802,11 +1822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the seventeen late-r3 adds (tile_focal, poly_overlap,
+        and the eighteen late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
         sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
-        pack_sequences, decontaminate, resample_mixture);
+        pack_sequences, decontaminate, resample_mixture, simplify_rings);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
@@ -1864,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "resample_mixture": q_resample_mixture,
+        "simplify_rings": q_simplify_rings,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2490,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         **{k: f"SELECT * FROM read_parquet('{_REPO}/oracle/golden/{k}.parquet')"
            for k in ("gen_images", "img_decode_stats", "pip_refine",
                      "media_features", "media_resize", "media_frames",
-                     "img_augment")},
+                     "img_augment", "simplify_rings")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the
