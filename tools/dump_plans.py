@@ -544,6 +544,21 @@ def main() -> None:
                 F.lit("s"), F.col("doc_id") % 4).alias("source")),
             {"s0": 2.5, "s1": 0.3, "s2": 0.0}), "simple")))
 
+    # 32. DP ring simplification (late r3)
+    from engine.geo.measure import RING_SCHEMA
+    from engine.geo.simplify import dense_zigzag_rings, simplify_rings
+    sections.append((
+        "Douglas-Peucker ring simplification (B6, late r3)",
+        "Geometry-local: ONE ArrowEvalPython stage (the exact-int DP "
+        "kernel over quantized coordinate arrays) sandwiched between "
+        "native transform projections — no exchange anywhere, "
+        "embarrassingly parallel over the ring table. The simplified "
+        "vertex array is re-sliced natively from the kept indices, so "
+        "doubles never round-trip through Python.",
+        plan_of(simplify_rings(
+            spark.createDataFrame(dense_zigzag_rings(2),
+                                  schema=RING_SCHEMA)), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
