@@ -846,6 +846,39 @@ def q_tile_raster(spark, sf):
     return rasterize_tiles(_points(spark, sf), z=6, grid_bits=4)
 
 
+def _int_pixels(spark, sf):
+    """(tile_x, tile_y, pix, w) pixel counts derived from customer keys by
+    PURE INTEGER arithmetic — no trig, bit-identical in Spark and DuckDB.
+    (The tile_raster r2 lesson applied up front: a hash-checked oracle
+    must never recompute transcendentals.)  The geo path from points to
+    the same relation is engine/geo/raster.py::_pixel_counts and is
+    covered by the tile_raster/tile_focal keys."""
+    return (_t(spark, sf, "customer").select(
+        F.expr("(CAST(c_custkey AS BIGINT) * 7919) % 8").alias("tile_x"),
+        F.expr("(CAST(c_custkey AS BIGINT) * 104729) % 8").alias("tile_y"),
+        F.expr("(CAST(c_custkey AS BIGINT) * 2654435761) % 256").alias("pix"))
+        .groupBy("tile_x", "tile_y", "pix").agg(F.count("*").alias("w")))
+
+
+def q_raster_polygonize(spark, sf):
+    """Raster->vector REGIONIZATION (the reverse bridge to tile_raster):
+    4-connected components of occupied pixels per tile -> vector region
+    records (min-pixel region id, pixel count, weight, pixel bbox).  One
+    tile-keyed shuffle (inherits the rasterizer's grid^2 skew bound) +
+    one bounded Arrow stage (union-find over <= 256 pixels per tile).
+    The DuckDB twin recomputes the components with a recursive CTE over
+    the same integer-derived pixels — connected components is exactly
+    the operator class plain SQL can't run in one pass, so the oracle is
+    the recursive-SQL gold standard (same pattern as dedup_clusters).
+    The cross-tile global stitch (polygonize_global — boundary-edge
+    equi-join + the driver-green min-label propagation of
+    dedup_clusters) is pytest-oracled against a whole-plane BFS in
+    tests/test_polygonize.py."""
+    _prep(spark)
+    from engine.geo.polygonize import polygonize
+    return polygonize(_int_pixels(spark, sf), grid_bits=4)
+
+
 def q_snapshot_merge(spark, sf):
     """Bounded-diff ETL (MERGE upsert): a restated-orders delta merges
     into the base snapshot via left-anti + union, the result committed
@@ -1329,6 +1362,28 @@ def q_ann_ivf_topk(spark, sf):
     emb = _emb_with_planted(spark, sf)
     cents = ivf_train(emb, 16, dim=len(QVEC))
     return ivf_topk(emb, QVEC, 10, cents, n_probe=4, id_col="vec_id")
+
+
+def q_ann_pq_topk(spark, sf):
+    """M28 — product-quantization ANN (FAISS-PQ shape): per-subvector
+    k-means codebooks from the bounded deterministic train sample, one
+    Arrow encode pass (8 int codes replace 64 floats — at 10^12 rows the
+    query path scans a 32x smaller column), NATIVE ADC scoring (the LUT
+    is an inlined nested-array literal; the per-row score is a codegen
+    transform+aggregate — zero Python in the scan), then exact-cosine
+    re-rank of the 64 best (broadcast semi-join, no wide shuffle).
+    Driver-checkable by the planted-duplicates theorem, L2 flavor: an
+    exact copy of the query encodes to the per-subvector argmin codes,
+    so its ADC distance is the GLOBAL MINIMUM (sum of per-subvector
+    minima) — only rows ULP-tied at that minimum could displace it from
+    the rerank pool, and the fixture margin (asserted in tests/test_pq.py)
+    excludes them at the driver sfs.  Oracle: exact brute-force SQL
+    top-10 over the same union, identical to ann_lsh/ivf_topk."""
+    _prep(spark)
+    from engine.ml.ann import pq_topk, pq_train
+    emb = _emb_with_planted(spark, sf)
+    books = pq_train(emb, m_sub=8, n_codes=16, dim=len(QVEC))
+    return pq_topk(emb, QVEC, 10, books, rerank=64)
 
 
 def q_dedup_clusters(spark, sf):
@@ -1826,7 +1881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
         sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
-        pack_sequences, decontaminate, resample_mixture, simplify_rings);
+        pack_sequences, decontaminate, resample_mixture, simplify_rings,
+        raster_polygonize, ann_pq_topk — the last two displace
+        metrics_table/lineage_table to 51+, both already driver-recorded
+        in r2: metrics green, lineage rows-only by design);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
@@ -1885,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "resample_mixture": q_resample_mixture,
         "simplify_rings": q_simplify_rings,
+        "raster_polygonize": q_raster_polygonize,
+        "ann_pq_topk": q_ann_pq_topk,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
         "lineage_table": q_lineage_table,
@@ -2500,7 +2560,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM generate_series(0, 9) t(i)), "
             f"s AS (SELECT vec_id, {cos_sql} AS cos_sim FROM e) "
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC "
-            "LIMIT 10") for key in ("ann_lsh_topk", "ann_ivf_topk")},
+            "LIMIT 10") for key in ("ann_lsh_topk", "ann_ivf_topk",
+                                    "ann_pq_topk")},
+        # raster_polygonize: connected components per tile recomputed with
+        # a recursive CTE over the same integer-derived pixels (the
+        # recursive-SQL gold standard, like dedup_clusters) — all-integer,
+        # tie-free.
+        "raster_polygonize": (
+            "WITH RECURSIVE px AS (SELECT "
+            "(CAST(c_custkey AS BIGINT) * 7919) % 8 AS tile_x, "
+            "(CAST(c_custkey AS BIGINT) * 104729) % 8 AS tile_y, "
+            "(CAST(c_custkey AS BIGINT) * 2654435761) % 256 AS pix, "
+            "COUNT(*) AS w FROM customer GROUP BY 1, 2, 3), "
+            "e AS (SELECT a.tile_x, a.tile_y, a.pix AS pa, b.pix AS pb "
+            "FROM px a JOIN px b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y "
+            "AND ((b.pix = a.pix + 1 AND a.pix % 16 < 15) OR b.pix = a.pix + 16)), "
+            "e2 AS (SELECT tile_x, tile_y, pa, pb FROM e "
+            "UNION SELECT tile_x, tile_y, pb, pa FROM e), "
+            "r AS (SELECT tile_x, tile_y, pix, pix AS lbl FROM px "
+            "UNION SELECT e2.tile_x, e2.tile_y, e2.pa, r.lbl FROM e2 JOIN r "
+            "ON e2.tile_x = r.tile_x AND e2.tile_y = r.tile_y AND e2.pb = r.pix), "
+            "m AS (SELECT tile_x, tile_y, pix, MIN(lbl) AS lbl FROM r "
+            "GROUP BY 1, 2, 3) "
+            "SELECT m.tile_x, m.tile_y, m.lbl AS region_id, "
+            "CAST(COUNT(*) AS INTEGER) AS n_pixels, "
+            "CAST(SUM(px.w) AS BIGINT) AS w_sum, "
+            "CAST(MIN(m.pix % 16) AS INTEGER) AS min_px, "
+            "CAST(MIN(m.pix // 16) AS INTEGER) AS min_py, "
+            "CAST(MAX(m.pix % 16) AS INTEGER) AS max_px, "
+            "CAST(MAX(m.pix // 16) AS INTEGER) AS max_py "
+            "FROM m JOIN px ON m.tile_x = px.tile_x AND m.tile_y = px.tile_y "
+            "AND m.pix = px.pix GROUP BY 1, 2, 3"),
         # Golden-file oracles: sf-independent synthetic keys (seeded
         # generators + fixed layers, no driver table feeds them) diffed
         # against committed expected outputs (oracle/golden/*.parquet,

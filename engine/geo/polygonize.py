@@ -1,0 +1,230 @@
+"""Raster -> vector regionization (polygonize): connected components of
+occupied pixels in per-tile occupancy rasters, emitted as vector region
+records (bbox + pixel count + weight).  Completes the north_star's
+"raster<->vector" bridge in the reverse direction of
+engine/geo/raster.py — rasterize turns points into per-tile grids;
+polygonize turns those grids back into vector features (the OSM-class
+`gdal_polygonize` / raster-contour operation).
+
+Scale shape:
+- Input is the same skinny (tile_x, tile_y, pix, w) pixel-count relation
+  the rasterizer aggregates to — a hot tile is already bounded to
+  grid^2 rows by the map-side combine, so the single tile-keyed shuffle
+  here inherits the rasterizer's skew bound.
+- Per-tile labeling is BATCHED, not per-group: pixels are collected per
+  tile natively (collect_list of <= grid^2 structs) and ONE Arrow
+  scalar pandas UDF labels thousands of tiles per Python invocation.
+  A first cut used applyInPandas (one pandas frame per tile) and spent
+  ~2 ms of per-group overhead per tile — 905 s for 50 M points over
+  1 M tiles; the batched shape is ~16x faster on the same input
+  (measured, see BASELINE.md).  Same lesson as the rasterizer's
+  rasterize_tile_grids (engine/geo/raster.py docstring).
+- Cross-tile stitching (polygonize_global) is the SAME iterative
+  min-label propagation as duplicate clustering
+  (engine/text/dedup.py::connected_components): per-tile regions that
+  touch a shared tile edge with 4-adjacent boundary pixels become graph
+  edges; only O(boundary) skinny rows shuffle, converging in
+  O(region diameter in tiles) rounds.
+
+Determinism contract (r3 float-tie rule): everything is integer — pixel
+ids, counts, min-pixel region labels — so a DuckDB recursive-CTE twin
+reproduces region labels bit-exactly and the driver can hash-check the
+key at any sf.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StructField, StructType,
+)
+
+REGION_SCHEMA = StructType([
+    StructField("tile_x", LongType()),
+    StructField("tile_y", LongType()),
+    StructField("region_id", LongType()),   # min pixel id in the region
+    StructField("n_pixels", IntegerType()),
+    StructField("w_sum", LongType()),
+    StructField("min_px", IntegerType()),
+    StructField("min_py", IntegerType()),
+    StructField("max_px", IntegerType()),
+    StructField("max_py", IntegerType()),
+])
+
+_REGION_FIELDS = StructType([f for f in REGION_SCHEMA
+                             if f.name not in ("tile_x", "tile_y")])
+
+
+def _label_tile(pix: list[int], grid: int) -> dict[int, int]:
+    """4-connected components over one tile's occupied pixel ids.
+    Returns {pixel_id: region_label} with label = min pixel id of the
+    region.  Pure-int union-find over <= grid^2 members — bounded work
+    per tile by construction."""
+    occupied = set(pix)
+    parent = {p: p for p in occupied}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for p in occupied:
+        x, y = p % grid, p // grid
+        # right + down neighbors cover every adjacent pair once
+        for q in ((p + 1) if x + 1 < grid else None,
+                  (p + grid) if y + 1 < grid else None):
+            if q is not None and q in occupied:
+                ra, rb = find(p), find(q)
+                if ra != rb:
+                    # union by label order keeps the min id reachable
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+    return {p: find(p) for p in occupied}
+
+
+def _packed_tiles(pixels: DataFrame):
+    """(tile_x, tile_y, pw): pixels collected per tile — the ONE
+    tile-keyed shuffle; each list is <= grid^2 structs by construction."""
+    return (pixels.groupBy("tile_x", "tile_y")
+            .agg(F.collect_list(F.struct("pix", "w")).alias("pw")))
+
+
+def polygonize(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
+    """Vectorize per-tile occupancy rasters: input (tile_x, tile_y, pix,
+    w) pixel counts (the rasterizer's internal relation — see
+    engine/geo/raster.py::_pixel_counts), output one row per 4-connected
+    region per tile with region_id = the region's minimum pixel id, its
+    pixel count, total weight, and pixel-space bbox.
+
+    One tile-keyed shuffle (inherits the rasterizer's grid^2 skew
+    bound) + one BATCHED Arrow stage (thousands of tiles per Python
+    call); region rows explode natively out of the struct array."""
+    grid = 1 << grid_bits
+
+    @F.pandas_udf(ArrayType(_REGION_FIELDS))
+    def vectorize(pw: pd.Series) -> pd.Series:
+        out = []
+        for lst in pw:
+            pix = [int(it["pix"]) for it in lst]
+            wmap = {int(it["pix"]): int(it["w"]) for it in lst}
+            labels = _label_tile(pix, grid)
+            regions: dict[int, list[int]] = {}
+            for p, lbl in labels.items():
+                x, y = p % grid, p // grid
+                r = regions.get(lbl)
+                if r is None:
+                    regions[lbl] = [1, wmap[p], x, y, x, y]
+                else:
+                    r[0] += 1
+                    r[1] += wmap[p]
+                    if x < r[2]:
+                        r[2] = x
+                    if y < r[3]:
+                        r[3] = y
+                    if x > r[4]:
+                        r[4] = x
+                    if y > r[5]:
+                        r[5] = y
+            out.append([
+                {"region_id": lbl, "n_pixels": v[0], "w_sum": v[1],
+                 "min_px": v[2], "min_py": v[3], "max_px": v[4],
+                 "max_py": v[5]} for lbl, v in regions.items()])
+        return pd.Series(out)
+
+    return (_packed_tiles(pixels)
+            .select("tile_x", "tile_y", F.explode(vectorize("pw")).alias("r"))
+            .select("tile_x", "tile_y", "r.*"))
+
+
+def _labeled_pixels(pixels: DataFrame, grid: int) -> DataFrame:
+    """(tile_x, tile_y, pix, w, lbl): per-pixel region labels, batched
+    the same way as polygonize (one Arrow call labels thousands of
+    tiles)."""
+    t = ArrayType(StructType([
+        StructField("pix", LongType()), StructField("w", LongType()),
+        StructField("lbl", LongType()),
+    ]))
+
+    @F.pandas_udf(t)
+    def label(pw: pd.Series) -> pd.Series:
+        out = []
+        for lst in pw:
+            pix = [int(it["pix"]) for it in lst]
+            labels = _label_tile(pix, grid)
+            out.append([{"pix": p, "w": int(it["w"]), "lbl": labels[p]}
+                        for p, it in zip(pix, lst)])
+        return pd.Series(out)
+
+    return (_packed_tiles(pixels)
+            .select("tile_x", "tile_y", F.explode(label("pw")).alias("r"))
+            .select("tile_x", "tile_y", "r.*"))
+
+
+def polygonize_global(pixels: DataFrame, grid_bits: int = 4,
+                      z: int | None = None) -> DataFrame:
+    """Cross-tile regionization: per-tile regions stitched into GLOBAL
+    regions wherever occupied pixels are 4-adjacent across a shared tile
+    edge.  Output: (tile_x, tile_y, region_id, global_id, n_pixels,
+    w_sum) — global_id = min (tile-qualified) region key reachable.
+
+    Shape at scale: ONE labeling pass (the batched Arrow stage above)
+    feeds both the edge build and the region agg; stitching builds only
+    BOUNDARY edges (pixels on a tile's right/bottom edge joined to the
+    neighbor tile's matching left/top pixels — an equi-join on the
+    shared-edge key, O(occupied boundary pixels) rows) and then reuses
+    the min-label propagation from engine/text/dedup.py (skinny
+    (long, long) shuffles, O(diameter-in-tiles) rounds).  `z` wraps
+    tile_x cyclically at the antimeridian when given."""
+    from engine.text.dedup import connected_components
+
+    grid = 1 << grid_bits
+
+    # tile-qualified region key: (tile_x, tile_y, region_id) -> one long
+    def rkey(tx, ty, rid):
+        return ((tx * 1048576 + ty) * 1048576 + rid)
+
+    labeled = _labeled_pixels(pixels, grid).localCheckpoint(eager=True)
+    lab = labeled.select(
+        "tile_x", "tile_y", "pix",
+        rkey(F.col("tile_x"), F.col("tile_y"), F.col("lbl")).alias("rk"))
+
+    nx = (F.col("tile_x") + 1)
+    if z is not None:
+        nx = nx % F.lit(1 << z)
+    # right-edge pixels keyed by the shared vertical edge + row
+    r_a = lab.filter(F.col("pix") % grid == grid - 1).select(
+        F.col("rk").alias("rk_a"), nx.alias("ex"),
+        F.col("tile_y").alias("ey"), (F.col("pix") / grid).cast("long").alias("row"))
+    r_b = lab.filter(F.col("pix") % grid == 0).select(
+        F.col("rk").alias("rk_b"), F.col("tile_x").alias("ex"),
+        F.col("tile_y").alias("ey"), (F.col("pix") / grid).cast("long").alias("row"))
+    # bottom-edge pixels keyed by the shared horizontal edge + column
+    b_a = lab.filter(F.col("pix") >= grid * (grid - 1)).select(
+        F.col("rk").alias("rk_a"), F.col("tile_x").alias("ex"),
+        (F.col("tile_y") + 1).alias("ey"), (F.col("pix") % grid).alias("row"))
+    b_b = lab.filter(F.col("pix") < grid).select(
+        F.col("rk").alias("rk_b"), F.col("tile_x").alias("ex"),
+        F.col("tile_y").alias("ey"), (F.col("pix") % grid).alias("row"))
+    edges = (r_a.join(r_b, ["ex", "ey", "row"])
+             .unionByName(b_a.join(b_b, ["ex", "ey", "row"]))
+             .select(F.col("rk_a").alias("id_a"), F.col("rk_b").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")).distinct())
+
+    comp = connected_components(edges)
+    # per-tile regions: native map-side-combined agg over the labeled
+    # pixels (no second Arrow stage)
+    regions = (labeled
+               .groupBy("tile_x", "tile_y", F.col("lbl").alias("region_id"))
+               .agg(F.count("*").cast("int").alias("n_pixels"),
+                    F.sum("w").alias("w_sum")))
+    keyed = regions.withColumn(
+        "rk", rkey(F.col("tile_x"), F.col("tile_y"), F.col("region_id")))
+    return (keyed.join(comp, keyed.rk == comp.id, "left")
+            .select("tile_x", "tile_y", "region_id",
+                    F.coalesce("cluster_id", F.col("rk")).alias("global_id"),
+                    "n_pixels", "w_sum"))

@@ -559,6 +559,48 @@ def main() -> None:
             spark.createDataFrame(dense_zigzag_rings(2),
                                   schema=RING_SCHEMA)), "simple")))
 
+    # 33. raster polygonize (late r3)
+    from engine.geo.polygonize import polygonize
+    pixels = (spark.range(4096)
+              .select(F.pmod(F.xxhash64("id"), F.lit(8)).alias("tile_x"),
+                      F.pmod(F.xxhash64("id", F.lit(1)), F.lit(8)).alias("tile_y"),
+                      F.pmod(F.xxhash64("id", F.lit(2)), F.lit(256)).alias("pix"))
+              .groupBy("tile_x", "tile_y", "pix").agg(F.count("*").alias("w")))
+    sections.append((
+        "Raster->vector polygonize (C3f, late r3)",
+        "One map-side-combined (tile, pixel) agg bounds any hot tile to "
+        "grid² shuffle rows (the rasterizer's skew bound), ONE tile-keyed "
+        "objectHashAgg collects each tile's ≤ 256 pixel structs, and a "
+        "single BATCHED ArrowEvalPython runs the bounded union-find over "
+        "thousands of tiles per Python call (the applyInPandas first cut "
+        "paid ~2 ms/group — 8.9x slower at 1M tiles, see BASELINE.md); "
+        "region rows explode natively out of the struct array.",
+        plan_of(polygonize(pixels, grid_bits=4), "simple")))
+
+    # 34. PQ-ADC top-k (late r3)
+    from engine.ml.ann import _adc_lut, adc_dist_expr, make_pq_encode_udf, pq_train
+    emb_tbl = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 63), "
+               "j -> cast(sin(id * 64 + j) as float))").alias("embedding"))
+    books = pq_train(emb_tbl, m_sub=8, n_codes=16, dim=64)
+    qvec = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    scored = (emb_tbl
+              .withColumn("codes", make_pq_encode_udf(books)(F.col("embedding")))
+              .withColumn("adc_dist",
+                          F.expr(adc_dist_expr("codes", _adc_lut(qvec, books))))
+              .select("vec_id", "adc_dist"))
+    sections.append((
+        "PQ-ADC scoring scan (M28, late r3)",
+        "The query-time hot path of product-quantization ANN: ONE "
+        "ArrowEvalPython stage (the encode — at scale this is a one-time "
+        "materialization, not per query) and then the ADC distance as a "
+        "pure codegen Project (the LUT is an inlined nested-array "
+        "literal; transform+aggregate over the 8 int codes). The scan "
+        "that answers queries reads a 32x smaller column and never "
+        "leaves the JVM.",
+        plan_of(scored, "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
