@@ -879,6 +879,27 @@ def q_raster_polygonize(spark, sf):
     return polygonize(_int_pixels(spark, sf), grid_bits=4)
 
 
+def q_tile_vector_encode(spark, sf):
+    """Vector-tile encode (the servable-tile step of an OSM-class
+    pipeline): each occupied z6 tile's features packed into one binary
+    payload — tile-local 4096-grid coords by pure bit-arithmetic under
+    the native level-30 mercator ints, id-sorted zigzag+delta+LEB128
+    varint stream (simplified MVT geometry-stream mechanics; see
+    engine/geo/vectile.py).  One tile-keyed collect + one BATCHED Arrow
+    encode (the polygonize/rasterize batching shape).  Payload bytes are
+    a pure function of the feature set (in-encoder id sort), so the key
+    is deterministic under any partitioning; returned as hex because the
+    canonical value comparison is text-typed.  Oracle: golden pinned at
+    sf0.01 (table-fed, like tile_raster); independent verification is
+    the pytest decode-roundtrip against the pure-Python reference
+    mercator kernel (tests/test_vectile.py)."""
+    _prep(spark)
+    from engine.geo.vectile import encode_vector_tiles
+    out = encode_vector_tiles(_points(spark, sf), z=6)
+    return out.select("tile_z", "tile_x", "tile_y", "n_features", "n_bytes",
+                      F.hex("payload").alias("payload_hex"))
+
+
 def q_snapshot_merge(spark, sf):
     """Bounded-diff ETL (MERGE upsert): a restated-orders delta merges
     into the base snapshot via left-anti + union, the result committed
@@ -1882,9 +1903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
         sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
         pack_sequences, decontaminate, resample_mixture, simplify_rings,
-        raster_polygonize, ann_pq_topk — the last two displace
-        metrics_table/lineage_table to 51+, both already driver-recorded
-        in r2: metrics green, lineage rows-only by design);
+        raster_polygonize, ann_pq_topk, tile_vector_encode — the last
+        three displace knn_join/metrics_table to 51+ (green r1+r2 and
+        r2 respectively); lineage_table stays in-window per the
+        rows-only policy guard);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
@@ -1904,7 +1926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project": q_project,
         "grouped_map": q_grouped_map,
         "agg_udaf": q_agg_udaf,
-        "stream_tumbling": q_stream_tumbling,
         "stream_pipeline": q_stream_pipeline,
         "stream_stateful": q_stream_stateful,
         "stream_join": q_stream_join,
@@ -1945,9 +1966,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_rings": q_simplify_rings,
         "raster_polygonize": q_raster_polygonize,
         "ann_pq_topk": q_ann_pq_topk,
+        "tile_vector_encode": q_tile_vector_encode,
+        # lineage_table stays IN-window (policy guard in
+        # test_entry_contract: rows-only keys get their rows-returned
+        # check every round); knn_join/metrics_table rotate out instead
+        "lineage_table": q_lineage_table,
+        # 51+: displaced double-checked keys — knn_join green r1+r2,
+        # metrics_table green r2, stream_tumbling green r2 (its r3
+        # float-tie-sweep class keeps three in-window representatives:
+        # stream_pipeline / stream_stateful / stream_join)
+        "stream_tumbling": q_stream_tumbling,
         "knn_join": q_knn_join,
         "metrics_table": q_metrics_table,
-        "lineage_table": q_lineage_table,
         # --- (c) flagship spatial path (continuously verified) ---
         "scan_parquet": q_scan_parquet,
         "scan_snapshot": q_scan_snapshot,
@@ -2601,7 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         **{k: f"SELECT * FROM read_parquet('{_REPO}/oracle/golden/{k}.parquet')"
            for k in ("gen_images", "img_decode_stats", "pip_refine",
                      "media_features", "media_resize", "media_frames",
-                     "img_augment", "simplify_rings")},
+                     "img_augment", "simplify_rings", "tile_vector_encode")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

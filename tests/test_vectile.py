@@ -1,0 +1,90 @@
+"""Vector-tile codec: varint/zigzag algebra, payload roundtrip and
+shuffle-independence, the feature cap, and the Spark end-to-end encode
+decoded back against the pure-Python reference mercator kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.geo.vectile import (
+    EXTENT, EXTENT_BITS, _unzigzag, _varint, _zigzag, decode_payload,
+    encode_payload, encode_vector_tiles,
+)
+from oracle.geo import LEVEL, lonlat_to_xy
+
+
+def test_zigzag_roundtrip():
+    for v in [0, 1, -1, 63, -64, 2**31, -(2**31), 2**62 - 1, -(2**62)]:
+        assert _unzigzag(_zigzag(v)) == v
+        assert _zigzag(v) >= 0
+
+
+def test_varint_lengths():
+    assert _varint(0) == b"\x00"
+    assert len(_varint(127)) == 1
+    assert len(_varint(128)) == 2
+    assert len(_varint((1 << 14) - 1)) == 2
+    assert len(_varint(1 << 14)) == 3
+
+
+def test_payload_roundtrip_and_shuffle_independence(rng):
+    for _ in range(20):
+        n = int(rng.integers(0, 40))
+        feats = [(int(rng.integers(0, 10**9)), int(rng.integers(0, EXTENT)),
+                  int(rng.integers(0, EXTENT))) for _ in range(n)]
+        feats = list({f[0]: f for f in feats}.values())  # unique ids
+        p = encode_payload(feats)
+        extent, got = decode_payload(p)
+        assert extent == EXTENT
+        assert got == sorted(feats)
+        # byte-identity under any input order
+        perm = list(feats)
+        rng.shuffle(perm)
+        assert encode_payload(perm) == p
+
+
+def test_max_features_keeps_lowest_ids():
+    feats = [(i, i % EXTENT, (3 * i) % EXTENT) for i in range(100, 0, -1)]
+    p = encode_payload(feats, max_features=10)
+    _, got = decode_payload(p)
+    assert [f[0] for f in got] == list(range(1, 11))
+
+
+def test_spark_encode_matches_reference_kernel(spark):
+    z = 6
+    pdf = pd.DataFrame({
+        "id": np.arange(500),
+        "lon": ((np.arange(500) * 2654435761) % 360000000) / 1e6 - 180.0,
+        "lat": ((np.arange(500) * 40503 + 7) % 170000000) / 1e6 - 85.0,
+    })
+    out = encode_vector_tiles(spark.createDataFrame(pdf), z=z).collect()
+    # reference: group by tile via the pure-Python kernel
+    want: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    shift_t, shift_l = LEVEL - z, LEVEL - z - EXTENT_BITS
+    for fid, lon, lat in pdf.itertuples(index=False):
+        xi, yi = lonlat_to_xy(float(lon), float(lat))
+        want.setdefault((xi >> shift_t, yi >> shift_t), []).append(
+            (int(fid), (xi >> shift_l) & (EXTENT - 1),
+             (yi >> shift_l) & (EXTENT - 1)))
+    assert {(r.tile_x, r.tile_y) for r in out} == set(want)
+    for r in out:
+        extent, feats = decode_payload(bytes(r.payload))
+        assert extent == EXTENT
+        assert feats == sorted(want[(r.tile_x, r.tile_y)])
+        assert r.n_features == len(feats)
+        assert r.n_bytes == len(bytes(r.payload))
+        assert r.tile_z == z
+
+
+def test_spark_max_features_cap(spark):
+    pdf = pd.DataFrame({"id": np.arange(50),
+                        "lon": np.full(50, 10.0), "lat": np.full(50, 20.0)})
+    out = encode_vector_tiles(spark.createDataFrame(pdf), z=6,
+                              max_features=8).collect()
+    assert len(out) == 1
+    _, feats = decode_payload(bytes(out[0].payload))
+    assert [f[0] for f in feats] == list(range(8))
+    assert out[0].n_features == 8

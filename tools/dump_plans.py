@@ -601,6 +601,22 @@ def main() -> None:
         "leaves the JVM.",
         plan_of(scored, "simple")))
 
+    # 35. vector-tile encode (late r3)
+    from engine.geo.vectile import encode_vector_tiles
+    vt_pts = spark.range(4096).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(360000)) / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(170000)) / 1000.0 - 85.0).alias("lat"))
+    sections.append((
+        "Vector-tile encode (C3g, late r3)",
+        "Servable-tile packing: tile + tile-local 4096-grid coords are "
+        "pure codegen bit ops under the native mercator ints, ONE "
+        "tile-keyed objectHashAgg collects each tile's feature structs "
+        "(map-side partials), and ONE batched ArrowEvalPython emits the "
+        "LEB128 payloads — thousands of tiles per Python call. The "
+        "payload bytes are shuffle-independent (in-encoder id sort).",
+        plan_of(encode_vector_tiles(vt_pts, z=6), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "

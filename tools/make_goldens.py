@@ -33,7 +33,13 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # libm disagreement (CPU-dispatched glibc vs local) moved
                # one point across a 1-of-2^30 pixel boundary -> hash
                # fail in the driver container while passing locally.
-               "tile_raster")
+               "tile_raster",
+               # tile_vector_encode: also table-fed and sf0.01-pinned —
+               # the payload is LEB128 binary (hex in the key), which the
+               # canonical text comparison can't re-derive in SQL; the
+               # independent check is tests/test_vectile.py's decode
+               # roundtrip vs the reference mercator kernel.
+               "tile_vector_encode")
 
 
 def main() -> None:
