@@ -900,6 +900,28 @@ def q_tile_vector_encode(spark, sf):
                       F.hex("payload").alias("payload_hex"))
 
 
+def q_tile_incremental(spark, sf):
+    """Incremental tile maintenance (the bounded-spatial-diffing rule
+    applied to the SERVABLE-TILE layer): changed rows = upserts
+    (id % 3 = 0, still present) + deletes (id % 7 = 0, removed from the
+    current state); only tiles a changed row touches are re-encoded, and
+    a tile whose last feature was deleted emits action='drop'.  The
+    driver-compared columns are the integer-exact maintenance PLAN
+    (tile, action, fresh feature count) — the z6 tile CTE is the
+    twice-green tile_assign/spatial_diff twin; payload bytes ride along
+    un-compared (their correctness is tile_vector_encode's golden +
+    the decode-roundtrip pytest, same encoder).  See
+    engine/geo/vectile.py::incremental_tiles for the at-scale cost
+    argument (O(|diff| + affected-tile rows), never a full re-tile)."""
+    _prep(spark)
+    from engine.geo.vectile import incremental_tiles
+    pts = _points(spark, sf)
+    current = pts.filter("id % 7 <> 0")
+    changed = pts.filter("id % 3 = 0 OR id % 7 = 0")
+    out = incremental_tiles(current, changed, z=6)
+    return out.select("tile_z", "tile_x", "tile_y", "action", "n_features")
+
+
 def q_snapshot_merge(spark, sf):
     """Bounded-diff ETL (MERGE upsert): a restated-orders delta merges
     into the base snapshot via left-anti + union, the result committed
@@ -1971,7 +1993,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_entry_contract: rows-only keys get their rows-returned
         # check every round); knn_join/metrics_table rotate out instead
         "lineage_table": q_lineage_table,
-        # 51+: displaced double-checked keys — knn_join green r1+r2,
+        # --- position 51: tile_incremental is the ONE r3 add that
+        # doesn't fit the window (every in-window key is never-checked,
+        # r3-oracle-changed, or the rows-only policy key) — queued as
+        # the r4 window head, pytest+check_contract-verified meanwhile
+        # (the r2 precedent: agg_percentile/fn_explode/win_dist shipped
+        # queued at 83-85 and went green in r3's window)
+        "tile_incremental": q_tile_incremental,
+        # 52+: displaced double-checked keys — knn_join green r1+r2,
         # metrics_table green r2, stream_tumbling green r2 (its r3
         # float-tie-sweep class keeps three in-window representatives:
         # stream_pipeline / stream_stateful / stream_join)
@@ -2932,4 +2961,19 @@ def oracle_sql() -> dict[str, str]:
             "AND lon >= -120.0 AND lon <= 120.0 "
             "AND lat >= -80.0 AND lat <= -40.0 "
             "GROUP BY 1, 2, 3"),
+        # tile_incremental: the maintenance plan in exact arithmetic —
+        # same z6 tile CTE as the twice-green tile_assign/spatial_diff
+        # twins; affected = tiles of changed rows, nf = surviving rows.
+        "tile_incremental": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "t AS (SELECT id, xi >> 24 AS tx, yi >> 24 AS ty FROM xy), "
+            "aff AS (SELECT DISTINCT tx, ty FROM t "
+            "WHERE id % 3 = 0 OR id % 7 = 0), "
+            "cur AS (SELECT tx, ty, COUNT(*) AS nf FROM t "
+            "WHERE id % 7 <> 0 GROUP BY 1, 2) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, a.tx AS tile_x, "
+            "a.ty AS tile_y, "
+            "CASE WHEN c.nf IS NULL THEN 'drop' ELSE 'recode' END AS action, "
+            "CAST(COALESCE(c.nf, 0) AS INTEGER) AS n_features "
+            "FROM aff a LEFT JOIN cur c ON a.tx = c.tx AND a.ty = c.ty"),
     }

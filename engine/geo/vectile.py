@@ -151,3 +151,46 @@ def encode_vector_tiles(df: DataFrame, z: int, id_col: str = "id",
             .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
                     "n_features", encode(F.col("fxy")).alias("payload"))
             .withColumn("n_bytes", F.length("payload").cast("int")))
+
+
+def _with_tile_cols(df: DataFrame, z: int, lat: str, lon: str) -> DataFrame:
+    xi, yi = merc_xy_sql(lon, lat)
+    s = LEVEL - z
+    return (df.withColumn("_xi", F.expr(xi)).withColumn("_yi", F.expr(yi))
+            .withColumn("tile_x", F.expr(f"_xi >> {s}"))
+            .withColumn("tile_y", F.expr(f"_yi >> {s}"))
+            .drop("_xi", "_yi"))
+
+
+def incremental_tiles(current: DataFrame, changed: DataFrame, z: int,
+                      id_col: str = "id", lat: str = "lat",
+                      lon: str = "lon",
+                      broadcast_affected: bool = True) -> DataFrame:
+    """Incremental tile maintenance — the north star's "OSM-style
+    bounded spatial diffing" applied to the servable-tile layer: given
+    the full CURRENT snapshot and the CHANGED rows (snapshot diff / CDC
+    batch: inserts, updates, and deleted rows' old positions), re-encode
+    ONLY the tiles a changed row touches.  Output one row per affected
+    tile: action='recode' with the fresh payload, or action='drop' when
+    no current row remains in the tile (payload NULL).  Untouched tiles
+    are never read past the tile-key filter, never re-encoded, never
+    emitted — at 10^12 features a bounded diff costs O(|diff| + rows in
+    affected tiles), not a full re-tile.
+
+    The affected tile set is O(|changed|) distinct keys and is
+    broadcast by default (a bounded diff is the operator's contract,
+    mirroring spatial_diff); pass broadcast_affected=False for an
+    unbounded feed and let AQE pick the join strategy."""
+    affected = (_with_tile_cols(changed, z, lat, lon)
+                .select("tile_x", "tile_y").distinct())
+    aff = F.broadcast(affected) if broadcast_affected else affected
+    touched = (_with_tile_cols(current, z, lat, lon)
+               .join(aff, ["tile_x", "tile_y"], "left_semi")
+               .select(id_col, lat, lon))
+    encoded = encode_vector_tiles(touched, z, id_col=id_col, lat=lat, lon=lon)
+    return (affected.join(encoded, ["tile_x", "tile_y"], "left")
+            .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                    F.when(F.col("payload").isNull(), F.lit("drop"))
+                    .otherwise(F.lit("recode")).alias("action"),
+                    F.coalesce("n_features", F.lit(0)).alias("n_features"),
+                    "n_bytes", "payload"))

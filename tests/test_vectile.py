@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from engine.geo.vectile import (
     EXTENT, EXTENT_BITS, _unzigzag, _varint, _zigzag, decode_payload,
-    encode_payload, encode_vector_tiles,
+    encode_payload, encode_vector_tiles, incremental_tiles,
 )
 from oracle.geo import LEVEL, lonlat_to_xy
 
@@ -77,6 +77,52 @@ def test_spark_encode_matches_reference_kernel(spark):
         assert r.n_features == len(feats)
         assert r.n_bytes == len(bytes(r.payload))
         assert r.tile_z == z
+
+
+def _inc_fixture(spark):
+    """Four far-apart locations -> four distinct z6 tiles: A keeps two
+    features (one changed), B's only feature is deleted, C is untouched,
+    D gains a new feature."""
+    rows = [
+        # (id, lon, lat, in_current, in_changed)
+        (1, 10.0, 20.0, True, True),     # A: updated
+        (2, 10.1, 20.1, True, False),    # A: untouched neighbor
+        (3, -120.0, -40.0, False, True),  # B: deleted (old position)
+        (4, 100.0, 60.0, True, False),   # C: untouched tile
+        (5, -60.0, 5.0, True, True),     # D: insert
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "lon", "lat", "cur", "chg"])
+    df = spark.createDataFrame(pdf)
+    return (df.filter("cur").select("id", "lon", "lat"),
+            df.filter("chg").select("id", "lon", "lat"))
+
+
+def test_incremental_actions_and_drop(spark):
+    current, changed = _inc_fixture(spark)
+    out = {(r.tile_x, r.tile_y): r
+           for r in incremental_tiles(current, changed, z=6).collect()}
+    full = {(r.tile_x, r.tile_y): r
+            for r in encode_vector_tiles(current, z=6).collect()}
+    assert len(out) == 3  # tiles A, B, D; C untouched and absent
+    actions = sorted(r.action for r in out.values())
+    assert actions == ["drop", "recode", "recode"]
+    for key, r in out.items():
+        if r.action == "drop":
+            assert r.n_features == 0 and r.payload is None
+            assert key not in full  # emptied tile has no current rows
+        else:
+            # recoded payload identical to the full re-encode of the tile
+            assert bytes(r.payload) == bytes(full[key].payload)
+            assert r.n_features == full[key].n_features
+    # untouched tile C is in the full encode but not in the incremental
+    untouched = set(full) - set(out)
+    assert len(untouched) == 1
+
+
+def test_incremental_no_changes_emits_nothing(spark):
+    current, _ = _inc_fixture(spark)
+    empty = current.filter("id < 0")
+    assert incremental_tiles(current, empty, z=6).count() == 0
 
 
 def test_spark_max_features_cap(spark):

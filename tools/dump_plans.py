@@ -617,6 +617,22 @@ def main() -> None:
         "payload bytes are shuffle-independent (in-encoder id sort).",
         plan_of(encode_vector_tiles(vt_pts, z=6), "simple")))
 
+    # 36. incremental tile maintenance (late r3)
+    from engine.geo.vectile import incremental_tiles
+    vt_cur = vt_pts.filter("id % 7 <> 0")
+    vt_chg = vt_pts.filter("id % 3 = 0 OR id % 7 = 0")
+    sections.append((
+        "Incremental tile maintenance (C3h, late r3)",
+        "Bounded spatial diffing on the servable-tile layer: the "
+        "affected tile set (distinct tiles of the changed rows, "
+        "O(diff)) broadcasts into a LEFT-SEMI BroadcastHashJoin that "
+        "bounds the current-snapshot scan to affected tiles BEFORE the "
+        "encode — untouched tiles never reach the collect or the Arrow "
+        "stage, so a bounded diff costs O(diff + affected-tile rows), "
+        "never a full re-tile. The final left join tags emptied tiles "
+        "as drops.",
+        plan_of(incremental_tiles(vt_cur, vt_chg, z=6), "simple")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
