@@ -1920,15 +1920,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NEW operators (dedup_clusters, tile_pyramid, stream_stream_join,
         emb_centroid, geo_area_centroid, text_topterms, cell_compact,
         data_split, phash_dedup, spatial_diff, spatial_join_compact)
-        and the eighteen late-r3 adds (tile_focal, poly_overlap,
+        and the twenty-one late-r3 adds (tile_focal, poly_overlap,
         split_leakage_safe, sample_stratified, zonal_stats, img_augment,
         cell_geohash, text_tfidf, hard_negatives, tile_edges,
         sessionize, tile_partitioned_scan, udtf_bbox_tiles, snapshot_expire,
         pack_sequences, decontaminate, resample_mixture, simplify_rings,
         raster_polygonize, ann_pq_topk, tile_vector_encode — the last
-        three displace knn_join/metrics_table to 51+ (green r1+r2 and
-        r2 respectively); lineage_table stays in-window per the
-        rows-only policy guard);
+        three displace knn_join/metrics_table/stream_tumbling to 51+,
+        all driver-green there; lineage_table stays in-window per the
+        rows-only policy guard; tile_incremental queues at 51 as the r4
+        window head);
     (c) the flagship spatial machinery, continuously driver-verified
         through the r3 keys that compose it (spatial_join_compact =
         covering+PIP, zonal_stats, spatial_diff, knn_join, tile_raster/
