@@ -922,6 +922,30 @@ def q_tile_incremental(spark, sf):
     return out.select("tile_z", "tile_x", "tile_y", "action", "n_features")
 
 
+def q_stream_tile_maintenance(spark, sf):
+    """J10 — STREAMING incremental tile maintenance: the fixture points
+    replay as 4 micro-batches (file-stream source, one chunk file per
+    trigger); each batch appends to the icelite points table, patches
+    ONLY its affected tiles (engine/geo/vectile.py::incremental_tiles),
+    and REPLACE-commits the tile table — a snapshot-versioned, stream-
+    checkpointed, resumable live re-tiling job.  The comparison is the
+    CONVERGENCE contract: the final tile table's (tile, n_features)
+    equals the one-shot full re-tile of all points — batching-
+    independent, so the exact z6 tile CTE over all points is the twin
+    (payload-byte equality across chunkings is pytest-asserted in
+    tests/test_stream_tiles.py)."""
+    _prep(spark)
+    import engine.streaming as st
+    pts = _points(spark, sf)
+    root = tempfile.mkdtemp(prefix="stream-tiles-")
+    st.write_point_chunks(pts, f"{root}/chunks", n_chunks=4)
+    stream = st.read_point_stream(spark, f"{root}/chunks/chunk-*")
+    tiles = st.maintain_tiles_stream(stream, f"{root}/pts", f"{root}/tiles",
+                                     f"{root}/ckpt", z=6)
+    return tiles.scan(spark).select("tile_z", "tile_x", "tile_y",
+                                    "n_features")
+
+
 def q_snapshot_merge(spark, sf):
     """Bounded-diff ETL (MERGE upsert): a restated-orders delta merges
     into the base snapshot via left-anti + union, the result committed
@@ -2001,7 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the r2 precedent: agg_percentile/fn_explode/win_dist shipped
         # queued at 83-85 and went green in r3's window)
         "tile_incremental": q_tile_incremental,
-        # 52+: displaced double-checked keys — knn_join green r1+r2,
+        "stream_tile_maintenance": q_stream_tile_maintenance,
+        # 53+: displaced double-checked keys — knn_join green r1+r2,
         # metrics_table green r2, stream_tumbling green r2 (its r3
         # float-tie-sweep class keeps three in-window representatives:
         # stream_pipeline / stream_stateful / stream_join)
@@ -2977,4 +3002,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c.nf IS NULL THEN 'drop' ELSE 'recode' END AS action, "
             "CAST(COALESCE(c.nf, 0) AS INTEGER) AS n_features "
             "FROM aff a LEFT JOIN cur c ON a.tx = c.tx AND a.ty = c.ty"),
+        # stream_tile_maintenance: convergence twin — the final tile
+        # table equals the one-shot full re-tile regardless of batching,
+        # so the oracle is simply the z6 tile counts over ALL points.
+        "stream_tile_maintenance": (
+            f"WITH {PTS_SQL}, {XY_SQL} "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, xi >> 24 AS tile_x, "
+            "yi >> 24 AS tile_y, CAST(COUNT(*) AS INTEGER) AS n_features "
+            "FROM xy GROUP BY 2, 3"),
     }

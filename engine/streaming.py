@@ -262,3 +262,94 @@ def stream_stream_join(clicks: DataFrame, views: DataFrame,
         & (F.col("view_ts") <= F.col("click_ts"))
     )
     return c.join(v, cond, "inner").select("click_id", "view_id", "user_id")
+
+
+# -------------------------------------------- streaming tile maintenance
+
+def maintain_tiles_stream(points_stream: DataFrame, points_root: str,
+                          tiles_root: str, checkpoint: str, z: int = 6,
+                          id_col: str = "id", lat: str = "lat",
+                          lon: str = "lon") -> "IceliteTable":
+    """J10 — STREAMING incremental tile maintenance: the bounded-diff
+    rule as a live ingest job.  Each micro-batch of newly-arrived
+    geotagged rows (1) appends to the icelite POINTS table, (2) patches
+    ONLY the tiles the batch touches via
+    engine.geo.vectile.incremental_tiles, and (3) commits the updated
+    TILE table as a REPLACE snapshot (merge_upsert on (tile_x, tile_y);
+    action='drop' tiles are deleted).  Both tables are snapshot-
+    versioned, so every micro-batch leaves a time-travelable tile state
+    and the stream checkpoint + table snapshots make the job resumable
+    end to end (the run_stream_to_icelite shape).
+
+    Convergence contract (pytest-asserted for multiple chunkings): the
+    final tile table equals the one-shot full re-tile of all points,
+    payload-byte-identical, REGARDLESS of micro-batch boundaries —
+    because each patch re-encodes affected tiles from the full
+    points-so-far state, and payload bytes are a pure function of a
+    tile's feature set.  Per-batch cost is O(batch + rows in affected
+    tiles), the incremental_tiles bound."""
+    from engine.geo.vectile import incremental_tiles
+    from engine.relops import merge_upsert
+
+    points = IceliteTable(points_root)
+    tiles = IceliteTable(tiles_root)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, lat, lon).localCheckpoint(eager=True)
+        points.commit_append(batch, stage=f"pts-{batch_id}")
+        current = points.scan(spark)
+        patch = incremental_tiles(current, batch, z, id_col=id_col,
+                                  lat=lat, lon=lon).localCheckpoint(eager=True)
+        recode = patch.filter("action = 'recode'").select(
+            "tile_z", "tile_x", "tile_y", "n_features", "n_bytes", "payload")
+        if tiles.exists():
+            base = tiles.scan(spark)
+            merged = (merge_upsert(base, recode, ["tile_x", "tile_y"])
+                      .join(patch.filter("action = 'drop'")
+                            .select("tile_x", "tile_y"),
+                            ["tile_x", "tile_y"], "left_anti"))
+        else:
+            merged = recode
+        tiles.commit_replace(merged, stage=f"tiles-{batch_id}")
+
+    q = (points_stream.writeStream.outputMode("append")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .foreachBatch(_sink)
+         .start())
+    q.awaitTermination()
+    return tiles
+
+
+POINTS_SCHEMA = StructType([
+    StructField("id", LongType(), True),
+    StructField("lon", DoubleType(), True),
+    StructField("lat", DoubleType(), True),
+])
+
+
+def write_point_chunks(points: DataFrame, out_dir: str,
+                       n_chunks: int = 4) -> list[str]:
+    """Replay-chunk writer for geotagged points (the write_event_chunks_df
+    shape): chunk = id % n_chunks — deterministic, Spark-side, one
+    coalesced file per chunk so maxFilesPerTrigger=1 replays exactly
+    n_chunks micro-batches."""
+    import os
+
+    paths = []
+    for c in range(n_chunks):
+        p = os.path.join(out_dir, f"chunk-{c:03d}")
+        (points.filter(F.col("id") % n_chunks == c)
+         .coalesce(1).write.mode("overwrite").parquet(p))
+        paths.append(p)
+    return paths
+
+
+def read_point_stream(spark: SparkSession, dir_path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    return (spark.readStream.schema(POINTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(dir_path))
