@@ -879,6 +879,21 @@ def q_raster_polygonize(spark, sf):
     return polygonize(_int_pixels(spark, sf), grid_bits=4)
 
 
+def q_raster_polygonize_global(spark, sf):
+    """C3f's cross-tile stitch, GRADUATED from pytest-only: per-tile
+    regions merge into GLOBAL regions wherever occupied pixels are
+    4-adjacent across a shared tile edge — the boundary-pixel equi-join
+    feeds the same min-label propagation dedup_clusters drives
+    (engine/text/dedup.py::connected_components), so the driver checks
+    the full composite: batched per-tile union-find, edge build, AND the
+    iterative CC.  The twin runs TWO recursive CTEs in exact integer
+    domain: per-tile components (the raster_polygonize oracle), then
+    min-rkey propagation over plane-adjacent cross-tile pixel pairs."""
+    _prep(spark)
+    from engine.geo.polygonize import polygonize_global
+    return polygonize_global(_int_pixels(spark, sf), grid_bits=4)
+
+
 def q_tile_vector_encode(spark, sf):
     """Vector-tile encode (the servable-tile step of an OSM-class
     pipeline): each occupied z6 tile's features packed into one binary
@@ -2026,7 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queued at 83-85 and went green in r3's window)
         "tile_incremental": q_tile_incremental,
         "stream_tile_maintenance": q_stream_tile_maintenance,
-        # 53+: displaced double-checked keys — knn_join green r1+r2,
+        "raster_polygonize_global": q_raster_polygonize_global,
+        # 54+: displaced double-checked keys — knn_join green r1+r2,
         # metrics_table green r2, stream_tumbling green r2 (its r3
         # float-tie-sweep class keeps three in-window representatives:
         # stream_pipeline / stream_stateful / stream_join)
@@ -2676,6 +2692,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(m.pix // 16) AS INTEGER) AS max_py "
             "FROM m JOIN px ON m.tile_x = px.tile_x AND m.tile_y = px.tile_y "
             "AND m.pix = px.pix GROUP BY 1, 2, 3"),
+        # raster_polygonize_global: per-tile components (CTE block above)
+        # PLUS min-rkey propagation over cross-tile plane-adjacent pixels
+        # — both recursive, all-integer.  rkey mirrors the engine's
+        # tile-qualified region key ((tx*2^20+ty)*2^20+lbl).
+        "raster_polygonize_global": (
+            "WITH RECURSIVE px AS (SELECT "
+            "(CAST(c_custkey AS BIGINT) * 7919) % 8 AS tile_x, "
+            "(CAST(c_custkey AS BIGINT) * 104729) % 8 AS tile_y, "
+            "(CAST(c_custkey AS BIGINT) * 2654435761) % 256 AS pix, "
+            "COUNT(*) AS w FROM customer GROUP BY 1, 2, 3), "
+            "e AS (SELECT a.tile_x, a.tile_y, a.pix AS pa, b.pix AS pb "
+            "FROM px a JOIN px b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y "
+            "AND ((b.pix = a.pix + 1 AND a.pix % 16 < 15) OR b.pix = a.pix + 16)), "
+            "e2 AS (SELECT tile_x, tile_y, pa, pb FROM e "
+            "UNION SELECT tile_x, tile_y, pb, pa FROM e), "
+            "r AS (SELECT tile_x, tile_y, pix, pix AS lbl FROM px "
+            "UNION SELECT e2.tile_x, e2.tile_y, e2.pa, r.lbl FROM e2 JOIN r "
+            "ON e2.tile_x = r.tile_x AND e2.tile_y = r.tile_y AND e2.pb = r.pix), "
+            "m AS (SELECT tile_x, tile_y, pix, MIN(lbl) AS lbl FROM r "
+            "GROUP BY 1, 2, 3), "
+            "lab AS (SELECT m.tile_x, m.tile_y, m.pix, m.lbl, px.w, "
+            "((m.tile_x * 1048576 + m.tile_y) * 1048576 + m.lbl) AS rk, "
+            "m.tile_x * 16 + m.pix % 16 AS gx, "
+            "m.tile_y * 16 + m.pix // 16 AS gy "
+            "FROM m JOIN px ON m.tile_x = px.tile_x AND m.tile_y = px.tile_y "
+            "AND m.pix = px.pix), "
+            "e3 AS (SELECT a.rk AS ra, b.rk AS rb FROM lab a JOIN lab b "
+            "ON ((b.gx = a.gx + 1 AND b.gy = a.gy) "
+            "OR (b.gx = a.gx AND b.gy = a.gy + 1)) AND a.rk <> b.rk), "
+            "e4 AS (SELECT ra, rb FROM e3 UNION SELECT rb, ra FROM e3), "
+            "r2 AS (SELECT DISTINCT rk, rk AS g FROM lab "
+            "UNION SELECT e4.ra, r2.g FROM e4 JOIN r2 ON e4.rb = r2.rk), "
+            "comp AS (SELECT rk, MIN(g) AS global_id FROM r2 GROUP BY rk) "
+            "SELECT l.tile_x, l.tile_y, l.lbl AS region_id, c.global_id, "
+            "CAST(COUNT(*) AS INTEGER) AS n_pixels, "
+            "CAST(SUM(l.w) AS BIGINT) AS w_sum "
+            "FROM lab l JOIN comp c ON l.rk = c.rk "
+            "GROUP BY 1, 2, 3, 4"),
         # Golden-file oracles: sf-independent synthetic keys (seeded
         # generators + fixed layers, no driver table feeds them) diffed
         # against committed expected outputs (oracle/golden/*.parquet,
