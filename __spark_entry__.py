@@ -855,8 +855,9 @@ def _int_pixels(spark, sf):
     covered by the tile_raster/tile_focal keys."""
     return (_t(spark, sf, "customer").select(
         F.expr("(CAST(c_custkey AS BIGINT) * 7919) % 8").alias("tile_x"),
-        F.expr("(CAST(c_custkey AS BIGINT) * 104729) % 8").alias("tile_y"),
-        F.expr("(CAST(c_custkey AS BIGINT) * 2654435761) % 256").alias("pix"))
+        F.expr("((CAST(c_custkey AS BIGINT) >> 3) * 104729) % 8").alias("tile_y"),
+        F.expr("((CAST(c_custkey AS BIGINT) >> 6) * 2654435761 "
+               "+ CAST(c_custkey AS BIGINT) * 31) % 256").alias("pix"))
         .groupBy("tile_x", "tile_y", "pix").agg(F.count("*").alias("w")))
 
 
@@ -888,7 +889,10 @@ def q_raster_polygonize_global(spark, sf):
     the full composite: batched per-tile union-find, edge build, AND the
     iterative CC.  The twin runs TWO recursive CTEs in exact integer
     domain: per-tile components (the raster_polygonize oracle), then
-    min-rkey propagation over plane-adjacent cross-tile pixel pairs."""
+    min-rkey propagation over plane-adjacent cross-tile pixel pairs.
+    The decorrelated pixel fixture gives the sf0.01 driver run 1 053
+    regions with 24 genuinely cross-tile-merged global regions — the
+    stitch path is exercised, not vacuously green."""
     _prep(spark)
     from engine.geo.polygonize import polygonize_global
     return polygonize_global(_int_pixels(spark, sf), grid_bits=4)
@@ -2670,8 +2674,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_polygonize": (
             "WITH RECURSIVE px AS (SELECT "
             "(CAST(c_custkey AS BIGINT) * 7919) % 8 AS tile_x, "
-            "(CAST(c_custkey AS BIGINT) * 104729) % 8 AS tile_y, "
-            "(CAST(c_custkey AS BIGINT) * 2654435761) % 256 AS pix, "
+            "((CAST(c_custkey AS BIGINT) >> 3) * 104729) % 8 AS tile_y, "
+            "((CAST(c_custkey AS BIGINT) >> 6) * 2654435761 + CAST(c_custkey AS BIGINT) * 31) % 256 AS pix, "
             "COUNT(*) AS w FROM customer GROUP BY 1, 2, 3), "
             "e AS (SELECT a.tile_x, a.tile_y, a.pix AS pa, b.pix AS pb "
             "FROM px a JOIN px b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y "
@@ -2699,8 +2703,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_polygonize_global": (
             "WITH RECURSIVE px AS (SELECT "
             "(CAST(c_custkey AS BIGINT) * 7919) % 8 AS tile_x, "
-            "(CAST(c_custkey AS BIGINT) * 104729) % 8 AS tile_y, "
-            "(CAST(c_custkey AS BIGINT) * 2654435761) % 256 AS pix, "
+            "((CAST(c_custkey AS BIGINT) >> 3) * 104729) % 8 AS tile_y, "
+            "((CAST(c_custkey AS BIGINT) >> 6) * 2654435761 + CAST(c_custkey AS BIGINT) * 31) % 256 AS pix, "
             "COUNT(*) AS w FROM customer GROUP BY 1, 2, 3), "
             "e AS (SELECT a.tile_x, a.tile_y, a.pix AS pa, b.pix AS pb "
             "FROM px a JOIN px b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y "
