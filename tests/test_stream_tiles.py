@@ -53,3 +53,36 @@ def test_first_snapshot_is_first_chunk_retile(spark, pts):
     got = _tile_map(tiles.scan(spark, first_sid))
     want = _tile_map(encode_vector_tiles(pts.filter("id % 4 = 0"), z=6))
     assert got == want
+
+
+def test_stop_and_resume_from_checkpoint(spark, pts):
+    """Resumability: ingest the first half, stop, land more chunks, then
+    re-run with the SAME checkpoint and tables — the resumed job must
+    process only the new files (snapshot count 2 -> 4) and converge to
+    the identical full re-tile."""
+    root = tempfile.mkdtemp(prefix="st-tiles-resume-")
+    first = pts.filter("id % 2 = 0")
+    second = pts.filter("id % 2 = 1")
+    # chunk files land under the same glob, two at a time (explicit
+    # non-empty splits — write_point_chunks keys on id % n, and `first`
+    # holds only even ids)
+    for c, frac in enumerate([first.filter("id % 4 = 0"),
+                              first.filter("id % 4 = 2")]):
+        frac.coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/chunks/chunk-{c:03d}")
+    args = (f"{root}/pts", f"{root}/tiles", f"{root}/ckpt")
+    tiles = st.maintain_tiles_stream(
+        st.read_point_stream(spark, f"{root}/chunks/chunk-*"), *args, z=6)
+    assert len(tiles.snapshots()) == 2
+    mid = _tile_map(tiles.scan(spark))
+    assert mid == _tile_map(encode_vector_tiles(first, z=6))
+    # late chunks arrive (distinct subdir names so nothing is clobbered)
+    for c, frac in enumerate([second.filter("id % 4 = 1"),
+                              second.filter("id % 4 = 3")]):
+        frac.coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/chunks/chunk-1{c:02d}")
+    tiles = st.maintain_tiles_stream(
+        st.read_point_stream(spark, f"{root}/chunks/chunk-*"), *args, z=6)
+    assert len(tiles.snapshots()) == 4  # resumed: only the 2 new batches
+    assert _tile_map(tiles.scan(spark)) == _tile_map(
+        encode_vector_tiles(pts, z=6))
