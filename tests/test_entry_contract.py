@@ -69,21 +69,12 @@ def test_rows_only_keys_nonempty(key, spark, sf_dir):
 
 
 # every key must either carry a DuckDB oracle or be on the explicit,
-# justified rows-only list — a new key silently missing its twin fails here
-ROWS_ONLY_JUSTIFIED = {
-    "lineage_table",   # per-FILE row splits vary with session parallelism/AQE
-    # ann_lsh_topk / ann_ivf_topk graduated to full oracles in r3 via the
-    # planted-exact-duplicates recall-1 theorem (see q_ann_lsh_topk).
-}
+# justified rows-only list — a new key silently missing its twin fails here.
+# r4: lineage_table graduated to a full oracle (per-stage totals are
+# parallelism-independent pinned constants; per-file detail stays in
+# tests/test_pipeline_e2e.py) — the rows-only list is now EMPTY.
+ROWS_ONLY_JUSTIFIED: set[str] = set()
 
 
 def test_rows_only_set_is_exactly_the_justified_one():
     assert set(ROWS_ONLY) == ROWS_ONLY_JUSTIFIED
-
-
-def test_driver_window_holds_unverified_and_new_keys():
-    # the driver checks only the FIRST 50 keys (observed r1); the three
-    # rows-only keys must sit inside the window so they at least get a
-    # rows-returned check each round
-    first50 = list(entry_mod.queries())[:50]
-    assert ROWS_ONLY_JUSTIFIED <= set(first50)

@@ -46,6 +46,63 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+# --- r4 type-parity audit (VERDICT r3 "What's wrong" #3) -------------
+# The r2/r3 driver-vs-local reds (pipeline_resume, pack_sequences) were
+# caused by DuckDB HUGEINT outputs: `.fetchall()` converts int128 to
+# Python int (masking the divergence locally) while arrow/pandas fetch
+# paths surface decimal128/float64 that hash differently from Spark's
+# int64.  The gate now REJECTS any oracle output column whose DuckDB
+# type is not in the portable whitelist, and any column whose type
+# CLASS (int/float/str/bool/ts/list) differs between the two engines —
+# so this failure class is caught locally before the driver sees it.
+
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "DATE": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "BLOB": "binary",
+}
+
+
+def _spark_class(dt: str):
+    dt = dt.lower()
+    if dt.startswith(("array", "map", "struct")):
+        return "list"
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float", "double": "float",
+        "string": "str", "boolean": "bool",
+        "timestamp": "ts", "date": "ts", "timestamp_ntz": "ts",
+        "binary": "binary",
+    }.get(dt, dt)
+
+
+def type_audit(key, spark_dtypes, duck_types):
+    """Return a list of human-readable type-parity violations.
+    `duck_types` is [(col, duckdb_type_string), ...] from DESCRIBE."""
+    bad = []
+    sp = {c: _spark_class(t) for c, t in spark_dtypes}
+    for name, tname in duck_types:
+        tname = str(tname).upper()
+        if tname.endswith("[]") or tname.startswith(("LIST", "STRUCT", "MAP")):
+            dclass = "list"
+        elif tname in _DUCK_CLASS:
+            dclass = _DUCK_CLASS[tname]
+        else:
+            # HUGEINT, DECIMAL, UBIGINT, UHUGEINT, INTERVAL, ...: these
+            # surface as decimal128/object through arrow-based fetch
+            # paths and hash differently from Spark's native types.
+            bad.append(f"{name}: non-portable duckdb type {tname} "
+                       "— CAST it in the oracle SQL")
+            continue
+        if name in sp and sp[name] != dclass:
+            bad.append(f"{name}: type-class mismatch spark={sp[name]} "
+                       f"duck={dclass} ({tname})")
+    return bad
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,6 +142,8 @@ def main():
             n_rowsonly += 1
             continue
         try:
+            duck_types = [(r[0], r[1]) for r in
+                          con.execute("DESCRIBE " + oracles[key]).fetchall()]
             res = con.execute(oracles[key])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -94,6 +153,12 @@ def main():
             failures.append(key)
             continue
         ok = True
+        viol = type_audit(key, df.dtypes, duck_types)
+        if viol:
+            print(f"FAIL {key}: type-parity violations: {'; '.join(viol)}")
+            n_fail += 1
+            failures.append(key)
+            continue
         if sorted(cols) != sorted(dcols):
             print(f"FAIL {key}: columns spark={sorted(cols)} duck={sorted(dcols)}")
             ok = False
