@@ -919,6 +919,18 @@ def q_tile_vector_encode(spark, sf):
                       F.hex("payload").alias("payload_hex"))
 
 
+def q_vectile_oversized_stats(spark, sf):
+    """Observability for the vector-tile feature cap (r4, VERDICT #3):
+    tiles whose raw feature count exceeds max_features, with the dropped
+    count — the audit a tile pipeline surfaces at scale so capped
+    coverage is never silent.  Deliberately tiny cap (4) at a coarse
+    zoom (z2) so the fixture produces oversized tiles at every sf; the
+    twin is the exact z2 group-count in integer arithmetic."""
+    _prep(spark)
+    from engine.geo.vectile import oversized_tile_stats
+    return oversized_tile_stats(_points(spark, sf), z=2, max_features=4)
+
+
 def q_tile_incremental(spark, sf):
     """Incremental tile maintenance (the bounded-spatial-diffing rule
     applied to the SERVABLE-TILE layer): changed rows = upserts
@@ -2131,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the r2 precedent: agg_percentile/fn_explode/win_dist shipped
         # queued at 83-85 and went green in r3's window)
         "tile_incremental": q_tile_incremental,
+        "vectile_oversized_stats": q_vectile_oversized_stats,
         "stream_tile_maintenance": q_stream_tile_maintenance,
         "raster_polygonize_global": q_raster_polygonize_global,
         # 54+: displaced double-checked keys — knn_join green r1+r2,
@@ -3194,6 +3207,15 @@ def oracle_sql() -> dict[str, str]:
         # tile_incremental: the maintenance plan in exact arithmetic —
         # same z6 tile CTE as the twice-green tile_assign/spatial_diff
         # twins; affected = tiles of changed rows, nf = surviving rows.
+        # vectile_oversized_stats: exact z2 tile counts over the cap.
+        "vectile_oversized_stats": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "t AS (SELECT xi >> 28 AS tx, yi >> 28 AS ty FROM xy), "
+            "c AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(2 AS INTEGER) AS tile_z, tx AS tile_x, "
+            "ty AS tile_y, n AS n_features_raw, "
+            "CAST(n - 4 AS BIGINT) AS n_dropped FROM c WHERE n > 4"),
         "tile_incremental": (
             f"WITH {PTS_SQL}, {XY_SQL}, "
             "t AS (SELECT id, xi >> 24 AS tx, yi >> 24 AS ty FROM xy), "

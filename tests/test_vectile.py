@@ -134,3 +134,49 @@ def test_spark_max_features_cap(spark):
     _, feats = decode_payload(bytes(out[0].payload))
     assert [f[0] for f in feats] == list(range(8))
     assert out[0].n_features == 8
+
+
+def test_viral_tile_bounded_state_and_audit(spark):
+    """r4 (VERDICT #3): one viral tile must not blow up the per-tile
+    aggregation state.  With the cap, the collect_list input is
+    pre-filtered per tile (row_number window), so the encode sees at
+    most max_features rows per tile; the audit reports exactly what was
+    dropped.  10^4 co-located features, cap 100: payload holds the 100
+    LOWEST ids, neighbouring tiles are unaffected, audit row is exact."""
+    from engine.geo.vectile import oversized_tile_stats
+    n = 10_000
+    viral = pd.DataFrame({"id": np.arange(n)[::-1].copy(),
+                          "lon": np.full(n, 10.0), "lat": np.full(n, 20.0)})
+    other = pd.DataFrame({"id": [n + 1], "lon": [100.0], "lat": [60.0]})
+    df = spark.createDataFrame(pd.concat([viral, other]))
+    out = {(r.tile_x, r.tile_y): r
+           for r in encode_vector_tiles(df, z=6, max_features=100).collect()}
+    assert len(out) == 2
+    hot = [r for r in out.values() if r.n_features == 100]
+    assert len(hot) == 1
+    _, feats = decode_payload(bytes(hot[0].payload))
+    assert [f[0] for f in feats] == list(range(100))  # lowest ids kept
+    audit = oversized_tile_stats(df, z=6, max_features=100).collect()
+    assert len(audit) == 1
+    assert (audit[0].tile_x, audit[0].tile_y) == (hot[0].tile_x, hot[0].tile_y)
+    assert audit[0].n_features_raw == n and audit[0].n_dropped == n - 100
+
+
+def test_default_cap_is_on_and_sf_fixture_is_under_it(spark, sf_dir):
+    """The DEFAULT encode path is capped (scale safety), and the driver
+    fixture never reaches the cap at any committed sf — so the golden
+    tile_vector_encode key is byte-identical with or without the cap
+    (fixture-invariant guard, the ADVICE r3 pattern for max_bucket)."""
+    from engine.geo.vectile import DEFAULT_MAX_FEATURES
+    import inspect
+    sig = inspect.signature(encode_vector_tiles)
+    assert sig.parameters["max_features"].default == DEFAULT_MAX_FEATURES
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (F.expr("(c_custkey * 2654435761) % 360000000") / 1e6 - 180.0
+         ).alias("lon"),
+        (F.expr("(c_custkey * 40503 + 7) % 170000000") / 1e6 - 85.0
+         ).alias("lat"))
+    top = (encode_vector_tiles(pts, z=6, max_features=None)
+           .agg(F.max("n_features")).first()[0])
+    assert top < DEFAULT_MAX_FEATURES
