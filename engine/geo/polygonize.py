@@ -182,6 +182,20 @@ def polygonize_global(pixels: DataFrame, grid_bits: int = 4,
     tile_x cyclically at the antimeridian when given."""
     from engine.text.dedup import connected_components
 
+    # Key-packing domain guards (r4 ADVICE): rkey packs
+    # (tile_x, tile_y, region_id) with fixed 2^20 factors, so region ids
+    # (bounded by grid^2 = 2^(2*grid_bits)) and tile coords (bounded by
+    # 2^z) must each fit in 20 bits — out-of-range inputs would silently
+    # COLLIDE keys and merge unrelated regions.  Fail loudly instead.
+    if grid_bits > 10:
+        raise ValueError(
+            f"polygonize_global: grid_bits={grid_bits} > 10 would overflow "
+            "the 2^20 region slot of the packed global key")
+    if z is not None and z > 20:
+        raise ValueError(
+            f"polygonize_global: z={z} > 20 would overflow the 2^20 tile "
+            "slot of the packed global key")
+
     grid = 1 << grid_bits
 
     # tile-qualified region key: (tile_x, tile_y, region_id) -> one long

@@ -236,7 +236,7 @@ def pq_train(df: DataFrame, m_sub: int = 8, n_codes: int = 16,
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    books = np.empty((m_sub, n_codes, dsub))
+    books = np.zeros((m_sub, n_codes, dsub))
     for m in range(m_sub):
         xs = x[:, m * dsub:(m + 1) * dsub]
         cents = xs[rng.choice(len(xs), size=min(n_codes, len(xs)),
@@ -249,6 +249,14 @@ def pq_train(df: DataFrame, m_sub: int = 8, n_codes: int = 16,
                 if len(mem):
                     cents[c] = mem.mean(axis=0)
         books[m, :len(cents)] = cents
+        # Tiny-table guard (r4 ADVICE): when the sample has fewer rows
+        # than n_codes, pad the unused codebook rows by CYCLING the real
+        # centroids instead of leaving uninitialized memory — encode's
+        # argmin breaks ties to the LOWEST code, so padded duplicates
+        # can never be selected and determinism holds at any table size.
+        if len(cents) < n_codes:
+            reps = -(-n_codes // len(cents))
+            books[m] = np.tile(cents, (reps, 1))[:n_codes]
     return books
 
 

@@ -53,3 +53,32 @@ def test_documents_have_no_degenerate_texts(duck, sf):
         "WHERE text IS NULL OR length(text) < 4 OR trim(text) = ''"
     ).fetchone()[0]
     assert n_bad == 0, f"{n_bad} degenerate documents at {sf}"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_dedup_corpora_stay_under_max_bucket(duck, sf, spark):
+    """r4 ADVICE: the minhash/simhash/phash driver keys run the banded
+    path with the default max_bucket=4096 degenerate-bucket guard while
+    their oracles are exact all-pairs SQL — so if any (band, bucket)
+    ever exceeded the guard at a driver sf, the engine would (by
+    documented design) drop cross-cluster member pairs and the key would
+    red even though the engine behaves as specified.  Pin the fixture
+    fact that makes this impossible: every dedup corpus at the driver
+    sfs is SMALLER than max_bucket, so no bucket can ever reach it (a
+    bucket holds at most the whole corpus), and the structural audit
+    finds zero oversized minhash buckets."""
+    from engine.text.dedup import oversized_bucket_stats
+    import __spark_entry__ as entry_mod
+
+    max_bucket = 4096
+    n_docs = duck.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert n_docs + 20 < max_bucket, (
+        f"dup-injected documents corpus at {sf} ({n_docs + 20}) reaches "
+        "max_bucket: the driver dedup keys could shed pairs by design")
+    # phash corpus: 400 generated images + 40 injected dups, sf-free
+    assert 400 + 40 < max_bucket
+    # structural check with the driver key's exact parameters
+    docs = entry_mod._docs_with_dups(spark, sf)
+    assert oversized_bucket_stats(docs, max_bucket=max_bucket).count() == 0

@@ -108,3 +108,25 @@ def test_adc_scan_is_native(emb, books):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_tiny_table_codebooks_are_initialized_and_deterministic(emb):
+    """r4 ADVICE: when the sample holds fewer rows than n_codes, the
+    unused codebook rows must be deterministic (cycled real centroids),
+    never uninitialized memory — and encode must still pick a REAL
+    centroid (argmin ties to the lowest code, so padded duplicates can't
+    win)."""
+    tiny = emb.orderBy("vec_id").limit(5)
+    b1 = pq_train(tiny, m_sub=M_SUB, n_codes=N_CODES, dim=DIM)
+    b2 = pq_train(tiny, m_sub=M_SUB, n_codes=N_CODES, dim=DIM)
+    assert np.array_equal(b1, b2)
+    assert np.isfinite(b1).all()
+    # every padded row duplicates a real centroid
+    for m in range(M_SUB):
+        real = b1[m, :5]
+        for c in range(5, N_CODES):
+            assert any(np.array_equal(b1[m, c], r) for r in real)
+    # encode never selects a padded (duplicate) code
+    enc = (tiny.withColumn("codes", make_pq_encode_udf(b1)(F.col("embedding")))
+           .select("codes").collect())
+    assert all(c < 5 for r in enc for c in r.codes)
