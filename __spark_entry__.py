@@ -880,6 +880,29 @@ def q_raster_polygonize(spark, sf):
     return polygonize(_int_pixels(spark, sf), grid_bits=4)
 
 
+def q_polygonize_rings(spark, sf):
+    """C3f completed to RING GEOMETRY (r4, VERDICT #4): boundary rings
+    per 4-connected region — directed-edge cancellation + leftmost-turn
+    tracing, integer vertex coords (engine/geo/polygonize.py::
+    polygonize_rings).  The driver-compared row is the per-region
+    summary derived ONLY from the traced rings, tied to plain SQL over
+    the pixel relation by three exact combinatorial identities:
+    Sum(signed ring areas) = n_pixels; Sum(unit steps) = 4P - 2A
+    (A = 4-adjacent in-region pairs); Sum(collapsed vertices) = the 2x2
+    neighborhood corner count (popcount 1|3 -> 1, diagonal pair -> 2).
+    A wrong trace breaks an identity; the coordinates themselves are
+    pinned by the even-odd reconstruction pytest
+    (tests/test_polygonize.py) and flow into simplify_rings /
+    area_centroid end to end (rings_as_layer)."""
+    _prep(spark)
+    from engine.geo.polygonize import polygonize_rings
+    rings = polygonize_rings(_int_pixels(spark, sf), grid_bits=4)
+    return (rings.groupBy("tile_x", "tile_y", "region_id")
+            .agg(F.sum("area").alias("n_pixels_from_area"),
+                 F.sum("n_edges").cast("long").alias("n_boundary_edges"),
+                 F.sum("n_vertices").cast("long").alias("n_corners")))
+
+
 def q_raster_polygonize_global(spark, sf):
     """C3f's cross-tile stitch, GRADUATED from pytest-only: per-tile
     regions merge into GLOBAL regions wherever occupied pixels are
@@ -2130,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "simplify_rings": q_simplify_rings,
         "raster_polygonize": q_raster_polygonize,
+        "polygonize_rings": q_polygonize_rings,
         "ann_pq_topk": q_ann_pq_topk,
         "tile_vector_encode": q_tile_vector_encode,
         # lineage_table stays IN-window (policy guard in
@@ -2796,6 +2820,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(m.pix // 16) AS INTEGER) AS max_py "
             "FROM m JOIN px ON m.tile_x = px.tile_x AND m.tile_y = px.tile_y "
             "AND m.pix = px.pix GROUP BY 1, 2, 3"),
+        # polygonize_rings: the traced-ring summary re-derived in plain
+        # SQL via the three combinatorial identities (see the q_
+        # docstring) — P and A from the same recursive labels CTE as
+        # raster_polygonize, corners from 2x2 neighborhood patterns.
+        "polygonize_rings": (
+            "WITH RECURSIVE px AS (SELECT "
+            "(CAST(c_custkey AS BIGINT) * 7919) % 8 AS tile_x, "
+            "((CAST(c_custkey AS BIGINT) >> 3) * 104729) % 8 AS tile_y, "
+            "((CAST(c_custkey AS BIGINT) >> 6) * 2654435761 + CAST(c_custkey AS BIGINT) * 31) % 256 AS pix, "
+            "COUNT(*) AS w FROM customer GROUP BY 1, 2, 3), "
+            "e AS (SELECT a.tile_x, a.tile_y, a.pix AS pa, b.pix AS pb "
+            "FROM px a JOIN px b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y "
+            "AND ((b.pix = a.pix + 1 AND a.pix % 16 < 15) OR b.pix = a.pix + 16)), "
+            "e2 AS (SELECT tile_x, tile_y, pa, pb FROM e "
+            "UNION SELECT tile_x, tile_y, pb, pa FROM e), "
+            "r AS (SELECT tile_x, tile_y, pix, pix AS lbl FROM px "
+            "UNION SELECT e2.tile_x, e2.tile_y, e2.pa, r.lbl FROM e2 JOIN r "
+            "ON e2.tile_x = r.tile_x AND e2.tile_y = r.tile_y AND e2.pb = r.pix), "
+            "m AS (SELECT tile_x, tile_y, pix, MIN(lbl) AS lbl FROM r "
+            "GROUP BY 1, 2, 3), "
+            "pcnt AS (SELECT tile_x, tile_y, lbl, COUNT(*) AS p FROM m "
+            "GROUP BY 1, 2, 3), "
+            "acnt AS (SELECT e.tile_x, e.tile_y, m.lbl, COUNT(*) AS a "
+            "FROM e JOIN m ON e.tile_x = m.tile_x AND e.tile_y = m.tile_y "
+            "AND e.pa = m.pix GROUP BY 1, 2, 3), "
+            "corners AS (SELECT m.tile_x, m.tile_y, m.lbl, "
+            "(m.pix % 16) + d.dx AS cx, (m.pix // 16) + d.dy AS cy, "
+            "(1 << ((1 - d.dx) + 2 * (1 - d.dy))) AS bit "
+            "FROM m, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)), "
+            "cmask AS (SELECT tile_x, tile_y, lbl, cx, cy, bit_or(bit) AS mask "
+            "FROM corners GROUP BY 1, 2, 3, 4, 5), "
+            "ccnt AS (SELECT tile_x, tile_y, lbl, "
+            "CAST(SUM(CASE WHEN bit_count(mask) IN (1, 3) THEN 1 "
+            "WHEN mask IN (9, 6) THEN 2 ELSE 0 END) AS BIGINT) AS n_corners "
+            "FROM cmask GROUP BY 1, 2, 3) "
+            "SELECT p.tile_x, p.tile_y, p.lbl AS region_id, "
+            "CAST(p.p AS BIGINT) AS n_pixels_from_area, "
+            "CAST(4 * p.p - 2 * COALESCE(a.a, 0) AS BIGINT) AS n_boundary_edges, "
+            "c.n_corners "
+            "FROM pcnt p LEFT JOIN acnt a ON p.tile_x = a.tile_x "
+            "AND p.tile_y = a.tile_y AND p.lbl = a.lbl "
+            "JOIN ccnt c ON p.tile_x = c.tile_x AND p.tile_y = c.tile_y "
+            "AND p.lbl = c.lbl"),
         # raster_polygonize_global: per-tile components (CTE block above)
         # PLUS min-rkey propagation over cross-tile plane-adjacent pixels
         # — both recursive, all-integer.  rkey mirrors the engine's

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StructField, StructType,
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 REGION_SCHEMA = StructType([
@@ -139,6 +139,171 @@ def polygonize(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
     return (_packed_tiles(pixels)
             .select("tile_x", "tile_y", F.explode(vectorize("pw")).alias("r"))
             .select("tile_x", "tile_y", "r.*"))
+
+
+def _trace_rings(cells: set[tuple[int, int]]):
+    """Boundary rings of a pixel set by directed-edge cancellation +
+    leftmost-turn following (r4, VERDICT #4 — the gdal_polygonize ring
+    output).  Each pixel contributes its 4 unit edges oriented
+    counterclockwise (interior on the LEFT in math axes); shared edges
+    between 4-adjacent pixels appear once in each direction and cancel,
+    leaving exactly the boundary.  Every directed edge then has a unique
+    successor: at its head vertex take the most-counterclockwise turn
+    (hug the interior), which deterministically splits pinch corners
+    (two diagonal in-region pixels) into separate passes.  The successor
+    map is purely local, so the edges decompose into disjoint cycles =
+    the region's rings; the outer ring comes out CCW (positive shoelace
+    area), holes CW (negative) — Sum(signed areas) == n_pixels exactly.
+
+    Returns [(vertices, n_edges, area)] with `vertices` the
+    collinear-collapsed closed ring (first vertex NOT repeated),
+    canonically rotated to its lexicographically smallest vertex
+    sequence; rings sorted outer-first then by first vertex.  Pure
+    integer arithmetic throughout — O(perimeter) per region, bounded by
+    4*len(cells)."""
+    edges: set[tuple[tuple[int, int], tuple[int, int]]] = set()
+    for (x, y) in cells:
+        for a, b in (((x, y), (x + 1, y)), ((x + 1, y), (x + 1, y + 1)),
+                     ((x + 1, y + 1), (x, y + 1)), ((x, y + 1), (x, y))):
+            if (b, a) in edges:
+                edges.remove((b, a))
+            else:
+                edges.add((a, b))
+    out: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+
+    def successor(edge):
+        a, b = edge
+        din = (b[0] - a[0], b[1] - a[1])
+        best = None
+        for c in out[b]:
+            do = (c[0] - b[0], c[1] - b[1])
+            key = (din[0] * do[1] - din[1] * do[0],   # cross: left > right
+                   din[0] * do[0] + din[1] * do[1])   # dot: straight > back
+            if best is None or key > best[0]:
+                best = (key, c)
+        return (b, best[1])
+
+    remaining = set(edges)
+    rings = []
+    while remaining:
+        start = min(remaining)
+        cyc = []
+        cur = start
+        while True:
+            remaining.remove(cur)
+            cyc.append(cur[0])
+            nxt = successor(cur)
+            if nxt == start:
+                break
+            cur = nxt
+        n_edges = len(cyc)
+        # collapse collinear runs: keep only direction changes
+        n = len(cyc)
+        verts = [cyc[i] for i in range(n)
+                 if (cyc[i][0] - cyc[i - 1][0], cyc[i][1] - cyc[i - 1][1])
+                 != (cyc[(i + 1) % n][0] - cyc[i][0],
+                     cyc[(i + 1) % n][1] - cyc[i][1])]
+        # canonical rotation: smallest vertex sequence over rotations
+        # starting at every occurrence of the minimum vertex
+        mn = min(verts)
+        best = None
+        for i, v in enumerate(verts):
+            if v == mn:
+                cand = verts[i:] + verts[:i]
+                if best is None or cand < best:
+                    best = cand
+        verts = best
+        area2 = sum(verts[i][0] * verts[(i + 1) % len(verts)][1]
+                    - verts[(i + 1) % len(verts)][0] * verts[i][1]
+                    for i in range(len(verts)))
+        assert area2 % 2 == 0
+        rings.append((verts, n_edges, area2 // 2))
+    rings.sort(key=lambda r: (-(r[2] > 0), r[0][0]))
+    return rings
+
+
+RING_FIELDS = StructType([
+    StructField("region_id", LongType()),
+    StructField("ring_id", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("n_edges", IntegerType()),
+    StructField("n_vertices", IntegerType()),
+    StructField("area", LongType()),
+    StructField("ring_xy", ArrayType(StructType([
+        StructField("x", LongType()), StructField("y", LongType())]))),
+])
+
+
+def polygonize_rings(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
+    """gdal_polygonize-class RING output (r4): one row per boundary ring
+    per 4-connected region per tile — (tile_x, tile_y, region_id,
+    ring_id, kind outer|hole, n_edges unit steps, n_vertices after
+    collinear collapse, signed area in pixels, ring_xy vertex list in
+    GLOBAL integer pixel coordinates x = tile_x*grid + px).  Global
+    coords make rings from adjacent tiles share boundary positions and
+    feed simplify_rings / area_centroid downstream (rings_as_layer).
+
+    Same scale shape as polygonize: ONE tile-keyed shuffle bounded to
+    grid^2 rows per tile, ONE batched Arrow stage tracing thousands of
+    tiles per Python call; everything integer, so output is independent
+    of partitioning and host libm.
+
+    Exactness contract (driver key polygonize_rings): three independent
+    combinatorial identities tie the traced rings to plain SQL over the
+    pixel relation — Sum(signed ring areas) = n_pixels,
+    Sum(n_edges) = 4P - 2A (A = 4-adjacent in-region pairs), and
+    Sum(n_vertices) = the region's corner count by 2x2 neighborhood
+    pattern (popcount 1 or 3 -> 1 corner, diagonal pair -> 2).  A wrong
+    trace breaks at least one identity; the even-odd reconstruction
+    pytest (tests/test_polygonize.py) pins the coordinates themselves."""
+    grid = 1 << grid_bits
+
+    @F.pandas_udf(ArrayType(RING_FIELDS))
+    def trace(pw: pd.Series, txs: pd.Series, tys: pd.Series) -> pd.Series:
+        out = []
+        for lst, tx, ty in zip(pw, txs, tys):
+            pix = [int(it["pix"]) for it in lst]
+            labels = _label_tile(pix, grid)
+            by_region: dict[int, set] = {}
+            for p, lbl in labels.items():
+                by_region.setdefault(lbl, set()).add((p % grid, p // grid))
+            ox, oy = int(tx) * grid, int(ty) * grid
+            rows = []
+            for lbl in sorted(by_region):
+                for i, (verts, n_edges, area) in enumerate(
+                        _trace_rings(by_region[lbl])):
+                    rows.append({
+                        "region_id": lbl, "ring_id": i,
+                        "kind": "outer" if area > 0 else "hole",
+                        "n_edges": n_edges, "n_vertices": len(verts),
+                        "area": area,
+                        "ring_xy": [{"x": ox + vx, "y": oy + vy}
+                                    for vx, vy in verts]})
+            out.append(rows)
+        return pd.Series(out)
+
+    return (_packed_tiles(pixels)
+            .select("tile_x", "tile_y",
+                    F.explode(trace("pw", "tile_x", "tile_y")).alias("r"))
+            .select("tile_x", "tile_y", "r.*"))
+
+
+def rings_as_layer(rings: DataFrame, scale: float = 1.0) -> DataFrame:
+    """Adapt polygonize_rings output to the engine's polygon-ring schema
+    (engine/geo/measure.py::RING_SCHEMA) so traced regions flow straight
+    into simplify_rings / area_centroid — the raster -> vector -> measure
+    path the north star names.  `scale` maps integer pixel units to
+    degrees."""
+    return rings.select(
+        F.concat_ws("/", F.col("tile_x"), F.col("tile_y"),
+                    F.col("region_id")).alias("poly_id"),
+        F.col("ring_id").cast("string").alias("ring_id"),
+        "kind",
+        F.expr(f"transform(ring_xy, v -> struct("
+               f"v.x * CAST({scale} AS DOUBLE) AS lon, "
+               f"v.y * CAST({scale} AS DOUBLE) AS lat))").alias("verts"))
 
 
 def _labeled_pixels(pixels: DataFrame, grid: int) -> DataFrame:

@@ -139,3 +139,180 @@ def test_polygonize_single_region_weights(spark):
     assert out[0].n_pixels == 3 and out[0].w_sum == 60
     assert (out[0].min_px, out[0].min_py, out[0].max_px, out[0].max_py) == (0, 0, 1, 1)
     assert out[3].n_pixels == 1 and out[3].w_sum == 5
+
+
+# ----------------------------------------------------------- ring tracing
+
+def _bfs_holes(cells: set[tuple[int, int]]) -> int:
+    """Oracle hole count: bounded 8-CONNECTED components of the
+    complement inside a 1-cell frame around the bbox.  8-connectivity is
+    the Jordan-duality convention for 4-connected foreground (the one
+    the leftmost-turn tracer implements): two holes touching diagonally
+    are one hole; a pocket leaking diagonally to the outside is no hole
+    at all (the outer ring wraps it as a slit)."""
+    if not cells:
+        return 0
+    xs = [x for x, _ in cells]; ys = [y for _, y in cells]
+    x0, x1, y0, y1 = min(xs) - 1, max(xs) + 1, min(ys) - 1, max(ys) + 1
+    comp_cells = {(x, y) for x in range(x0, x1 + 1)
+                  for y in range(y0, y1 + 1)} - cells
+    seen, comps = set(), []
+    for start in comp_cells:
+        if start in seen:
+            continue
+        comp, dq = set(), deque([start])
+        seen.add(start)
+        while dq:
+            x, y = dq.popleft()
+            comp.add((x, y))
+            for nx in (x - 1, x, x + 1):
+                for ny in (y - 1, y, y + 1):
+                    if (nx, ny) in comp_cells and (nx, ny) not in seen:
+                        seen.add((nx, ny))
+                        dq.append((nx, ny))
+        comps.append(comp)
+    border = lambda c: any(x in (x0, x1) or y in (y0, y1) for x, y in c)
+    return sum(1 for c in comps if not border(c))
+
+
+def _evenodd_fill(rings) -> set[tuple[int, int]]:
+    """Oracle reconstruction: pixel (x, y) is inside iff the point
+    (x+.5, y+.5) has odd crossing parity against ALL ring segments
+    (rectilinear: only vertical segments can cross a +x ray)."""
+    segs = []
+    for verts, _, _ in rings:
+        n = len(verts)
+        for i in range(n):
+            a, b = verts[i], verts[(i + 1) % n]
+            if a[0] == b[0]:
+                segs.append((a[0], min(a[1], b[1]), max(a[1], b[1])))
+    if not segs:
+        return set()
+    xs = [s[0] for s in segs]
+    ys = [y for s in segs for y in s[1:]]
+    out = set()
+    for x in range(min(xs) - 1, max(xs) + 1):
+        for y in range(min(ys) - 1, max(ys) + 1):
+            hits = sum(1 for sx, sy0, sy1 in segs
+                       if sx > x + 0.5 and sy0 < y + 0.5 < sy1)
+            if hits % 2:
+                out.add((x, y))
+    return out
+
+
+def _corner_count(cells: set[tuple[int, int]]) -> int:
+    """Oracle corner count by 2x2 neighborhood pattern at every lattice
+    point: popcount 1 or 3 -> 1 corner, a diagonal pair -> 2 (pinch)."""
+    masks: dict[tuple[int, int], int] = {}
+    for (x, y) in cells:
+        for dx in (0, 1):
+            for dy in (0, 1):
+                c = (x + dx, y + dy)
+                # pixel's quadrant relative to corner c (bit 0..3)
+                masks[c] = masks.get(c, 0) | (1 << ((1 - dx) + 2 * (1 - dy)))
+    n = 0
+    for m in masks.values():
+        bits = bin(m).count("1")
+        if bits in (1, 3):
+            n += 1
+        elif m in (0b1001, 0b0110):
+            n += 2
+    return n
+
+
+def _adjacent_pairs(cells: set[tuple[int, int]]) -> int:
+    return sum(1 for (x, y) in cells
+               for q in ((x + 1, y), (x, y + 1)) if q in cells)
+
+
+def test_trace_rings_structured_cases():
+    from engine.geo.polygonize import _trace_rings
+    # single pixel
+    rings = _trace_rings({(0, 0)})
+    assert len(rings) == 1
+    verts, n_edges, area = rings[0]
+    assert n_edges == 4 and area == 1 and len(verts) == 4
+    assert verts[0] == (0, 0)
+    # 3x3 donut: outer ring encloses 9, hole ring -1
+    donut = {(x, y) for x in range(3) for y in range(3)} - {(1, 1)}
+    rings = _trace_rings(donut)
+    assert [r[2] for r in rings] == [9, -1]
+    assert sum(r[2] for r in rings) == len(donut)
+    assert rings[0][0][0] == (0, 0) and len(rings[0][0]) == 4
+    assert len(rings[1][0]) == 4
+    # diagonal pinch: {(0,0),(1,1)} traced as two separate single-pixel
+    # regions' worth of boundary only if same set is passed — here the
+    # set is ONE call, two loops, no shared edges cancelled
+    rings = _trace_rings({(0, 0), (1, 1)})
+    assert sorted(r[2] for r in rings) == [1, 1]
+
+
+def test_trace_rings_invariants_random(rng):
+    from engine.geo.polygonize import _trace_rings
+    for trial in range(40):
+        occ = rng.random((GRID, GRID)) < rng.uniform(0.2, 0.75)
+        cells = {(int(x), int(y)) for y, x in zip(*np.nonzero(occ))}
+        if not cells:
+            continue
+        for comp in _bfs_components(cells):
+            rings = _trace_rings(comp)
+            P, A = len(comp), _adjacent_pairs(comp)
+            # 1) even-odd reconstruction is exact
+            assert _evenodd_fill(rings) == comp
+            # 2) signed areas sum to the pixel count
+            assert sum(r[2] for r in rings) == P
+            # 3) unit steps = boundary edges = 4P - 2A
+            assert sum(r[1] for r in rings) == 4 * P - 2 * A
+            # 4) collapsed vertices = 2x2-pattern corner count
+            assert sum(len(r[0]) for r in rings) == _corner_count(comp)
+            # 5) ring count = 1 outer + BFS hole count
+            outers = [r for r in rings if r[2] > 0]
+            holes = [r for r in rings if r[2] < 0]
+            assert len(outers) == 1
+            assert len(holes) == _bfs_holes(comp)
+            # 6) determinism
+            assert _trace_rings(set(comp)) == rings
+
+
+def test_polygonize_rings_spark_matches_kernel(spark, rng):
+    from engine.geo.polygonize import _trace_rings, polygonize_rings
+    pdf = _random_pixels(rng, n_tiles=6, density=0.45)
+    df = spark.createDataFrame(pdf)
+    got = {}
+    for r in polygonize_rings(df, GRID_BITS).collect():
+        got[(r.tile_x, r.tile_y, r.region_id, r.ring_id)] = (
+            r.kind, r.n_edges, r.n_vertices, r.area,
+            [(v.x, v.y) for v in r.ring_xy])
+    want = {}
+    for (tx, ty), g in pdf.groupby(["tile_x", "tile_y"]):
+        cells = {(int(p) % GRID, int(p) // GRID) for p in g["pix"]}
+        for comp in _bfs_components(cells):
+            rid = min(x + y * GRID for x, y in comp)
+            for i, (verts, n_edges, area) in enumerate(_trace_rings(comp)):
+                want[(tx, ty, rid, i)] = (
+                    "outer" if area > 0 else "hole", n_edges, len(verts),
+                    area, [(tx * GRID + x, ty * GRID + y) for x, y in verts])
+    assert got == want
+
+
+def test_rings_feed_measure_and_simplify(spark, rng):
+    """End-to-end raster -> vector -> measure: traced rings flow through
+    rings_as_layer into area_centroid (shoelace area matches the ring's
+    integer area exactly) and simplify_rings (rectilinear rings with a
+    sub-unit tolerance are already minimal: vertex counts unchanged)."""
+    from engine.geo.measure import area_centroid
+    from engine.geo.polygonize import polygonize_rings, rings_as_layer
+    from engine.geo.simplify import simplify_rings
+    pdf = _random_pixels(rng, n_tiles=4, density=0.4)
+    rings = polygonize_rings(spark.createDataFrame(pdf), GRID_BITS)
+    layer = rings_as_layer(rings, scale=1.0)
+    areas = {(r.poly_id, r.ring_id): r
+             for r in area_centroid(layer).collect()}
+    for r in rings.collect():
+        key = (f"{r.tile_x}/{r.tile_y}/{r.region_id}", str(r.ring_id))
+        # area_centroid emits FLOOR-q6 integer shoelace (2*area*1e12);
+        # integer pixel coords at scale 1.0 make it exact
+        assert abs(areas[key].area2_q6) == 2 * abs(r.area) * 10**12
+    simp = simplify_rings(layer, tol_deg=0.25).collect()
+    for s in simp:
+        assert s.n_vertices_out == s.n_vertices_in
