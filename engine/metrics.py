@@ -74,13 +74,15 @@ class MetricsSink:
         )
 
     def emit_lineage(self, spark: SparkSession, run_id: str, stage: str,
-                     table: IceliteTable, sid: int) -> None:
-        """Per-partition (= per committed file) row counts for a commit."""
-        files = table.added_files(sid)
-        if not files:
+                     table, sid: int) -> None:
+        """Per-partition (= per committed file) row counts for a commit.
+        Reads through SnapshotTable.scan_added (protocol surface, not
+        icelite's file list — works against any backend; r4 seam)."""
+        added = table.scan_added(spark, sid)
+        if added.isEmpty():
             return
         per_file = (
-            spark.read.parquet(*files)
+            added
             .groupBy(F.input_file_name().alias("file"))
             .count()
             .select(

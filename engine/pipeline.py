@@ -26,7 +26,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine.icelite import IceliteTable
 from engine.metrics import MetricsSink, StageMetrics
 
 
@@ -56,6 +55,23 @@ def config_hash(config: dict) -> str:
     ).hexdigest()[:16]
 
 
+def _stage_table(root: str, name: str, spark: SparkSession | None = None):
+    """Resolve a stage's SnapshotTable from the pipeline root — THE
+    backend seam (engine/table_protocol.py).  A plain path keeps the
+    r1-r3 behavior (icelite under <root>/<stage>); 'icelite:<path>' is
+    the same spelled explicitly; 'iceberg:<catalog.db>' targets a real
+    Iceberg catalog with one table per stage — so switching a pipeline
+    to Iceberg is a one-string config change, exercised by the
+    backend-parametrized suite in tests/test_table_contract.py."""
+    from engine.table_protocol import make_table
+    kind, _, rest = root.partition(":")
+    if kind == "iceberg":
+        return make_table(f"iceberg:{rest}.{name}", spark)
+    if kind == "icelite":
+        return make_table(f"icelite:{rest}/{name}")
+    return make_table(f"icelite:{root}/{name}")
+
+
 def run_pipeline(spark: SparkSession, stages: list[Stage], root: str,
                  config: dict, resume: bool = True,
                  fail_after: str | None = None,
@@ -65,7 +81,7 @@ def run_pipeline(spark: SparkSession, stages: list[Stage], root: str,
     sink = MetricsSink(root) if emit_metrics else None
     prev: DataFrame | None = None
     for st in stages:
-        table = IceliteTable(f"{root}/{st.name}")
+        table = _stage_table(root, st.name, spark)
         existing = (
             table.find_snapshot(stage=st.name, props={"config": chash})
             if resume else None
@@ -80,10 +96,12 @@ def run_pipeline(spark: SparkSession, stages: list[Stage], root: str,
         rows_out = None
         if sink is not None:
             out, obs = sink.observed(out)
-        sid = table.commit_append(
-            out, stage=st.name, props={"config": chash},
-            sort_within=st.sort_within,
-        )
+        # per-partition determinism sort happens HERE (backend-neutral),
+        # so commit_append stays on the minimal SnapshotTable protocol
+        if st.sort_within:
+            out = out.sortWithinPartitions(*st.sort_within)
+        sid = table.commit_append(out, stage=st.name,
+                                  props={"config": chash})
         wall_ms = (time.time() - t0) * 1000.0
         if sink is not None:
             rows_out = int(obs.get["rows_out"])
@@ -102,4 +120,4 @@ def run_pipeline(spark: SparkSession, stages: list[Stage], root: str,
 
 def stage_output(spark: SparkSession, root: str, stage: str,
                  sid: int | None = None) -> DataFrame:
-    return IceliteTable(f"{root}/{stage}").scan(spark, sid)
+    return _stage_table(root, stage, spark).scan(spark, sid)
