@@ -97,6 +97,108 @@ def encode_payload(feats: list[tuple[int, int, int]], extent: int = EXTENT,
     return bytes(out)
 
 
+# ------------------------------------------------------ MVT framing (r4)
+# Minimal Mapbox-Vector-Tile protobuf framing (VERDICT r3 #7): wraps the
+# same id-sorted quantized point features in the REAL vector_tile.proto
+# wire format — Tile{ Layer{ version=2, name, extent, Feature{ id,
+# type=POINT, geometry=[MoveTo, zz(x), zz(y)] } } } — hand-rolled varint
+# tags over the existing LEB128 codec (no protobuf lib in the sandbox;
+# none needed: the spec is just tagged varints + length-delimited
+# submessages).  A standard MVT parser accepts the payload structurally;
+# pytest decodes it back with an independent mini protobuf reader.
+
+_MVT_LAYER_NAME = b"features"
+
+
+def _pb_key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _pb_len(field: int, payload: bytes) -> bytes:
+    return _pb_key(field, 2) + _varint(len(payload)) + payload
+
+
+def encode_mvt_payload(feats: list[tuple[int, int, int]],
+                       extent: int = EXTENT,
+                       max_features: int | None = None) -> bytes:
+    """One tile's features as a spec-conformant single-layer MVT tile:
+    POINT features, one MoveTo command each, id-sorted (deterministic
+    bytes under any input order, same contract as encode_payload)."""
+    feats = sorted(feats)
+    if max_features is not None:
+        feats = feats[:max_features]
+    body = bytearray()
+    for fid, x, y in feats:
+        geom = _varint(9) + _varint(_zigzag(x)) + _varint(_zigzag(y))
+        feat = (_pb_key(1, 0) + _varint(fid)        # Feature.id
+                + _pb_key(3, 0) + _varint(1)        # Feature.type = POINT
+                + _pb_len(4, geom))                 # Feature.geometry
+        body += _pb_len(2, feat)                    # Layer.features
+    layer = (_pb_key(15, 0) + _varint(2)            # Layer.version = 2
+             + _pb_len(1, _MVT_LAYER_NAME)          # Layer.name
+             + _pb_key(5, 0) + _varint(extent)      # Layer.extent
+             + bytes(body))
+    return bytes(_pb_len(3, layer))                 # Tile.layers
+
+
+def decode_mvt_payload(payload: bytes):
+    """Independent mini protobuf reader for the roundtrip test ->
+    (layer_name, extent, version, [(id, x, y), ...])."""
+    def rd_varint(buf, pos):
+        u = shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return u, pos
+            shift += 7
+
+    def fields(buf):
+        pos = 0
+        while pos < len(buf):
+            key, pos = rd_varint(buf, pos)
+            field, wire = key >> 3, key & 7
+            if wire == 0:
+                val, pos = rd_varint(buf, pos)
+            elif wire == 2:
+                n, pos = rd_varint(buf, pos)
+                val = buf[pos:pos + n]
+                pos += n
+            else:
+                raise ValueError(f"unexpected wire type {wire}")
+            yield field, val
+
+    layer = dict(fields(payload))[3]
+    name = extent = version = None
+    feats = []
+    for f, v in fields(layer):
+        if f == 1:
+            name = bytes(v)
+        elif f == 5:
+            extent = v
+        elif f == 15:
+            version = v
+        elif f == 2:
+            fid = ftype = None
+            geom = b""
+            for ff, fv in fields(v):
+                if ff == 1:
+                    fid = fv
+                elif ff == 3:
+                    ftype = fv
+                elif ff == 4:
+                    geom = fv
+            assert ftype == 1, ftype
+            cmd, pos = rd_varint(geom, 0)
+            assert cmd == 9, cmd  # MoveTo, count 1
+            zx, pos = rd_varint(geom, pos)
+            zy, pos = rd_varint(geom, pos)
+            assert pos == len(geom)
+            feats.append((fid, _unzigzag(zx), _unzigzag(zy)))
+    return name, extent, version, feats
+
+
 def decode_payload(payload: bytes):
     """Inverse of encode_payload -> (extent, [(id, x, y), ...])."""
     pos = 0
@@ -128,8 +230,8 @@ def decode_payload(payload: bytes):
 
 def encode_vector_tiles(df: DataFrame, z: int, id_col: str = "id",
                         lat: str = "lat", lon: str = "lon",
-                        max_features: int | None = DEFAULT_MAX_FEATURES
-                        ) -> DataFrame:
+                        max_features: int | None = DEFAULT_MAX_FEATURES,
+                        mvt: bool = False) -> DataFrame:
     """(tile_z, tile_x, tile_y, n_features, n_bytes, payload): every
     occupied z-tile's features packed into one payload.  Native bit-ops
     to tile + tile-local 4096-grid coords, one tile-keyed collect, one
@@ -161,11 +263,13 @@ def encode_vector_tiles(df: DataFrame, z: int, id_col: str = "id",
         pts = (pts.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") <= max_features).drop("_rn"))
 
+    enc = encode_mvt_payload if mvt else encode_payload
+
     @F.pandas_udf(BinaryType())
     def encode(fxys: pd.Series) -> pd.Series:
         return pd.Series([
-            encode_payload([(int(it["fid"]), int(it["x"]), int(it["y"]))
-                            for it in lst], max_features=max_features)
+            enc([(int(it["fid"]), int(it["x"]), int(it["y"]))
+                 for it in lst], max_features=max_features)
             for lst in fxys])
 
     packed = (pts.groupBy("tile_x", "tile_y")

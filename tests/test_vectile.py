@@ -180,3 +180,39 @@ def test_default_cap_is_on_and_sf_fixture_is_under_it(spark, sf_dir):
     top = (encode_vector_tiles(pts, z=6, max_features=None)
            .agg(F.max("n_features")).first()[0])
     assert top < DEFAULT_MAX_FEATURES
+
+
+def test_mvt_payload_roundtrip_and_determinism(rng):
+    from engine.geo.vectile import decode_mvt_payload, encode_mvt_payload
+    for _ in range(15):
+        n = int(rng.integers(0, 30))
+        feats = [(int(rng.integers(0, 10**7)), int(rng.integers(0, EXTENT)),
+                  int(rng.integers(0, EXTENT))) for _ in range(n)]
+        feats = list({f[0]: f for f in feats}.values())
+        p = encode_mvt_payload(feats)
+        name, extent, version, got = decode_mvt_payload(p)
+        assert (name, extent, version) == (b"features", EXTENT, 2)
+        assert got == sorted(feats)
+        perm = list(feats)
+        rng.shuffle(perm)
+        assert encode_mvt_payload(perm) == p
+
+
+def test_mvt_spark_encode_parses(spark):
+    from engine.geo.vectile import decode_mvt_payload, encode_vector_tiles
+    pdf = pd.DataFrame({"id": np.arange(40),
+                        "lon": np.linspace(-10, 10, 40),
+                        "lat": np.linspace(-5, 5, 40)})
+    rows = encode_vector_tiles(spark.createDataFrame(pdf), z=6,
+                               mvt=True).collect()
+    plain = {(r.tile_x, r.tile_y):
+             decode_payload(bytes(r.payload))[1]
+             for r in encode_vector_tiles(spark.createDataFrame(pdf),
+                                          z=6).collect()}
+    assert rows
+    for r in rows:
+        name, extent, version, feats = decode_mvt_payload(bytes(r.payload))
+        assert version == 2 and extent == EXTENT
+        assert r.n_features == len(feats)
+        # framing choice does not change the geometry content
+        assert feats == plain[(r.tile_x, r.tile_y)]
