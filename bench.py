@@ -207,6 +207,31 @@ def bench_tile_raster(spark, images_path: str):
     return time.time() - t0, {"raster_tiles": rows}
 
 
+def bench_vectile_encode(spark, images_path: str):
+    """Servable vector tiles over the full image table at z6 — times the
+    r4 DEFAULT capped path (row_number pre-filter + collect + batched
+    Arrow encode inside ONE exchange)."""
+    from engine.geo.vectile import encode_vector_tiles
+    df = spark.read.parquet(images_path).select(
+        F.col("image_id").alias("iid"), "lat", "lon").withColumn(
+        "id", F.xxhash64("iid")).select("id", "lat", "lon")
+    t0 = time.time()
+    rows = encode_vector_tiles(df, z=6).count()
+    return time.time() - t0, {"vectile_tiles": rows}
+
+
+def bench_polygonize_rings(spark, images_path: str):
+    """Raster -> vector ring tracing end to end: pixel counts (map-side
+    combined) -> per-tile components -> boundary rings (r4 C3i)."""
+    from engine.geo.polygonize import polygonize_rings
+    from engine.geo.raster import _pixel_counts
+    df = spark.read.parquet(images_path).select("lat", "lon")
+    t0 = time.time()
+    rows = polygonize_rings(
+        _pixel_counts(df, 6, 4, "lat", "lon"), grid_bits=4).count()
+    return time.time() - t0, {"ring_rows": rows}
+
+
 def bench_ann_topk(spark, sf_dir: str):
     from engine.ml.ann import cosine_topk
     qvec = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
@@ -257,6 +282,10 @@ def main() -> None:
         ("tile_raster", bench_tile_raster, (spark, images_path), 3),
         ("tile_pyramid", bench_tile_pyramid, (spark, images_path), 3),
         ("dedup_clusters", bench_dedup_clusters, (spark, sf_dir), 3),
+        # r4 adds (document non-comparability of the TOTAL vs r3 in
+        # BASELINE.md; the 10 queries above remain the comparable set)
+        ("vectile_encode", bench_vectile_encode, (spark, images_path), 3),
+        ("polygonize_rings", bench_polygonize_rings, (spark, images_path), 3),
     ]:
         secs = []
         for _ in range(reps):
