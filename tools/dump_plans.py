@@ -608,14 +608,32 @@ def main() -> None:
         (F.pmod(F.xxhash64("id"), F.lit(360000)) / 1000.0 - 180.0).alias("lon"),
         (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(170000)) / 1000.0 - 85.0).alias("lat"))
     sections.append((
-        "Vector-tile encode (C3g, late r3)",
+        "Vector-tile encode (C3g, late r3; r4 default cap)",
         "Servable-tile packing: tile + tile-local 4096-grid coords are "
-        "pure codegen bit ops under the native mercator ints, ONE "
-        "tile-keyed objectHashAgg collects each tile's feature structs "
-        "(map-side partials), and ONE batched ArrowEvalPython emits the "
-        "LEB128 payloads — thousands of tiles per Python call. The "
-        "payload bytes are shuffle-independent (in-encoder id sort).",
+        "pure codegen bit ops under the native mercator ints; with the "
+        "r4 DEFAULT feature cap, a row_number Window (spillable sort) "
+        "pre-filters each tile to max_features rows BEFORE the "
+        "tile-keyed objectHashAgg collect — note ONE Exchange total: "
+        "the groupBy reuses the window's hash partitioning, so bounded "
+        "per-tile aggregation state costs a sort inside the same "
+        "shuffle, never a second one. ONE batched ArrowEvalPython "
+        "emits the LEB128 payloads — thousands of tiles per Python "
+        "call; payload bytes are shuffle-independent (in-encoder id "
+        "sort).",
         plan_of(encode_vector_tiles(vt_pts, z=6), "simple")))
+
+    # 37. polygonize to ring geometry (r4)
+    from engine.geo.polygonize import polygonize_rings
+    sections.append((
+        "Polygonize to ring geometry (C3i, r4)",
+        "gdal_polygonize-class ring output: the SAME single tile-keyed "
+        "collect shuffle as C3f (pixel relation is already map-side "
+        "combined to <= grid^2 rows per tile), then ONE batched "
+        "ArrowEvalPython stage that labels components AND traces "
+        "boundary rings (directed-edge cancellation + leftmost-turn, "
+        "O(perimeter) per region) for thousands of tiles per Python "
+        "call; rings explode natively out of the struct array.",
+        plan_of(polygonize_rings(pixels, grid_bits=4), "simple")))
 
     # 36. incremental tile maintenance (late r3)
     from engine.geo.vectile import incremental_tiles
