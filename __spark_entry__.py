@@ -402,8 +402,10 @@ def q_join_anti(spark, sf):
 def q_knn_join(spark, sf):
     _prep(spark)
     from engine.geo.knn import knn_join
+    # cache_points=True: driver-sf points fit memory trivially (the
+    # engine DEFAULT is False — scale-safe; see knn_join docstring)
     out = knn_join(_knn_queries_df(spark), _points(spark, sf),
-                   k=5, level=6, r0=2, id_col="id")
+                   k=5, level=6, r0=2, id_col="id", cache_points=True)
     return out.select("qid", "id", F.round("dist_m", 1).alias("dist_m"), "rn")
 
 

@@ -122,8 +122,10 @@ def bench_knn(spark, images_path: str, n_queries: int = 200):
     pts = spark.read.parquet(images_path).select("image_id", "lat", "lon")
     t0 = time.time()
     # r0=3 guarantees ~49-cell disks (~150 candidates at this density):
-    # nearly every query satisfies its safe-radius bound in round 1
-    out = knn_join(queries, pts, k=10, level=8, r0=3)
+    # nearly every query satisfies its safe-radius bound in round 1.
+    # cache_points=True is the bench-scale choice (points fit memory);
+    # the engine default is False — scale-safe, see knn_join docstring.
+    out = knn_join(queries, pts, k=10, level=8, r0=3, cache_points=True)
     rows = out.count()
     return time.time() - t0, {"knn_rows_out": rows}
 

@@ -110,7 +110,7 @@ def make_guarantee_udf(level: int):
 def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
              r0: int = 1, max_rounds: int = 12,
              qid_col: str = "qid", id_col: str = "image_id",
-             native_dist: bool = True, cache_points: bool = True) -> DataFrame:
+             native_dist: bool = True, cache_points: bool = False) -> DataFrame:
     """Exact kNN: for each query row, the k nearest points (dist asc, id
     tiebreak).  Returns (qid, image_id, dist_m, rn).
 
@@ -118,9 +118,15 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
     reuses a `cell` column if present.
 
     `native_dist` scores with the JVM-trig haversine (codegen; default).
-    `cache_points` persists the narrow prepared points side so retry
-    rounds don't rescan the base table — at very large scale pass False
-    and pre-bucket the points by cell_p instead.
+    `cache_points=True` persists the narrow prepared points side so
+    retry rounds don't rescan the base table — the right call when the
+    points table fits cluster memory (benchmarks, dimension-sized
+    sides).  The DEFAULT is False (r4, scale-safe per the r3 audit):
+    at 10^12 rows a blanket persist would evict everything else and
+    spill; rounds after the first are rare (r0 sizes the first disk to
+    satisfy ~all queries) and rescans prune to (id, lat, lon, cell_p)
+    at the parquet scan anyway — pre-bucket/partition the points table
+    by cell_p to make retry rescans partition-pruned instead of cached.
     """
     pts = points if "cell" in points.columns else with_cell(points)
     pts = (
