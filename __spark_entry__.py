@@ -863,6 +863,20 @@ def _int_pixels(spark, sf):
         .groupBy("tile_x", "tile_y", "pix").agg(F.count("*").alias("w")))
 
 
+def q_cell_hexbin(spark, sf):
+    """C7c (r4) — hexagonal binning index: per-hex point counts over
+    the fixture points.  The hex tessellation is the Voronoi diagram of
+    a centered-rectangular integer lattice (h/w = 1732/1000 ~ sqrt(3):
+    regular to 0.05%), assignment = exact integer argmin over the two
+    offset sub-grids' rounded candidates (ties -> grid A).  The twin
+    runs the IDENTICAL dialect-neutral SQL text (the geohash C7b trick),
+    so parity is by construction; the hexagonal-neighborhood properties
+    are pytest-verified (tests/test_hexbin.py)."""
+    _prep(spark)
+    from engine.geo.hexbin import hexbin_counts
+    return hexbin_counts(_points(spark, sf), size=16)
+
+
 def q_raster_polygonize(spark, sf):
     """Raster->vector REGIONIZATION (the reverse bridge to tile_raster):
     4-connected components of occupied pixels per tile -> vector region
@@ -2151,6 +2165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling": q_stream_tumbling,
         "scan_snapshot": q_scan_snapshot,
         # --- 51+: r2/r3-green, rotated out this round ---
+        # cell_hexbin is NEW late-r4 (C7c) — parked at 51 so the
+        # committed r4_planned window stays intact; heads the r5 window
+        "cell_hexbin": q_cell_hexbin,
         "agg_percentile": q_agg_percentile,
         "fn_explode": q_fn_explode,
         "win_dist": q_win_dist,
@@ -2393,6 +2410,16 @@ def oracle_sql() -> dict[str, str]:
     geohash_twin_sql = (
         f"WITH {PTS_SQL} "
         f"SELECT id, {_gh} AS gh, substring({_gh}, 1, 4) AS gh4 FROM pts")
+
+    # cell_hexbin (r4, C7c): same shared-text trick — the hex center
+    # expressions run unchanged in both engines (integer argmin over
+    # the two offset sub-grids; COUNT stays BIGINT on both sides).
+    from engine.geo.hexbin import hexbin_sql as _hbsql
+    _hx, _hy = _hbsql("lon", "lat", 16)
+    hexbin_twin_sql = (
+        f"WITH {PTS_SQL} "
+        f"SELECT {_hx} AS hx, {_hy} AS hy, COUNT(*) AS n "
+        "FROM pts GROUP BY 1, 2")
 
     # sample_stratified: the same HUGEINT mix64 kernel with seed 43 and
     # denom 10^6; per-lang integer thresholds — pure integer filter.
@@ -3188,6 +3215,7 @@ def oracle_sql() -> dict[str, str]:
         # compiles (engine/geo/geohash.py builds both): integer
         # interleave + base32 substring lookup, zero trig.
         "cell_geohash": geohash_twin_sql,
+        "cell_hexbin": hexbin_twin_sql,
         # zonal_stats — the thrice-green containment predicate + one
         # GROUP BY; integer value domain (point ids), sum cast to
         # BIGINT on both sides (DuckDB widens SUM(BIGINT) to HUGEINT).
