@@ -9,16 +9,23 @@ markers — behind this module, swappable for a real
 `iceberg-spark-runtime` catalog by configuration on a real cluster.
 
 Layout (one directory per table):
-    <root>/data/commit-<sid>/part-*.parquet     immutable data files
+    <root>/data/commit-<uuid>/part-*.parquet    immutable data files
     <root>/meta/manifest-<sid>.json             FULL file list at <sid>
     <root>/meta/snapshots.json                  ordered snapshot log
 
-Commit protocol: data files are written first (Spark job, executors),
-then the manifest, then `snapshots.json` is swapped via write-tmp +
-os.replace — the single atomic serialization point, exactly the role of
-Iceberg's catalog pointer.  Readers resolve a snapshot to its manifest's
-file list and `spark.read.parquet(*files)` — scans stay fully parallel
-and pruned (partition columns + row-group stats still apply).
+Commit protocol (r4: optimistic concurrency, Iceberg parity): data
+files are written first to a collision-free uuid commit dir (a Spark
+job on the executors; invisible until metadata lands), then the
+metadata transaction — read parent snapshot, assign sid, write
+manifest, swap `snapshots.json` via write-tmp + os.replace — runs under
+a short exclusive lockfile, so concurrent writers serialize on metadata
+only and no commit's file list is lost to a stale-parent race
+(tests/test_icelite.py::test_concurrent_appends_all_survive).  The
+os.replace stays the single atomic serialization point, exactly the
+role of Iceberg's catalog pointer.  Readers resolve a snapshot to its
+manifest's file list and `spark.read.parquet(*files)` — scans stay
+fully parallel and pruned (partition columns + row-group stats still
+apply).
 """
 
 from __future__ import annotations
@@ -87,19 +94,51 @@ class IceliteTable:
 
     # ------------------------------------------------------------ write
 
-    def commit_append(self, df: DataFrame, stage: str | None = None,
-                      props: dict[str, str] | None = None,
-                      sort_within: list[str] | None = None) -> int:
-        """Append commit: write data files, manifest, snapshot — atomically.
+    # Optimistic-concurrency commit protocol (r4, Iceberg parity):
+    # data files are written FIRST to a collision-free uuid-named commit
+    # dir (uncommitted — invisible until metadata lands, exactly
+    # Iceberg's write-then-commit), then the METADATA transaction
+    # (read parent snapshot -> assign sid -> write manifest -> atomic
+    # snapshots.json swap) runs under a short exclusive lock, so
+    # concurrent writers serialize on metadata only and no commit's file
+    # list can be lost to a stale-parent race.  The lock is an
+    # O_CREAT|O_EXCL lockfile — the single-host stand-in for the
+    # catalog CAS a real Iceberg deployment provides (the IcebergTable
+    # backend in engine/table_protocol.py inherits the real thing).
 
-        `sort_within` orders rows inside each output partition before the
-        write (determinism for resume/diff tests, SURVEY.md §7.4.5).
-        """
+    _LOCK_TIMEOUT_S = 60.0
+
+    def _commit_locked(self):
+        lock = os.path.join(self.meta_dir, "_commit.lock")
+
+        class _Lock:
+            def __enter__(_self):
+                deadline = time.time() + self._LOCK_TIMEOUT_S
+                while True:
+                    try:
+                        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.write(fd, str(os.getpid()).encode())
+                        os.close(fd)
+                        return _self
+                    except FileExistsError:
+                        if time.time() > deadline:
+                            raise TimeoutError(
+                                f"icelite commit lock held too long: {lock}")
+                        time.sleep(0.02)
+
+            def __exit__(_self, *exc):
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+
+        return _Lock()
+
+    def _write_data(self, df: DataFrame,
+                    sort_within: list[str] | None = None) -> tuple[str, list[str]]:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
-        snaps = self.snapshots()
-        sid = (snaps[-1]["sid"] + 1) if snaps else 1
-        rel_commit = f"data/commit-{sid:08d}"
+        rel_commit = f"data/commit-{uuid.uuid4().hex[:16]}"
         target = os.path.join(self.root, rel_commit)
         out = df.sortWithinPartitions(*sort_within) if sort_within else df
         out.write.mode("errorIfExists").parquet(target)
@@ -107,27 +146,47 @@ class IceliteTable:
             f"{rel_commit}/{f}" for f in os.listdir(target)
             if f.endswith(".parquet")
         )
-        parent_files = self._manifest(snaps[-1]["sid"])["files"] if snaps else []
-        manifest = {
-            "sid": sid,
-            "files": parent_files + added,
-            "added": added,
-            "schema": df.schema.json(),
-        }
-        with open(os.path.join(self.meta_dir, f"manifest-{sid:08d}.json"), "w") as f:
-            json.dump(manifest, f)
-        snaps.append({
-            "sid": sid,
-            "ts": time.time(),
-            "op": "append",
-            "stage": stage,
-            "props": props or {},
-        })
-        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": snaps}, f)
-        os.replace(tmp, self.snap_path)
-        return sid
+        return rel_commit, added
+
+    def _commit_meta(self, df: DataFrame, added: list[str], op: str,
+                     stage: str | None, props: dict | None,
+                     keep_parent_files: bool) -> int:
+        with self._commit_locked():
+            snaps = self.snapshots()
+            sid = (snaps[-1]["sid"] + 1) if snaps else 1
+            parent_files = (
+                self._manifest(snaps[-1]["sid"])["files"]
+                if (snaps and keep_parent_files) else [])
+            manifest = {
+                "sid": sid,
+                "files": parent_files + added,
+                "added": added,
+                "schema": df.schema.json(),
+            }
+            with open(os.path.join(self.meta_dir,
+                                   f"manifest-{sid:08d}.json"), "w") as f:
+                json.dump(manifest, f)
+            snaps.append({"sid": sid, "ts": time.time(), "op": op,
+                          "stage": stage, "props": props or {}})
+            tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"snapshots": snaps}, f)
+            os.replace(tmp, self.snap_path)
+            return sid
+
+    def commit_append(self, df: DataFrame, stage: str | None = None,
+                      props: dict[str, str] | None = None,
+                      sort_within: list[str] | None = None) -> int:
+        """Append commit: write data files (uncommitted), then the locked
+        metadata transaction — concurrent appenders serialize on
+        metadata only and both commits' files survive.
+
+        `sort_within` orders rows inside each output partition before the
+        write (determinism for resume/diff tests, SURVEY.md §7.4.5).
+        """
+        _, added = self._write_data(df, sort_within)
+        return self._commit_meta(df, added, "append", stage, props,
+                                 keep_parent_files=True)
 
     def commit_replace(self, df: DataFrame, stage: str | None = None,
                        props: dict[str, str] | None = None,
@@ -137,28 +196,9 @@ class IceliteTable:
         keep reading them; time travel is preserved) but leave the
         current view.  This is the commit type behind compaction and
         MERGE results, mirroring Iceberg's rewrite/overwrite snapshots."""
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.meta_dir, exist_ok=True)
-        snaps = self.snapshots()
-        sid = (snaps[-1]["sid"] + 1) if snaps else 1
-        rel_commit = f"data/commit-{sid:08d}"
-        target = os.path.join(self.root, rel_commit)
-        df.write.mode("errorIfExists").parquet(target)
-        added = sorted(
-            f"{rel_commit}/{f}" for f in os.listdir(target)
-            if f.endswith(".parquet")
-        )
-        manifest = {"sid": sid, "files": added, "added": added,
-                    "schema": df.schema.json()}
-        with open(os.path.join(self.meta_dir, f"manifest-{sid:08d}.json"), "w") as f:
-            json.dump(manifest, f)
-        snaps.append({"sid": sid, "ts": time.time(), "op": op,
-                      "stage": stage, "props": props or {}})
-        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": snaps}, f)
-        os.replace(tmp, self.snap_path)
-        return sid
+        _, added = self._write_data(df)
+        return self._commit_meta(df, added, op, stage, props,
+                                 keep_parent_files=False)
 
     def compact(self, spark: SparkSession, target_files: int = 4) -> int:
         """Small-file compaction: rewrite the CURRENT view into
@@ -185,32 +225,33 @@ class IceliteTable:
         Metadata-only except the unlink loop; the snapshot list rewrite
         is the same atomic tmp+rename every commit uses.  Returns
         (expired sids, deleted file count)."""
-        snaps = self.snapshots()
-        if len(snaps) <= keep_last:
-            return ([], 0)
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
-        live: set[str] = set()
-        for s in keep:
-            live.update(self._manifest(s["sid"])["files"])
-        dead: set[str] = set()
-        for s in drop:
-            dead.update(f for f in self._manifest(s["sid"])["files"]
-                        if f not in live)
-        deleted = 0
-        for rel in sorted(dead):
-            p = os.path.join(self.root, rel)
-            if os.path.exists(p):
-                os.remove(p)
-                deleted += 1
-        for s in drop:
-            mp = os.path.join(self.meta_dir, f"manifest-{s['sid']:08d}.json")
-            if os.path.exists(mp):
-                os.remove(mp)
-        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": keep}, f)
-        os.replace(tmp, self.snap_path)
-        return ([s["sid"] for s in drop], deleted)
+        with self._commit_locked():
+            snaps = self.snapshots()
+            if len(snaps) <= keep_last:
+                return ([], 0)
+            keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+            live: set[str] = set()
+            for s in keep:
+                live.update(self._manifest(s["sid"])["files"])
+            dead: set[str] = set()
+            for s in drop:
+                dead.update(f for f in self._manifest(s["sid"])["files"]
+                            if f not in live)
+            deleted = 0
+            for rel in sorted(dead):
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted += 1
+            for s in drop:
+                mp = os.path.join(self.meta_dir, f"manifest-{s['sid']:08d}.json")
+                if os.path.exists(mp):
+                    os.remove(mp)
+            tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"snapshots": keep}, f)
+            os.replace(tmp, self.snap_path)
+            return ([s["sid"] for s in drop], deleted)
 
     # ------------------------------------------------------------- read
 

@@ -150,3 +150,42 @@ def test_expire_noop_and_expired_timetravel_raises(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(FileNotFoundError):
         t.scan(spark, s1)
+
+
+def test_concurrent_appends_all_survive(spark, tmp_path):
+    """r4 optimistic-concurrency: N threads race commit_append on the
+    SAME table; every commit must land (unique sequential sids, union of
+    all rows in the final view) — without the locked metadata
+    transaction a stale-parent writer would drop a racer's files."""
+    import threading
+    t = IceliteTable(str(tmp_path / "race"))
+    per, threads = 4, 5
+    errs = []
+
+    def worker(w):
+        try:
+            for i in range(per):
+                df = spark.range(w * 1000 + i * 10, w * 1000 + i * 10 + 3) \
+                    .selectExpr("id AS k")
+                t.commit_append(df, stage=f"w{w}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(w,)) for w in range(threads)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    snaps = t.snapshots()
+    assert [s["sid"] for s in snaps] == list(range(1, per * threads + 1))
+    got = sorted(r.k for r in t.scan(spark).collect())
+    want = sorted(w * 1000 + i * 10 + j
+                  for w in range(threads) for i in range(per) for j in range(3))
+    assert got == want
+    # every snapshot's file list is a superset of its parent's (no
+    # lost-update: append never drops a predecessor's files)
+    for a, b in zip(snaps, snaps[1:]):
+        fa = set(t._manifest(a["sid"])["files"])
+        fb = set(t._manifest(b["sid"])["files"])
+        assert fa < fb
