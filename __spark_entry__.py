@@ -992,6 +992,28 @@ def q_tile_incremental(spark, sf):
     return out.select("tile_z", "tile_x", "tile_y", "action", "n_features")
 
 
+def q_tile_incremental_pruned(spark, sf):
+    """C3h composed with the A8 physical layout (late r4): the SAME
+    maintenance plan as tile_incremental, but the current snapshot is
+    read through a tile-partitioned layout with STATIC PartitionFilters
+    derived from the diff — untouched directories are never listed, so
+    the residual full-table tile-assign scan the plain operator pays
+    (BASELINE.md spot run) disappears.  Same oracle as tile_incremental
+    (the layout must not change the answer); the pruning itself is
+    plan-asserted in tests/test_vectile.py."""
+    _prep(spark)
+    from engine.geo.cells import with_cell
+    from engine.geo.tiles import write_tile_partitioned
+    from engine.geo.vectile import incremental_tiles_partitioned
+    pts = _points(spark, sf)
+    root = tempfile.mkdtemp(prefix="inc-layout-") + "/t"
+    write_tile_partitioned(with_cell(pts.filter("id % 7 <> 0")), root, z=3)
+    changed = pts.filter("id % 3 = 0 OR id % 7 = 0")
+    out = incremental_tiles_partitioned(spark, root, changed, z=6,
+                                        z_layout=3)
+    return out.select("tile_z", "tile_x", "tile_y", "action", "n_features")
+
+
 def q_stream_tile_maintenance(spark, sf):
     """J10 — STREAMING incremental tile maintenance: the fixture points
     replay as 4 micro-batches (file-stream source, one chunk file per
@@ -2168,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell_hexbin is NEW late-r4 (C7c) — parked at 51 so the
         # committed r4_planned window stays intact; heads the r5 window
         "cell_hexbin": q_cell_hexbin,
+        "tile_incremental_pruned": q_tile_incremental_pruned,
         "agg_percentile": q_agg_percentile,
         "fn_explode": q_fn_explode,
         "win_dist": q_win_dist,
@@ -3296,6 +3319,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(2 AS INTEGER) AS tile_z, tx AS tile_x, "
             "ty AS tile_y, n AS n_features_raw, "
             "CAST(n - 4 AS BIGINT) AS n_dropped FROM c WHERE n > 4"),
+        # tile_incremental_pruned: the physical layout must not change
+        # the answer — identical twin to tile_incremental.
+        "tile_incremental_pruned": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "t AS (SELECT id, xi >> 24 AS tx, yi >> 24 AS ty FROM xy), "
+            "aff AS (SELECT DISTINCT tx, ty FROM t "
+            "WHERE id % 3 = 0 OR id % 7 = 0), "
+            "cur AS (SELECT tx, ty, COUNT(*) AS nf FROM t "
+            "WHERE id % 7 <> 0 GROUP BY 1, 2) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, a.tx AS tile_x, "
+            "a.ty AS tile_y, "
+            "CASE WHEN c.nf IS NULL THEN 'drop' ELSE 'recode' END AS action, "
+            "CAST(COALESCE(c.nf, 0) AS INTEGER) AS n_features "
+            "FROM aff a LEFT JOIN cur c ON a.tx = c.tx AND a.ty = c.ty"),
         "tile_incremental": (
             f"WITH {PTS_SQL}, {XY_SQL}, "
             "t AS (SELECT id, xi >> 24 AS tx, yi >> 24 AS ty FROM xy), "

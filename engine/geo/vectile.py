@@ -341,6 +341,11 @@ def incremental_tiles(current: DataFrame, changed: DataFrame, z: int,
     # drop rows carry n_features=0 AND n_bytes=0 (r3 ADVICE: a uniform
     # integer contract for consumers reading the maintenance plan);
     # payload alone stays NULL — that IS the drop signal.
+    return _finish_incremental(affected, encoded, z)
+
+
+def _finish_incremental(affected: DataFrame, encoded: DataFrame,
+                        z: int) -> DataFrame:
     return (affected.join(encoded, ["tile_x", "tile_y"], "left")
             .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
                     F.when(F.col("payload").isNull(), F.lit("drop"))
@@ -348,3 +353,55 @@ def incremental_tiles(current: DataFrame, changed: DataFrame, z: int,
                     F.coalesce("n_features", F.lit(0)).alias("n_features"),
                     F.coalesce("n_bytes", F.lit(0)).alias("n_bytes"),
                     "payload"))
+
+
+def incremental_tiles_partitioned(spark, layout_path: str,
+                                  changed: DataFrame, z: int,
+                                  z_layout: int = 3, id_col: str = "id",
+                                  lat: str = "lat", lon: str = "lon"
+                                  ) -> DataFrame:
+    """incremental_tiles composed with the A8 tile-partitioned PHYSICAL
+    layout (engine/geo/tiles.py::write_tile_partitioned) — this removes
+    the one residual cost the plain operator pays at scale: a full-table
+    tile-assign scan to find the affected tiles' current rows
+    (BASELINE.md late-r3 spot run: the 5.7 s incremental floor).
+
+    The current snapshot lives tile-partitioned at z_layout (coarser
+    than the encode zoom z); the affected z-tile set derives its coarse
+    layout-tile set by a shift (each layout tile covers
+    4^(z - z_layout) encode tiles).  That coarse set is collected —
+    bounded by the operator's bounded-diff contract, O(|diff|) distinct
+    tiles and usually far fewer — and applied as per-axis IN-list
+    predicates on the PARTITION COLUMNS, which resolve to STATIC
+    PartitionFilters directory pruning: untouched tile_x=<x>/tile_y=<y>
+    directories are never even listed (plan-asserted in
+    tests/test_vectile.py).  The per-axis form prunes to the bounding
+    cross product (exact row membership is still enforced by the fine
+    z-tile semi-join below), which is tight for the localized diffs CDC
+    batches produce.  (A join-based DPP form was measured NOT to prune
+    here: Spark's dynamic partition pruning declines sides without a
+    selective predicate, so the explicit literal filter is the reliable
+    plan.)  Cost is O(|diff| + rows in pruned-in layout partitions) —
+    no term scales with the table."""
+    shift = z - z_layout
+    assert shift >= 0, (z, z_layout)
+    affected = (_with_tile_cols(changed, z, lat, lon)
+                .select("tile_x", "tile_y").distinct()
+                .localCheckpoint(eager=True))
+    coarse = (affected
+              .select(F.expr(f"tile_x >> {shift}").alias("px"),
+                      F.expr(f"tile_y >> {shift}").alias("py"))
+              .distinct().collect())
+    xs = sorted({r.px for r in coarse})
+    ys = sorted({r.py for r in coarse})
+    layout = spark.read.parquet(layout_path)
+    pruned = (layout
+              .filter(F.col("tile_x").isin(xs) & F.col("tile_y").isin(ys))
+              .select(id_col, lat, lon))
+    touched = (_with_tile_cols(pruned, z, lat, lon)
+               .join(F.broadcast(affected), ["tile_x", "tile_y"],
+                     "left_semi")
+               .select(id_col, lat, lon))
+    encoded = encode_vector_tiles(touched, z, id_col=id_col, lat=lat,
+                                  lon=lon)
+    return _finish_incremental(affected, encoded, z)

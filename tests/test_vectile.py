@@ -216,3 +216,42 @@ def test_mvt_spark_encode_parses(spark):
         assert r.n_features == len(feats)
         # framing choice does not change the geometry content
         assert feats == plain[(r.tile_x, r.tile_y)]
+
+
+def test_incremental_partitioned_prunes_and_matches(spark, tmp_path, rng):
+    """r4: incremental maintenance over the A8 tile-partitioned layout —
+    the current-snapshot read must carry STATIC PartitionFilters derived
+    from the diff (untouched directories never listed), and the output
+    must equal the plain operator byte-for-byte."""
+    from engine.geo.cells import with_cell
+    from engine.geo.tiles import write_tile_partitioned
+    from engine.geo.vectile import incremental_tiles_partitioned
+    n = 20000
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "lon": ((np.arange(n) * 2654435761) % 360000000) / 1e6 - 180.0,
+        "lat": ((np.arange(n) * 40503 + 7) % 170000000) / 1e6 - 85.0,
+    })
+    pts = spark.createDataFrame(pdf)
+    root = str(tmp_path / "layout")
+    write_tile_partitioned(with_cell(pts), root, z=3)
+    changed = pts.filter("id % 971 = 0")
+    out_p = incremental_tiles_partitioned(spark, root, changed, z=6,
+                                          z_layout=3)
+    qe = out_p._jdf.queryExecution()
+    full = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    pf = [l for l in full.splitlines()
+          if "PartitionFilters" in l and "tile_x" in l and "IN" in l]
+    assert pf, "layout scan lost its partition filters"
+    cur = spark.read.parquet(root).select("id", "lat", "lon")
+    want = {(r.tile_x, r.tile_y):
+            (r.action, r.n_features,
+             bytes(r.payload) if r.payload else None)
+            for r in incremental_tiles(cur, changed, z=6).collect()}
+    got = {(r.tile_x, r.tile_y):
+           (r.action, r.n_features,
+            bytes(r.payload) if r.payload else None)
+           for r in out_p.collect()}
+    assert got == want and len(got) > 5
