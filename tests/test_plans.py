@@ -396,3 +396,46 @@ def test_poly_overlap_is_broadcast_no_cartesian(spark):
     # exactly one SHUFFLE exchange (the BroadcastExchange is not one)
     assert plan.count("HashAggregate") == 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_capped_vectile_is_one_exchange(spark, images_parquet):
+    """r4: the DEFAULT per-tile feature cap must not buy its bounded
+    aggregation state with a second shuffle — the row_number window's
+    hash exchange on (tile_x, tile_y) is REUSED by the collect groupBy,
+    so the whole encode is ONE Exchange + one ArrowEvalPython."""
+    from engine.geo.vectile import encode_vector_tiles
+    pts = (spark.read.parquet(images_parquet)
+           .selectExpr("cast(substring(image_id, 4) as long) as id",
+                       "lat", "lon"))
+    plan = plan_of(encode_vector_tiles(pts, z=6), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Window" in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_polygonize_rings_single_tile_collect_plus_one_arrow(spark,
+                                                             images_parquet):
+    """r4: ring tracing rides the SAME single tile-keyed collect as the
+    label-only polygonize — pixel agg exchange + tile collect exchange,
+    ONE batched Arrow stage, rings explode natively."""
+    from engine.geo.polygonize import polygonize_rings
+    from engine.geo.raster import _pixel_counts
+    pts = spark.read.parquet(images_parquet).select("lat", "lon")
+    plan = plan_of(polygonize_rings(_pixel_counts(pts, 6, 4, "lat", "lon"),
+                                    grid_bits=4), "simple")
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_hexbin_counts_one_mapside_combined_shuffle(spark, images_parquet):
+    """r4: hexbin is a native codegen expression feeding one partial-
+    aggregated exchange — zero Python, the tile_assign shape."""
+    from engine.geo.hexbin import hexbin_counts
+    pts = spark.read.parquet(images_parquet).select("lat", "lon")
+    plan = plan_of(hexbin_counts(pts, size=4), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+    # partial agg sits below the exchange (map-side combine)
+    pre, post = plan.split("Exchange", 1)
+    assert "partial_count" in post and "HashAggregate" in pre, plan
