@@ -367,7 +367,26 @@ def polygonize_global(pixels: DataFrame, grid_bits: int = 4,
     def rkey(tx, ty, rid):
         return ((tx * 1048576 + ty) * 1048576 + rid)
 
-    labeled = _labeled_pixels(pixels, grid).localCheckpoint(eager=True)
+    labeled = _labeled_pixels(pixels, grid)
+    if z is None:
+        # z bounds the tile domain when given (checked above); with no z
+        # the input tile coords are unbounded, so enforce the 2^20 key
+        # slots IN-PLAN: assert_true is codegen'd into the labeling scan
+        # (zero cost until violated, fails the job loudly instead of
+        # silently colliding packed keys — r4 ADVICE follow-through).
+        lim = F.lit(1048576)
+        ok = ((F.col("tile_x") >= 0) & (F.col("tile_x") < lim)
+              & (F.col("tile_y") >= 0) & (F.col("tile_y") < lim))
+        msg = F.lit("polygonize_global: tile coords exceed the 2^20 "
+                    "packed-key slot (pass z, or re-tile coarser)")
+        # assert_true returns NULL on success — thread it through the
+        # LOAD-BEARING tile_x column (coalesce keeps the value), else
+        # column pruning would silently drop the check
+        labeled = labeled.withColumn(
+            "tile_x",
+            F.coalesce(F.assert_true(ok, msg).cast("long"),
+                       F.col("tile_x")))
+    labeled = labeled.localCheckpoint(eager=True)
     lab = labeled.select(
         "tile_x", "tile_y", "pix",
         rkey(F.col("tile_x"), F.col("tile_y"), F.col("lbl")).alias("rk"))

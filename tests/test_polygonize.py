@@ -316,3 +316,26 @@ def test_rings_feed_measure_and_simplify(spark, rng):
     simp = simplify_rings(layer, tol_deg=0.25).collect()
     for s in simp:
         assert s.n_vertices_out == s.n_vertices_in
+
+
+def test_global_rejects_out_of_domain_tiles(spark):
+    """r4: key-packing domain guards fail LOUDLY — grid_bits/z at entry,
+    unbounded tile coords in-plan via assert_true (zero cost until
+    violated) — instead of silently colliding packed region keys."""
+    from py4j.protocol import Py4JJavaError
+    ok = [(0, 0, 5, 1)]
+    df_bad = spark.createDataFrame(
+        pd.DataFrame([(1 << 21, 0, 5, 1)],
+                     columns=["tile_x", "tile_y", "pix", "w"]))
+    with pytest.raises((Py4JJavaError, Exception)):
+        polygonize_global(df_bad, GRID_BITS).collect()
+    with pytest.raises(ValueError):
+        polygonize_global(
+            spark.createDataFrame(
+                pd.DataFrame(ok, columns=["tile_x", "tile_y", "pix", "w"])),
+            grid_bits=11)
+    with pytest.raises(ValueError):
+        polygonize_global(
+            spark.createDataFrame(
+                pd.DataFrame(ok, columns=["tile_x", "tile_y", "pix", "w"])),
+            GRID_BITS, z=21)
