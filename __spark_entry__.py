@@ -958,6 +958,21 @@ def q_tile_vector_encode(spark, sf):
                       F.hex("payload").alias("payload_hex"))
 
 
+def q_tile_vector_encode_mvt(spark, sf):
+    """C3j's MVT framing as its own driver key (late r4): the SAME z6
+    feature sets as tile_vector_encode, framed in the real
+    vector_tile.proto wire format (Tile/Layer/Feature, hand-rolled
+    varint tags — engine/geo/vectile.py::encode_mvt_payload).  Golden
+    pinned at sf0.01 like the compact-codec key; independent checks are
+    the mini-protobuf decode roundtrip + content-equality-with-compact
+    pytest (tests/test_vectile.py)."""
+    _prep(spark)
+    from engine.geo.vectile import encode_vector_tiles
+    out = encode_vector_tiles(_points(spark, sf), z=6, mvt=True)
+    return out.select("tile_z", "tile_x", "tile_y", "n_features", "n_bytes",
+                      F.hex("payload").alias("payload_hex"))
+
+
 def q_vectile_oversized_stats(spark, sf):
     """Observability for the vector-tile feature cap (r4, VERDICT #3):
     tiles whose raw feature count exceeds max_features, with the dropped
@@ -2191,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # committed r4_planned window stays intact; heads the r5 window
         "cell_hexbin": q_cell_hexbin,
         "tile_incremental_pruned": q_tile_incremental_pruned,
+        "tile_vector_encode_mvt": q_tile_vector_encode_mvt,
         "agg_percentile": q_agg_percentile,
         "fn_explode": q_fn_explode,
         "win_dist": q_win_dist,
@@ -2946,7 +2962,8 @@ def oracle_sql() -> dict[str, str]:
         **{k: f"SELECT * FROM read_parquet('{_REPO}/oracle/golden/{k}.parquet')"
            for k in ("gen_images", "img_decode_stats", "pip_refine",
                      "media_features", "media_resize", "media_frames",
-                     "img_augment", "simplify_rings", "tile_vector_encode")},
+                     "img_augment", "simplify_rings", "tile_vector_encode",
+                     "tile_vector_encode_mvt")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

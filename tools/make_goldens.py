@@ -39,7 +39,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # canonical text comparison can't re-derive in SQL; the
                # independent check is tests/test_vectile.py's decode
                # roundtrip vs the reference mercator kernel.
-               "tile_vector_encode")
+               "tile_vector_encode",
+               # tile_vector_encode_mvt (late r4): same features, real
+               # vector_tile.proto framing; independent check is the
+               # mini-protobuf decode roundtrip pytest.
+               "tile_vector_encode_mvt")
 
 
 def main() -> None:
