@@ -651,6 +651,37 @@ def main() -> None:
         "as drops.",
         plan_of(incremental_tiles(vt_cur, vt_chg, z=6), "simple")))
 
+    # 38. hexagonal binning (late r4)
+    from engine.geo.hexbin import hexbin_counts
+    sections.append((
+        "Hexbin counts (C7c, late r4)",
+        "Hexagonal index aggregation: the hex center (integer argmin "
+        "over two offset sub-grids) is ONE native codegen expression in "
+        "the scan stage — zero Python — feeding a single map-side-"
+        "combined integer-key exchange (the tile_assign shape).",
+        plan_of(hexbin_counts(vt_pts, size=4), "simple")))
+
+    # 39. incremental tile maintenance over the physical layout (late r4)
+    import tempfile as _tf
+    from engine.geo.cells import with_cell as _wc
+    from engine.geo.tiles import write_tile_partitioned as _wtp
+    from engine.geo.vectile import incremental_tiles_partitioned
+    _lay = _tf.mkdtemp(prefix="plans-layout-") + "/t"
+    _wtp(_wc(vt_pts), _lay, z=3)
+    sections.append((
+        "Incremental tile maintenance over the tile-partitioned layout "
+        "(C3k, late r4)",
+        "C3h composed with the A8 physical layout: the current-snapshot "
+        "scan carries STATIC PartitionFilters (per-axis IN lists on the "
+        "partition columns, derived from the diff's coarse tile set) — "
+        "untouched tile_x=<x>/tile_y=<y> directories are never LISTED, "
+        "so the plain operator's residual full-table tile-assign scan "
+        "disappears; the fine z-tile semi-join still bounds exact "
+        "membership.  Look for `PartitionFilters: [tile_x IN (...)]` on "
+        "the layout FileScan.",
+        plan_of(incremental_tiles_partitioned(
+            spark, _lay, vt_chg, z=6, z_layout=3), "formatted")))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
