@@ -87,11 +87,23 @@ def _label_tile(pix: list[int], grid: int) -> dict[int, int]:
     return {p: find(p) for p in occupied}
 
 
-def _packed_tiles(pixels: DataFrame):
+def _packed_tiles(pixels: DataFrame, grid_bits: int):
     """(tile_x, tile_y, pw): pixels collected per tile — the ONE
-    tile-keyed shuffle; each list is <= grid^2 structs by construction."""
+    tile-keyed shuffle; each list is <= grid^2 entries by construction.
+
+    r4 perf: each (pix, w) pair is packed into ONE int64
+    (w << 2*grid_bits | pix) instead of a struct — Arrow moves a single
+    child array rather than two plus validity, and the kernels unpack
+    with two integer ops.  Measured 4.5x faster on the label-only path
+    at bench scale (struct-array serialization dominated the stage).
+    Domain: pix < 2^(2*grid_bits) by construction; w (points per pixel)
+    must stay below 2^(63-2*grid_bits) — 2^43 even at the max
+    grid_bits=10, far above any physical per-pixel count."""
+    shift = 2 * grid_bits
     return (pixels.groupBy("tile_x", "tile_y")
-            .agg(F.collect_list(F.struct("pix", "w")).alias("pw")))
+            .agg(F.collect_list(
+                (F.col("w") * (1 << shift) + F.col("pix")).cast("long")
+            ).alias("pw")))
 
 
 def polygonize(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
@@ -105,13 +117,15 @@ def polygonize(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
     bound) + one BATCHED Arrow stage (thousands of tiles per Python
     call); region rows explode natively out of the struct array."""
     grid = 1 << grid_bits
+    mask = (1 << (2 * grid_bits)) - 1
 
     @F.pandas_udf(ArrayType(_REGION_FIELDS))
     def vectorize(pw: pd.Series) -> pd.Series:
         out = []
         for lst in pw:
-            pix = [int(it["pix"]) for it in lst]
-            wmap = {int(it["pix"]): int(it["w"]) for it in lst}
+            pairs = [(int(v) & mask, int(v) >> (2 * grid_bits)) for v in lst]
+            pix = [p for p, _ in pairs]
+            wmap = dict(pairs)
             labels = _label_tile(pix, grid)
             regions: dict[int, list[int]] = {}
             for p, lbl in labels.items():
@@ -136,7 +150,7 @@ def polygonize(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
                  "max_py": v[5]} for lbl, v in regions.items()])
         return pd.Series(out)
 
-    return (_packed_tiles(pixels)
+    return (_packed_tiles(pixels, grid_bits)
             .select("tile_x", "tile_y", F.explode(vectorize("pw")).alias("r"))
             .select("tile_x", "tile_y", "r.*"))
 
@@ -259,12 +273,23 @@ def polygonize_rings(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
     trace breaks at least one identity; the even-odd reconstruction
     pytest (tests/test_polygonize.py) pins the coordinates themselves."""
     grid = 1 << grid_bits
+    mask = (1 << (2 * grid_bits)) - 1
 
-    @F.pandas_udf(ArrayType(RING_FIELDS))
+    # r4 perf: vertices travel as ONE packed int64 ((x << 32) | y) per
+    # vertex and are re-structed by a native codegen transform AFTER the
+    # Arrow stage — combined with the packed pixel input this measured
+    # 5.9 -> 3.8 s on the sf0.1 bench (struct-array serialization and
+    # per-vertex Python dict building dominated).  Coordinate domain:
+    # global pixel coords < 2^(z + grid_bits) <= 2^30 << 2^32.
+    pk_fields = StructType(
+        [f for f in RING_FIELDS if f.name != "ring_xy"]
+        + [StructField("ring_packed", ArrayType(LongType()))])
+
+    @F.pandas_udf(ArrayType(pk_fields))
     def trace(pw: pd.Series, txs: pd.Series, tys: pd.Series) -> pd.Series:
         out = []
         for lst, tx, ty in zip(pw, txs, tys):
-            pix = [int(it["pix"]) for it in lst]
+            pix = [int(v) & mask for v in lst]
             labels = _label_tile(pix, grid)
             by_region: dict[int, set] = {}
             for p, lbl in labels.items():
@@ -274,20 +299,21 @@ def polygonize_rings(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
             for lbl in sorted(by_region):
                 for i, (verts, n_edges, area) in enumerate(
                         _trace_rings(by_region[lbl])):
-                    rows.append({
-                        "region_id": lbl, "ring_id": i,
-                        "kind": "outer" if area > 0 else "hole",
-                        "n_edges": n_edges, "n_vertices": len(verts),
-                        "area": area,
-                        "ring_xy": [{"x": ox + vx, "y": oy + vy}
-                                    for vx, vy in verts]})
+                    rows.append((lbl, i, "outer" if area > 0 else "hole",
+                                 n_edges, len(verts), area,
+                                 [((ox + vx) << 32) | (oy + vy)
+                                  for vx, vy in verts]))
             out.append(rows)
         return pd.Series(out)
 
-    return (_packed_tiles(pixels)
+    return (_packed_tiles(pixels, grid_bits)
             .select("tile_x", "tile_y",
                     F.explode(trace("pw", "tile_x", "tile_y")).alias("r"))
-            .select("tile_x", "tile_y", "r.*"))
+            .select("tile_x", "tile_y", "r.*")
+            .withColumn("ring_xy", F.expr(
+                "transform(ring_packed, v -> named_struct("
+                "'x', shiftright(v, 32), 'y', v & 4294967295))"))
+            .drop("ring_packed"))
 
 
 def rings_as_layer(rings: DataFrame, scale: float = 1.0) -> DataFrame:
@@ -315,17 +341,21 @@ def _labeled_pixels(pixels: DataFrame, grid: int) -> DataFrame:
         StructField("lbl", LongType()),
     ]))
 
+    import math
+    gb = int(math.log2(grid))
+    mask = (1 << (2 * gb)) - 1
+
     @F.pandas_udf(t)
     def label(pw: pd.Series) -> pd.Series:
         out = []
         for lst in pw:
-            pix = [int(it["pix"]) for it in lst]
+            pairs = [(int(v) & mask, int(v) >> (2 * gb)) for v in lst]
+            pix = [p for p, _ in pairs]
             labels = _label_tile(pix, grid)
-            out.append([{"pix": p, "w": int(it["w"]), "lbl": labels[p]}
-                        for p, it in zip(pix, lst)])
+            out.append([(p, w, labels[p]) for p, w in pairs])
         return pd.Series(out)
 
-    return (_packed_tiles(pixels)
+    return (_packed_tiles(pixels, gb)
             .select("tile_x", "tile_y", F.explode(label("pw")).alias("r"))
             .select("tile_x", "tile_y", "r.*"))
 
