@@ -133,6 +133,20 @@ RECT_JOIN_SQL = (
 KNN_QUERIES = [(0, 48.85, 2.3), (1, -33.9, 151.2), (2, 40.7, -74.0),
                (3, -1.3, 36.8), (4, 64.1, -21.9)]
 
+# (qid, lat, lon, radius_m) for the D13 radius join — radii chosen with
+# a verified fixture margin (tests/test_fixture_invariants.py: no point
+# sits near any radius boundary or a dist_m rounding boundary at the
+# committed sfs, so the float haversine filter is cross-libm stable).
+DWITHIN_QUERIES = [(0, 48.85, 2.3, 800000.0), (1, -33.9, 151.2, 1200000.0),
+                   (2, 40.7, -74.0, 500000.0), (3, -1.3, 36.8, 1500000.0),
+                   (4, 64.1, -21.9, 2000000.0),
+                   # the derived point table is south-heavy at small sf
+                   # (the lat hash wraps every ~4200 keys): two
+                   # south-polar queries keep the result non-empty at
+                   # sf0.001 AND exercise the near-pole unbounded-block
+                   # branch of the ring-radius guarantee
+                   (5, -80.0, 10.0, 1500000.0), (6, -75.0, -40.0, 1000000.0)]
+
 QVEC = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
 
 
@@ -407,6 +421,21 @@ def q_knn_join(spark, sf):
     out = knn_join(_knn_queries_df(spark), _points(spark, sf),
                    k=5, level=6, r0=2, id_col="id", cache_points=True)
     return out.select("qid", "id", F.round("dist_m", 1).alias("dist_m"), "rn")
+
+
+def q_join_dwithin(spark, sf):
+    """D13 (late r4) — radius (distance-within) join: the kNN block
+    guarantee inverted into a pure per-query minimal-ring-radius
+    function, then ONE candidate equi-join + exact haversine filter.
+    No retry loop, no window; the twin is brute-force all-pairs."""
+    _prep(spark)
+    from engine.geo.knn import dwithin_join
+    q = spark.createDataFrame(
+        [(int(i), float(la), float(lo), float(r))
+         for i, la, lo, r in DWITHIN_QUERIES],
+        schema="qid long, lat double, lon double, radius_m double")
+    out = dwithin_join(q, _points(spark, sf), level=6, id_col="id")
+    return out.select("qid", "id", F.round("dist_m", 1).alias("dist_m"))
 
 
 def q_agg_basic(spark, sf):
@@ -2285,6 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        # --- late-r4 additions (appended after the committed windows;
+        # recorded in DRIVER_WINDOWS.json r5_queued) ---
+        "join_dwithin": q_join_dwithin,
     }
 
 
@@ -3370,4 +3402,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(6 AS INTEGER) AS tile_z, xi >> 24 AS tile_x, "
             "yi >> 24 AS tile_y, CAST(COUNT(*) AS INTEGER) AS n_features "
             "FROM xy GROUP BY 2, 3"),
+        # join_dwithin — brute-force all-pairs over the same derived
+        # points; the engine's ring-blocked candidate join must
+        # reproduce exhaustive radius search exactly (same trig
+        # exposure class as the twice-green knn_join twin; fixture
+        # margin asserted in tests/test_fixture_invariants.py).
+        "join_dwithin": (
+            f"WITH {PTS_SQL}, q(qid, lat, lon, rad) AS (VALUES "
+            + ", ".join(f"(CAST({q} AS BIGINT), {la}, {lo}, {r})"
+                        for q, la, lo, r in DWITHIN_QUERIES) + "), "
+            "d AS (SELECT q.qid, p.id, "
+            + HAVERSINE_SQL_TMPL.format(lat1="q.lat", lon1="q.lon",
+                                        lat2="p.lat", lon2="p.lon")
+            + " AS dist, q.rad FROM q CROSS JOIN pts p) "
+            "SELECT qid, id, round(dist, 1) AS dist_m FROM d "
+            "WHERE dist <= rad"),
     }

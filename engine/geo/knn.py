@@ -52,6 +52,48 @@ def make_disk_r_udf(level: int):
     return disk_r
 
 
+def block_guarantee_np(la: np.ndarray, lo: np.ndarray, x: np.ndarray,
+                       y: np.ndarray, rr: np.ndarray, level: int) -> np.ndarray:
+    """Safe radius in metres of the cell block [x-r, x+r] x [y-r, y+r]
+    at `level` around each (lat, lon) query (inf if unbounded): any
+    point OUTSIDE the block is at spherical distance >= the returned
+    value.  Parallel (latitude) edges: exact meridian arc; meridian
+    (longitude) edges: cross-track distance."""
+    n = 1 << level
+
+    y_top = y - rr          # grid row of the top edge (smaller y = north)
+    y_bot = y + rr + 1      # edge below the bottom row
+    top_bounded = y_top > 0
+    bot_bounded = y_bot < n
+    lat_top = np.array([inv_mercy(v / n) if b else 90.0
+                        for v, b in zip(y_top, top_bounded)])
+    lat_bot = np.array([inv_mercy(v / n) if b else -90.0
+                        for v, b in zip(y_bot, bot_bounded)])
+    # points north of the mercator clamp all encode into row 0, so a
+    # block touching row 0 is unbounded north (same south).
+    d_top = np.where(top_bounded,
+                     EARTH_RADIUS_M * np.radians(np.abs(lat_top - la)), np.inf)
+    d_bot = np.where(bot_bounded,
+                     EARTH_RADIUS_M * np.radians(np.abs(la - lat_bot)), np.inf)
+
+    # meridian (longitude) edges: cross-track distance
+    wrap_all = (2 * rr + 1) >= n
+    lon_w = ((x - rr) % n) / n * 360.0 - 180.0
+    lon_e = ((x + rr + 1) % n) / n * 360.0 - 180.0
+
+    def meridian_dist(dlam_deg):
+        d = np.abs((dlam_deg + 180.0) % 360.0 - 180.0)  # [0, 180]
+        d = np.minimum(d, 90.0)  # beyond 90 deg the meridian is farther
+        return EARTH_RADIUS_M * np.arcsin(
+            np.abs(np.cos(np.radians(la))) * np.sin(np.radians(d))
+        )
+
+    d_w = np.where(wrap_all, np.inf, meridian_dist(lo - lon_w))
+    d_e = np.where(wrap_all, np.inf, meridian_dist(lon_e - lo))
+
+    return np.minimum.reduce([d_top, d_bot, d_w, d_e])
+
+
 def make_guarantee_udf(level: int):
     """(lat, lon, cell_p, r) -> safe radius in metres (inf if unbounded).
 
@@ -63,48 +105,51 @@ def make_guarantee_udf(level: int):
     @F.pandas_udf(DoubleType())
     def guarantee(lat: pd.Series, lon: pd.Series, cell: pd.Series,
                   r: pd.Series) -> pd.Series:
-        n = 1 << level
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
         c = cell.to_numpy(np.int64)
         rr = r.to_numpy(np.int64)
         x, y = demorton_np(c)
-
-        # parallel (latitude) edges: exact min distance is the meridian arc
-        y_top = y - rr          # grid row of the top edge (smaller y = north)
-        y_bot = y + rr + 1      # edge below the bottom row
-        top_bounded = y_top > 0
-        bot_bounded = y_bot < n
-        lat_top = np.array([inv_mercy(v / n) if b else 90.0
-                            for v, b in zip(y_top, top_bounded)])
-        lat_bot = np.array([inv_mercy(v / n) if b else -90.0
-                            for v, b in zip(y_bot, bot_bounded)])
-        # points north of the mercator clamp all encode into row 0, so a
-        # block touching row 0 is unbounded north (same south).
-        d_top = np.where(top_bounded,
-                         EARTH_RADIUS_M * np.radians(np.abs(lat_top - la)), np.inf)
-        d_bot = np.where(bot_bounded,
-                         EARTH_RADIUS_M * np.radians(np.abs(la - lat_bot)), np.inf)
-
-        # meridian (longitude) edges: cross-track distance
-        wrap_all = (2 * rr + 1) >= n
-        lon_w = ((x - rr) % n) / n * 360.0 - 180.0
-        lon_e = ((x + rr + 1) % n) / n * 360.0 - 180.0
-
-        def meridian_dist(dlam_deg):
-            d = np.abs((dlam_deg + 180.0) % 360.0 - 180.0)  # [0, 180]
-            d = np.minimum(d, 90.0)  # beyond 90 deg the meridian is farther
-            return EARTH_RADIUS_M * np.arcsin(
-                np.abs(np.cos(np.radians(la))) * np.sin(np.radians(d))
-            )
-
-        d_w = np.where(wrap_all, np.inf, meridian_dist(lo - lon_w))
-        d_e = np.where(wrap_all, np.inf, meridian_dist(lon_e - lo))
-
-        out = np.minimum.reduce([d_top, d_bot, d_w, d_e])
-        return pd.Series(out)
+        return pd.Series(block_guarantee_np(la, lo, x, y, rr, level))
 
     return guarantee
+
+
+def safe_ring_radius_np(la: np.ndarray, lo: np.ndarray, x: np.ndarray,
+                        y: np.ndarray, radius_m: np.ndarray, level: int,
+                        r0: int = 1) -> np.ndarray:
+    """Minimal ring radius r (per query) whose cell block provably
+    contains EVERY point within `radius_m` metres: grow r until
+    block_guarantee > radius_m or the block is unbounded in all
+    directions (guarantee inf).  Pure function of the query — no data
+    scan, no retry loop; terminates because r doubling reaches the
+    whole-grid wrap (guarantee inf) in <= level+2 steps."""
+    r = np.full(la.shape, r0, dtype=np.int64)
+    for _ in range(level + 3):
+        guar = block_guarantee_np(la, lo, x, y, r, level)
+        need = ~(guar > radius_m)  # inf > R is True -> satisfied
+        if not need.any():
+            break
+        r = np.where(need, r * 2 + 1, r)
+    else:
+        raise RuntimeError("safe_ring_radius_np: failed to converge")
+    return r
+
+
+def make_safe_r_udf(level: int, r0: int = 1):
+    """(lat, lon, cell_p, radius_m) -> minimal safe ring radius."""
+
+    @F.pandas_udf(LongType())
+    def safe_r(lat: pd.Series, lon: pd.Series, cell: pd.Series,
+               radius_m: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        c = cell.to_numpy(np.int64)
+        rm = radius_m.to_numpy(np.float64)
+        x, y = demorton_np(c)
+        return pd.Series(safe_ring_radius_np(la, lo, x, y, rm, level, r0))
+
+    return safe_r
 
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
@@ -220,6 +265,77 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
     if cache_points:
         pts.unpersist()  # per-round results are already checkpointed
     return out
+
+
+def dwithin_join(queries: DataFrame, points: DataFrame, level: int,
+                 radius_m: float | None = None,
+                 qid_col: str = "qid", id_col: str = "image_id",
+                 radius_col: str = "radius_m",
+                 native_dist: bool = True) -> DataFrame:
+    """D13 — radius (distance-within) join: for each query row, EVERY
+    point within its radius (metres, great-circle).  Returns
+    (qid, image_id, dist_m).
+
+    `queries` needs (qid, lat, lon) plus a per-query `radius_col`
+    (or pass a uniform `radius_m`).  Exactness without any retry loop:
+    the kNN block-guarantee function is INVERTED — each query computes,
+    as a pure function of its own coordinates (no data scan), the
+    minimal cell-ring radius whose block provably contains every point
+    within R (block_guarantee > R).  Then one disk-cell explode + one
+    cell-prefix equi-join (the only shuffle that touches the big side)
+    + an exact native haversine filter.
+
+    Scale shape: identical to the kNN candidate join — pre-bucket the
+    point table by cell_p to co-locate; per-query fan-out is the disk
+    size (2r+1)^2, minimal by construction (high-latitude queries
+    expand more because mercator cells shrink east-west).  No window,
+    no per-query state beyond the exploded candidate rows.
+    """
+    pts = points if "cell" in points.columns else with_cell(points)
+    pts = (
+        pts.withColumn("cell_p", cell_parent_col("cell", level))
+        .select(F.col(id_col), F.col("lat").alias("p_lat"),
+                F.col("lon").alias("p_lon"), "cell_p")
+    )
+    q = queries if "cell" in queries.columns else with_cell(queries)
+    if radius_m is not None:
+        q = q.withColumn(radius_col, F.lit(float(radius_m)))
+    q = q.select(qid_col, "lat", "lon", F.col(radius_col).alias("_rad"),
+                 cell_parent_col("cell", level).alias("q_cell"))
+
+    safe_r = make_safe_r_udf(level)
+    disk_udf = make_disk_r_udf(level)
+    cand = (
+        q.withColumn("r", safe_r(F.col("lat"), F.col("lon"),
+                                 F.col("q_cell"), F.col("_rad")))
+        .withColumn("cell_p", F.explode(disk_udf(F.col("q_cell"), F.col("r"))))
+        .join(pts, "cell_p", "inner")
+    )
+    if native_dist:
+        dist = haversine_expr(F.col("lon"), F.col("lat"),
+                              F.col("p_lon"), F.col("p_lat"))
+    else:
+        dist = haversine_udf(F.col("lon"), F.col("lat"),
+                             F.col("p_lon"), F.col("p_lat"))
+    return (cand.withColumn("dist_m", dist)
+            .filter(F.col("dist_m") <= F.col("_rad"))
+            .select(qid_col, id_col, "dist_m"))
+
+
+def dwithin_bruteforce_df(queries: DataFrame, points: DataFrame,
+                          qid_col: str = "qid", id_col: str = "image_id",
+                          radius_col: str = "radius_m") -> DataFrame:
+    """O(Q x P) cross-join baseline — test oracle for dwithin_join."""
+    pts = points.select(F.col(id_col), F.col("lat").alias("p_lat"),
+                        F.col("lon").alias("p_lon"))
+    return (
+        queries.select(qid_col, "lat", "lon", radius_col)
+        .crossJoin(F.broadcast(pts))
+        .withColumn("dist_m", haversine_udf(F.col("lon"), F.col("lat"),
+                                            F.col("p_lon"), F.col("p_lat")))
+        .filter(F.col("dist_m") <= F.col(radius_col))
+        .select(qid_col, id_col, "dist_m")
+    )
 
 
 def knn_bruteforce_df(queries: DataFrame, points: DataFrame, k: int,

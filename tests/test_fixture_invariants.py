@@ -82,3 +82,33 @@ def test_dedup_corpora_stay_under_max_bucket(duck, sf, spark):
     # structural check with the driver key's exact parameters
     docs = entry_mod._docs_with_dups(spark, sf)
     assert oversized_bucket_stats(docs, max_bucket=max_bucket).count() == 0
+
+
+@pytest.mark.parametrize("sf", SF_DIRS + ["/root/testdata/sf0.1"])
+def test_dwithin_radii_have_boundary_margin(duck, sf):
+    """3. join_dwithin's float haversine filter is cross-libm stable at
+    the committed sfs: no point sits within 100 m of any query-circle
+    boundary (libm trig differs across engines by ~1e-9 m here), and no
+    in-radius distance sits within 1e-4 of a dist_m=round(d,1) rounding
+    boundary.  Fails before a driver hash would if the fixture or the
+    DWITHIN_QUERIES constants change."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    ck = duck.execute(
+        f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchnumpy()["c_custkey"].astype(np.int64)
+    lon = ((ck * 2654435761) % 360000000) / 1e6 - 180.0
+    lat = ((ck * 40503 + 7) % 170000000) / 1e6 - 85.0
+    p = np.pi / 180.0
+    for qid, qla, qlo, rad in entry.DWITHIN_QUERIES:
+        d = 2 * 6371000.0 * np.arcsin(np.minimum(1.0, np.sqrt(
+            np.sin((qla - lat) * p / 2) ** 2
+            + np.cos(lat * p) * np.cos(qla * p)
+            * np.sin((qlo - lon) * p / 2) ** 2)))
+        assert np.abs(d - rad).min() > 100.0, f"qid {qid} radius margin"
+        inside = d[d <= rad]
+        if inside.size:
+            frac = np.abs((inside * 10) % 1 - 0.5).min()
+            assert frac > 1e-4, f"qid {qid} rounding margin"

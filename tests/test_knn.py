@@ -87,3 +87,67 @@ def test_knn_level_too_fine_still_exact(spark):
     for qi in range(len(qlon)):
         want = [w[0] for w in og.knn_bruteforce(qlon[qi], qlat[qi], pts_list, k)]
         assert [g[1] for g in sorted(got_map[qi])] == want
+
+
+# ---------------------------------------------------------------- D13
+
+
+def test_dwithin_matches_bruteforce(spark):
+    """dwithin_join == exhaustive cross-join filter, per-query radii,
+    including antimeridian and high-latitude queries (mercator cell
+    shrink forces large safe ring radii)."""
+    from engine.geo.knn import dwithin_bruteforce_df, dwithin_join
+    pts, qs, *_ = _tables(spark, seed=21, n_pts=2500, n_q=20)
+    r = np.random.default_rng(7)
+    radii = r.uniform(2e5, 3e6, 20)
+    qs = spark.createDataFrame(pd.DataFrame({
+        "qid": np.arange(20, dtype=np.int64),
+        "lon": [row.lon for row in qs.orderBy("qid").collect()],
+        "lat": [row.lat for row in qs.orderBy("qid").collect()],
+        "radius_m": radii,
+    }))
+    fast = {(r_.qid, r_.image_id) for r_ in
+            dwithin_join(qs, pts, level=6).collect()}
+    slow = {(r_.qid, r_.image_id) for r_ in
+            dwithin_bruteforce_df(qs, pts).collect()}
+    assert fast == slow
+    assert len(fast) > 50  # non-trivial fixture
+
+
+def test_dwithin_near_pole_unbounded_block(spark):
+    """A query near the mercator clamp with a huge radius: the safe
+    block is unbounded (guarantee inf) and the join still matches
+    brute force."""
+    from engine.geo.knn import dwithin_bruteforce_df, dwithin_join
+    pts, _, *_ = _tables(spark, seed=3, n_pts=800, n_q=5)
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": [0, 1], "lat": [84.9, -84.9],
+                      "lon": [0.0, 179.9], "radius_m": [4e6, 6e6]}))
+    fast = {(r.qid, r.image_id) for r in
+            dwithin_join(qs, pts, level=6).collect()}
+    slow = {(r.qid, r.image_id) for r in
+            dwithin_bruteforce_df(qs, pts).collect()}
+    assert fast == slow and len(fast) > 0
+
+
+def test_safe_ring_radius_guarantee_property():
+    """For random queries/radii: block_guarantee(safe_r) > R (or inf),
+    and safe_r is not wastefully large (guarantee((r-1)//2) <= R for the
+    doubling predecessor)."""
+    from engine.geo.cells import cell_encode_np, demorton_np
+    from engine.geo.knn import block_guarantee_np, safe_ring_radius_np
+    rng = np.random.default_rng(42)
+    la = rng.uniform(-84, 84, 300)
+    lo = rng.uniform(-180, 180, 300)
+    rad = rng.uniform(1e4, 8e6, 300)
+    level = 6
+    cells = cell_encode_np(lo, la) >> np.int64(2 * (30 - level))
+    x, y = demorton_np(cells)
+    r = safe_ring_radius_np(la, lo, x, y, rad, level)
+    guar = block_guarantee_np(la, lo, x, y, r, level)
+    assert np.all(guar > rad)
+    prev = (r - 1) // 2
+    grew = r > 1
+    gprev = block_guarantee_np(la[grew], lo[grew], x[grew], y[grew],
+                               prev[grew], level)
+    assert np.all(~(gprev > rad[grew]))
