@@ -2100,6 +2100,19 @@ def q_tile_edges(spark, sf):
     return edge_tiles(_points(spark, sf), z=6)
 
 
+def q_tile_morph(spark, sf):
+    """Raster morphology (late r4): binary dilation + erosion of the z6
+    occupancy raster in one pass — output domain is the dilated set
+    (Chebyshev radius 1, x cyclic, y clipped), is_eroded marks occupied
+    tiles whose full 3x3 window is occupied.  Same one-pass + checkpoint
+    + offset-explode skeleton as tile_focal/tile_edges; integer end to
+    end so the twin (shared z6 trig CTE + 9-offset window count) is
+    tie-free."""
+    _prep(spark)
+    from engine.geo.raster import morph_tiles
+    return morph_tiles(_points(spark, sf), z=6, radius=1)
+
+
 def q_tile_focal(spark, sf):
     """Raster map-algebra (r3): focal/neighborhood sum over the per-tile
     count raster — for each occupied z6 tile, the total point count in
@@ -2317,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- late-r4 additions (appended after the committed windows;
         # recorded in DRIVER_WINDOWS.json r5_queued) ---
         "join_dwithin": q_join_dwithin,
+        "tile_morph": q_tile_morph,
     }
 
 
@@ -3417,4 +3431,23 @@ def oracle_sql() -> dict[str, str]:
             + " AS dist, q.rad FROM q CROSS JOIN pts p) "
             "SELECT qid, id, round(dist, 1) AS dist_m FROM d "
             "WHERE dist <= rad"),
+        # tile_morph — dilation/erosion over the z6 occupancy raster:
+        # same shared trig CTE as the green tile_focal/tile_edges
+        # twins; the window count adds a y-range filter (pole clip) and
+        # the LEFT join classifies occupied/eroded.  Integer end to end.
+        "tile_morph": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "base AS (SELECT xi >> 24 AS tile_x, yi >> 24 AS tile_y, "
+            "COUNT(*) AS n FROM xy GROUP BY 1, 2), "
+            "offs AS (SELECT t1.dx, t2.dy FROM generate_series(-1, 1) t1(dx) "
+            "CROSS JOIN generate_series(-1, 1) t2(dy)), "
+            "contrib AS (SELECT ((b.tile_x + o.dx) % 64 + 64) % 64 AS tile_x, "
+            "b.tile_y + o.dy AS tile_y FROM base b CROSS JOIN offs o), "
+            "win AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS occ_window "
+            "FROM contrib WHERE tile_y >= 0 AND tile_y < 64 GROUP BY 1, 2) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, w.tile_x, w.tile_y, "
+            "CAST(b.n IS NOT NULL AS INTEGER) AS occupied, "
+            "CAST(COALESCE(b.n, 0) AS BIGINT) AS n, w.occ_window, "
+            "CAST(b.n IS NOT NULL AND w.occ_window = 9 AS INTEGER) AS is_eroded "
+            "FROM win w LEFT JOIN base b USING (tile_x, tile_y)"),
     }

@@ -185,6 +185,58 @@ def edge_tiles(df: DataFrame, z: int = 6, lat: str = "lat",
     )
 
 
+def morph_tiles(df: DataFrame, z: int = 6, radius: int = 1,
+                lat: str = "lat", lon: str = "lon",
+                checkpoint: bool = True) -> DataFrame:
+    """Raster morphology (late r4) — binary DILATION and EROSION of the
+    occupancy raster in one pass, completing the map-algebra family
+    (focal_sum, edge_tiles): the output domain is the DILATED set
+    (every tile within Chebyshev distance <= radius of an occupied
+    tile, x cyclic mod 2^z, y clipped at the poles — off-raster
+    neighbors count as unoccupied), and a tile is ERODED iff it is
+    occupied and its full (2r+1)^2 window is occupied (pole-adjacent
+    tiles can never erode, by the unoccupied-outside convention).
+    Opening/closing compose from these.
+
+    Scale shape (the edge_tiles skeleton): full table touched once by
+    the map-side-combined tile_counts agg; the sparse raster (<= 4^z
+    rows, checkpointed) explodes (2r+1)^2 native offset structs; one
+    skinny regroup counts occupied tiles per window; a LEFT join back
+    to the occupied set classifies each emitted tile.  Integer codegen
+    end to end, zero Python.
+
+    Output: (tile_z, tile_x, tile_y, occupied:int, n, occ_window,
+    is_eroded:int)."""
+    n_tiles = 1 << z
+    full = (2 * radius + 1) ** 2
+    base = tile_counts(df, z, lat, lon)
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)])
+    contrib = (
+        base.select("tile_x", "tile_y", F.explode(offs).alias("o"))
+        .select(F.pmod(F.col("tile_x") + F.col("o.dx"),
+                       F.lit(n_tiles)).alias("tile_x"),
+                (F.col("tile_y") + F.col("o.dy")).alias("tile_y"))
+        .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n_tiles))
+    )
+    win = contrib.groupBy("tile_x", "tile_y") \
+        .agg(F.count("*").alias("occ_window"))
+    return (
+        win.join(base, ["tile_x", "tile_y"], "left")
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                F.col("n").isNotNull().cast("int").alias("occupied"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                "occ_window",
+                (F.col("n").isNotNull()
+                 & (F.col("occ_window") == full)).cast("int").alias("is_eroded"))
+    )
+
+
 def rasterize_tile_grids(df: DataFrame, z: int = 6, grid_bits: int = 4,
                          lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Materialized per-tile grids: (tile_z, tile_x, tile_y,

@@ -352,6 +352,20 @@ def test_focal_sum_is_native_two_agg_shuffles(spark, images_parquet):
     assert "ReadSchema: struct<lat:double,lon:double>" in plan_of(df)
 
 
+def test_morph_tiles_is_native_two_agg_shuffles(spark, images_parquet):
+    """Morphology: same shape contract as focal_sum — map-side-combined
+    base agg, native offset explode + skinny window-count regroup, zero
+    Python stages, no cartesian/BNLJ, 2-column ReadSchema."""
+    from engine.geo.raster import morph_tiles
+    imgs = spark.read.parquet(images_parquet).select("lat", "lon")
+    df = morph_tiles(imgs, z=5, radius=1, checkpoint=False)
+    plan = plan_of(df, "simple")
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ReadSchema: struct<lat:double,lon:double>" in plan_of(df)
+
+
 def test_grouped_split_is_one_window_shuffle_plus_arrow(spark, sf_dir):
     """Leakage-safe split: exactly one exchange (the digest window) and
     exactly one Arrow stage (the mix64 bucket kernel) — no join back."""

@@ -216,3 +216,55 @@ def test_edge_tiles_isolated_tile_is_edge(spark):
     rows = edge_tiles(df, z=6).collect()
     assert len(rows) == 1
     assert rows[0].occ_nbrs == 0 and rows[0].is_edge == 1
+
+
+# ------------------------------------------------------- morphology
+
+def test_morph_tiles_match_dense_numpy(spark, pts):
+    """Dilation domain + erosion flags vs a dense-grid reference with
+    cyclic x / clipped y (off-raster = unoccupied)."""
+    from engine.geo.raster import morph_tiles
+    from oracle.geo import lonlat_to_xy
+    pdf = pts.toPandas()
+    z, n, radius = 5, 1 << 5, 1
+    xy = [lonlat_to_xy(lo, la, level=z)
+          for lo, la in zip(pdf["lon"], pdf["lat"])]
+    grid = np.zeros((n, n), np.int64)
+    np.add.at(grid, ([p[0] for p in xy], [p[1] for p in xy]), 1)
+    occ = grid > 0
+    win = np.zeros((n, n), np.int64)
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            shifted = np.roll(occ.astype(np.int64), dx, axis=0)
+            if dy > 0:
+                shifted = np.concatenate(
+                    [np.zeros((n, dy), np.int64), shifted[:, :-dy]], axis=1)
+            elif dy < 0:
+                shifted = np.concatenate(
+                    [shifted[:, -dy:], np.zeros((n, -dy), np.int64)], axis=1)
+            win += shifted
+    full = (2 * radius + 1) ** 2
+    want = {}
+    for x in range(n):
+        for y in range(n):
+            if win[x, y] > 0:  # dilated domain
+                want[(x, y)] = (int(occ[x, y]), int(grid[x, y]),
+                                int(win[x, y]),
+                                int(occ[x, y] and win[x, y] == full))
+    got = {(r.tile_x, r.tile_y): (r.occupied, r.n, r.occ_window, r.is_eroded)
+           for r in morph_tiles(pts, z=z, radius=radius).collect()}
+    assert got == want
+    assert any(v[3] for v in got.values())       # some tile erodes
+    assert any(v[0] == 0 for v in got.values())  # dilation adds tiles
+
+
+def test_morph_tiles_pole_row_never_erodes(spark):
+    """A fully-occupied 3-wide band on the top row: the y-1 window rows
+    are off-raster (unoccupied), so nothing on row 0 erodes."""
+    from engine.geo.raster import morph_tiles
+    rows = [(i * 10 + j, -180.0 + (i + 0.5) * 90.0, 84.0 + j * 0.4)
+            for i in range(4) for j in range(3)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = morph_tiles(df, z=2, radius=1).collect()
+    top = [r for r in out if r.tile_y == 0 and r.occupied == 1]
+    assert top and all(r.is_eroded == 0 for r in top)
