@@ -438,6 +438,25 @@ def q_join_dwithin(spark, sf):
     return out.select("qid", "id", F.round("dist_m", 1).alias("dist_m"))
 
 
+def q_traj_stats(spark, sf):
+    """D14 (late r4) — trajectory statistics: events become a GPS-trace
+    stream (positions derived from event_id by the same integer hash as
+    the point fixture), per-user time-ordered track stats in the EXACT
+    level-30 grid-L1 domain (float path sums would be addition-order
+    dependent).  One shuffle: the lag window's hash partitioning is
+    reused by the per-user agg."""
+    _prep(spark)
+    from engine.geo.traj import traj_stats
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return traj_stats(ev)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -2331,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recorded in DRIVER_WINDOWS.json r5_queued) ---
         "join_dwithin": q_join_dwithin,
         "tile_morph": q_tile_morph,
+        "traj_stats": q_traj_stats,
     }
 
 
@@ -3450,4 +3470,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(b.n, 0) AS BIGINT) AS n, w.occ_window, "
             "CAST(b.n IS NOT NULL AND w.occ_window = 9 AS INTEGER) AS is_eroded "
             "FROM win w LEFT JOIN base b USING (tile_x, tile_y)"),
+        # traj_stats — LAG window over the same derived level-30 grid
+        # ints (trig CTE shape shared with the green XY twins), all
+        # accumulation in exact BIGINT L1 (wrap-aware x).  SUM output
+        # cast to BIGINT (HUGEINT parity rule).
+        "traj_stats": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "exy AS (SELECT user_id, ts, event_id, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) AS xi, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) AS yi "
+            "FROM epts), "
+            "o AS (SELECT *, lag(xi) OVER w AS pxi, lag(yi) OVER w AS pyi, "
+            "row_number() OVER w AS rn_a, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d "
+            "FROM exy WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, xi, yi, rn_a, rn_d, "
+            "CASE WHEN pxi IS NULL THEN NULL ELSE "
+            "least(abs(xi - pxi), 1073741824 - abs(xi - pxi)) + abs(yi - pyi) "
+            "END AS step FROM o) "
+            "SELECT user_id, COUNT(*) AS n_points, "
+            "CAST(COUNT(step) AS BIGINT) AS n_steps, "
+            "CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_l1, "
+            "CAST(COALESCE(MAX(step), 0) AS BIGINT) AS max_step_l1, "
+            "CAST(least(abs(MAX(CASE WHEN rn_d = 1 THEN xi END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN xi END)), "
+            "1073741824 - abs(MAX(CASE WHEN rn_d = 1 THEN xi END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN xi END))) "
+            "+ abs(MAX(CASE WHEN rn_d = 1 THEN yi END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN yi END)) AS BIGINT) AS net_l1, "
+            "CAST(epoch_us(MAX(CASE WHEN rn_d = 1 THEN ts END)) "
+            "- epoch_us(MAX(CASE WHEN rn_a = 1 THEN ts END)) AS BIGINT) "
+            "AS duration_us "
+            "FROM s GROUP BY user_id"),
     }

@@ -1,0 +1,79 @@
+"""Trajectory / GPS-track statistics (SURVEY.md §2.D14, late r4).
+
+The OSM-class domain's third geometry family beside points and polygon
+layers: ordered point SEQUENCES (GPS traces, vehicle tracks).  Per
+track key, over the time-ordered point stream:
+
+  - n_points / n_steps
+  - path_l1     : total travelled distance, SUM of per-step L1 norms on
+                  the level-30 mercator grid ints (x wrap-aware: the
+                  shorter way around the antimeridian), exact BIGINT
+  - max_step_l1 : largest single step (teleport/outlier detection)
+  - net_l1      : straight displacement first->last point
+  - duration_us : exact integer microseconds first->last timestamp
+
+The integer grid domain is deliberate: a float haversine path SUM over
+thousands of steps is float-addition-order-dependent (non-deterministic
+under repartition) and cross-libm fragile, while grid L1 in int64 is
+exact, associative, and overflow-safe (step < 2^31, so ~2^32 steps per
+key fit int64).  Callers needing metres multiply by the per-latitude
+ground resolution downstream.
+
+Scale shape: ONE shuffle total — the lag window partitions by track
+key and the per-key aggregation reuses the same hash partitioning
+(plan-asserted: a single Exchange).  Everything is native codegen
+(window lag + integer arithmetic); zero Python, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.geo.cells import LEVEL, merc_xy_sql
+
+_N = 1 << LEVEL
+
+
+def _wrap_dx(dx):
+    """Shorter-way |dx| on the cyclic level-30 x axis."""
+    a = F.abs(dx)
+    return F.least(a, F.lit(_N) - a)
+
+
+def traj_stats(df: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", seq_col: str = "event_id",
+               lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Per-key track statistics over the time-ordered point stream.
+    Ordering ties on `ts_col` break by `seq_col` (total order => the
+    result is partitioning/retry independent)."""
+    xi, yi = merc_xy_sql(lon, lat)
+    pts = df.select(
+        F.col(key_col), F.col(ts_col), F.col(seq_col),
+        F.expr(xi).alias("_xi"), F.expr(yi).alias("_yi"))
+
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    stepped = (
+        pts.withColumn("_pxi", F.lag("_xi").over(w))
+        .withColumn("_pyi", F.lag("_yi").over(w))
+        .withColumn(
+            "_step",
+            _wrap_dx(F.col("_xi") - F.col("_pxi"))
+            + F.abs(F.col("_yi") - F.col("_pyi")))
+    )
+    first_ts = F.min(F.struct(ts_col, seq_col, "_xi", "_yi")).alias("_f")
+    last_ts = F.max(F.struct(ts_col, seq_col, "_xi", "_yi")).alias("_l")
+    agg = stepped.groupBy(key_col).agg(
+        F.count("*").alias("n_points"),
+        F.count("_step").alias("n_steps"),
+        F.coalesce(F.sum("_step"), F.lit(0)).alias("path_l1"),
+        F.coalesce(F.max("_step"), F.lit(0)).alias("max_step_l1"),
+        first_ts, last_ts,
+    )
+    return agg.select(
+        key_col, "n_points", "n_steps", "path_l1", "max_step_l1",
+        (_wrap_dx(F.col("_l._xi") - F.col("_f._xi"))
+         + F.abs(F.col("_l._yi") - F.col("_f._yi"))).alias("net_l1"),
+        (F.unix_micros(F.col(f"_l.{ts_col}"))
+         - F.unix_micros(F.col(f"_f.{ts_col}"))).alias("duration_us"),
+    )
