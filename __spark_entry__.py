@@ -911,6 +911,38 @@ def _int_pixels(spark, sf):
         .groupBy("tile_x", "tile_y", "pix").agg(F.count("*").alias("w")))
 
 
+def _int_pixels_weighted(spark, sf):
+    """_int_pixels with an explicit integer weight w = Σ (c_custkey%7)+1
+    per pixel — gives the contour thresholds (2, 5) non-empty,
+    structured super-level sets at EVERY committed sf (the collision
+    counts of the raw fixture are degenerate: all-1 below sf0.1)."""
+    return (_t(spark, sf, "customer").select(
+        F.expr("(CAST(c_custkey AS BIGINT) * 7919) % 8").alias("tile_x"),
+        F.expr("((CAST(c_custkey AS BIGINT) >> 3) * 104729) % 8").alias("tile_y"),
+        F.expr("((CAST(c_custkey AS BIGINT) >> 6) * 2654435761 "
+               "+ CAST(c_custkey AS BIGINT) * 31) % 256").alias("pix"),
+        F.expr("CAST(c_custkey AS BIGINT) % 7 + 1").alias("_w"))
+        .groupBy("tile_x", "tile_y", "pix").agg(F.sum("_w").alias("w")))
+
+
+def q_raster_contour(spark, sf):
+    """C3m (late r4) — iso-count contours: boundary rings of the
+    super-level sets {w >= t} for t in (2, 5), traced by the
+    polygonize_rings machinery with a `level` column (marching-squares
+    class, pixel granularity).  Driver row = the per-region ring
+    summary per level, tied to recursive-CTE SQL over the FILTERED
+    pixel relation by the same three combinatorial identities as the
+    polygonize_rings key."""
+    _prep(spark)
+    from engine.geo.polygonize import contour_rings
+    rings = contour_rings(_int_pixels_weighted(spark, sf), grid_bits=4,
+                          thresholds=(2, 5))
+    return (rings.groupBy("level", "tile_x", "tile_y", "region_id")
+            .agg(F.sum("area").alias("n_pixels_from_area"),
+                 F.sum("n_edges").cast("long").alias("n_boundary_edges"),
+                 F.sum("n_vertices").cast("long").alias("n_corners")))
+
+
 def q_cell_hexbin(spark, sf):
     """C7c (r4) — hexagonal binning index: per-hex point counts over
     the fixture points.  The hex tessellation is the Voronoi diagram of
@@ -2351,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_dwithin": q_join_dwithin,
         "tile_morph": q_tile_morph,
         "traj_stats": q_traj_stats,
+        "raster_contour": q_raster_contour,
     }
 
 
@@ -2403,6 +2436,54 @@ def _simhash_sql() -> str:
         f"THEN CAST(u AS HUGEINT) - {_U64_MOD} ELSE CAST(u AS HUGEINT) END AS BIGINT) "
         "AS sim FROM sh)"
     )
+
+
+def _contour_level_sql(t: int) -> str:
+    """One iso-level of the raster_contour twin: the polygonize_rings
+    recursive-CTE identity block over the WEIGHTED pixel relation
+    filtered to the super-level set w >= t (weights never reach the
+    component logic — only membership does)."""
+    wexpr = "SUM(CAST(c_custkey AS BIGINT) % 7 + 1)"
+    return (
+        "(WITH RECURSIVE px AS (SELECT "
+        "(CAST(c_custkey AS BIGINT) * 7919) % 8 AS tile_x, "
+        "((CAST(c_custkey AS BIGINT) >> 3) * 104729) % 8 AS tile_y, "
+        "((CAST(c_custkey AS BIGINT) >> 6) * 2654435761 + CAST(c_custkey AS BIGINT) * 31) % 256 AS pix "
+        f"FROM customer GROUP BY 1, 2, 3 HAVING {wexpr} >= {t}), "
+        "e AS (SELECT a.tile_x, a.tile_y, a.pix AS pa, b.pix AS pb "
+        "FROM px a JOIN px b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y "
+        "AND ((b.pix = a.pix + 1 AND a.pix % 16 < 15) OR b.pix = a.pix + 16)), "
+        "e2 AS (SELECT tile_x, tile_y, pa, pb FROM e "
+        "UNION SELECT tile_x, tile_y, pb, pa FROM e), "
+        "r AS (SELECT tile_x, tile_y, pix, pix AS lbl FROM px "
+        "UNION SELECT e2.tile_x, e2.tile_y, e2.pa, r.lbl FROM e2 JOIN r "
+        "ON e2.tile_x = r.tile_x AND e2.tile_y = r.tile_y AND e2.pb = r.pix), "
+        "m AS (SELECT tile_x, tile_y, pix, MIN(lbl) AS lbl FROM r "
+        "GROUP BY 1, 2, 3), "
+        "pcnt AS (SELECT tile_x, tile_y, lbl, COUNT(*) AS p FROM m "
+        "GROUP BY 1, 2, 3), "
+        "acnt AS (SELECT e.tile_x, e.tile_y, m.lbl, COUNT(*) AS a "
+        "FROM e JOIN m ON e.tile_x = m.tile_x AND e.tile_y = m.tile_y "
+        "AND e.pa = m.pix GROUP BY 1, 2, 3), "
+        "corners AS (SELECT m.tile_x, m.tile_y, m.lbl, "
+        "(m.pix % 16) + d.dx AS cx, (m.pix // 16) + d.dy AS cy, "
+        "(1 << ((1 - d.dx) + 2 * (1 - d.dy))) AS bit "
+        "FROM m, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)), "
+        "cmask AS (SELECT tile_x, tile_y, lbl, cx, cy, bit_or(bit) AS mask "
+        "FROM corners GROUP BY 1, 2, 3, 4, 5), "
+        "ccnt AS (SELECT tile_x, tile_y, lbl, "
+        "CAST(SUM(CASE WHEN bit_count(mask) IN (1, 3) THEN 1 "
+        "WHEN mask IN (9, 6) THEN 2 ELSE 0 END) AS BIGINT) AS n_corners "
+        "FROM cmask GROUP BY 1, 2, 3) "
+        f"SELECT CAST({t} AS INTEGER) AS level, p.tile_x, p.tile_y, "
+        "p.lbl AS region_id, "
+        "CAST(p.p AS BIGINT) AS n_pixels_from_area, "
+        "CAST(4 * p.p - 2 * COALESCE(a.a, 0) AS BIGINT) AS n_boundary_edges, "
+        "c.n_corners "
+        "FROM pcnt p LEFT JOIN acnt a ON p.tile_x = a.tile_x "
+        "AND p.tile_y = a.tile_y AND p.lbl = a.lbl "
+        "JOIN ccnt c ON p.tile_x = c.tile_x AND p.tile_y = c.tile_y "
+        "AND p.lbl = c.lbl)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3507,4 +3588,8 @@ def oracle_sql() -> dict[str, str]:
             "- epoch_us(MAX(CASE WHEN rn_a = 1 THEN ts END)) AS BIGINT) "
             "AS duration_us "
             "FROM s GROUP BY user_id"),
+        # raster_contour: the polygonize_rings identity twin per
+        # iso-level over the weighted super-level sets, UNION ALL'd.
+        "raster_contour": " UNION ALL ".join(
+            _contour_level_sql(t) for t in (2, 5)),
     }

@@ -316,6 +316,35 @@ def polygonize_rings(pixels: DataFrame, grid_bits: int = 4) -> DataFrame:
             .drop("ring_packed"))
 
 
+def contour_rings(pixels: DataFrame, grid_bits: int = 4,
+                  thresholds: tuple[int, ...] = (1,),
+                  checkpoint: bool = True) -> DataFrame:
+    """Iso-count CONTOUR extraction (late r4) — the marching-squares
+    class operation at pixel granularity: for each threshold t, the
+    boundary rings of the super-level set {pixel : w >= t}, traced by
+    the same directed-edge-cancellation machinery as polygonize_rings
+    (so outer rings are CCW, holes CW, and the combinatorial identities
+    hold per level).  Output = polygonize_rings columns + `level` (the
+    threshold).  Nested super-level sets give nested contours — the
+    iso-band picture of the count raster.
+
+    Scale shape: the pixel relation (already bounded to grid^2 rows per
+    tile by the rasterizer's map-side combine) is checkpointed once and
+    re-filtered per threshold — len(thresholds) bounded passes over the
+    SKINNY relation, never over the base table; each pass is the one
+    tile-keyed shuffle + one batched Arrow trace of polygonize_rings."""
+    base = pixels.localCheckpoint(eager=False) if checkpoint else pixels
+    parts = [
+        polygonize_rings(base.filter(F.col("w") >= int(t)), grid_bits)
+        .withColumn("level", F.lit(int(t)).cast("int"))
+        for t in thresholds
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rings_as_layer(rings: DataFrame, scale: float = 1.0) -> DataFrame:
     """Adapt polygonize_rings output to the engine's polygon-ring schema
     (engine/geo/measure.py::RING_SCHEMA) so traced regions flow straight

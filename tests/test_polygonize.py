@@ -339,3 +339,47 @@ def test_global_rejects_out_of_domain_tiles(spark):
             spark.createDataFrame(
                 pd.DataFrame(ok, columns=["tile_x", "tile_y", "pix", "w"])),
             GRID_BITS, z=21)
+
+
+# ------------------------------------------------------------ contours
+
+def test_contour_rings_nesting_and_levels(spark, rng):
+    """Iso-levels: level-t rings trace exactly the super-level set
+    {w >= t} (even-odd reconstruction per level), and super-level sets
+    nest, so every level-5 pixel region is contained in a level-2
+    region of the same tile."""
+    from engine.geo.polygonize import contour_rings
+    rows = []
+    for tx, ty in [(0, 0), (1, 2), (3, 1)]:
+        for p in rng.choice(256, size=150, replace=False):
+            rows.append((int(tx), int(ty), int(p), int(rng.integers(1, 8))))
+    pixels = spark.createDataFrame(
+        rows, "tile_x long, tile_y long, pix long, w long")
+    out = contour_rings(pixels, grid_bits=4, thresholds=(2, 5)).collect()
+    assert {r.level for r in out} == {2, 5}
+    by_level = {}
+    for r in out:
+        key = (r.level, r.tile_x, r.tile_y)
+        by_level.setdefault(key, []).append(
+            ([((v.x - r.tile_x * 16), (v.y - r.tile_y * 16))
+               for v in r.ring_xy], None, None))
+    want = {}
+    for tx, ty, p, w in rows:
+        for t in (2, 5):
+            if w >= t:
+                want.setdefault((t, tx, ty), set()).add((p % 16, p // 16))
+    for key, rings in by_level.items():
+        assert _evenodd_fill(rings) == want[key], key
+    # nesting: each level-5 set is a subset of the level-2 set
+    for (t, tx, ty), cells in want.items():
+        if t == 5:
+            assert cells <= want[(2, tx, ty)]
+
+
+def test_contour_rings_empty_level_emits_nothing(spark):
+    from engine.geo.polygonize import contour_rings
+    pixels = spark.createDataFrame(
+        [(0, 0, 5, 1), (0, 0, 6, 1)],
+        "tile_x long, tile_y long, pix long, w long")
+    out = contour_rings(pixels, grid_bits=4, thresholds=(1, 3)).collect()
+    assert {r.level for r in out} == {1}
