@@ -1425,6 +1425,16 @@ def q_text_tokens(spark, sf):
         "doc_id", "n_tokens_ws", "n_pretokens", "chars_per_pretoken")
 
 
+def q_length_buckets(spark, sf):
+    """M29 (late r4) — equal-depth token-length bucketing for batch
+    shaping, tie-coherent and all-integer (engine/text/ops.py::
+    length_buckets): length histogram -> tiny-window equal-depth bucket
+    map -> broadcast join back."""
+    _prep(spark)
+    from engine.text.ops import length_buckets
+    return length_buckets(_t(spark, sf, "documents"), n_buckets=8)
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (late r3) — the concat-then-chunk step between
     dedup and shard writing in an LLM training pipeline: docs ordered by
@@ -2384,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_morph": q_tile_morph,
         "traj_stats": q_traj_stats,
         "raster_contour": q_raster_contour,
+        "length_buckets": q_length_buckets,
     }
 
 
@@ -3592,4 +3603,17 @@ def oracle_sql() -> dict[str, str]:
         # iso-level over the weighted super-level sets, UNION ALL'd.
         "raster_contour": " UNION ALL ".join(
             _contour_level_sql(t) for t in (2, 5)),
+        # length_buckets — same histogram/equal-depth arithmetic in SQL
+        # windows; all-integer, final cast INTEGER (HUGEINT parity).
+        "length_buckets": (
+            "WITH d AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws "
+            "FROM documents), "
+            "h AS (SELECT n_tokens_ws, COUNT(*) AS cnt FROM d GROUP BY 1), "
+            "c AS (SELECT n_tokens_ws, "
+            "SUM(cnt) OVER (ORDER BY n_tokens_ws) AS cum, "
+            "SUM(cnt) OVER () AS total FROM h) "
+            "SELECT d.doc_id, d.n_tokens_ws, "
+            "CAST(1 + (c.cum - 1) * 8 // c.total AS INTEGER) AS bucket "
+            "FROM d JOIN c USING (n_tokens_ws)"),
     }

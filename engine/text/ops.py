@@ -266,3 +266,43 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *,
             .withColumn("n_hit_grams",
                         F.coalesce("n_hit_grams", F.lit(0).cast("long")))
             .withColumn("contaminated", F.col("n_hit_grams") > 0))
+
+
+def length_buckets(df: DataFrame, n_buckets: int = 8,
+                   text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Equal-depth token-length bucketing (late r4) — the batch-shaping
+    step of an LLM training pipeline: group documents of similar length
+    so packed batches waste minimal padding.  TIE-COHERENT: all docs of
+    equal token length land in the same bucket (bucket = the length
+    group's last member's equal-depth position,
+    1 + ((cum - 1) * B) // total — all-integer, engine-independent),
+    so the assignment is stable under repartition/resume/append-order.
+
+    Scale shape: the corpus is scanned once into a LENGTH HISTOGRAM
+    (map-side-combined groupBy; output <= max-doc-length rows).  The
+    global cumulative/total windows run over that TINY histogram — not
+    the corpus (the single-partition window is bounded by the length
+    domain, documented here deliberately).  The per-length bucket map
+    is then BROADCAST-joined back to the full table: one skinny shuffle
+    + one broadcast probe at any corpus size.
+
+    Output: (id_col, n_tokens_ws, bucket 1..n_buckets)."""
+    from pyspark.sql import Window
+
+    d = df.select(F.col(id_col),
+                  token_count(text).cast("int").alias("n_tokens_ws"))
+    hist = d.groupBy("n_tokens_ws").agg(F.count("*").alias("_cnt"))
+    w_cum = (Window.orderBy("n_tokens_ws")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.orderBy("n_tokens_ws")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    bucket_map = (
+        hist.withColumn("_cum", F.sum("_cnt").over(w_cum))
+        .withColumn("_total", F.sum("_cnt").over(w_all))
+        .select("n_tokens_ws",
+                F.expr(f"CAST(1 + (_cum - 1) * {int(n_buckets)} div _total "
+                       "AS INT)").alias("bucket"))
+    )
+    return d.join(F.broadcast(bucket_map), "n_tokens_ws") \
+        .select(id_col, "n_tokens_ws", "bucket")

@@ -361,3 +361,41 @@ def test_token_counts_match_python_re(spark, docs):
         assert r.n_pretokens == len(pat.findall(r.text))
         want = round(len(r.text.replace(" ", "")) / r.n_pretokens, 6)
         assert abs(r.chars_per_pretoken - want) < 1e-9
+
+
+# ----------------------------------------------------- length buckets
+
+
+def test_length_buckets_matches_python_oracle(spark):
+    """Exact equal-depth arithmetic, tie coherence, monotonicity, and
+    repartition stability vs a sequential reference."""
+    import numpy as np
+    from engine.text.ops import length_buckets
+    rng = np.random.default_rng(31)
+    lens = rng.integers(1, 40, 900)
+    rows = [(i, " ".join("w" for _ in range(int(n)))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(11)
+    got = {r.doc_id: (r.n_tokens_ws, r.bucket)
+           for r in length_buckets(df, n_buckets=8).collect()}
+    # sequential reference: same histogram formula
+    order = sorted(range(len(lens)), key=lambda i: lens[i])
+    total = len(lens)
+    cum = {}
+    c = 0
+    for i in order:
+        c += 1
+        cum[int(lens[i])] = c  # last position of each length group
+    want = {i: (int(lens[i]), 1 + (cum[int(lens[i])] - 1) * 8 // total)
+            for i in range(len(lens))}
+    assert got == want
+    buckets = [got[i][1] for i in order]
+    assert buckets == sorted(buckets)          # monotone in length
+    assert set(buckets) == set(range(1, 9))    # all 8 buckets populated
+
+
+def test_length_buckets_is_broadcast_join(spark, sf_dir):
+    from engine.text.ops import length_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = length_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
