@@ -1584,6 +1584,22 @@ def q_img_decode_stats(spark, sf):
     )
 
 
+def q_img_patches(spark, sf):
+    """C9 (late r4) — ViT-style patch extraction: each synthetic image
+    split into a 4x4 integer-quantile patch grid inside ONE mapInPandas
+    pass (pixels never leave the worker; G^2 bounded rows per image
+    exit).  All-integer stats + hex patch bytes -> host-independent,
+    golden-pinned like the other synthetic image keys; the independent
+    oracle is the exact tiling identity pytest (tests/test_codec.py)."""
+    _prep(spark)
+    from engine.image.patches import extract_patches
+    from engine.synth import gen_images
+    imgs = gen_images(spark, 240, seed=42)
+    return extract_patches(imgs, grid=4).select(
+        "image_id", "gy", "gx", "ph", "pw", "pix_sum", "pix_min", "pix_max",
+        F.hex("patch").alias("patch_hex"))
+
+
 def q_img_invariants(spark, sf):
     """C7 — the north-rule per-row invariant as a distributed check:
     decode -> re-encode -> decode round trip per fmt; exact for lossless
@@ -2395,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_stats": q_traj_stats,
         "raster_contour": q_raster_contour,
         "length_buckets": q_length_buckets,
+        "img_patches": q_img_patches,
     }
 
 
@@ -3121,7 +3138,7 @@ def oracle_sql() -> dict[str, str]:
            for k in ("gen_images", "img_decode_stats", "pip_refine",
                      "media_features", "media_resize", "media_frames",
                      "img_augment", "simplify_rings", "tile_vector_encode",
-                     "tile_vector_encode_mvt")},
+                     "tile_vector_encode_mvt", "img_patches")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

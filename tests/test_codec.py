@@ -112,3 +112,33 @@ def test_hamming_prefilter_spark(spark):
         if bin((int(row.phash) ^ q) & ((1 << 64) - 1)).count("1") <= 10
     }
     assert got == want and pdf["image_id"].iloc[0] in got
+
+
+def test_patch_tiling_identity_spark(spark):
+    """C9 — patches tile each image EXACTLY: dims sum back to (h, w),
+    patch pixel sums add up to the image's total, and each patch's rgb8
+    bytes decode to the corresponding slice."""
+    from engine.image.patches import extract_patches
+
+    pdf = gen_images_local(24)
+    df = spark.createDataFrame(pdf)
+    G = 4
+    rows = extract_patches(df, grid=G).collect()
+    by_img: dict[str, list] = {}
+    for r in rows:
+        by_img.setdefault(r.image_id, []).append(r)
+    assert len(by_img) == 24
+    for src in pdf.itertuples(index=False):
+        pix = codec.decode(src.bytes, src.w, src.h, src.fmt)
+        got = by_img[src.image_id]
+        assert len(got) == G * G
+        assert sum(r.pix_sum for r in got) == int(pix.sum(dtype="int64"))
+        assert sum(r.ph for r in got if r.gx == 0) == src.h
+        assert sum(r.pw for r in got if r.gy == 0) == src.w
+        for r in got:
+            y0 = sum(q.ph for q in got if q.gx == 0 and q.gy < r.gy)
+            x0 = sum(q.pw for q in got if q.gy == 0 and q.gx < r.gx)
+            sl = pix[y0:y0 + r.ph, x0:x0 + r.pw]
+            np.testing.assert_array_equal(
+                codec.decode_rgb8(bytes(r.patch), r.pw, r.ph), sl)
+            assert r.pix_min == int(sl.min()) and r.pix_max == int(sl.max())

@@ -43,7 +43,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # tile_vector_encode_mvt (late r4): same features, real
                # vector_tile.proto framing; independent check is the
                # mini-protobuf decode roundtrip pytest.
-               "tile_vector_encode_mvt")
+               "tile_vector_encode_mvt",
+               # img_patches (late r4): all-integer patch stats + hex
+               # rgb8 patch bytes; independent check = the exact tiling
+               # identity pytest in tests/test_codec.py.
+               "img_patches")
 
 
 def main() -> None:
