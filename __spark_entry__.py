@@ -1435,6 +1435,26 @@ def q_length_buckets(spark, sf):
     return length_buckets(_t(spark, sf, "documents"), n_buckets=8)
 
 
+def q_text_chunks(spark, sf):
+    """Fixed-size overlapping chunking (late r4) — RAG/context-window
+    prep (engine/text/ops.py::chunk_docs): size=96 overlap=16 char
+    chunks that exactly cover each doc; one native sequence-explode,
+    zero shuffle, all-integer positions."""
+    _prep(spark)
+    from engine.text.ops import chunk_docs
+    return chunk_docs(_t(spark, sf, "documents"), size=96, overlap=16)
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition/quality signals (late r4)
+    (engine/text/ops.py::repetition_stats): exact integer duplicate
+    n-gram + dominant-token counts per doc; sorted-run aggregate HOF,
+    zero shuffle, zero Python."""
+    _prep(spark)
+    from engine.text.ops import repetition_stats
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (late r3) — the concat-then-chunk step between
     dedup and shard writing in an LLM training pipeline: docs ordered by
@@ -2412,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_contour": q_raster_contour,
         "length_buckets": q_length_buckets,
         "img_patches": q_img_patches,
+        "text_chunks": q_text_chunks,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -3633,4 +3655,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.n_tokens_ws, "
             "CAST(1 + (c.cum - 1) * 8 // c.total AS INTEGER) AS bucket "
             "FROM d JOIN c USING (n_tokens_ws)"),
+        # text_chunks: same integer chunk arithmetic (stride 80 = 96-16);
+        # generate_series is inclusive and never reverses in DuckDB, so the
+        # n_chunks-1 upper bound mirrors Spark's sequence() exactly.
+        "text_chunks": (
+            "WITH d AS (SELECT doc_id, text, greatest(CAST(1 AS BIGINT), "
+            "CAST((length(text) - 16 + 79) AS BIGINT) // 80) AS nc "
+            "FROM documents) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            "CAST(i * 80 AS BIGINT) AS chunk_start, "
+            "CAST(length(substr(text, CAST(i * 80 + 1 AS INTEGER), 96)) "
+            "AS BIGINT) AS chunk_len, "
+            "substr(text, CAST(i * 80 + 1 AS INTEGER), 96) AS chunk_text "
+            "FROM d, unnest(generate_series(0, nc - 1)) AS t(i)"),
+        # text_repetition: token/n-gram counts re-derived relationally
+        # (unnest + GROUP BY + MAX) rather than by mirroring the engine's
+        # sorted-run HOF — an independent formulation of the same counts.
+        "text_repetition": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(words) AS t FROM w), "
+            "cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(SUM(c) AS BIGINT) AS n_tokens FROM cnt GROUP BY 1), "
+            "g AS (SELECT doc_id, "
+            "list_transform(generate_series(1, greatest(len(words) - 1, 0)), "
+            "i -> array_to_string(words[i:i+1], ' ')) AS g2, "
+            "list_transform(generate_series(1, greatest(len(words) - 2, 0)), "
+            "i -> array_to_string(words[i:i+2], ' ')) AS g3 FROM w) "
+            "SELECT top.doc_id, top.n_tokens, top.n_distinct_tokens, "
+            "top.top_token_count, "
+            "CAST(len(g.g2) AS BIGINT) AS n_2grams, "
+            "CAST(len(list_distinct(g.g2)) AS BIGINT) AS n_distinct_2grams, "
+            "CAST(len(g.g3) AS BIGINT) AS n_3grams, "
+            "CAST(len(list_distinct(g.g3)) AS BIGINT) AS n_distinct_3grams "
+            "FROM top JOIN g USING (doc_id)"),
     }

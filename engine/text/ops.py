@@ -306,3 +306,94 @@ def length_buckets(df: DataFrame, n_buckets: int = 8,
     )
     return d.join(F.broadcast(bucket_map), "n_tokens_ws") \
         .select(id_col, "n_tokens_ws", "bucket")
+
+
+def chunk_docs(df: DataFrame, *, size: int = 96, overlap: int = 16,
+               text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixed-size overlapping document chunking (late r4) — the
+    RAG/context-window prep step: each document is split into character
+    chunks of `size` with `overlap` chars shared between neighbours
+    (stride = size - overlap).  Chunks COVER the document exactly:
+    n_chunks = max(1, ceil((len - overlap) / stride)), so the last
+    chunk's window always reaches the final character (asserted in
+    tests/test_text_ops.py), and every doc emits >= 1 chunk (empty/short
+    docs emit exactly one).
+
+    Scale shape: one native explode over a sequence() literal — zero
+    Python, zero shuffle, fan-out bounded by ceil(len/stride); chunk
+    boundaries are a pure function of the row, stable under
+    repartition/resume/append order.
+
+    Output: (id_col, chunk_id, chunk_start 0-based, chunk_len,
+    chunk_text) — all-integer positions, BIGINT-cast both sides of the
+    oracle per the HUGEINT parity rule."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"CAST((length({text}) - {overlap} + {stride} - 1) "
+               f"div {stride} AS BIGINT)"))
+    d = df.select(F.col(id_col), F.col(text).alias("_t"),
+                  n_chunks.alias("_nc"))
+    d = d.withColumn("chunk_id",
+                     F.explode(F.sequence(F.lit(0).cast("long"),
+                                          F.col("_nc") - 1)))
+    start = (F.col("chunk_id") * stride).cast("long")
+    chunk = F.expr(f"substring(_t, CAST(chunk_id * {stride} + 1 AS INT), "
+                   f"{size})")
+    return d.select(
+        id_col,
+        F.col("chunk_id"),
+        start.alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk_text"))
+
+
+def repetition_stats(df: DataFrame, *, text: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (late r4): per document,
+    the duplicate-n-gram and dominant-token statistics used to filter
+    degenerate (looping/boilerplate) training text.  All counts are
+    exact integers — no float ratios — so the oracle comparison is
+    tie-free; callers derive ratios downstream.
+
+    Scale shape: ONE narrow projection, zero shuffle, zero Python.  The
+    dominant-token count is computed per row as a max run length over
+    the SORTED token array via an aggregate() HOF with a struct
+    accumulator — O(n log n) per doc regardless of vocabulary, instead
+    of the O(distinct x n) nested filter form (which is quadratic on
+    adversarial docs).  The n-gram distinct counts use array_distinct
+    on guarded sequence() windows (Spark's sequence(1,0) REVERSES —
+    the IF guard is load-bearing for docs shorter than n).
+
+    Output: (id_col, n_tokens, n_distinct_tokens, top_token_count,
+    n_2grams, n_distinct_2grams, n_3grams, n_distinct_3grams), all
+    BIGINT."""
+    toks = f"split({text}, ' ')"
+    run = ("IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, "
+           "CAST(1 AS BIGINT))")
+    top = (f"aggregate(array_sort({toks}), "
+           "named_struct('prev', CAST(NULL AS STRING), "
+           "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+           f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
+           f"'best', greatest(acc.best, {run})), "
+           "acc -> acc.best)")
+
+    def grams(n: int) -> str:
+        return (f"IF(size({toks}) >= {n}, "
+                f"transform(sequence(1, size({toks}) - {n} + 1), "
+                f"i -> concat_ws(' ', slice({toks}, i, {n}))), "
+                "array())")
+
+    cols = [F.col(id_col),
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)")
+            .alias("n_distinct_tokens"),
+            F.expr(top).alias("top_token_count")]
+    for n in (2, 3):
+        g = grams(n)
+        cols += [F.expr(f"CAST(size({g}) AS BIGINT)").alias(f"n_{n}grams"),
+                 F.expr(f"CAST(size(array_distinct({g})) AS BIGINT)")
+                 .alias(f"n_distinct_{n}grams")]
+    return df.select(*cols)

@@ -1,0 +1,89 @@
+"""chunk_docs + repetition_stats (late r4) — exact sequential-Python
+oracles incl. edge cases the driver tables don't exercise (empty text,
+single token, doc shorter than the n-gram, adversarial repetition)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from engine.text.ops import chunk_docs, repetition_stats
+
+EDGE_TEXTS = [
+    "",                                  # empty -> 1 chunk, 1 token ('')
+    "x",                                 # single char
+    "one two",                           # shorter than any chunk
+    "a " * 200 + "a",                    # adversarial: one token repeated
+    "tok%d " % 7 * 50,                   # trailing space -> empty token
+    " ".join(f"w{i}" for i in range(120)),   # all distinct
+    "ab cd ab cd ab cd ef",              # repeated 2-grams
+    "z" * 300,                           # one huge token, multiple chunks
+]
+
+
+def _mkdf(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def _chunks_py(text, size, overlap):
+    stride = size - overlap
+    n = max(1, -(-(len(text) - overlap) // stride))
+    return [(i, i * stride, text[i * stride:i * stride + size])
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("size,overlap", [(96, 16), (10, 0), (8, 7)])
+def test_chunk_docs_exact(spark, size, overlap):
+    df = _mkdf(spark, EDGE_TEXTS)
+    got = {}
+    for r in chunk_docs(df, size=size, overlap=overlap).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(EDGE_TEXTS):
+        want = _chunks_py(text, size, overlap)
+        rows = sorted(got[i], key=lambda r: r.chunk_id)
+        assert [(r.chunk_id, r.chunk_start, r.chunk_text) for r in rows] == want
+        # coverage identity: chunks reassemble the document exactly
+        rebuilt = rows[0].chunk_text + "".join(
+            r.chunk_text[overlap:] for r in rows[1:])
+        assert rebuilt == text
+        assert all(r.chunk_len == len(r.chunk_text) for r in rows)
+
+
+def test_chunk_docs_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        chunk_docs(_mkdf(spark, ["x"]), size=8, overlap=8)
+
+
+def _rep_py(text):
+    toks = text.split(" ")
+    out = {"n_tokens": len(toks),
+           "n_distinct_tokens": len(set(toks)),
+           "top_token_count": max(Counter(toks).values())}
+    for n in (2, 3):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        out[f"n_{n}grams"] = len(grams)
+        out[f"n_distinct_{n}grams"] = len(set(grams))
+    return out
+
+
+def test_repetition_stats_exact(spark):
+    df = _mkdf(spark, EDGE_TEXTS)
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    for i, text in enumerate(EDGE_TEXTS):
+        want = _rep_py(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_repetition_flags_degenerate_docs(spark):
+    """The signal the op exists for: looping text scores near-zero
+    distinct-gram ratios, natural text scores high."""
+    loop = "buy now " * 500
+    natural = " ".join(f"w{i * 7 % 997}" for i in range(1000))
+    r = {x.doc_id: x for x in
+         repetition_stats(_mkdf(spark, [loop, natural])).collect()}
+    assert r[0].n_distinct_2grams <= 3
+    assert r[1].n_distinct_2grams >= 990
+    assert r[0].top_token_count >= 499
