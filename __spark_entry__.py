@@ -1435,6 +1435,24 @@ def q_length_buckets(spark, sf):
     return length_buckets(_t(spark, sf, "documents"), n_buckets=8)
 
 
+def q_hull_per_group(spark, sf):
+    """Per-group convex hull (late r4) in the exact level-30 integer
+    grid (engine/geo/hull.py): native Akl-Toussaint octagon prune ->
+    monotone-chain grouped-map; canonical vertex order (lex-min first,
+    CCW).  Twin is an independent O(n^2) edge characterization + a
+    recursive-CTE successor walk."""
+    _prep(spark)
+    from engine.geo.cells import merc_xy_sql
+    from engine.geo.hull import hull_per_group
+    xi, yi = merc_xy_sql("lon", "lat")
+    pts = _points(spark, sf).select(
+        F.expr(xi).alias("xi"), F.expr(yi).alias("yi"))
+    pts = pts.select(
+        F.expr("CAST(xi >> 27 AS BIGINT)").alias("gx"),
+        F.expr("CAST(yi >> 27 AS BIGINT)").alias("gy"), "xi", "yi")
+    return hull_per_group(pts, ["gx", "gy"], x="xi", y="yi")
+
+
 def q_text_chunks(spark, sf):
     """Fixed-size overlapping chunking (late r4) — RAG/context-window
     prep (engine/text/ops.py::chunk_docs): size=96 overlap=16 char
@@ -2434,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_patches": q_img_patches,
         "text_chunks": q_text_chunks,
         "text_repetition": q_text_repetition,
+        "hull_per_group": q_hull_per_group,
     }
 
 
@@ -3691,4 +3710,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(g.g3) AS BIGINT) AS n_3grams, "
             "CAST(len(list_distinct(g.g3)) AS BIGINT) AS n_distinct_3grams "
             "FROM top JOIN g USING (doc_id)"),
+        # hull_per_group: INDEPENDENT hull formulation — a directed edge
+        # (a,b) is a strict-hull edge iff every other point is strictly
+        # left OR collinear-inside the segment; each vertex then has a
+        # unique successor, so a recursive-CTE walk from the lex-min
+        # vertex reproduces the canonical (lex-min-first, CCW) order the
+        # engine's monotone chain emits.  All-int64 cross products.
+        "hull_per_group": (
+            f"WITH RECURSIVE {PTS_SQL}, {XY_SQL}, "
+            "p AS (SELECT DISTINCT CAST(xi >> 27 AS BIGINT) AS gx, "
+            "CAST(yi >> 27 AS BIGINT) AS gy, xi AS x, yi AS y FROM xy), "
+            "e AS (SELECT a.gx, a.gy, a.x AS ax, a.y AS ay, "
+            "b.x AS bx, b.y AS by "
+            "FROM p a JOIN p b ON a.gx = b.gx AND a.gy = b.gy "
+            "AND (a.x <> b.x OR a.y <> b.y) "
+            "WHERE NOT EXISTS (SELECT 1 FROM p c "
+            "WHERE c.gx = a.gx AND c.gy = a.gy "
+            "AND (c.x <> a.x OR c.y <> a.y) "
+            "AND (c.x <> b.x OR c.y <> b.y) "
+            "AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0 "
+            "OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0 "
+            "AND NOT (c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x) "
+            "AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)))))), "
+            "s AS (SELECT gx, gy, x, y FROM p "
+            "QUALIFY row_number() OVER (PARTITION BY gx, gy "
+            "ORDER BY x, y) = 1), "
+            "w(gx, gy, x, y, idx, sx, sy) AS ("
+            "SELECT gx, gy, x, y, 0, x, y FROM s "
+            "UNION ALL "
+            "SELECT w.gx, w.gy, e.bx, e.by, w.idx + 1, w.sx, w.sy "
+            "FROM w JOIN e ON e.gx = w.gx AND e.gy = w.gy "
+            "AND e.ax = w.x AND e.ay = w.y "
+            "WHERE NOT (e.bx = w.sx AND e.by = w.sy)), "
+            "n AS (SELECT gx, gy, COUNT(*) AS hs FROM w GROUP BY 1, 2) "
+            "SELECT w.gx, w.gy, CAST(w.idx AS INTEGER) AS hull_idx, "
+            "w.x AS hx, w.y AS hy, CAST(n.hs AS INTEGER) AS hull_size "
+            "FROM w JOIN n USING (gx, gy)"),
     }

@@ -1,0 +1,114 @@
+"""Per-group convex hull in the exact level-30 integer grid domain
+(late r4) — the footprint/coverage-geometry primitive: each group's
+point cloud reduced to its strict convex hull (no collinear vertices),
+vertices emitted in canonical order (lexicographic-min first, CCW in
+the (x, y) integer plane).  All arithmetic is int64 cross products
+(|coords| < 2^30 so cross < 2^62 — never overflows, never float), so
+the output is bit-identical across hosts/partitionings.
+
+Scale shape (the part that matters at 100 TB):
+1. One map-side-combined agg computes each group's 8 directional
+   argmax points (the Akl-Toussaint octagon) — native max(struct)
+   codegen, one skinny row per group.
+2. The octagon is broadcast back and every point STRICTLY inside it is
+   pruned natively (forall-HOF over the octagon edges, whole-stage
+   codegen).  For dense groups this discards the overwhelming interior
+   before any Python runs — survivors are O(hull-neighborhood), not
+   O(group).
+3. One applyInPandas over survivors runs Andrew's monotone chain per
+   group (numpy-sorted, O(s log s) on s survivors).
+
+The DuckDB twin is an INDEPENDENT formulation (no shared code shape):
+hull edges by the O(n^2) all-points-left characterization + a
+recursive-CTE successor walk — see __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# CCW direction order; their argmax points form a convex CCW polygon.
+_DIRS = ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1),
+         (1, -1))
+
+
+def _cross(o, a, b) -> int:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def chain_hull_py(pts: Sequence[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Strict hull of distinct int points, lexicographic-min first, CCW.
+    Pure-Python reference + the grouped-map kernel (groups are already
+    pruned to hull neighborhoods, so plain lists beat numpy here)."""
+    pts = sorted(set(map(tuple, pts)))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        h: list = []
+        for p in seq:
+            while len(h) >= 2 and _cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def hull_per_group(pts: DataFrame, group_cols: Sequence[str],
+                   x: str = "xi", y: str = "yi") -> DataFrame:
+    """(group_cols..., x, y ints) -> (group_cols..., hull_idx, hx, hy,
+    hull_size).  See module docstring for the three-stage shape."""
+    g = list(group_cols)
+    d = pts.select(*g, F.col(x).cast("long").alias("_x"),
+                   F.col(y).cast("long").alias("_y")).distinct()
+
+    aggs = [F.max(F.struct((dx * F.col("_x") + dy * F.col("_y"))
+                           .alias("dot"), F.col("_x").alias("x"),
+                           F.col("_y").alias("y"))).alias(f"_e{i}")
+            for i, (dx, dy) in enumerate(_DIRS)]
+    arr = ("array(" + ", ".join(
+        f"struct(_e{i}.x AS x, _e{i}.y AS y)" for i in range(len(_DIRS)))
+        + ")")
+    # order-preserving dedupe; zero-length octagon edges would disable
+    # the strictly-inside test below, so duplicates must go.
+    oct_expr = (f"aggregate({arr}, "
+                "CAST(array() AS ARRAY<STRUCT<x: BIGINT, y: BIGINT>>), "
+                "(acc, p) -> IF(array_contains(acc, p), acc, "
+                "concat(acc, array(p))))")
+    octs = d.groupBy(*g).agg(*aggs).select(*g, F.expr(oct_expr).alias("_oct"))
+
+    # survivor iff NOT strictly inside the (CCW) octagon: some edge has
+    # cross(e_i, e_{i+1}, p) <= 0.  Degenerate octagons (< 3 distinct
+    # extremes) prune nothing.
+    edge_cross = ("(_oct[CAST((i + 1) % size(_oct) AS INT)].x - _oct[i].x) "
+                  "* (_y - _oct[i].y) - "
+                  "(_oct[CAST((i + 1) % size(_oct) AS INT)].y - _oct[i].y) "
+                  "* (_x - _oct[i].x)")
+    keep = (f"size(_oct) < 3 OR exists(sequence(0, size(_oct) - 1), "
+            f"i -> {edge_cross} <= 0)")
+    surv = (d.join(F.broadcast(octs), g)
+            .where(F.expr(keep)).drop("_oct"))
+
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in
+         zip(g, (surv.schema[c].dataType.simpleString() for c in g))]
+        + ["hull_idx int", "hx long", "hy long", "hull_size int"])
+
+    def _hull(key, pdf):
+        hull = chain_hull_py(list(zip(pdf["_x"], pdf["_y"])))
+        n = len(hull)
+        return pd.DataFrame(
+            {**{c: [k] * n for c, k in zip(g, key)},
+             "hull_idx": range(n),
+             "hx": [p[0] for p in hull],
+             "hy": [p[1] for p in hull],
+             "hull_size": [n] * n})
+
+    return surv.groupBy(*g).applyInPandas(_hull, schema=out_schema)

@@ -1,0 +1,84 @@
+"""hull_per_group (late r4) — randomized brute-force oracles for the
+chain kernel, the Akl-Toussaint prune (must not change the hull), and
+the distributed operator end to end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.geo.hull import _cross, chain_hull_py, hull_per_group
+
+
+def _brute_hull_checks(pts, hull):
+    """Invariants any strict hull must satisfy vs its input set."""
+    ptset = set(map(tuple, pts))
+    assert set(hull) <= ptset
+    assert len(set(hull)) == len(hull)
+    if len(hull) >= 3:
+        n = len(hull)
+        for i in range(n):
+            a, b = hull[i], hull[(i + 1) % n]
+            # every input point strictly left or on the edge; none right
+            assert all(_cross(a, b, p) >= 0 for p in ptset)
+            # strict hull: consecutive triples never collinear
+            assert _cross(a, b, hull[(i + 2) % n]) > 0
+    # canonical start: lexicographic min of the hull vertex set
+    assert hull[0] == min(hull)
+    # every extreme point is a vertex
+    for kx, ky in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1)):
+        m = max(kx * p[0] + ky * p[1] for p in ptset)
+        arg = [p for p in ptset if kx * p[0] + ky * p[1] == m]
+        if len(arg) == 1:
+            assert arg[0] in hull
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_chain_hull_randomized(seed):
+    r = np.random.default_rng(seed)
+    n = int(r.integers(1, 60))
+    lo, hi = (0, 8) if seed % 3 == 0 else (0, 10 ** 9)  # dense dup / sparse
+    pts = [tuple(map(int, p)) for p in r.integers(lo, hi, (n, 2))]
+    _brute_hull_checks(pts, chain_hull_py(pts))
+
+
+def test_chain_hull_degenerate():
+    assert chain_hull_py([(5, 5)] * 4) == [(5, 5)]
+    assert chain_hull_py([(1, 1), (9, 9), (5, 5), (3, 3)]) == [(1, 1), (9, 9)]
+    assert chain_hull_py([(0, 0), (4, 0), (2, 0), (1, 0)]) == [(0, 0), (4, 0)]
+    # square + interior + collinear edge midpoints -> strict 4-vertex hull
+    sq = [(0, 0), (10, 0), (10, 10), (0, 10), (5, 0), (10, 5), (5, 5)]
+    assert chain_hull_py(sq) == [(0, 0), (10, 0), (10, 10), (0, 10)]
+
+
+def test_hull_per_group_matches_unpruned_chain(spark):
+    """The distributed op (prune + grouped-map) must equal the pure
+    chain over each FULL group — proving the octagon prune is lossless."""
+    r = np.random.default_rng(7)
+    rows = []
+    for gid in range(6):
+        n = int(r.integers(1, 300))
+        lo, hi = (0, 6) if gid % 3 == 0 else (0, 2 ** 30)
+        for p in r.integers(lo, hi, (n, 2)):
+            rows.append((gid, int(p[0]), int(p[1])))
+    df = spark.createDataFrame(rows, "gid long, xi long, yi long")
+    got = {}
+    for row in hull_per_group(df, ["gid"], "xi", "yi").collect():
+        got.setdefault(row.gid, {})[row.hull_idx] = (
+            row.hx, row.hy, row.hull_size)
+    by_gid = {}
+    for gid, x, y in rows:
+        by_gid.setdefault(gid, []).append((x, y))
+    for gid, pts in by_gid.items():
+        want = chain_hull_py(pts)
+        assert len(got[gid]) == len(want)
+        for i, p in enumerate(want):
+            assert got[gid][i][:2] == p
+            assert got[gid][i][2] == len(want)
+
+
+def test_hull_per_group_plan_broadcasts_octagon(spark):
+    df = spark.createDataFrame([(0, 1, 2)], "gid long, xi long, yi long")
+    plan = hull_per_group(df, ["gid"])._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastHashJoin" in plan
