@@ -25,7 +25,7 @@ recursive-CTE successor walk — see __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -61,11 +61,32 @@ def chain_hull_py(pts: Sequence[tuple[int, int]]) -> list[tuple[int, int]]:
     return lower[:-1] + upper[:-1]
 
 
-def hull_per_group(pts: DataFrame, group_cols: Sequence[str],
-                   x: str = "xi", y: str = "yi") -> DataFrame:
-    """(group_cols..., x, y ints) -> (group_cols..., hull_idx, hx, hy,
-    hull_size).  See module docstring for the three-stage shape."""
-    g = list(group_cols)
+def diameter_py(pts: Sequence[tuple[int, int]]
+                ) -> tuple[int, tuple[int, int], tuple[int, int]]:
+    """Exact farthest pair: (d2, a, b) with d2 the max squared L2
+    distance and (a, b) the lexicographically smallest achieving pair
+    under a <= b.  diameter(set) == diameter(hull vertices), so brute
+    force runs over the (small) hull only — O(h^2); rotating calipers
+    would be O(h) but h is tiny post-hull and exactness wins."""
+    hull = chain_hull_py(pts)
+    best = None
+    for i in range(len(hull)):
+        for j in range(i, len(hull)):
+            a, b = sorted((hull[i], hull[j]))
+            d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            cand = (-d2, a, b)
+            if best is None or cand < best:
+                best = cand
+    return -best[0], best[1], best[2]
+
+
+def _octagon_survivors(pts: DataFrame, g: list, x: str, y: str) -> DataFrame:
+    """Stages 1+2 of the module docstring: distinct points -> per-group
+    Akl-Toussaint octagon (one map-side-combined max(struct) agg per
+    direction) -> broadcast-back native filter keeping only points NOT
+    strictly inside the octagon.  Survivors of every group are a
+    superset of its hull vertices (an interior point of the octagon is
+    interior to the hull), so any hull-derived statistic is preserved."""
     d = pts.select(*g, F.col(x).cast("long").alias("_x"),
                    F.col(y).cast("long").alias("_y")).distinct()
 
@@ -93,8 +114,16 @@ def hull_per_group(pts: DataFrame, group_cols: Sequence[str],
                   "* (_x - _oct[i].x)")
     keep = (f"size(_oct) < 3 OR exists(sequence(0, size(_oct) - 1), "
             f"i -> {edge_cross} <= 0)")
-    surv = (d.join(F.broadcast(octs), g)
+    return (d.join(F.broadcast(octs), g)
             .where(F.expr(keep)).drop("_oct"))
+
+
+def hull_per_group(pts: DataFrame, group_cols: Sequence[str],
+                   x: str = "xi", y: str = "yi") -> DataFrame:
+    """(group_cols..., x, y ints) -> (group_cols..., hull_idx, hx, hy,
+    hull_size).  See module docstring for the three-stage shape."""
+    g = list(group_cols)
+    surv = _octagon_survivors(pts, g, x, y)
 
     out_schema = ", ".join(
         [f"{c} {t}" for c, t in
@@ -112,3 +141,30 @@ def hull_per_group(pts: DataFrame, group_cols: Sequence[str],
              "hull_size": [n] * n})
 
     return surv.groupBy(*g).applyInPandas(_hull, schema=out_schema)
+
+
+def hull_diameter(pts: DataFrame, group_cols: Sequence[str],
+                  x: str = "xi", y: str = "yi") -> DataFrame:
+    """Per-group farthest pair (set diameter) in the exact integer
+    domain: (group_cols..., d2, ax, ay, bx, by) with d2 the max squared
+    L2 distance and (ax,ay) <= (bx,by) the lexicographically smallest
+    achieving pair (single-point groups emit the self-pair, d2 = 0).
+    Same prune-then-grouped-map shape as hull_per_group; correctness
+    rests on diameter(set) == diameter(hull) and the prune keeping all
+    hull vertices.  |coords| < 2^30 keeps d2 < 2^63 — int64-exact."""
+    g = list(group_cols)
+    surv = _octagon_survivors(pts, g, x, y)
+
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in
+         zip(g, (surv.schema[c].dataType.simpleString() for c in g))]
+        + ["d2 long", "ax long", "ay long", "bx long", "by long"])
+
+    def _diam(key, pdf):
+        d2, a, b = diameter_py(list(zip(pdf["_x"], pdf["_y"])))
+        return pd.DataFrame(
+            {**{c: [k] for c, k in zip(g, key)},
+             "d2": [d2], "ax": [a[0]], "ay": [a[1]],
+             "bx": [b[0]], "by": [b[1]]})
+
+    return surv.groupBy(*g).applyInPandas(_diam, schema=out_schema)

@@ -7,7 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from engine.geo.hull import _cross, chain_hull_py, hull_per_group
+from engine.geo.hull import (_cross, chain_hull_py, diameter_py,
+                             hull_diameter, hull_per_group)
 
 
 def _brute_hull_checks(pts, hull):
@@ -75,6 +76,51 @@ def test_hull_per_group_matches_unpruned_chain(spark):
         for i, p in enumerate(want):
             assert got[gid][i][:2] == p
             assert got[gid][i][2] == len(want)
+
+
+def _brute_diameter(pts):
+    """All-pairs reference (ordered canonical pair, self-pair for n=1)."""
+    best = None
+    ps = sorted(set(map(tuple, pts)))
+    for i in range(len(ps)):
+        for j in range(i, len(ps)):
+            a, b = ps[i], ps[j]
+            d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            cand = (-d2, a, b)
+            if best is None or cand < best:
+                best = cand
+    return -best[0], best[1], best[2]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_diameter_py_randomized(seed):
+    """diameter over hull vertices == all-pairs brute force, incl. the
+    canonical tie-broken pair (dense grids force distance ties)."""
+    r = np.random.default_rng(100 + seed)
+    n = int(r.integers(1, 80))
+    lo, hi = (0, 5) if seed % 2 == 0 else (0, 10 ** 9)
+    pts = [tuple(map(int, p)) for p in r.integers(lo, hi, (n, 2))]
+    assert diameter_py(pts) == _brute_diameter(pts)
+
+
+def test_hull_diameter_matches_brute(spark):
+    r = np.random.default_rng(11)
+    rows = []
+    for gid in range(5):
+        n = int(r.integers(1, 200))
+        lo, hi = (0, 6) if gid % 2 == 0 else (0, 2 ** 30)
+        for p in r.integers(lo, hi, (n, 2)):
+            rows.append((gid, int(p[0]), int(p[1])))
+    rows.append((9, 7, 7))  # single-point group -> self-pair, d2 = 0
+    df = spark.createDataFrame(rows, "gid long, xi long, yi long")
+    got = {row.gid: (row.d2, (row.ax, row.ay), (row.bx, row.by))
+           for row in hull_diameter(df, ["gid"], "xi", "yi").collect()}
+    by_gid = {}
+    for gid, x, y in rows:
+        by_gid.setdefault(gid, []).append((x, y))
+    assert set(got) == set(by_gid)
+    for gid, pts in by_gid.items():
+        assert got[gid] == _brute_diameter(pts)
 
 
 def test_hull_per_group_plan_broadcasts_octagon(spark):
