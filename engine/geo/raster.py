@@ -265,3 +265,52 @@ def rasterize_tile_grids(df: DataFrame, z: int = 6, grid_bits: int = 4,
         .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
                 scatter(F.col("pw")).alias("grid"))
     )
+
+
+def integral_image(df: DataFrame, z: int = 6, grid_bits: int = 4,
+                   lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Summed-area table (integral image, late r4) of each tile's
+    occupancy raster: sat(px, py) = Σ w over in-tile pixels with
+    px' <= px AND py' <= py — the vision primitive that answers any
+    box-count query in O(1) by inclusion-exclusion (see
+    tests/test_integral.py::test_box_query_identity).
+
+    Scale shape: the full table is touched ONCE by the map-side-combined
+    `_pixel_counts` agg (a hot tile ships ≤ grid² rows).  The SAT is
+    inherently dense, so the sparse counts are densified to exactly
+    grid² rows per OCCUPIED tile (sequence-explode, native) — the
+    intermediate is bounded by 4^z·grid², independent of input rows —
+    then two window cumsums (along px within each (tile, py) row, then
+    along py within each (tile, px) column) complete the SAT.  The
+    emitted rows are joined back to the occupied pixels so the OUTPUT
+    stays sparse.  Integer codegen end to end, zero Python.
+
+    Output: (tile_z, tile_x, tile_y, px, py, w, sat)."""
+    from pyspark.sql import Window
+
+    grid = 1 << grid_bits
+    pix = (_pixel_counts(df, z, grid_bits, lat, lon)
+           .select("tile_x", "tile_y",
+                   F.pmod("pix", F.lit(grid)).cast("int").alias("px"),
+                   (F.col("pix") / grid).cast("int").alias("py"),
+                   "w"))
+    dense = (pix.select("tile_x", "tile_y").distinct()
+             .select("tile_x", "tile_y",
+                     F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+                     .alias("py"))
+             .select("tile_x", "tile_y", "py",
+                     F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+                     .alias("px"))
+             .join(pix, ["tile_x", "tile_y", "px", "py"], "left")
+             .select("tile_x", "tile_y", "px", "py",
+                     F.coalesce("w", F.lit(0)).alias("w")))
+    row_w = Window.partitionBy("tile_x", "tile_y", "py").orderBy("px") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    col_w = Window.partitionBy("tile_x", "tile_y", "px").orderBy("py") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sat = (dense.withColumn("_row_cum", F.sum("w").over(row_w))
+           .withColumn("sat", F.sum("_row_cum").over(col_w)))
+    return (sat.join(pix.select("tile_x", "tile_y", "px", "py"),
+                     ["tile_x", "tile_y", "px", "py"], "inner")
+            .select(F.lit(z).cast("int").alias("tile_z"),
+                    "tile_x", "tile_y", "px", "py", "w", "sat"))
