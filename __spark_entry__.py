@@ -1453,6 +1453,52 @@ def q_hull_per_group(spark, sf):
     return hull_per_group(pts, ["gx", "gy"], x="xi", y="yi")
 
 
+def q_hull_diameter(spark, sf):
+    """Per-group farthest pair / set diameter (late r4) in the exact
+    integer grid (engine/geo/hull.py::hull_diameter): octagon prune ->
+    hull -> exact pair search; canonical lexicographically-smallest
+    achieving pair.  Twin is brute-force ALL-PAIRS max with the same
+    tie-break — the strongest oracle form for a pruned operator."""
+    _prep(spark)
+    from engine.geo.cells import merc_xy_sql
+    from engine.geo.hull import hull_diameter
+    xi, yi = merc_xy_sql("lon", "lat")
+    pts = _points(spark, sf).select(
+        F.expr(xi).alias("xi"), F.expr(yi).alias("yi"))
+    pts = pts.select(
+        F.expr("CAST(xi >> 27 AS BIGINT)").alias("gx"),
+        F.expr("CAST(yi >> 27 AS BIGINT)").alias("gy"), "xi", "yi")
+    return hull_diameter(pts, ["gx", "gy"], x="xi", y="yi")
+
+
+def q_cell_hilbert(spark, sf):
+    """Hilbert-curve cell id (late r4) at level 16 over the exact
+    integer grid (engine/geo/hilbert.py): single native aggregate-HOF
+    fold, zero Python.  The locality-preserving layout key — see the
+    bijection/continuity theorem tests in tests/test_hilbert.py.  Twin
+    is the same state machine unrolled into 16 chained DuckDB CTEs."""
+    _prep(spark)
+    from engine.geo.cells import merc_xy_sql
+    from engine.geo.hilbert import with_hilbert
+    x30, y30 = merc_xy_sql("lon", "lat")
+    pts = _points(spark, sf).select(
+        "id", F.expr(x30).alias("x30"), F.expr(y30).alias("y30"))
+    pts = pts.select("id", F.expr("shiftright(x30, 14)").alias("xi"),
+                     F.expr("shiftright(y30, 14)").alias("yi"))
+    return with_hilbert(pts, level=16)
+
+
+def q_tile_integral(spark, sf):
+    """Summed-area table of each tile's occupancy raster (late r4,
+    engine/geo/raster.py::integral_image): one map-side-combined pixel
+    agg -> native densify -> two window cumsums -> sparse join-back.
+    Twin computes each occupied pixel's dominance sum by brute-force
+    self-join — every densify/cumsum mistake would surface."""
+    _prep(spark)
+    from engine.geo.raster import integral_image
+    return integral_image(_points(spark, sf), z=6, grid_bits=4)
+
+
 def q_text_chunks(spark, sf):
     """Fixed-size overlapping chunking (late r4) — RAG/context-window
     prep (engine/text/ops.py::chunk_docs): size=96 overlap=16 char
@@ -1636,6 +1682,19 @@ def q_img_patches(spark, sf):
     return extract_patches(imgs, grid=4).select(
         "image_id", "gy", "gx", "ph", "pw", "pix_sum", "pix_min", "pix_max",
         F.hex("patch").alias("patch_hex"))
+
+
+def q_img_moments(spark, sf):
+    """Per-image raw + central moments (late r4,
+    engine/image/moments.py): all-integer shape descriptors in one
+    mapInPandas pass, pixels never leave the worker.  Golden-pinned
+    like the other synthetic-image keys; the independent oracle is
+    pytest's brute double-loop kernel + exact translation theorems
+    (tests/test_moments.py)."""
+    _prep(spark)
+    from engine.image.moments import image_moments
+    from engine.synth import gen_images
+    return image_moments(gen_images(spark, 240, seed=42))
 
 
 def q_img_invariants(spark, sf):
@@ -2453,6 +2512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_repetition": q_text_repetition,
         "hull_per_group": q_hull_per_group,
+        "hull_diameter": q_hull_diameter,
+        "cell_hilbert": q_cell_hilbert,
+        "tile_integral": q_tile_integral,
+        "img_moments": q_img_moments,
     }
 
 
@@ -2553,6 +2616,15 @@ def _contour_level_sql(t: int) -> str:
         "AND p.tile_y = a.tile_y AND p.lbl = a.lbl "
         "JOIN ccnt c ON p.tile_x = c.tile_x AND p.tile_y = c.tile_y "
         "AND p.lbl = c.lbl)")
+
+
+def _hilbert_twin_sql() -> str:
+    from engine.geo.hilbert import hilbert_duck_sql
+    chain = hilbert_duck_sql(
+        "(SELECT id, xi >> 14 AS xi, yi >> 14 AS yi, "
+        "xi >> 14 AS x, yi >> 14 AS y FROM xy)", 16, keep="id, xi, yi")
+    return (f"WITH {PTS_SQL}, {XY_SQL}, {chain} "
+            "SELECT id, xi, yi, d AS hilbert FROM h15")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3179,7 +3251,8 @@ def oracle_sql() -> dict[str, str]:
            for k in ("gen_images", "img_decode_stats", "pip_refine",
                      "media_features", "media_resize", "media_frames",
                      "img_augment", "simplify_rings", "tile_vector_encode",
-                     "tile_vector_encode_mvt", "img_patches")},
+                     "tile_vector_encode_mvt", "img_patches",
+                     "img_moments")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the
@@ -3746,4 +3819,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.gx, w.gy, CAST(w.idx AS INTEGER) AS hull_idx, "
             "w.x AS hx, w.y AS hy, CAST(n.hs AS INTEGER) AS hull_size "
             "FROM w JOIN n USING (gx, gy)"),
+        # hull_diameter: brute-force ALL-PAIRS farthest pair per group
+        # (the engine prunes via octagon+hull; any lost extreme point
+        # would surface here as a smaller d2 or a different canonical
+        # pair).  Pair domain is ordered (a <= b lexicographically,
+        # self-pair included so 1-point groups emit d2 = 0), tie-break
+        # ORDER BY ax, ay, bx, by matches the engine's sorted-tuple min.
+        "hull_diameter": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "p AS (SELECT DISTINCT CAST(xi >> 27 AS BIGINT) AS gx, "
+            "CAST(yi >> 27 AS BIGINT) AS gy, xi AS x, yi AS y FROM xy), "
+            "pr AS (SELECT a.gx, a.gy, "
+            "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2, "
+            "a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by "
+            "FROM p a JOIN p b ON a.gx = b.gx AND a.gy = b.gy "
+            "AND (a.x < b.x OR (a.x = b.x AND a.y <= b.y))) "
+            "SELECT gx, gy, CAST(d2 AS BIGINT) AS d2, ax, ay, bx, by "
+            "FROM pr QUALIFY row_number() OVER (PARTITION BY gx, gy "
+            "ORDER BY d2 DESC, ax, ay, bx, by) = 1"),
+        # cell_hilbert: same reflect+swap state machine, unrolled to one
+        # CTE per bit (engine/geo/hilbert.py::hilbert_duck_sql); the
+        # XOR digit is arithmetic on both sides so no operator
+        # semantics can diverge.
+        "cell_hilbert": _hilbert_twin_sql(),
+        # tile_integral: brute-force dominance sum per occupied pixel
+        # (exact twin of the densify+double-cumsum SAT).
+        "tile_integral": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "px AS (SELECT xi >> 24 AS tile_x, yi >> 24 AS tile_y, "
+            "CAST((xi >> 20) & 15 AS INTEGER) AS px, "
+            "CAST((yi >> 20) & 15 AS INTEGER) AS py, "
+            "CAST(COUNT(*) AS BIGINT) AS w "
+            "FROM xy GROUP BY 1, 2, 3, 4) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, a.tile_x, a.tile_y, "
+            "a.px, a.py, a.w, "
+            "CAST((SELECT SUM(b.w) FROM px b "
+            "WHERE b.tile_x = a.tile_x AND b.tile_y = a.tile_y "
+            "AND b.px <= a.px AND b.py <= a.py) AS BIGINT) AS sat "
+            "FROM px a"),
     }

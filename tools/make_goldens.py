@@ -47,7 +47,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_patches (late r4): all-integer patch stats + hex
                # rgb8 patch bytes; independent check = the exact tiling
                # identity pytest in tests/test_codec.py.
-               "img_patches")
+               "img_patches",
+               # img_moments (late r4): all-integer raw/central moments;
+               # independent check = brute double-loop kernel + exact
+               # translation theorems in tests/test_moments.py.
+               "img_moments")
 
 
 def main() -> None:
