@@ -1488,6 +1488,62 @@ def q_cell_hilbert(spark, sf):
     return with_hilbert(pts, level=16)
 
 
+# Deterministic regional segment fixture (level-22 grid, all-positive
+# integer arithmetic -> bit-identical in Spark and DuckDB): midpoints in
+# the [1M, 3M)^2 window, offsets +-2^17, so endpoints stay in [0, 2^22).
+SEGS_SQL = (
+    "segs AS (SELECT c_custkey AS seg_id, "
+    "1048576 + (c_custkey * 2654435761) % 2097152 AS ax, "
+    "1048576 + (c_custkey * 40503 + 7) % 2097152 AS ay, "
+    "1048576 + (c_custkey * 2654435761) % 2097152 "
+    "+ ((c_custkey * 97) % 262144) - 131072 AS bx, "
+    "1048576 + (c_custkey * 40503 + 7) % 2097152 "
+    "+ ((c_custkey * 131) % 262144) - 131072 AS by "
+    "FROM customer)"
+)
+
+
+def q_seg_intersect_join(spark, sf):
+    """Segment-intersection join (late r4,
+    engine/geo/segments.py::segment_join): tile-blocked candidates ->
+    exact integer orientation predicate; touching and collinear
+    overlap included.  Twin is brute-force ALL-PAIRS with the IDENTICAL
+    dialect-neutral predicate text — the blocking is what it verifies;
+    the predicate itself is pytest-verified against an exact-rational
+    parametric solver (tests/test_segments.py)."""
+    _prep(spark)
+    from engine.geo.segments import segment_join
+    segs = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS seg_id",
+        "1048576 + (c_custkey * 2654435761) % 2097152 AS ax",
+        "1048576 + (c_custkey * 40503 + 7) % 2097152 AS ay",
+        "1048576 + (c_custkey * 2654435761) % 2097152 "
+        "+ ((c_custkey * 97) % 262144) - 131072 AS bx",
+        "1048576 + (c_custkey * 40503 + 7) % 2097152 "
+        "+ ((c_custkey * 131) % 262144) - 131072 AS by")
+    return segment_join(segs, z=5, level=22)
+
+
+def q_seg_rasterize(spark, sf):
+    """Integer line rasterization (late r4,
+    engine/geo/segments.py::rasterize_segments): closed-form DDA walk
+    as a native sequence-explode — no Bresenham state machine, zero
+    Python, zero shuffle.  Twin replays the same normalization +
+    closed form with DuckDB generate_series; both divisions are
+    floor-division on provably non-negative operands."""
+    _prep(spark)
+    from engine.geo.segments import rasterize_segments
+    segs = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS seg_id",
+        "1048576 + (c_custkey * 2654435761) % 2097152 AS ax",
+        "1048576 + (c_custkey * 40503 + 7) % 2097152 AS ay",
+        "1048576 + (c_custkey * 2654435761) % 2097152 "
+        "+ ((c_custkey * 97) % 262144) - 131072 AS bx",
+        "1048576 + (c_custkey * 40503 + 7) % 2097152 "
+        "+ ((c_custkey * 131) % 262144) - 131072 AS by")
+    return rasterize_segments(segs, level=22, z=10)
+
+
 def q_tile_integral(spark, sf):
     """Summed-area table of each tile's occupancy raster (late r4,
     engine/geo/raster.py::integral_image): one map-side-combined pixel
@@ -2516,6 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_hilbert": q_cell_hilbert,
         "tile_integral": q_tile_integral,
         "img_moments": q_img_moments,
+        "seg_intersect_join": q_seg_intersect_join,
+        "seg_rasterize": q_seg_rasterize,
     }
 
 
@@ -2616,6 +2674,14 @@ def _contour_level_sql(t: int) -> str:
         "AND p.tile_y = a.tile_y AND p.lbl = a.lbl "
         "JOIN ccnt c ON p.tile_x = c.tile_x AND p.tile_y = c.tile_y "
         "AND p.lbl = c.lbl)")
+
+
+def _seg_twin_sql() -> str:
+    from engine.geo.segments import seg_intersect_sql
+    return (f"WITH {SEGS_SQL} "
+            "SELECT a.seg_id AS a_id, b.seg_id AS b_id "
+            "FROM segs a JOIN segs b ON a.seg_id < b.seg_id "
+            f"AND ({seg_intersect_sql('a', 'b')})")
 
 
 def _hilbert_twin_sql() -> str:
@@ -3857,4 +3923,40 @@ def oracle_sql() -> dict[str, str]:
             "WHERE b.tile_x = a.tile_x AND b.tile_y = a.tile_y "
             "AND b.px <= a.px AND b.py <= a.py) AS BIGINT) AS sat "
             "FROM px a"),
+        # seg_intersect_join: brute-force ALL-PAIRS with the identical
+        # predicate text — verifies the tile blocking misses nothing.
+        "seg_intersect_join": _seg_twin_sql(),
+        # seg_rasterize: the same closed-form DDA (normalization makes
+        # every division operand non-negative, so DuckDB // == Spark
+        # DIV == floor); generate_series is DuckDB's sequence-explode.
+        "seg_rasterize": (
+            f"WITH {SEGS_SQL}, "
+            "n AS (SELECT seg_id, ax >> 12 AS gax, ay >> 12 AS gay, "
+            "bx >> 12 AS gbx, by >> 12 AS gby FROM segs), "
+            "m AS (SELECT seg_id, "
+            "abs(gbx - gax) >= abs(gby - gay) AS xmajor, "
+            "CASE WHEN abs(gbx - gax) >= abs(gby - gay) THEN "
+            "least(gax, gbx) ELSE least(gay, gby) END AS m0, "
+            "CASE WHEN abs(gbx - gax) >= abs(gby - gay) THEN "
+            "(CASE WHEN gax <= gbx THEN gay ELSE gby END) "
+            "ELSE (CASE WHEN gay <= gby THEN gax ELSE gbx END) END AS n0, "
+            "CASE WHEN abs(gbx - gax) >= abs(gby - gay) THEN "
+            "greatest(gax, gbx) ELSE greatest(gay, gby) END AS m1, "
+            "CASE WHEN abs(gbx - gax) >= abs(gby - gay) THEN "
+            "(CASE WHEN gax <= gbx THEN gby ELSE gay END) "
+            "ELSE (CASE WHEN gay <= gby THEN gbx ELSE gax END) END AS n1 "
+            "FROM n), "
+            "d AS (SELECT seg_id, xmajor, m0, n0, m1 - m0 AS dm, "
+            "abs(n1 - n0) AS dn, CAST(sign(n1 - n0) AS BIGINT) AS sn "
+            "FROM m), "
+            "w AS (SELECT seg_id, xmajor, m0, n0, dm, dn, sn, "
+            "UNNEST(generate_series(0, dm)) AS step FROM d), "
+            "o AS (SELECT seg_id, CAST(step AS BIGINT) AS step, "
+            "m0 + step AS major, "
+            "CASE WHEN dm = 0 THEN n0 ELSE "
+            "n0 + sn * ((2 * step * dn + dm) // (2 * dm)) END AS minor, "
+            "xmajor FROM w) "
+            "SELECT seg_id, step, "
+            "CASE WHEN xmajor THEN major ELSE minor END AS px, "
+            "CASE WHEN xmajor THEN minor ELSE major END AS py FROM o"),
     }
