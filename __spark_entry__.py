@@ -1544,6 +1544,39 @@ def q_seg_rasterize(spark, sf):
     return rasterize_segments(segs, level=22, z=10)
 
 
+# Deterministic box fixture for the STR packer (integer, bit-identical
+# in Spark and DuckDB): corners in [0, 2^20)^2, extents 1..4096.
+BOXES_SQL = (
+    "boxes AS (SELECT c_custkey AS id, "
+    "(c_custkey * 2654435761) % 1048576 AS xmin, "
+    "(c_custkey * 40503 + 7) % 1048576 AS ymin, "
+    "(c_custkey * 2654435761) % 1048576 + 1 + (c_custkey * 97) % 4096 "
+    "AS xmax, "
+    "(c_custkey * 40503 + 7) % 1048576 + 1 + (c_custkey * 131) % 4096 "
+    "AS ymax FROM customer)"
+)
+
+
+def q_str_pack(spark, sf):
+    """STR bulk R-tree packing (late r4,
+    engine/geo/strpack.py::str_pack): classical sort-tile-recursive
+    page assignment on doubled integer centers, built on an EXACT
+    distributed global rank (range-repartition + partitioned window +
+    broadcast prefix offsets — no single-reducer global window).  Twin
+    replays the same sort-slice arithmetic with DuckDB windows."""
+    _prep(spark)
+    from engine.geo.strpack import str_pack
+    boxes = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 2654435761) % 1048576 AS xmin",
+        "(c_custkey * 40503 + 7) % 1048576 AS ymin",
+        "(c_custkey * 2654435761) % 1048576 + 1 + (c_custkey * 97) % 4096 "
+        "AS xmax",
+        "(c_custkey * 40503 + 7) % 1048576 + 1 + (c_custkey * 131) % 4096 "
+        "AS ymax")
+    return str_pack(boxes, page_size=16)
+
+
 def q_tile_integral(spark, sf):
     """Summed-area table of each tile's occupancy raster (late r4,
     engine/geo/raster.py::integral_image): one map-side-combined pixel
@@ -2574,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_moments": q_img_moments,
         "seg_intersect_join": q_seg_intersect_join,
         "seg_rasterize": q_seg_rasterize,
+        "str_pack": q_str_pack,
     }
 
 
@@ -3959,4 +3993,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT seg_id, step, "
             "CASE WHEN xmajor THEN major ELSE minor END AS px, "
             "CASE WHEN xmajor THEN minor ELSE major END AS py FROM o"),
+        # str_pack: the same STR sort-slice arithmetic via DuckDB
+        # windows (single-node, so plain global row_number is exact);
+        # ceil-sqrt agrees with the engine's isqrt form for every
+        # practical P (IEEE sqrt of a perfect square is exact).
+        "str_pack": (
+            f"WITH {BOXES_SQL}, "
+            "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "(COUNT(*) + 15) // 16 AS p FROM boxes), "
+            "st2 AS (SELECT n, CASE WHEN p > 1 THEN "
+            "CAST(ceil(sqrt(CAST(p AS DOUBLE))) AS BIGINT) ELSE 1 END AS s "
+            "FROM st), "
+            "st3 AS (SELECT n, s, (n + s - 1) // s AS slab_rows, "
+            "((n + s - 1) // s + 15) // 16 AS pages_per_slab FROM st2), "
+            "r1 AS (SELECT b.*, st3.slab_rows, st3.pages_per_slab, "
+            "(row_number() OVER (ORDER BY b.xmin + b.xmax, b.id) - 1) "
+            "// st3.slab_rows AS slab FROM boxes b, st3), "
+            "r2 AS (SELECT r1.*, CAST(r1.slab * r1.pages_per_slab + "
+            "(row_number() OVER (PARTITION BY r1.slab "
+            "ORDER BY r1.ymin + r1.ymax, r1.id) - 1) // 16 AS BIGINT) "
+            "AS page_id FROM r1), "
+            "mbr AS (SELECT page_id, MIN(xmin) AS page_xmin, "
+            "MIN(ymin) AS page_ymin, MAX(xmax) AS page_xmax, "
+            "MAX(ymax) AS page_ymax, CAST(COUNT(*) AS BIGINT) "
+            "AS page_count FROM r2 GROUP BY 1) "
+            "SELECT r2.id, r2.page_id, CAST(r2.slab AS BIGINT) AS slab, "
+            "r2.xmin, r2.ymin, r2.xmax, r2.ymax, mbr.page_xmin, "
+            "mbr.page_ymin, mbr.page_xmax, mbr.page_ymax, mbr.page_count "
+            "FROM r2 JOIN mbr USING (page_id)"),
     }
