@@ -102,3 +102,14 @@ def test_duck_twin_matches_numpy():
     assert len(rows) == 300
     for xi, yi, d in rows:
         assert want[(xi, yi)] == d
+
+
+def test_bbox_range_fragmentation_beats_morton():
+    """The layout claim, measured: over random bboxes, the number of
+    maximal contiguous curve-index runs covering the box is smaller for
+    Hilbert than Morton on average (fewer sequential reads per query).
+    Small grid here; tools/hilbert_layout_probe.py is the full probe."""
+    from tools.hilbert_layout_probe import range_fragmentation
+    res = range_fragmentation(level=5, n_boxes=60, seed=2)
+    assert res["mean_runs_hilbert"] < res["mean_runs_morton"]
+    assert res["hilbert_fewer_pct"] >= 80.0
