@@ -1608,6 +1608,118 @@ def q_text_repetition(spark, sf):
     return repetition_stats(_t(spark, sf, "documents"))
 
 
+def q_agg_pivot(spark, sf):
+    """E9 (r4 cont.) — pivot (wide conditional aggregation): order totals
+    by priority, pivoted over the closed status domain {O, F, P}.
+    Spark's `pivot(col, values)` with an explicit value list plans as a
+    single hash aggregate of CASE-gated partial sums — one shuffle, no
+    per-value scan, and the explicit list keeps the plan static (no
+    driver-side distinct pre-query), which is the 100 TB-safe form.
+    Exact cents domain (no float ties)."""
+    _prep(spark)
+    o = _t(spark, sf, "orders")
+    out = (o.groupBy("o_orderpriority")
+             .pivot("o_orderstatus", ["O", "F", "P"])
+             .agg(F.sum(_cents("o_totalprice"))))
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("cents_O"),
+        F.coalesce("F", F.lit(0)).alias("cents_F"),
+        F.coalesce("P", F.lit(0)).alias("cents_P"))
+
+
+def q_agg_grouping_sets(spark, sf):
+    """E10 (r4 cont.) — GROUPING SETS with grouping flags: the general
+    form of rollup/cube (E4), planning one Expand + one hash aggregate
+    rather than a union of scans.  GROUPING(col) flags disambiguate
+    real NULLs from subtotal rows on both engines identically."""
+    _prep(spark)
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls, "
+        "COUNT(*) AS n, "
+        "SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents "
+        "FROM li_gsets "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_returnflag), (l_linestatus), ())")
+
+
+def q_fn_unpivot(spark, sf):
+    """I (r4 cont.) — unpivot/melt (wide→long): part measures re-shaped
+    to (key, measure, value) rows.  Spark's native `unpivot` plans as a
+    zero-shuffle Expand (each input row emits one output row per
+    measure) — column-pruned at the scan, no Python.  Values are cast
+    to the common exact BIGINT domain before melting."""
+    _prep(spark)
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        _cents("p_retailprice").alias("retail_cents"))
+    return p.unpivot(
+        ids=["p_partkey"], values=["size", "retail_cents"],
+        variableColumnName="measure", valueColumnName="value")
+
+
+# Deterministic Voronoi site set (shared INPUT between the Spark wrapper
+# and the DuckDB twin, like KNN_QUERIES): 24 sites in the level-20 grid.
+VOR_SITES = tuple(
+    (i, (i * 2654435761 + 12345) % 1048576, (i * 40503 + 999331) % 1048576)
+    for i in range(24))
+
+
+def q_voronoi_assign(spark, sf):
+    """Discrete Voronoi assignment (r4 cont.,
+    engine/geo/voronoi.py::voronoi_assign): nearest of 24 broadcast
+    sites per point + exact d2 + second-best margin, folded with one
+    native aggregate HOF — zero joins/shuffles/Python; the big table is
+    scanned once.  All-int64 squared distances (level-20 fixture), so
+    the cross-join+window twin is bit-exact."""
+    _prep(spark)
+    from engine.geo.voronoi import voronoi_assign
+    pts = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 2654435761) % 1048576 AS xi",
+        "(c_custkey * 40503 + 7) % 1048576 AS yi")
+    return voronoi_assign(pts, VOR_SITES).select(
+        "id", "xi", "yi", "site_id", "d2", "margin")
+
+
+def q_moran_i(spark, sf):
+    """Global Moran's I components (r4 cont.,
+    engine/geo/raster.py::moran_scaled): rook-adjacency spatial
+    autocorrelation over a sparse 128×128 count raster, emitted as the
+    exact n-scaled BIGINT tuple (n, s_w, w_directed, num_scaled,
+    den_scaled) — I = (n/W)·num/den, float-free on the wire.  Plan: one
+    map-side-combined cell agg, a broadcast stats row, two skinny
+    neighbor equi-joins.  Integer fixture (trig-free twin by design —
+    the tile_raster r2 lesson); the real mercator-pixel path is
+    pytest-verified against the reference kernel."""
+    _prep(spark)
+    from engine.geo.raster import moran_scaled
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return moran_scaled(pix)
+
+
+def q_bpe_tokenize(spark, sf):
+    """M30 (r4 cont.) — mini-BPE tokenizer, the train-on-sample /
+    broadcast-apply pipeline shape (engine/text/bpe.py): deterministic
+    Sennrich BPE learned on the first 256 docs by id (bounded
+    driver-side sample, like PQ's codebook), merge ranks broadcast,
+    corpus tokenized in ONE Arrow-batched zero-shuffle pass with
+    per-batch word memoization.  Exact-integer output incl. an FNV-1a
+    token-stream hash.  Oracle = golden pin at sf0.01 (iterative merge
+    training is not SQL-expressible); the independent verification is
+    tests/test_bpe.py's full distributed-vs-pure-Python parity sweep +
+    reconstruction/monotonicity theorems."""
+    _prep(spark)
+    from engine.text.bpe import bpe_stats
+    return bpe_stats(_t(spark, sf, "documents"), n_merges=160, sample=256)
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (late r3) — the concat-then-chunk step between
     dedup and shard writing in an LLM training pipeline: docs ordered by
@@ -2608,6 +2720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersect_join": q_seg_intersect_join,
         "seg_rasterize": q_seg_rasterize,
         "str_pack": q_str_pack,
+        # --- r4 continuation adds (parked past position 50; rotate into
+        # the r5 window head alongside the other never-verified keys) ---
+        "agg_pivot": q_agg_pivot,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "fn_unpivot": q_fn_unpivot,
+        "voronoi_assign": q_voronoi_assign,
+        "moran_i": q_moran_i,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -3352,7 +3472,7 @@ def oracle_sql() -> dict[str, str]:
                      "media_features", "media_resize", "media_frames",
                      "img_augment", "simplify_rings", "tile_vector_encode",
                      "tile_vector_encode_mvt", "img_patches",
-                     "img_moments")},
+                     "img_moments", "bpe_tokenize")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the
@@ -4021,4 +4141,68 @@ def oracle_sql() -> dict[str, str]:
             "r2.xmin, r2.ymin, r2.xmax, r2.ymax, mbr.page_xmin, "
             "mbr.page_ymin, mbr.page_xmax, mbr.page_ymax, mbr.page_count "
             "FROM r2 JOIN mbr USING (page_id)"),
+        # agg_pivot: the pivot re-expressed as CASE-gated conditional
+        # sums — the textbook twin.  CAST(SUM(...) AS BIGINT) keeps
+        # DuckDB's HUGEINT sum out of the driver canonicalizer (the
+        # r2/r3 type-parity class).
+        "agg_pivot": (
+            "SELECT o_orderpriority, "
+            "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN "
+            "CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS cents_O, "
+            "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN "
+            "CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS cents_F, "
+            "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN "
+            "CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS cents_P "
+            "FROM orders GROUP BY o_orderpriority"),
+        "agg_grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf, "
+            "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls, "
+            "COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_cents FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+            "(l_returnflag), (l_linestatus), ())"),
+        # fn_unpivot: melt via UNION ALL — the order-free relational
+        # identity of Spark's Expand-based unpivot.
+        "fn_unpivot": (
+            "SELECT p_partkey, 'size' AS measure, "
+            "CAST(p_size AS BIGINT) AS value FROM part "
+            "UNION ALL SELECT p_partkey, 'retail_cents' AS measure, "
+            "CAST(round(p_retailprice*100) AS BIGINT) AS value FROM part"),
+        # voronoi_assign: independent formulation — cross join all sites
+        # then take window rows 1 and 2 (ordered by d2, sid); the engine
+        # computes the same pair with a single-pass fold.
+        "voronoi_assign": (
+            "WITH sites(sid, sx, sy) AS (VALUES "
+            + ", ".join(f"(CAST({s} AS BIGINT), CAST({sx} AS BIGINT), "
+                        f"CAST({sy} AS BIGINT))"
+                        for s, sx, sy in VOR_SITES) + "), "
+            "pts AS (SELECT c_custkey AS id, "
+            "(c_custkey * 2654435761) % 1048576 AS xi, "
+            "(c_custkey * 40503 + 7) % 1048576 AS yi FROM customer), "
+            "d AS (SELECT p.id, p.xi, p.yi, s.sid, "
+            "(s.sx - p.xi) * (s.sx - p.xi) + (s.sy - p.yi) * (s.sy - p.yi) "
+            "AS d2 FROM pts p CROSS JOIN sites s), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY id "
+            "ORDER BY d2, sid) AS rk FROM d) "
+            "SELECT a.id, a.xi, a.yi, a.sid AS site_id, "
+            "CAST(a.d2 AS BIGINT) AS d2, CAST(b.d2 - a.d2 AS BIGINT) AS margin "
+            "FROM r a JOIN r b ON a.id = b.id AND a.rk = 1 AND b.rk = 2"),
+        "moran_i": (
+            "WITH pix AS (SELECT (c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(w) AS BIGINT) AS s FROM pix), "
+            "c AS (SELECT gx, gy, st.n * pix.w - st.s AS c FROM pix, st), "
+            "e AS (SELECT a.c * b.c AS p FROM c a JOIN c b ON "
+            "(b.gx = a.gx + 1 AND b.gy = a.gy) OR "
+            "(b.gx = a.gx AND b.gy = a.gy + 1)) "
+            "SELECT st.n AS n, st.s AS s_w, "
+            "CAST(2 * (SELECT COUNT(*) FROM e) AS BIGINT) AS w_directed, "
+            "CAST(2 * (SELECT coalesce(SUM(p), 0) FROM e) AS BIGINT) "
+            "AS num_scaled, "
+            "CAST((SELECT SUM(c.c * c.c) FROM c) AS BIGINT) AS den_scaled "
+            "FROM st"),
     }

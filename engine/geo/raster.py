@@ -314,3 +314,56 @@ def integral_image(df: DataFrame, z: int = 6, grid_bits: int = 4,
                      ["tile_x", "tile_y", "px", "py"], "inner")
             .select(F.lit(z).cast("int").alias("tile_z"),
                     "tile_x", "tile_y", "px", "py", "w", "sat"))
+
+
+def moran_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                 w: str = "w") -> DataFrame:
+    """Global Moran's I spatial-autocorrelation components over a sparse
+    integer raster, in the EXACT n-scaled integer domain (r4 cont.).
+
+    Input: one row per occupied cell (x, y, w) with integer value w;
+    adjacency is rook (4-neighborhood) BETWEEN OCCUPIED CELLS (the only
+    globally computable convention on a sparse raster — absent cells are
+    "no observation", not zero; documented contract).
+
+    Moran's I = (n/W) · Σ_{i~j} (w_i − w̄)(w_j − w̄) / Σ_i (w_i − w̄)²
+    with w̄ = S/n rational.  Multiplying each centered value by n gives
+    c_i = n·w_i − S, an int64, and I = (n/W) · num/den with
+    num = Σ_{i~j} c_i c_j (directed), den = Σ c_i² — both exact BIGINTs
+    (the n² scale cancels in the ratio).  Emits one row
+    (n, s_w, w_directed, num_scaled, den_scaled); I is a trivial
+    driver-side division, kept out of the output to stay float-free.
+
+    Exactness bound: |c_i| ≤ n·max_w, so num terms ≤ (n·max_w)²; exact
+    while n·max_w < ~3·10⁹ (int64).  Beyond that, pre-aggregate to a
+    coarser grid or switch the centered products to DOUBLE (documented,
+    not silently done).
+
+    Scale shape: the input table is assumed already cell-aggregated
+    (one map-side-combined shuffle upstream, e.g. _pixel_counts).  The
+    stats row is a tiny broadcast; the two neighbor equi-joins shuffle
+    only skinny (x, y, c) rows hash-partitioned on cell coords — no
+    all-pairs, no window over the globe.  At 10^12 points the cell
+    table is bounded by the grid (4^level), not the row count."""
+    st = pixels.agg(F.count("*").cast("long").alias("_n"),
+                    F.sum(F.col(w).cast("long")).alias("_s"))
+    cent = (pixels.crossJoin(F.broadcast(st))
+            .select(F.col(x).alias("cx"), F.col(y).alias("cy"),
+                    (F.col("_n") * F.col(w).cast("long") - F.col("_s"))
+                    .alias("c"), "_n", "_s"))
+    a = cent.select(F.col("cx"), F.col("cy"), F.col("c").alias("ca"))
+    b = cent.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                    F.col("c").alias("cb"))
+    right = a.join(b, (a.cx + 1 == b.bx) & (a.cy == b.by))
+    down = a.join(b, (a.cx == b.bx) & (a.cy + 1 == b.by))
+    und = right.unionByName(down)
+    num_half = und.agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("nh"),
+        F.count("*").cast("long").alias("ne"))
+    den = cent.agg(F.sum(F.col("c") * F.col("c")).alias("d"),
+                   F.first("_n").alias("n"), F.first("_s").alias("s_w"))
+    return (den.crossJoin(num_half)
+            .select(F.col("n"), F.col("s_w"),
+                    (F.lit(2) * F.col("ne")).alias("w_directed"),
+                    (F.lit(2) * F.col("nh")).alias("num_scaled"),
+                    F.col("d").alias("den_scaled")))

@@ -1,0 +1,114 @@
+"""Voronoi assignment + Moran's I (r4 continuation): pure-Python kernel
+parity, exact-arithmetic theorems (tie-break, constant-field degeneracy,
+shift invariance), and the real mercator-pixel path vs the reference
+numpy kernel (the driver twin uses a trig-free integer fixture by
+design — the tile_raster r2 lesson — so the trig path is proven here)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from engine.geo.raster import moran_scaled
+from engine.geo.voronoi import voronoi_assign, voronoi_assign_py
+
+SITES = tuple((i, (i * 97 + 5) % 512, (i * 131 + 11) % 512) for i in range(8))
+
+
+def test_voronoi_matches_py_kernel(spark):
+    rows = [(k, (k * 2654435761) % 512, (k * 40503 + 7) % 512)
+            for k in range(1, 400)]
+    df = spark.createDataFrame(rows, "id long, xi long, yi long")
+    out = voronoi_assign(df, SITES).orderBy("id").collect()
+    assert len(out) == 399
+    for r in out:
+        s, d1, m = voronoi_assign_py(r.xi, r.yi, SITES)
+        assert (r.site_id, r.d2, r.margin) == (s, d1, m), r.id
+
+
+def test_voronoi_exact_tie_breaks_to_smaller_sid(spark):
+    # point (2,0) is exactly equidistant (d2=4) from sites 3 and 1
+    sites = ((3, 0, 0), (1, 4, 0))
+    r = voronoi_assign(
+        spark.createDataFrame([(1, 2, 0)], "id long, xi long, yi long"),
+        sites).collect()[0]
+    assert (r.site_id, r.d2, r.margin) == (1, 4, 0)
+
+
+def test_voronoi_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "id long, xi long, yi long")
+    plan = voronoi_assign(df, SITES)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "voronoi_assign must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def _moran_brute(cells: dict[tuple[int, int], int]):
+    n, s = len(cells), sum(cells.values())
+    c = {k: n * w - s for k, w in cells.items()}
+    num = edges = 0
+    for (x, y), ci in c.items():
+        for dx, dy in ((1, 0), (0, 1)):
+            if (x + dx, y + dy) in c:
+                num += ci * c[(x + dx, y + dy)]
+                edges += 1
+    den = sum(v * v for v in c.values())
+    return n, s, 2 * edges, 2 * num, den
+
+
+def _run_moran(spark, cells):
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in sorted(cells.items())],
+        "gx long, gy long, w long")
+    return moran_scaled(df).collect()[0]
+
+
+def test_moran_matches_brute(spark):
+    cnt = Counter(((k * 7) % 13, (k * 11) % 13) for k in range(60))
+    r = _run_moran(spark, cnt)
+    assert (r.n, r.s_w, r.w_directed, r.num_scaled, r.den_scaled) == \
+        _moran_brute(cnt)
+
+
+def test_moran_constant_field_degenerates_to_zero(spark):
+    cells = {(x, y): 7 for x in range(4) for y in range(4)}
+    r = _run_moran(spark, cells)
+    # 4x4 grid: 24 undirected rook edges -> W=48; constant field centers
+    # to zero exactly (num = den = 0)
+    assert (r.w_directed, r.num_scaled, r.den_scaled) == (48, 0, 0)
+
+
+def test_moran_shift_invariance(spark):
+    base = {(x, y): (x * 3 + y * 5) % 7 + 1
+            for x in range(5) for y in range(5) if (x + y) % 3}
+    r1 = _run_moran(spark, base)
+    r2 = _run_moran(spark, {k: w + 100 for k, w in base.items()})
+    assert (r1.num_scaled, r1.den_scaled, r1.w_directed) == \
+        (r2.num_scaled, r2.den_scaled, r2.w_directed)
+
+
+def test_moran_real_mercator_pixels(spark, sf_dir):
+    """The real geo path: moran over level-10 mercator pixel counts of
+    the deterministic point fixture, vs the brute oracle computed from
+    the reference numpy kernel (bit-identical grids by the C1 parity
+    suite)."""
+    import __spark_entry__ as entry_mod
+    from engine.geo.cells import merc_xy_np
+
+    pts = entry_mod._points(spark, sf_dir)
+    from pyspark.sql import functions as F
+    xi, yi = __import__("engine.geo.cells", fromlist=["merc_xy_sql"]) \
+        .merc_xy_sql("lon", "lat")
+    pix = (pts.select(F.expr(xi).alias("x30"), F.expr(yi).alias("y30"))
+           .select(F.expr("x30 >> 20").alias("gx"),
+                   F.expr("y30 >> 20").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    got = moran_scaled(pix).collect()[0]
+
+    pdf = pts.select("lon", "lat").toPandas()
+    x30, y30 = merc_xy_np(pdf["lon"].to_numpy(np.float64),
+                          pdf["lat"].to_numpy(np.float64))
+    cnt = Counter(zip((np.asarray(x30) >> 20).tolist(),
+                      (np.asarray(y30) >> 20).tolist()))
+    assert (got.n, got.s_w, got.w_directed, got.num_scaled,
+            got.den_scaled) == _moran_brute(cnt)

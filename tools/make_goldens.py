@@ -12,7 +12,7 @@ of these paths lives in pytest (test_synth / test_codec / test_pip
 compare the distributed kernels against standalone reference
 implementations); the golden oracle then makes any drift driver-visible.
 
-Usage: python tools/make_goldens.py   (rewrites oracle/golden/*.parquet)
+Usage: python tools/make_goldens.py [key ...]   (default: all golden keys)
 """
 
 from __future__ import annotations
@@ -51,7 +51,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_moments (late r4): all-integer raw/central moments;
                # independent check = brute double-loop kernel + exact
                # translation theorems in tests/test_moments.py.
-               "img_moments")
+               "img_moments",
+               # bpe_tokenize (r4 cont.): table-fed, sf0.01-pinned —
+               # iterative BPE merge training is not SQL-expressible;
+               # independent check = tests/test_bpe.py's full
+               # distributed-vs-pure-Python parity sweep.
+               "bpe_tokenize")
 
 
 def main() -> None:
@@ -68,7 +73,9 @@ def main() -> None:
     # synthetic keys ignore sf; tile_raster is PINNED at sf0.01 (the
     # driver's fixed correctness scale)
     sf = "/root/testdata/sf0.01"
-    for key in GOLDEN_KEYS:
+    only = set(sys.argv[1:])
+    keys = [k for k in GOLDEN_KEYS if not only or k in only]
+    for key in keys:
         pdf = qs[key](spark, sf).toPandas()
         path = os.path.join(out_dir, f"{key}.parquet")
         pdf.to_parquet(path, index=False)
