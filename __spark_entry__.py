@@ -1705,7 +1705,7 @@ def q_moran_i(spark, sf):
 
 
 def q_bpe_tokenize(spark, sf):
-    """M30 (r4 cont.) — mini-BPE tokenizer, the train-on-sample /
+    """M32 (r4 cont.) — mini-BPE tokenizer, the train-on-sample /
     broadcast-apply pipeline shape (engine/text/bpe.py): deterministic
     Sennrich BPE learned on the first 256 docs by id (bounded
     driver-side sample, like PQ's codebook), merge ranks broadcast,
@@ -1718,6 +1718,21 @@ def q_bpe_tokenize(spark, sf):
     _prep(spark)
     from engine.text.bpe import bpe_stats
     return bpe_stats(_t(spark, sf, "documents"), n_merges=160, sample=256)
+
+
+def q_editdist_join(spark, sf):
+    """M33 (r4 cont.) — edit-distance similarity self-join
+    (engine/text/editdist.py::editdist_join): all doc-prefix pairs with
+    Levenshtein <= 2, via PassJoin segment blocking — k+1 exploded
+    segments joined against constant-fan-out probe substrings, recall 1
+    by the partition lemma, then native JVM `levenshtein` verify on
+    candidates only.  No n² anywhere on the Spark side; the DuckDB twin
+    IS the n² brute force, so any recall loss reds the key."""
+    _prep(spark)
+    from engine.text.editdist import editdist_join
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("s"))
+    return editdist_join(d, id_col="doc_id", s_col="s", k=2)
 
 
 def q_pack_sequences(spark, sf):
@@ -2728,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_assign": q_voronoi_assign,
         "moran_i": q_moran_i,
         "bpe_tokenize": q_bpe_tokenize,
+        "editdist_join": q_editdist_join,
     }
 
 
@@ -4205,4 +4221,14 @@ def oracle_sql() -> dict[str, str]:
             "AS num_scaled, "
             "CAST((SELECT SUM(c.c * c.c) FROM c) AS BIGINT) AS den_scaled "
             "FROM st"),
+        # editdist_join: the brute-force n² twin — the engine's segment
+        # blocking must reproduce it EXACTLY (recall 1 by the PassJoin
+        # partition lemma, precision by the verify).
+        "editdist_join": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 24) AS s "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.s, b.s) <= 2"),
     }

@@ -453,3 +453,22 @@ def test_hexbin_counts_one_mapside_combined_shuffle(spark, images_parquet):
     # partial agg sits below the exchange (map-side combine)
     pre, post = plan.split("Exchange", 1)
     assert "partial_count" in post and "HashAggregate" in pre, plan
+
+
+def test_editdist_join_no_cartesian_native_verify(spark):
+    """r4 cont.: editdist_join's candidate generation is an equi-join on
+    (L, i, seg) — never a cartesian product — and the only nested-loop
+    allowed is the broadcast constant-size short-string pool.  The
+    Levenshtein verify is the native JVM expression (no Python stage)."""
+    from engine.text.editdist import editdist_join
+    df = spark.createDataFrame(
+        [(i, "prefix %03d suffix" % i) for i in range(60)],
+        "doc_id long, s string")
+    plan = plan_of(editdist_join(df, k=2), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "levenshtein" in plan, plan
+    # the segment join itself is a hash equi-join (broadcast or shuffled)
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
