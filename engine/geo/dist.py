@@ -45,3 +45,78 @@ def haversine_udf(lon1: pd.Series, lat1: pd.Series,
             lon2.to_numpy(np.float64), lat2.to_numpy(np.float64),
         )
     )
+
+
+# --- C8b (r4 cont.): cross-track distance ----------------------------
+# Signed distance from a point to the great circle through A->B — the
+# navigation primitive behind route-corridor filters ("all images
+# within d of this flight path / road") and map-matching.  Standard
+# spherical formula: dxt = asin(sin(d13/R) * sin(brg13 - brg12)) * R
+# with d13 the A->P haversine distance and brg the initial bearings.
+# Same parity strategy as haversine (r1 driver-green): numpy libm on
+# the Spark side, the identical expression text in the DuckDB twin,
+# output rounded to 0.1 m to absorb last-ULP libm drift.
+
+def bearing_np(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Initial great-circle bearing A->B in radians (atan2 form)."""
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(lon2) - np.radians(lon1)
+    return np.arctan2(np.sin(dl) * np.cos(p2),
+                      np.cos(p1) * np.sin(p2)
+                      - np.sin(p1) * np.cos(p2) * np.cos(dl))
+
+
+def crosstrack_np(lon, lat, lon_a, lat_a, lon_b, lat_b) -> np.ndarray:
+    d13 = haversine_np(lon_a, lat_a, lon, lat) / EARTH_RADIUS_M
+    b13 = bearing_np(lon_a, lat_a, lon, lat)
+    b12 = bearing_np(lon_a, lat_a, lon_b, lat_b)
+    return np.arcsin(np.sin(d13) * np.sin(b13 - b12)) * EARTH_RADIUS_M
+
+
+def make_crosstrack_udf(lon_a: float, lat_a: float,
+                        lon_b: float, lat_b: float):
+    """Arrow-batched cross-track distance to the fixed segment A->B."""
+
+    @F.pandas_udf(DoubleType())
+    def crosstrack_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(crosstrack_np(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+            lon_a, lat_a, lon_b, lat_b))
+
+    return crosstrack_udf
+
+
+BEARING_SQL_TMPL = (
+    "atan2(sin(radians({lon2}) - radians({lon1})) * cos(radians({lat2})), "
+    "cos(radians({lat1})) * sin(radians({lat2})) "
+    "- sin(radians({lat1})) * cos(radians({lat2})) "
+    "* cos(radians({lon2}) - radians({lon1})))")
+
+
+def crosstrack_sql(lon: str, lat: str, lon_a: str, lat_a: str,
+                   lon_b: str, lat_b: str, hav_tmpl: str) -> str:
+    """Dialect-neutral SQL text of crosstrack_np, operation-for-
+    operation (`hav_tmpl` is the engine's HAVERSINE_SQL_TMPL so the
+    d13 sub-expression is the exact text the green haversine key uses).
+    """
+    d13 = "(" + hav_tmpl.format(lat1=lat_a, lon1=lon_a,
+                                lat2=lat, lon2=lon) + f") / {EARTH_RADIUS_M!r}"
+    b13 = BEARING_SQL_TMPL.format(lat1=lat_a, lon1=lon_a, lat2=lat, lon2=lon)
+    b12 = BEARING_SQL_TMPL.format(lat1=lat_a, lon1=lon_a,
+                                  lat2=lat_b, lon2=lon_b)
+    return (f"asin(sin({d13}) * sin(({b13}) - ({b12}))) "
+            f"* {EARTH_RADIUS_M!r}")
+
+
+def make_bearing_udf(lon_a: float, lat_a: float):
+    """Arrow-batched initial bearing (radians) from fixed anchor A to
+    each point — C8c, the third navigation kernel beside haversine and
+    cross-track; same numpy-libm/identical-SQL-text parity strategy."""
+
+    @F.pandas_udf(DoubleType())
+    def bearing_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(bearing_np(
+            lon_a, lat_a,
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
+
+    return bearing_udf

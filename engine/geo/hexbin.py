@@ -55,8 +55,16 @@ def hexbin_sql(lon_col: str, lat_col: str, size: int = 4) -> tuple[str, str]:
     """Dialect-neutral SQL text for the hex center (hx, hy) — runs
     unchanged in Spark SQL and DuckDB (same floor-div + integer-argmin
     everywhere).  `size` multiplies the base (W_UNITS, H_UNITS) pitch."""
-    w, h = W_UNITS * size, H_UNITS * size
     gx, gy = _quant_sql(lon_col, lat_col)
+    return nearest_center_sql(gx, gy, size)
+
+
+def nearest_center_sql(gx: str, gy: str, size: int) -> tuple[str, str]:
+    """The integer argmin over the two offset lattices, on ALREADY-
+    QUANTIZED grid coordinates (>= 0) — the piece hex ROLLUP reuses:
+    re-binning fine hex centers at a coarser pitch is this same
+    expression applied to (hx, hy) instead of to point coords."""
+    w, h = W_UNITS * size, H_UNITS * size
     # nearest center in grid A (coordinate-wise rounding; operands >= 0)
     ax = f"(CAST(floor((({gx}) + {w}) / {2.0 * w!r}) AS BIGINT) * {2 * w})"
     ay = f"(CAST(floor((({gy}) + {h}) / {2.0 * h!r}) AS BIGINT) * {2 * h})"
@@ -123,3 +131,27 @@ def hex_neighbors(size: int = 4) -> list[tuple[int, int]]:
     """The six fixed center offsets of the tessellation (ring-1)."""
     w, h = W_UNITS * size, H_UNITS * size
     return [(2 * w, 0), (-2 * w, 0), (w, h), (w, -h), (-w, h), (-w, -h)]
+
+
+def hexbin_rollup(df: DataFrame, size: int = 8, coarse: int = 24,
+                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Hex PYRAMID rollup (C7e) — the aperture-style coarsening
+    H3 exposes as cellToParent: each fine hex (pitch `size`) is assigned
+    to the coarse hex (pitch `coarse`) whose center is nearest to ITS
+    center, then per-coarse-hex totals roll up from the already-
+    aggregated fine rows.  Hex lattices do not nest exactly (the same
+    reason H3's aperture-7 parent is approximate); nearest-center
+    re-binning is the exact, deterministic form of that operation, and
+    because it runs on the fine hexes' INTEGER centers it stays in the
+    exact domain end to end.
+
+    Scale shape: identical to tile_pyramid — the full table is touched
+    once by the fine-hex hash agg (map-side combined); the rollup
+    re-shuffles only fine-hex rows (bounded by the lattice, not the
+    data).  Output: (HX, HY, n_fine, n_points) per coarse hex."""
+    fine = hexbin_counts(df, size, lon_col, lat_col)
+    cx, cy = nearest_center_sql("hx", "hy", coarse)
+    return (fine.withColumn("HX", F.expr(cx)).withColumn("HY", F.expr(cy))
+            .groupBy("HX", "HY")
+            .agg(F.count("*").alias("n_fine"),
+                 F.sum("n").alias("n_points")))

@@ -142,6 +142,52 @@ def focal_sum(df: DataFrame, z: int = 6, radius: int = 1,
     )
 
 
+def kde_tiles(df: DataFrame, z: int = 6, radius: int = 2,
+              lat: str = "lat", lon: str = "lon",
+              checkpoint: bool = True) -> DataFrame:
+    """Integer-kernel KDE heatmap (C3p): focal_sum's weighted
+    sibling — every occupied tile's density is the kernel-weighted sum
+    of point counts over the (2r+1)^2 window, with the separable
+    TRIANGLE kernel w(dx,dy) = (r+1-|dx|)*(r+1-|dy|) (the discrete
+    tent/Bartlett kernel: integer weights, so the whole heatmap stays
+    in the exact BIGINT domain and the DuckDB twin — same offsets, same
+    weights, generated per-level — is an exact oracle; a float Gaussian
+    would land in the cross-libm tie class the r3 hardening banned).
+
+    Scale shape is focal_sum's: ONE full-table map-side-combined hash
+    agg, then the sparse raster (<= 4^z rows) explodes (2r+1)^2 weighted
+    offset structs and one skinny groupBy sums w*n per neighbor; x wraps
+    cyclically at the antimeridian, y is clipped.  Zero Python stages.
+
+    Output: (tile_z:int, tile_x, tile_y, n, kde).
+    """
+    n_tiles = 1 << z
+    base = tile_counts(df, z, lat, lon)
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"),
+                 F.lit((radius + 1 - abs(dx)) * (radius + 1 - abs(dy)))
+                 .cast("long").alias("w"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)])
+    contrib = (
+        base.select("tile_x", "tile_y", "n", F.explode(offs).alias("o"))
+        .select(F.pmod(F.col("tile_x") + F.col("o.dx"),
+                       F.lit(n_tiles)).alias("tile_x"),
+                (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
+                (F.col("n") * F.col("o.w")).alias("wn"))
+    )
+    sums = contrib.groupBy("tile_x", "tile_y") \
+        .agg(F.sum("wn").alias("kde"))
+    return (
+        base.join(sums, ["tile_x", "tile_y"], "inner")
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                "n", "kde")
+    )
+
+
 def edge_tiles(df: DataFrame, z: int = 6, lat: str = "lat",
                lon: str = "lon", checkpoint: bool = True) -> DataFrame:
     """Raster edge/boundary extraction — the vectorize-a-raster

@@ -154,6 +154,51 @@ def tile_pyramid(df: DataFrame, z_max: int, z_min: int,
             .agg(F.sum("n").alias("n")))
 
 
+def adaptive_quadtree(df: DataFrame, z_max: int = 10, z_root: int = 2,
+                      k: int = 64, cell_col: str = "cell") -> DataFrame:
+    """Adaptive quadtree decomposition (C3o): the minimal set of tiles,
+    between z_root and z_max, such that every tile holds <= k points —
+    except forced leaves at z_max, which may exceed k.  This is the
+    classic quadtree space partitioner (point-region quadtree bulk
+    build), the index structure behind adaptive tiling / load-balanced
+    spatial partitioning: dense areas split deep, sparse areas stay
+    coarse, so downstream per-tile work is balanced by CONSTRUCTION
+    instead of salted after the fact.
+
+    Declarative formulation (no driver loop): per-tile counts are
+    monotone non-increasing down the tree, so a tile is a leaf of the
+    top-down split iff
+      - z == z_root and n <= k            (the root level never split), or
+      - its PARENT's count > k            (every ancestor was split;
+                                           parent count is the minimum
+                                           over ancestors)
+        and (n <= k or z == z_max)        (it itself does not split).
+    That turns the recursion into: ONE pyramid (two shuffles total —
+    the only full-table exchange is the base agg at z_max, map-side
+    combined) + ONE skinny self-join of aggregated pyramid rows
+    (<= 4^z_max, AQE broadcasts it).  At 10^12 rows nothing but the
+    base agg ever sees the data.
+
+    Output: (tile_z:int, tile_x, tile_y, n) — the leaves partition the
+    input exactly: sum(n) == count(*), and no leaf is an ancestor of
+    another (both pytest-asserted invariants).
+    """
+    assert 0 <= z_root < z_max <= LEVEL
+    pyr = tile_pyramid(df, z_max, z_root, cell_col)
+    pyr = pyr.localCheckpoint(eager=False)
+    par = pyr.select(F.col("tile_z").alias("pz"), F.col("tile_x").alias("px"),
+                     F.col("tile_y").alias("py"), F.col("n").alias("pn"))
+    child = (pyr.filter(F.col("tile_z") > z_root)
+             .join(par, (F.col("pz") == F.col("tile_z") - 1)
+                   & (F.col("px") == F.shiftright("tile_x", 1))
+                   & (F.col("py") == F.shiftright("tile_y", 1)))
+             .filter((F.col("pn") > k)
+                     & ((F.col("n") <= k) | (F.col("tile_z") == z_max))))
+    root = pyr.filter((F.col("tile_z") == z_root) & (F.col("n") <= k))
+    cols = ["tile_z", "tile_x", "tile_y", "n"]
+    return child.select(*cols).unionByName(root.select(*cols))
+
+
 def write_tile_partitioned(df: DataFrame, path: str, z: int = 3,
                            cell_col: str = "cell",
                            sort_cols: tuple = ("cell",)) -> None:

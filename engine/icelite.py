@@ -52,15 +52,27 @@ class IceliteTable:
     def exists(self) -> bool:
         return os.path.exists(self.snap_path)
 
-    def snapshots(self) -> list[dict[str, Any]]:
+    def _state(self) -> dict[str, Any]:
         if not self.exists():
-            return []
+            return {"snapshots": [], "refs": {}}
         with open(self.snap_path) as f:
-            return json.load(f)["snapshots"]
+            st = json.load(f)
+        # back-compat: pre-branch tables have no refs map — the main
+        # branch head is the last snapshot of the (then-linear) log
+        if "refs" not in st:
+            st["refs"] = (
+                {"main": st["snapshots"][-1]["sid"]} if st["snapshots"] else {})
+        return st
 
-    def current_snapshot_id(self) -> int | None:
-        snaps = self.snapshots()
-        return snaps[-1]["sid"] if snaps else None
+    def snapshots(self) -> list[dict[str, Any]]:
+        return self._state()["snapshots"]
+
+    def refs(self) -> dict[str, int]:
+        """Branch name -> head snapshot id (Iceberg refs parity)."""
+        return self._state()["refs"]
+
+    def current_snapshot_id(self, branch: str = "main") -> int | None:
+        return self._state()["refs"].get(branch)
 
     def _manifest(self, sid: int) -> dict[str, Any]:
         with open(os.path.join(self.meta_dir, f"manifest-{sid:08d}.json")) as f:
@@ -150,13 +162,18 @@ class IceliteTable:
 
     def _commit_meta(self, df: DataFrame, added: list[str], op: str,
                      stage: str | None, props: dict | None,
-                     keep_parent_files: bool) -> int:
+                     keep_parent_files: bool, branch: str = "main") -> int:
         with self._commit_locked():
-            snaps = self.snapshots()
+            st = self._state()
+            snaps, refs = st["snapshots"], st["refs"]
+            if branch != "main" and branch not in refs:
+                raise KeyError(
+                    f"icelite: unknown branch {branch!r} — create_branch first")
+            parent = refs.get(branch)
             sid = (snaps[-1]["sid"] + 1) if snaps else 1
             parent_files = (
-                self._manifest(snaps[-1]["sid"])["files"]
-                if (snaps and keep_parent_files) else [])
+                self._manifest(parent)["files"]
+                if (parent is not None and keep_parent_files) else [])
             manifest = {
                 "sid": sid,
                 "files": parent_files + added,
@@ -167,16 +184,93 @@ class IceliteTable:
                                    f"manifest-{sid:08d}.json"), "w") as f:
                 json.dump(manifest, f)
             snaps.append({"sid": sid, "ts": time.time(), "op": op,
-                          "stage": stage, "props": props or {}})
-            tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump({"snapshots": snaps}, f)
-            os.replace(tmp, self.snap_path)
+                          "stage": stage, "props": props or {},
+                          "parent": parent, "branch": branch})
+            refs[branch] = sid
+            self._write_state(snaps, refs)
             return sid
+
+    def _write_state(self, snaps: list[dict], refs: dict[str, int]) -> None:
+        tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": snaps, "refs": refs}, f)
+        os.replace(tmp, self.snap_path)
+
+    # -------------------------------------------------- branches / WAP
+    #
+    # Iceberg branch + write-audit-publish parity: a branch is a named
+    # ref into the same snapshot log (zero data copies — manifests are
+    # shared).  The WAP flow is
+    #     create_branch("audit")                      # fork at main head
+    #     commit_append(df, branch="audit")           # staged writes
+    #     <run audits against scan(branch="audit")>   # main is untouched
+    #     fast_forward("main", "audit")               # atomic publish
+    # Publish is metadata-only and fast-forward-only: it requires main's
+    # head to be an ancestor of the branch head, exactly Iceberg's
+    # `fast_forward` procedure — no merge commits, so readers of main
+    # flip from old view to audited view atomically at the refs swap.
+
+    def create_branch(self, name: str, from_sid: int | None = None) -> int:
+        """Fork a branch at `from_sid` (default: current main head)."""
+        with self._commit_locked():
+            st = self._state()
+            snaps, refs = st["snapshots"], st["refs"]
+            if name in refs:
+                raise KeyError(f"icelite: branch {name!r} already exists")
+            head = from_sid if from_sid is not None else refs.get("main")
+            if head is None:
+                raise FileNotFoundError(
+                    "icelite: cannot branch an empty table")
+            refs[name] = head
+            self._write_state(snaps, refs)
+            return head
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("icelite: cannot drop main")
+        with self._commit_locked():
+            st = self._state()
+            st["refs"].pop(name, None)
+            self._write_state(st["snapshots"], st["refs"])
+
+    def _is_ancestor(self, snaps: list[dict], anc: int, sid: int) -> bool:
+        by_sid = {s["sid"]: s for s in snaps}
+        cur: int | None = sid
+        while cur is not None:
+            if cur == anc:
+                return True
+            rec = by_sid.get(cur)
+            # pre-branch records have no parent pointer: the log was
+            # linear, so the previous log entry is the parent
+            if rec is None:
+                return False
+            if "parent" in rec:
+                cur = rec["parent"]
+            else:
+                i = snaps.index(rec)
+                cur = snaps[i - 1]["sid"] if i > 0 else None
+        return False
+
+    def fast_forward(self, to_branch: str, from_branch: str) -> int:
+        """Publish: move `to_branch` to `from_branch`'s head.  Requires
+        a fast-forward (to's head is an ancestor of from's head) — the
+        atomic refs swap is the WAP publish step."""
+        with self._commit_locked():
+            st = self._state()
+            snaps, refs = st["snapshots"], st["refs"]
+            src, dst = refs[from_branch], refs.get(to_branch)
+            if dst is not None and not self._is_ancestor(snaps, dst, src):
+                raise ValueError(
+                    f"icelite: {to_branch!r}@{dst} is not an ancestor of "
+                    f"{from_branch!r}@{src} — not a fast-forward")
+            refs[to_branch] = src
+            self._write_state(snaps, refs)
+            return src
 
     def commit_append(self, df: DataFrame, stage: str | None = None,
                       props: dict[str, str] | None = None,
-                      sort_within: list[str] | None = None) -> int:
+                      sort_within: list[str] | None = None,
+                      branch: str = "main") -> int:
         """Append commit: write data files (uncommitted), then the locked
         metadata transaction — concurrent appenders serialize on
         metadata only and both commits' files survive.
@@ -186,11 +280,11 @@ class IceliteTable:
         """
         _, added = self._write_data(df, sort_within)
         return self._commit_meta(df, added, "append", stage, props,
-                                 keep_parent_files=True)
+                                 keep_parent_files=True, branch=branch)
 
     def commit_replace(self, df: DataFrame, stage: str | None = None,
                        props: dict[str, str] | None = None,
-                       op: str = "replace") -> int:
+                       op: str = "replace", branch: str = "main") -> int:
         """REPLACE commit: the new snapshot's file list is exactly the
         files written here — prior files stay on disk (older snapshots
         keep reading them; time travel is preserved) but leave the
@@ -198,7 +292,7 @@ class IceliteTable:
         MERGE results, mirroring Iceberg's rewrite/overwrite snapshots."""
         _, added = self._write_data(df)
         return self._commit_meta(df, added, op, stage, props,
-                                 keep_parent_files=False)
+                                 keep_parent_files=False, branch=branch)
 
     def compact(self, spark: SparkSession, target_files: int = 4) -> int:
         """Small-file compaction: rewrite the CURRENT view into
@@ -226,10 +320,19 @@ class IceliteTable:
         is the same atomic tmp+rename every commit uses.  Returns
         (expired sids, deleted file count)."""
         with self._commit_locked():
-            snaps = self.snapshots()
+            st = self._state()
+            snaps, refs = st["snapshots"], st["refs"]
             if len(snaps) <= keep_last:
                 return ([], 0)
-            keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+            # branch heads are always retained (Iceberg: refs pin
+            # snapshots against expiry)
+            pinned = set(refs.values())
+            keep = [s for i, s in enumerate(snaps)
+                    if i >= len(snaps) - keep_last or s["sid"] in pinned]
+            kept_sids = {s["sid"] for s in keep}
+            drop = [s for s in snaps if s["sid"] not in kept_sids]
+            if not drop:
+                return ([], 0)
             live: set[str] = set()
             for s in keep:
                 live.update(self._manifest(s["sid"])["files"])
@@ -247,16 +350,14 @@ class IceliteTable:
                 mp = os.path.join(self.meta_dir, f"manifest-{s['sid']:08d}.json")
                 if os.path.exists(mp):
                     os.remove(mp)
-            tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump({"snapshots": keep}, f)
-            os.replace(tmp, self.snap_path)
+            self._write_state(keep, refs)
             return ([s["sid"] for s in drop], deleted)
 
     # ------------------------------------------------------------- read
 
     def scan(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame:
+             snapshot_id: int | None = None,
+             branch: str = "main") -> DataFrame:
         """A2 — pinned-snapshot scan (time travel when snapshot_id given).
 
         The read is pinned to the snapshot's RECORDED schema
@@ -265,13 +366,13 @@ class IceliteTable:
         add-column semantics.  Evolution rule: appended frames must
         carry a superset of the previous columns (add-only); the latest
         commit's schema governs the current view."""
-        files = self.files(snapshot_id)
+        sid = (snapshot_id if snapshot_id is not None
+               else self.current_snapshot_id(branch))
+        if sid is None:
+            raise FileNotFoundError(f"icelite table has no snapshots: {self.root}")
+        files = self.files(sid)
         if not files:
-            sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
-            if sid is None:
-                raise FileNotFoundError(f"icelite table has no snapshots: {self.root}")
             return spark.createDataFrame([], self.schema(sid))
-        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         return spark.read.schema(self.schema(sid)).parquet(*files)
 
     def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:

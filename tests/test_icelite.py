@@ -189,3 +189,101 @@ def test_concurrent_appends_all_survive(spark, tmp_path):
         fa = set(t._manifest(a["sid"])["files"])
         fb = set(t._manifest(b["sid"])["files"])
         assert fa < fb
+
+
+# ----------------------------------------------- branches / WAP (r4 cont.)
+
+def test_branch_wap_publish(spark, tmp_path):
+    """Write-audit-publish: staged branch writes are invisible on main
+    until the atomic fast-forward publish."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 10))
+    t.create_branch("audit")
+    t.commit_append(spark.range(10, 25), branch="audit")
+    assert t.scan(spark).count() == 10                       # main untouched
+    assert t.scan(spark, branch="audit").count() == 25       # staged view
+    assert t.refs() == {"main": 1, "audit": 2}
+    pub = t.fast_forward("main", "audit")
+    assert pub == 2
+    assert t.scan(spark).count() == 25                       # published
+    assert t.refs()["main"] == 2
+
+
+def test_branch_commits_interleave_without_corruption(spark, tmp_path):
+    """Main and branch advance independently; each head sees exactly its
+    own chain (manifests are parent-chained, not log-ordered)."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 5))                       # sid 1 (main)
+    t.create_branch("b")
+    t.commit_append(spark.range(100, 103), branch="b")       # sid 2 (b)
+    t.commit_append(spark.range(5, 9))                       # sid 3 (main)
+    main_ids = sorted(r.id for r in t.scan(spark).collect())
+    b_ids = sorted(r.id for r in t.scan(spark, branch="b").collect())
+    assert main_ids == [0, 1, 2, 3, 4, 5, 6, 7, 8]
+    assert b_ids == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_fast_forward_rejects_diverged(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(3))
+    t.create_branch("b")
+    t.commit_append(spark.range(3), branch="b")
+    t.commit_append(spark.range(3))              # main diverges
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("main", "b")
+    # the other direction IS a fast-forward after re-pointing b? No —
+    # b@2 and main@3 share only sid 1; publishing main onto b must
+    # also be rejected.
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("b", "main")
+
+
+def test_branch_errors(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    with pytest.raises(FileNotFoundError):
+        t.create_branch("b")                     # empty table
+    t.commit_append(spark.range(2))
+    t.create_branch("b")
+    with pytest.raises(KeyError):
+        t.create_branch("b")                     # duplicate
+    with pytest.raises(KeyError):
+        t.commit_append(spark.range(1), branch="nope")
+    with pytest.raises(ValueError):
+        t.drop_branch("main")
+    t.drop_branch("b")
+    assert "b" not in t.refs()
+
+
+def test_expire_pins_branch_heads(spark, tmp_path):
+    """Expiry never drops a snapshot a ref points at (Iceberg parity)."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 4))           # sid 1
+    t.create_branch("keepme")                    # pins sid 1
+    t.commit_append(spark.range(4, 8))           # sid 2
+    t.commit_append(spark.range(8, 12))          # sid 3
+    expired, _ = t.expire_snapshots(keep_last=1)
+    assert expired == [2]                        # sid 1 pinned by ref
+    assert t.scan(spark, branch="keepme").count() == 4
+    assert t.scan(spark).count() == 12
+
+
+def test_pre_branch_table_backcompat(spark, tmp_path):
+    """A snapshots.json written before refs existed still reads: main is
+    the last log entry and branching works from there."""
+    import json as _json
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 6))
+    # strip refs + parent/branch fields to simulate an old table
+    with open(t.snap_path) as f:
+        st = _json.load(f)
+    for s in st["snapshots"]:
+        s.pop("parent", None)
+        s.pop("branch", None)
+    del st["refs"]
+    with open(t.snap_path, "w") as f:
+        _json.dump(st, f)
+    assert t.current_snapshot_id() == 1
+    t.commit_append(spark.range(6, 10))
+    assert t.scan(spark).count() == 10
+    t.create_branch("b")
+    assert t.refs()["b"] == 2

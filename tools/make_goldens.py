@@ -56,7 +56,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # iterative BPE merge training is not SQL-expressible;
                # independent check = tests/test_bpe.py's full
                # distributed-vs-pure-Python parity sweep.
-               "bpe_tokenize")
+               "bpe_tokenize",
+               # img_histogram (r4 cont.): all-integer luminance bins;
+               # independent check = brute per-pixel kernel in
+               # tests/test_r4_cont.py.
+               "img_histogram")
 
 
 def main() -> None:
