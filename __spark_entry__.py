@@ -457,6 +457,28 @@ def q_traj_stats(spark, sf):
     return traj_stats(ev)
 
 
+def q_traj_polyline(spark, sf):
+    """D22 (r4 cont.) — encoded-polyline trajectory serialization
+    (engine/geo/polyline.py): each user's time-ordered GPS trace
+    serialized to the standard Google polyline string (zigzag + 5-bit
+    varint chunks + ASCII, validated against the published doc vector
+    in tests/test_polyline.py).  Coordinates are derived DIRECTLY in
+    the integer e5 domain from event_id (no float quantization — the
+    cross-engine round-tie class is avoided by construction), so the
+    string is a pure function of the input set.  One shuffle: the lag
+    window's hash partitioning is reused by the per-user fold."""
+    _prep(spark)
+    from engine.geo.polyline import encode_polyline
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        F.expr("(event_id * 40503 + 7) % 17000000 - 8500000")
+        .alias("lat_e5"),
+        F.expr("(event_id * 2654435761) % 36000000 - 18000000")
+        .alias("lon_e5"),
+    )
+    return encode_polyline(ev)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -2894,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ols": q_agg_ols,
         "snapshot_wap": q_snapshot_wap,
         "img_histogram": q_img_histogram,
+        "traj_polyline": q_traj_polyline,
     }
 
 
@@ -4475,4 +4498,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM o UNION ALL "
             "SELECT 'audit_staged', n, c FROM a UNION ALL "
             "SELECT 'main_after', n, c FROM a"),
+        # traj_polyline — independent DuckDB formulation of the
+        # published polyline algorithm: lag deltas -> zigzag ->
+        # list_transform over range(n_chunks) -> ordered string_agg.
+        # All-integer (coords derived in e5 ints from event_id), so the
+        # strings must match byte for byte.
+        "traj_polyline": (
+            "WITH pts AS (SELECT user_id, ts, event_id, "
+            "(event_id * 40503 + 7) % 17000000 - 8500000 AS lat, "
+            "(event_id * 2654435761) % 36000000 - 18000000 AS lon "
+            "FROM events), "
+            "d AS (SELECT user_id, ts, event_id, "
+            "lat - COALESCE(lag(lat) OVER w, 0) AS dlat, "
+            "lon - COALESCE(lag(lon) OVER w, 0) AS dlon FROM pts "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "z AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN dlat >= 0 THEN 2*dlat ELSE -2*dlat - 1 END AS ula, "
+            "CASE WHEN dlon >= 0 THEN 2*dlon ELSE -2*dlon - 1 END AS ulo "
+            "FROM d), "
+            "n AS (SELECT *, "
+            "CASE WHEN ula < 32 THEN 1 WHEN ula < 1024 THEN 2 "
+            "WHEN ula < 32768 THEN 3 WHEN ula < 1048576 THEN 4 "
+            "WHEN ula < 33554432 THEN 5 ELSE 6 END AS na, "
+            "CASE WHEN ulo < 32 THEN 1 WHEN ulo < 1024 THEN 2 "
+            "WHEN ulo < 32768 THEN 3 WHEN ulo < 1048576 THEN 4 "
+            "WHEN ulo < 33554432 THEN 5 ELSE 6 END AS no FROM z), "
+            "e AS (SELECT user_id, ts, event_id, "
+            "array_to_string(list_transform(range(na), i -> "
+            "chr(CAST(((ula >> (i * 5)) & 31) "
+            "+ CASE WHEN i < na - 1 THEN 95 ELSE 63 END AS INTEGER))), '') || "
+            "array_to_string(list_transform(range(no), i -> "
+            "chr(CAST(((ulo >> (i * 5)) & 31) "
+            "+ CASE WHEN i < no - 1 THEN 95 ELSE 63 END AS INTEGER))), '') "
+            "AS pt FROM n) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points, "
+            "string_agg(pt, '' ORDER BY ts, event_id) AS polyline "
+            "FROM e GROUP BY user_id"),
     }
