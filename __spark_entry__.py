@@ -479,6 +479,24 @@ def q_traj_polyline(spark, sf):
     return encode_polyline(ev)
 
 
+def q_skyline(spark, sf):
+    """G2 (r4 cont.) — distributed 2-D skyline / Pareto frontier
+    (engine/relops.py::skyline_2d): the non-dominated (price, size)
+    pairs of part, minimize both.  Exact prefix-min formulation over
+    the distinct frame (never the quadratic dominance join the oracle
+    runs), distributed the global_rank way: range repartition +
+    per-partition exclusive running min + broadcast cross-partition
+    prefix — no single-partition window over the big frame."""
+    _prep(spark)
+    from engine.relops import skyline_2d
+    pt = _t(spark, sf, "part").select(
+        _cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"))
+    out = skyline_2d(pt, "price_cents", "size")
+    return out.select("price_cents", "size",
+                      F.col("n_dup").cast("long").alias("n_dup"))
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -2917,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_wap": q_snapshot_wap,
         "img_histogram": q_img_histogram,
         "traj_polyline": q_traj_polyline,
+        "skyline": q_skyline,
     }
 
 
@@ -4534,4 +4553,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points, "
             "string_agg(pt, '' ORDER BY ts, event_id) AS polyline "
             "FROM e GROUP BY user_id"),
+        # skyline — the quadratic dominance definition verbatim (NOT
+        # EXISTS a dominating pair): the strongest possible oracle for
+        # the engine's prefix-scan formulation.  Exact cents/size ints.
+        "skyline": (
+            "WITH a AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) "
+            "AS price_cents, CAST(p_size AS BIGINT) AS size, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dup FROM part GROUP BY 1, 2) "
+            "SELECT price_cents, size, n_dup FROM a p "
+            "WHERE NOT EXISTS (SELECT 1 FROM a q "
+            "WHERE q.price_cents <= p.price_cents AND q.size <= p.size "
+            "AND (q.price_cents < p.price_cents OR q.size < p.size))"),
     }

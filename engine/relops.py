@@ -10,7 +10,7 @@ sorted backward-inclusive merge — semantics identical to DuckDB/QuestDB
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -118,3 +118,50 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                  F.min("_us").alias("start_us"),
                  F.max("_us").alias("end_us"))
             .withColumn("duration_us", F.col("end_us") - F.col("start_us")))
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str,
+               group_col: str | None = None,
+               n_parts: int | None = None) -> DataFrame:
+    """2-D skyline / Pareto frontier (minimize both axes): the
+    non-dominated (x, y) pairs, with `n_dup` counting coincident input
+    rows (equal points never dominate each other — dominance needs one
+    strict inequality — so the whole duplicate class survives as one
+    row).
+
+    Exactness: over DISTINCT sorted pairs, p is dominated iff some
+    lex-(x, y) predecessor has y <= p.y (same-x predecessors have
+    y < p.y by distinctness), so the frontier is `y < running exclusive
+    min(y)` — a prefix scan, not a quadratic join.
+
+    Scale shape: the base table is touched ONCE by a map-side-combined
+    distinct agg; the prefix min over the distinct frame is distributed
+    the `global_rank` way (engine/geo/strpack.py): range-repartition by
+    (x, y), per-partition exclusive running min, plus a broadcast
+    exclusive running min of per-partition minima — NO single-partition
+    window over the big frame (plan-asserted in tests).  With
+    `group_col` the window partitions by group instead (groups are the
+    parallelism) and the range machinery is unnecessary.
+    """
+    agg = (df.groupBy(*( [group_col] if group_col else [] ), x_col, y_col)
+           .agg(F.count("*").alias("n_dup")))
+    if group_col is not None:
+        w = (Window.partitionBy(group_col).orderBy(x_col, y_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return (agg.withColumn("_pm", F.min(y_col).over(w))
+                .filter(F.col("_pm").isNull() | (F.col(y_col) < F.col("_pm")))
+                .drop("_pm"))
+
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    d = (agg.repartitionByRange(parts, x_col, y_col)
+         .withColumn("_pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("_pid").orderBy(x_col, y_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn("_pm", F.min(y_col).over(wl))
+    pmins = d.groupBy("_pid").agg(F.min(y_col).alias("_m"))
+    wg = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (pmins.withColumn("_gm", F.min("_m").over(wg)).drop("_m"))
+    keep = ((F.col("_pm").isNull() | (F.col(y_col) < F.col("_pm")))
+            & (F.col("_gm").isNull() | (F.col(y_col) < F.col("_gm"))))
+    return (d.join(F.broadcast(offs), "_pid")
+            .filter(keep).drop("_pid", "_pm", "_gm"))
