@@ -497,6 +497,23 @@ def q_skyline(spark, sf):
                       F.col("n_dup").cast("long").alias("n_dup"))
 
 
+def q_funnel(spark, sf):
+    """F7 (r4 cont.) — ordered funnel over the event stream
+    (engine/relops.py::funnel): users completing view -> click ->
+    purchase in order, each step strictly after the previous step's
+    earliest completion (greedy earliest-match; optimal, so reach-k ==
+    "steps are a subsequence of the user's ordered type stream", which
+    is what the independent DuckDB twin checks by regex over per-user
+    type strings).  k skinny filtered min-aggs, no per-user collected
+    state — a viral user costs nothing."""
+    _prep(spark)
+    from engine.relops import funnel
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -2936,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_histogram": q_img_histogram,
         "traj_polyline": q_traj_polyline,
         "skyline": q_skyline,
+        "funnel": q_funnel,
     }
 
 
@@ -4564,4 +4582,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM a q "
             "WHERE q.price_cents <= p.price_cents AND q.size <= p.size "
             "AND (q.price_cents < p.price_cents OR q.size < p.size))"),
+        # funnel — INDEPENDENT formulation via the subsequence theorem:
+        # greedy earliest-match is optimal, so a user reaches step k
+        # iff the step sequence is a subsequence of their ordered type
+        # stream; checked by regex over per-user type strings (V/C/P
+        # chars, string_agg ordered by the same (ts, event_id) total
+        # order the engine uses).
+        "funnel": (
+            "WITH ch AS (SELECT user_id, CASE event_type "
+            "WHEN 'view' THEN 'V' WHEN 'click' THEN 'C' "
+            "WHEN 'purchase' THEN 'P' END AS c, ts, event_id "
+            "FROM events WHERE event_type IN ('view','click','purchase')), "
+            "s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) "
+            "AS str FROM ch GROUP BY user_id) "
+            "SELECT 1 AS step_idx, 'view' AS step_name, "
+            "CAST(COUNT(*) FILTER (WHERE regexp_matches(str, 'V')) AS BIGINT) "
+            "AS n_users FROM s UNION ALL "
+            "SELECT 2, 'click', CAST(COUNT(*) FILTER "
+            "(WHERE regexp_matches(str, 'V.*C')) AS BIGINT) FROM s UNION ALL "
+            "SELECT 3, 'purchase', CAST(COUNT(*) FILTER "
+            "(WHERE regexp_matches(str, 'V.*C.*P')) AS BIGINT) FROM s"),
     }

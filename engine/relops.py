@@ -165,3 +165,47 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
             & (F.col("_gm").isNull() | (F.col(y_col) < F.col("_gm"))))
     return (d.join(F.broadcast(offs), "_pid")
             .filter(keep).drop("_pid", "_pm", "_gm"))
+
+
+def funnel(events: DataFrame, steps, user_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts",
+           seq_col: str = "event_id") -> DataFrame:
+    """Ordered-funnel analysis: how many users complete step 1, then
+    step 2 strictly after their earliest possible step-1 completion,
+    and so on (the greedy earliest-match is optimal — a user reaches
+    step k iff `steps` is a subsequence of their (ts, seq)-ordered type
+    stream, which is exactly what the DuckDB twin checks by regex).
+
+    -> (step_idx, step_name, n_users), one row per step.
+
+    Scale shape: NO per-user collected state (a viral user costs
+    nothing) — k passes, each a type-filtered skinny frame (filter
+    pushed to the scan) + map-side-combined min(struct(ts, seq)) agg;
+    step i joins step i-1's per-user watermark on the user hash key and
+    the frames shrink monotonically.  Totality: (ts, seq) with seq a
+    unique id, so results are partitioning/retry independent.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    base = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"),
+        F.struct(F.col(ts_col), F.col(seq_col)).alias("_m"))
+    out = []
+    prev = None
+    for i, st in enumerate(steps):
+        ev = base.filter(F.col("_t") == st)
+        if prev is None:
+            reached = ev.groupBy("_u").agg(F.min("_m").alias("_w"))
+        else:
+            reached = (ev.join(prev, "_u")
+                       .filter(F.col("_m") > F.col("_w"))
+                       .groupBy("_u").agg(F.min("_m").alias("_w")))
+        prev = reached
+        out.append(reached.agg(F.count("*").cast("long").alias("n_users"))
+                   .select(F.lit(i + 1).cast("int").alias("step_idx"),
+                           F.lit(st).alias("step_name"), "n_users"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
