@@ -514,6 +514,19 @@ def q_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_img_sobel(spark, sf):
+    """C12 (r4 cont.) — per-image Sobel gradient statistics
+    (engine/image/sobel.py): exact-integer edge energy / max gradient /
+    edge-pixel count over interior pixels, one mapInPandas pass, pixels
+    never leave the worker.  Golden-pinned like the other synthetic-
+    image keys; the independent oracle is pytest's brute 3x3 kernel
+    (tests/test_sobel.py)."""
+    _prep(spark)
+    from engine.image.sobel import image_sobel
+    from engine.synth import gen_images
+    return image_sobel(gen_images(spark, 240, seed=42))
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -2954,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_polyline": q_traj_polyline,
         "skyline": q_skyline,
         "funnel": q_funnel,
+        "img_sobel": q_img_sobel,
     }
 
 
@@ -3709,7 +3723,8 @@ def oracle_sql() -> dict[str, str]:
                      "media_features", "media_resize", "media_frames",
                      "img_augment", "simplify_rings", "tile_vector_encode",
                      "tile_vector_encode_mvt", "img_patches",
-                     "img_moments", "bpe_tokenize", "img_histogram")},
+                     "img_moments", "bpe_tokenize", "img_histogram",
+                     "img_sobel")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

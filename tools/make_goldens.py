@@ -60,7 +60,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_histogram (r4 cont.): all-integer luminance bins;
                # independent check = brute per-pixel kernel in
                # tests/test_r4_cont.py.
-               "img_histogram")
+               "img_histogram",
+               # img_sobel (r4 cont.): all-integer Sobel gradient stats;
+               # independent check = brute 3x3 kernel double-loop in
+               # tests/test_sobel.py.
+               "img_sobel")
 
 
 def main() -> None:
