@@ -527,6 +527,49 @@ def q_img_sobel(spark, sf):
     return image_sobel(gen_images(spark, 240, seed=42))
 
 
+def q_scan_csv(spark, sf):
+    """A10 (r4 cont.) — CSV source/sink parity: customer's exact-typed
+    projection (cents money domain) round-tripped through a 4-file CSV
+    directory written by the engine, read back with an EXPLICIT schema
+    (no inference job — the 100 TB form: schema-on-read is declared,
+    Spark never pre-scans the data), header on.  The oracle recomputes
+    the same projection straight from the parquet view, so any
+    quoting/escaping/type drift in either direction reds the key."""
+    _prep(spark)
+    root = tempfile.mkdtemp(prefix="scan-csv-")
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("c_name").alias("c_name"),
+        F.col("c_mktsegment").alias("c_mktsegment"),
+        _cents("c_acctbal").alias("acctbal_cents"))
+    cust.repartition(4).write.mode("overwrite").option("header", True)         .csv(root)
+    return spark.read.schema(
+        "c_custkey long, c_nationkey long, c_name string, "
+        "c_mktsegment string, acctbal_cents long")         .option("header", True).csv(root)
+
+
+def q_scan_json(spark, sf):
+    """A11 (r4 cont.) — JSON-lines source/sink parity: an exact-typed
+    events projection (unix-microsecond ints for timestamps, cents for
+    the double value — JSON has no timestamp/decimal types, so the
+    engine declares the lossless integer surface) written as a 4-file
+    JSON directory and read back with an EXPLICIT schema (no inference
+    job).  Oracle recomputes from the parquet view."""
+    _prep(spark)
+    root = tempfile.mkdtemp(prefix="scan-json-")
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        _cents("value").alias("value_cents"))
+    ev.repartition(4).write.mode("overwrite").json(root)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, ts_us long, "
+        "value_cents long").json(root)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -2968,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "funnel": q_funnel,
         "img_sobel": q_img_sobel,
+        "scan_csv": q_scan_csv,
+        "scan_json": q_scan_json,
     }
 
 
@@ -4617,4 +4662,19 @@ def oracle_sql() -> dict[str, str]:
             "(WHERE regexp_matches(str, 'V.*C')) AS BIGINT) FROM s UNION ALL "
             "SELECT 3, 'purchase', CAST(COUNT(*) FILTER "
             "(WHERE regexp_matches(str, 'V.*C.*P')) AS BIGINT) FROM s"),
+        # scan_csv / scan_json — format-roundtrip parity: the oracle is
+        # the same exact-typed projection straight from the parquet
+        # views, so the keys red on any engine-side quoting, escaping,
+        # null, or numeric-text drift.
+        "scan_csv": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey, c_name, "
+            "c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) "
+            "AS acctbal_cents FROM customer"),
+        "scan_json": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(user_id AS BIGINT) AS user_id, event_type, "
+            "CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(round(value * 100) AS BIGINT) AS value_cents "
+            "FROM events"),
     }
