@@ -570,6 +570,31 @@ def q_scan_json(spark, sf):
         "value_cents long").json(root)
 
 
+def q_snap_segment(spark, sf):
+    """D23 (r4 cont.) — map matching: snap each point to its nearest
+    segment within a 64-unit corridor (engine/geo/snap.py), exact
+    integer domain end to end (rational point-segment distance kept as
+    (num, den); argmin on the exact fixed-point q = num*2^25 DIV den).
+    Engine side is tile-blocked with an r-expansion completeness
+    theorem; the twin is brute-force ALL-PAIRS over the identical case
+    arithmetic — any blocking recall loss reds the key."""
+    _prep(spark)
+    from engine.geo.snap import snap_points
+    pts = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS pid",
+        "(c_custkey * 2654435761) % 4096 AS px",
+        "(c_custkey * 40503 + 7) % 4096 AS py")
+    segs = _t(spark, sf, "supplier").selectExpr(
+        "s_suppkey AS sid",
+        "(s_suppkey * 7919) % 4096 AS ax",
+        "(s_suppkey * 104729 + 3) % 4096 AS ay",
+        "greatest(least((s_suppkey * 7919) % 4096 "
+        "+ (s_suppkey * 97) % 129 - 64, 4095), 0) AS bx",
+        "greatest(least((s_suppkey * 104729 + 3) % 4096 "
+        "+ (s_suppkey * 131) % 129 - 64, 4095), 0) AS by")
+    return snap_points(pts, segs, radius=64)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3013,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_sobel": q_img_sobel,
         "scan_csv": q_scan_csv,
         "scan_json": q_scan_json,
+        "snap_segment": q_snap_segment,
     }
 
 
@@ -4677,4 +4703,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "CAST(round(value * 100) AS BIGINT) AS value_cents "
             "FROM events"),
+        # snap_segment — brute-force ALL-PAIRS twin with the identical
+        # exact case arithmetic (endpoint/interior rational distance,
+        # fixed-point q via HUGEINT floor division): verifies both the
+        # arithmetic AND the tile-blocking completeness.
+        "snap_segment": (
+            "WITH p AS (SELECT c_custkey AS pid, "
+            "(c_custkey * 2654435761) % 4096 AS px, "
+            "(c_custkey * 40503 + 7) % 4096 AS py FROM customer), "
+            "sg AS (SELECT s_suppkey AS sid, "
+            "(s_suppkey * 7919) % 4096 AS ax, "
+            "(s_suppkey * 104729 + 3) % 4096 AS ay, "
+            "greatest(least((s_suppkey * 7919) % 4096 "
+            "+ (s_suppkey * 97) % 129 - 64, 4095), 0) AS bx, "
+            "greatest(least((s_suppkey * 104729 + 3) % 4096 "
+            "+ (s_suppkey * 131) % 129 - 64, 4095), 0) AS by FROM supplier), "
+            "c AS (SELECT pid, px, py, sid, "
+            "(bx - ax)*(bx - ax) + (by - ay)*(by - ay) AS len2, "
+            "(px - ax)*(bx - ax) + (py - ay)*(by - ay) AS dt, "
+            "(px - ax)*(px - ax) + (py - ay)*(py - ay) AS ap2, "
+            "(px - bx)*(px - bx) + (py - by)*(py - by) AS bp2 "
+            "FROM p CROSS JOIN sg), "
+            "e AS (SELECT pid, px, py, sid, "
+            "CASE WHEN len2 = 0 OR dt <= 0 THEN ap2 "
+            "WHEN dt >= len2 THEN bp2 "
+            "ELSE ap2 * len2 - dt * dt END AS n, "
+            "CASE WHEN len2 = 0 OR dt <= 0 OR dt >= len2 THEN 1 "
+            "ELSE len2 END AS dd FROM c), "
+            "f AS (SELECT *, CAST(CAST(n AS HUGEINT) * 33554432 // dd "
+            "AS BIGINT) AS q FROM e WHERE n <= 4096 * dd), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY pid ORDER BY q, sid) AS rn FROM f) "
+            "SELECT pid, px, py, sid, q AS d2_q25, "
+            "CAST(n AS BIGINT) AS d2_num, CAST(dd AS BIGINT) AS d2_den "
+            "FROM r WHERE rn = 1"),
     }

@@ -1,0 +1,144 @@
+"""Map-matching: snap points to the nearest segment (r4 cont.) — the
+OSM-domain operator behind GPS-trace -> road-network conciliation,
+entirely in the EXACT integer domain.
+
+Semantics, per point p within `radius` (grid units) of at least one
+segment: the segment minimizing the true squared euclidean
+point-to-segment distance, which is the RATIONAL n/d with
+
+  ab = b - a, ap = p - a, dot = ap.ab, len2 = |ab|^2
+  endpoint a (dot <= 0 or len2 = 0): (n, d) = (|ap|^2, 1)
+  endpoint b (dot >= len2)         : (n, d) = (|bp|^2, 1)
+  interior                          : (n, d) = (|ap|^2*len2 - dot^2, len2)
+
+Argmin across candidates orders by the EXACT fixed-point integer
+q = (n * 2^25) DIV d — exact on both engines (Spark: DECIMAL(38,0)
+intermediate, quotient fits int64 because the radius filter bounds
+n/d <= r^2; DuckDB: HUGEINT //), fuzz-verified — with sid as the total
+tie-break.  So the chosen row is a pure function of the input set;
+q is also the output distance (squared grid units in 2^-25 steps),
+alongside the exact (n, d) pair.
+
+Completeness theorem (the dwithin/knn blocking argument): any segment
+within true distance <= r of p has its r-expanded bbox containing p,
+hence the pair co-occurs in p's tile once the expanded bbox is exploded
+to ALL tiles it touches.  So tile-blocking loses no candidate within
+the radius; the DuckDB twin is brute-force ALL-PAIRS over the identical
+case arithmetic — the strongest oracle, any recall loss reds the key.
+
+Overflow audit (grid_bits <= 12, radius < 2^7): coords < 2^12 ->
+len2, |ap|^2 <= 2^25, dot^2 <= 2^50, n <= 2^50; the radius filter
+n <= r^2 * d is pure int64 (2^14 * 2^25 = 2^39); q <= r^2 * 2^25 =
+2^39.  A ValueError guards the bounds.
+
+Scale shape: segments explode to O(bbox-tiles) rows once; candidates
+come from a tile equi-join (AQE broadcasts a small segment layer);
+per-pair arithmetic is native codegen; the argmin is one row_number
+window hash-partitioned by point id.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Q_BITS = 25
+Q_SCALE = 1 << Q_BITS
+
+
+def snap_points(points: DataFrame, segs: DataFrame, radius: int,
+                grid_bits: int = 12, tile_bits: int = 8) -> DataFrame:
+    """points (pid, px, py), segs (sid, ax, ay, bx, by) — all ints in
+    [0, 2^grid_bits) — -> (pid, px, py, sid, d2_q25, d2_num, d2_den),
+    one row per point with a segment within `radius`."""
+    if grid_bits > 12:
+        raise ValueError("snap_points: grid_bits > 12 overflows the "
+                         "exact-int64 audit (see module docstring)")
+    if radius >= 1 << 7 or radius < 1:
+        raise ValueError("snap_points: radius must be in [1, 127]")
+    n_tiles = 1 << (grid_bits - tile_bits)
+
+    s = (segs
+         .withColumn("_x0", F.least("ax", "bx") - radius)
+         .withColumn("_x1", F.greatest("ax", "bx") + radius)
+         .withColumn("_y0", F.least("ay", "by") - radius)
+         .withColumn("_y1", F.greatest("ay", "by") + radius)
+         .withColumn("_tx", F.explode(F.sequence(
+             F.greatest(F.expr(f"_x0 DIV {1 << tile_bits}"), F.lit(0)),
+             F.least(F.expr(f"_x1 DIV {1 << tile_bits}"),
+                     F.lit(n_tiles - 1)))))
+         .withColumn("_ty", F.explode(F.sequence(
+             F.greatest(F.expr(f"_y0 DIV {1 << tile_bits}"), F.lit(0)),
+             F.least(F.expr(f"_y1 DIV {1 << tile_bits}"),
+                     F.lit(n_tiles - 1)))))
+         .select("sid", "ax", "ay", "bx", "by", "_tx", "_ty"))
+    p = points.select(
+        "pid", "px", "py",
+        F.expr(f"px DIV {1 << tile_bits}").alias("_tx"),
+        F.expr(f"py DIV {1 << tile_bits}").alias("_ty"))
+
+    cand = (p.join(s, ["_tx", "_ty"])
+            .drop("_tx", "_ty")
+            # a pair can co-occur in several tiles: collapse before the
+            # argmin (all duplicate rows are identical by construction)
+            .dropDuplicates(["pid", "sid"]))
+
+    abx, aby = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    apx, apy = F.col("px") - F.col("ax"), F.col("py") - F.col("ay")
+    bpx, bpy = F.col("px") - F.col("bx"), F.col("py") - F.col("by")
+    d = (cand
+         .withColumn("_len2", abx * abx + aby * aby)
+         .withColumn("_dot", apx * abx + apy * aby)
+         .withColumn("_ap2", apx * apx + apy * apy)
+         .withColumn("_bp2", bpx * bpx + bpy * bpy))
+    n_col = (F.when((F.col("_len2") == 0) | (F.col("_dot") <= 0),
+                    F.col("_ap2"))
+             .when(F.col("_dot") >= F.col("_len2"), F.col("_bp2"))
+             .otherwise(F.col("_ap2") * F.col("_len2")
+                        - F.col("_dot") * F.col("_dot")))
+    d_col = (F.when((F.col("_len2") == 0) | (F.col("_dot") <= 0)
+                    | (F.col("_dot") >= F.col("_len2")), F.lit(1))
+             .otherwise(F.col("_len2")))
+    d = (d.withColumn("d2_num", n_col.cast("long"))
+         .withColumn("d2_den", d_col.cast("long"))
+         .filter(F.col("d2_num") <= F.lit(radius * radius)
+                 * F.col("d2_den"))
+         .withColumn("d2_q25", F.expr(
+             f"CAST(d2_num AS DECIMAL(38,0)) * {Q_SCALE} DIV d2_den")))
+
+    w = Window.partitionBy("pid").orderBy("d2_q25", "sid")
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("pid", "px", "py", "sid", "d2_q25",
+                    "d2_num", "d2_den"))
+
+
+def snap_py(points, segs, radius):
+    """Pure-Python reference with EXACT rational comparison (Fraction-
+    free: integer cross-multiplication) for the pytest oracle."""
+    out = {}
+    r2 = radius * radius
+    for pid, px, py in points:
+        best = None
+        for sid, ax, ay, bx, by in segs:
+            abx, aby = bx - ax, by - ay
+            apx, apy = px - ax, py - ay
+            len2 = abx * abx + aby * aby
+            dot = apx * abx + apy * aby
+            if len2 == 0 or dot <= 0:
+                n, dd = apx * apx + apy * apy, 1
+            elif dot >= len2:
+                bpx, bpy = px - bx, py - by
+                n, dd = bpx * bpx + bpy * bpy, 1
+            else:
+                n, dd = (apx * apx + apy * apy) * len2 - dot * dot, len2
+            if n > r2 * dd:
+                continue
+            q = (n * Q_SCALE) // dd
+            if best is None or (q, sid) < (best[0], best[1]):
+                best = (q, sid, n, dd)
+        if best is not None:
+            out[pid] = {"px": px, "py": py, "sid": best[1],
+                        "d2_q25": best[0], "d2_num": best[2],
+                        "d2_den": best[3]}
+    return out
