@@ -595,6 +595,38 @@ def q_snap_segment(spark, sf):
     return snap_points(pts, segs, radius=64)
 
 
+def q_graph_pagerank(spark, sf):
+    """N1 (r4 cont.) — integer fixed-point PageRank (engine/graph.py)
+    over the REAL customer-supplier bipartite graph (orders x lineitem,
+    undirected): 4 rounds of the exact integer recurrence (contribution
+    = rank DIV degree, damping (85*m) DIV 100), bit-identical under any
+    partitioning — which is what lets the unrolled-CTE DuckDB twin be
+    an exact oracle where float PageRank could never be."""
+    _prep(spark)
+    from engine.graph import pagerank_int
+    ed = (_t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+          .join(_t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+          .select(F.col("o_custkey").alias("src"),
+                  (F.col("l_suppkey") + 10000000).alias("dst")))
+    return pagerank_int(ed, iters=4)
+
+
+def q_graph_triangles(spark, sf):
+    """N2 (r4 cont.) — per-node triangle counts via degree-ordered
+    orientation (engine/graph.py::triangle_count): each triangle has
+    exactly one wedge node after orienting edges low->high by
+    (degree, id), so counting is two equi-joins with the Sigma outdeg^2
+    <= O(m^1.5) bound — never the naive hub-exploding wedge join.  The
+    twin is the brute triple self-join over normalized edges."""
+    _prep(spark)
+    from engine.graph import triangle_count
+    ed = _t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 512 AS src",
+        "((c_custkey * 40503 + 7) DIV 512) % 512 AS dst")
+    return triangle_count(ed)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3039,6 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_csv": q_scan_csv,
         "scan_json": q_scan_json,
         "snap_segment": q_snap_segment,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -4737,4 +4771,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pid, px, py, sid, q AS d2_q25, "
             "CAST(n AS BIGINT) AS d2_num, CAST(dd AS BIGINT) AS d2_den "
             "FROM r WHERE rn = 1"),
+        # graph_pagerank — the identical integer recurrence unrolled as
+        # chained CTEs (aggregates are banned in recursive CTE terms);
+        # exactness of the floor arithmetic makes this a hash-exact twin.
+        "graph_pagerank": (
+            "WITH e0 AS (SELECT DISTINCT least(o_custkey, 10000000 + l_suppkey) AS u, greatest(o_custkey, 10000000 + l_suppkey) AS v FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey <> 10000000 + l_suppkey), bi AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), nodes AS (SELECT DISTINCT u AS node FROM bi), deg AS (SELECT u, COUNT(*) AS outdeg FROM bi GROUP BY u), r0 AS (SELECT node, CAST(1073741824 AS BIGINT) AS rank FROM nodes), r1 AS (SELECT n.node, CAST(161061273 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank FROM nodes n LEFT JOIN (SELECT bi.v AS node, SUM(r0.rank // deg.outdeg) AS m FROM bi JOIN r0 ON bi.u = r0.node JOIN deg ON bi.u = deg.u GROUP BY bi.v) s ON n.node = s.node), r2 AS (SELECT n.node, CAST(161061273 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank FROM nodes n LEFT JOIN (SELECT bi.v AS node, SUM(r1.rank // deg.outdeg) AS m FROM bi JOIN r1 ON bi.u = r1.node JOIN deg ON bi.u = deg.u GROUP BY bi.v) s ON n.node = s.node), r3 AS (SELECT n.node, CAST(161061273 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank FROM nodes n LEFT JOIN (SELECT bi.v AS node, SUM(r2.rank // deg.outdeg) AS m FROM bi JOIN r2 ON bi.u = r2.node JOIN deg ON bi.u = deg.u GROUP BY bi.v) s ON n.node = s.node), r4 AS (SELECT n.node, CAST(161061273 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank FROM nodes n LEFT JOIN (SELECT bi.v AS node, SUM(r3.rank // deg.outdeg) AS m FROM bi JOIN r3 ON bi.u = r3.node JOIN deg ON bi.u = deg.u GROUP BY bi.v) s ON n.node = s.node) SELECT node, rank FROM r4"),
+        # graph_triangles — brute triple self-join over the normalized
+        # (u < v) edge set: (a,b),(b,c),(a,c) enumerates each triangle
+        # once with a < b < c.
+        "graph_triangles": (
+            "WITH ed AS (SELECT DISTINCT "
+            "least((c_custkey * 2654435761) % 512, "
+            "((c_custkey * 40503 + 7) // 512) % 512) AS u, "
+            "greatest((c_custkey * 2654435761) % 512, "
+            "((c_custkey * 40503 + 7) // 512) % 512) AS v FROM customer), "
+            "e AS (SELECT u, v FROM ed WHERE u <> v), "
+            "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) "
+            "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM "
+            "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri) GROUP BY node"),
     }

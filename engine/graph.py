@@ -1,0 +1,150 @@
+"""Graph analytics in the exact integer domain (r4 cont.) — the
+iterative family beside connected components (engine/text/dedup.py):
+
+* `pagerank_int` — damped PageRank with FIXED-POINT integer mass.
+  Every step is integer floor arithmetic (contribution = rank DIV
+  out-degree, damping = (85 * in-mass) DIV 100), so the trajectory is
+  a pure function of the edge set: bit-identical under repartition,
+  retry, or engine — the property that lets a relational DuckDB twin
+  (the same recurrence unrolled as chained CTEs) be an EXACT oracle,
+  where float PageRank would be addition-order-dependent.  Dangling
+  mass vanishes and floors shed sub-unit mass; both are documented
+  variants (ranks are for ORDERING, the absolute scale is arbitrary).
+
+* `triangle_count` — per-node triangle counts via the classical
+  degree-ordered orientation: orient each undirected edge from the
+  lower (degree, id) endpoint to the higher, so every triangle has
+  exactly one node with two out-edges into its other two corners;
+  wedges are an equi-join on that node and the closing edge is one
+  more equi-join.  Join sizes are Σ outdeg² with outdeg <= O(sqrt(m))
+  after orientation — the standard scale-out bound — vs the naive
+  Σ deg² which a hub explodes.
+
+Scale shape: pagerank keeps two static relations (edges+outdeg, nodes)
+and shuffles one skinny (node, mass) frame per round, localCheckpointed
+each round to cut the lineage (the dedup_clusters pattern); triangles
+are two equi-joins over the oriented half-edges, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+S0_DEFAULT = 1 << 30
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _undirect(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edge set, self-loops dropped, normalized
+    u < v."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    return (e.select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 iters: int = 4, s0: int = S0_DEFAULT) -> DataFrame:
+    """Undirected integer PageRank: every edge (u, v) carries mass both
+    ways.  -> (node, rank) after `iters` rounds from the uniform start
+    rank = s0.
+
+    Overflow guard: per-node rank is bounded by the total mass n*s0,
+    and the damping multiply needs DAMP_NUM * n * s0 < 2^63 — checked
+    with one tiny count() job and raised loudly."""
+    und = _undirect(edges, src, dst)
+    bi = und.unionByName(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_int: empty graph")
+    if DAMP_NUM * n * s0 >= 1 << 63:
+        raise ValueError("pagerank_int: n * s0 too large for the exact "
+                         "int64 audit — lower s0")
+    deg = bi.groupBy("u").agg(F.count("*").alias("outdeg"))
+    ed = bi.join(deg, "u").localCheckpoint(eager=True)
+
+    r = nodes.withColumn("rank", F.lit(s0).cast("long"))
+    base = (15 * s0) // 100  # (1 - d) * s0, exact for DAMP 85/100
+    for _ in range(iters):
+        contrib = (ed.join(r, ed["u"] == r["node"])
+                   .select(ed["v"].alias("node"),
+                           F.expr("rank DIV outdeg").alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        r = (nodes.join(sums, "node", "left")
+             .select("node",
+                     (F.lit(base)
+                      + F.expr(f"({DAMP_NUM} * coalesce(m, 0)) "
+                               f"DIV {DAMP_DEN}")).cast("long")
+                     .alias("rank"))
+             .localCheckpoint(eager=True))
+    return r
+
+
+def pagerank_py(edge_list, iters: int = 4, s0: int = S0_DEFAULT) -> dict:
+    """Sequential reference of the identical integer recurrence."""
+    und = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    bi = list(und) + [(v, u) for u, v in und]
+    nodes = sorted({u for u, _ in bi} | {v for _, v in bi})
+    deg = {}
+    for u, _ in bi:
+        deg[u] = deg.get(u, 0) + 1
+    r = {x: s0 for x in nodes}
+    base = (15 * s0) // 100
+    for _ in range(iters):
+        s = {x: 0 for x in nodes}
+        for u, v in bi:
+            s[v] += r[u] // deg[u]
+        r = {x: base + (DAMP_NUM * s[x]) // DAMP_DEN for x in nodes}
+    return r
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts -> (node, n_triangles),
+    nodes in no triangle omitted."""
+    und = _undirect(edges, src, dst)
+    bi = und.unionByName(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    deg = bi.groupBy("u").agg(F.count("*").alias("d"))
+    # orient u -> v iff (deg_u, u) < (deg_v, v): a DAG where each
+    # triangle has exactly one wedge node
+    dd = (bi.join(deg, "u")
+          .join(deg.select(F.col("u").alias("v"),
+                           F.col("d").alias("dv")), "v"))
+    ori = (dd.filter((F.col("d") < F.col("dv"))
+                     | ((F.col("d") == F.col("dv"))
+                        & (F.col("u") < F.col("v"))))
+           .select("u", "v"))
+    e1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = ori.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    # closing edge between b and c in EITHER orientation
+    closer = ori.select(F.least("u", "v").alias("b"),
+                        F.greatest("u", "v").alias("c"))
+    tri = wedges.join(closer, ["b", "c"])
+    corners = (tri.select(F.col("a").alias("node"))
+               .unionAll(tri.select(F.col("b").alias("node")))
+               .unionAll(tri.select(F.col("c").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles"))
+
+
+def triangles_py(edge_list) -> dict:
+    """Brute-force reference: per-node triangle counts."""
+    und = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c exactly once
+                for x in (a, b, c):
+                    out[x] = out.get(x, 0) + 1
+    return out
