@@ -627,6 +627,90 @@ def q_graph_triangles(spark, sf):
     return triangle_count(ed)
 
 
+def q_win_range(spark, sf):
+    """F8 (r4 cont.) — RANGE-frame window (value-based bounds, the
+    frame family rows-frames can't express): per-user running cents sum
+    over events whose event_id lies within 1000 BELOW the current row's
+    — identical RANGE semantics on both engines, exact cents, event_id
+    unique so the frame content is deterministic."""
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rangeBetween(-1000, 0))
+    return ev.select(
+        "event_id",
+        F.sum(_cents("value")).over(w).alias("range_cents"))
+
+
+def q_fn_bitwise(spark, sf):
+    """I8 (r4 cont.) — bitwise function surface: shifts, and/or/xor,
+    complement, popcount over the customer key; pure int64, closed
+    under the domain (key < 2^31 so key << 16 never overflows)."""
+    _prep(spark)
+    return _t(spark, sf, "customer").selectExpr(
+        "c_custkey",
+        "shiftleft(c_custkey, 16) AS shl",
+        "shiftright(c_custkey * 2654435761, 8) AS shr",
+        "c_custkey & 4095 AS band",
+        "c_custkey | 4096 AS bor",
+        "CAST(c_custkey ^ 2863311530 AS BIGINT) AS bxor",
+        "~c_custkey AS bnot",
+        "CAST(bit_count(c_custkey * 2654435761) AS INTEGER) AS pop")
+
+
+def q_agg_mode(spark, sf):
+    """E12 (r4 cont.) — deterministic statistical mode per group: the
+    most frequent integer quantity, ties broken to the SMALLEST value
+    (engine mode() built-ins have engine-specific tie rules — the
+    explicit (count DESC, value ASC) rank is the cross-engine-exact
+    form)."""
+    _prep(spark)
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        _cents("l_quantity").alias("qty_cents"))
+    cnt = li.groupBy("l_returnflag", "l_linestatus", "qty_cents").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("n"), F.asc("qty_cents"))
+    return (cnt.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("l_returnflag", "l_linestatus",
+                    F.col("qty_cents").alias("mode_qty_cents"),
+                    F.col("n").cast("long").alias("mode_count")))
+
+
+def q_agg_winsorized(spark, sf):
+    """E13 (r4 cont.) — winsorized group statistics in exact cents:
+    clamp each order's total to the group's [k10-th, k90-th] order
+    statistics (k = ceil(p*n), 1-indexed — a VALUE bound, so tie order
+    inside the rank window is irrelevant) and emit the clamped sum —
+    robust-mean numerator without a single float division."""
+    _prep(spark)
+    od = _t(spark, sf, "orders").select(
+        "o_orderpriority", _cents("o_totalprice").alias("cents"))
+    wg = Window.partitionBy("o_orderpriority")
+    wr = wg.orderBy("cents")
+    d = (od.withColumn("_n", F.count("*").over(wg))
+         .withColumn("_rn", F.row_number().over(wr))
+         .withColumn("_klo", F.expr("CAST(ceil(0.1 * _n) AS BIGINT)"))
+         .withColumn("_khi", F.expr("CAST(ceil(0.9 * _n) AS BIGINT)")))
+    bounds = d.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("_rn") == F.col("_klo"),
+                     F.col("cents"))).alias("lo_cents"),
+        F.max(F.when(F.col("_rn") == F.col("_khi"),
+                     F.col("cents"))).alias("hi_cents"),
+        F.count("*").cast("long").alias("n"))
+    return (od.join(F.broadcast(bounds), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.max("n").alias("n"),
+                 F.max("lo_cents").alias("lo_cents"),
+                 F.max("hi_cents").alias("hi_cents"),
+                 F.sum(F.greatest(F.least(F.col("cents"),
+                                          F.col("hi_cents")),
+                                  F.col("lo_cents")))
+                 .cast("long").alias("winsorized_sum_cents")))
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3073,6 +3157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_segment": q_snap_segment,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "win_range": q_win_range,
+        "fn_bitwise": q_fn_bitwise,
+        "agg_mode": q_agg_mode,
+        "agg_winsorized": q_agg_winsorized,
     }
 
 
@@ -4792,4 +4880,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM "
             "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
             "UNION ALL SELECT c FROM tri) GROUP BY node"),
+        # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
+        # integer twins; bitwise uses DuckDB operator spellings for the
+        # same semantics, the rest share the relational definition.
+        "win_range": (
+            "SELECT event_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY event_id "
+            "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS range_cents FROM events"),
+        "fn_bitwise": (
+            "SELECT c_custkey, c_custkey << 16 AS shl, "
+            "(c_custkey * 2654435761) >> 8 AS shr, "
+            "c_custkey & 4095 AS band, c_custkey | 4096 AS bor, "
+            "CAST(xor(c_custkey, 2863311530) AS BIGINT) AS bxor, "
+            "~c_custkey AS bnot, "
+            "CAST(bit_count(c_custkey * 2654435761) AS INTEGER) AS pop "
+            "FROM customer"),
+        "agg_mode": (
+            "WITH c AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents, "
+            "COUNT(*) AS n FROM lineitem GROUP BY 1, 2, 3), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, "
+            "l_linestatus ORDER BY n DESC, qty_cents ASC) AS rn FROM c) "
+            "SELECT l_returnflag, l_linestatus, qty_cents AS mode_qty_cents, "
+            "CAST(n AS BIGINT) AS mode_count FROM r WHERE rn = 1"),
+        "agg_winsorized": (
+            "WITH od AS (SELECT o_orderpriority, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+            "d AS (SELECT *, COUNT(*) OVER (PARTITION BY o_orderpriority) "
+            "AS n, row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY cents) AS rn FROM od), "
+            "b AS (SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n, "
+            "MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN cents "
+            "END) AS lo_cents, "
+            "MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents "
+            "END) AS hi_cents FROM d GROUP BY 1) "
+            "SELECT od.o_orderpriority, b.n, b.lo_cents, b.hi_cents, "
+            "CAST(SUM(greatest(least(od.cents, b.hi_cents), b.lo_cents)) "
+            "AS BIGINT) AS winsorized_sum_cents "
+            "FROM od JOIN b ON od.o_orderpriority = b.o_orderpriority "
+            "GROUP BY 1, 2, 3, 4"),
     }
