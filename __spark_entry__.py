@@ -711,6 +711,18 @@ def q_agg_winsorized(spark, sf):
                  .cast("long").alias("winsorized_sum_cents")))
 
 
+def q_img_palette(spark, sf):
+    """C13 (r4 cont.) — fixed-cube color quantization
+    (engine/image/quantize.py): long-form 64-color palette counts per
+    image + a deterministic dominant-color flag.  Golden-pinned like
+    the other synthetic-image keys; independent oracle = pytest's brute
+    per-pixel kernel (tests/test_quantize.py)."""
+    _prep(spark)
+    from engine.image.quantize import image_palette
+    from engine.synth import gen_images
+    return image_palette(gen_images(spark, 240, seed=42))
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3161,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_bitwise": q_fn_bitwise,
         "agg_mode": q_agg_mode,
         "agg_winsorized": q_agg_winsorized,
+        "img_palette": q_img_palette,
     }
 
 
@@ -3917,7 +3930,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_augment", "simplify_rings", "tile_vector_encode",
                      "tile_vector_encode_mvt", "img_patches",
                      "img_moments", "bpe_tokenize", "img_histogram",
-                     "img_sobel")},
+                     "img_sobel", "img_palette")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -64,7 +64,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_sobel (r4 cont.): all-integer Sobel gradient stats;
                # independent check = brute 3x3 kernel double-loop in
                # tests/test_sobel.py.
-               "img_sobel")
+               "img_sobel",
+               # img_palette (r4 cont.): all-integer fixed-cube palette
+               # counts; independent check = brute per-pixel kernel in
+               # tests/test_quantize.py.
+               "img_palette")
 
 
 def main() -> None:
