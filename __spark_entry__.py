@@ -723,6 +723,18 @@ def q_img_palette(spark, sf):
     return image_palette(gen_images(spark, 240, seed=42))
 
 
+def q_text_bigram_coverage(spark, sf):
+    """M29 (r4 cont.) — corpus-LM coverage statistics
+    (engine/text/ops.py::bigram_coverage): per-doc bigram hit/OOV
+    counts against the corpus's top-256 bigram vocabulary (count DESC,
+    bigram ASC — the explicit deterministic cut).  The integer-exact
+    surface of n-gram LM scoring; the token stream is exploded once,
+    the vocabulary cut is a global TakeOrdered broadcast back."""
+    _prep(spark)
+    from engine.text.ops import bigram_coverage
+    return bigram_coverage(_t(spark, sf, "documents"), k=256)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3174,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mode": q_agg_mode,
         "agg_winsorized": q_agg_winsorized,
         "img_palette": q_img_palette,
+        "text_bigram_coverage": q_text_bigram_coverage,
     }
 
 
@@ -4933,4 +4946,24 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS winsorized_sum_cents "
             "FROM od JOIN b ON od.o_orderpriority = b.o_orderpriority "
             "GROUP BY 1, 2, 3, 4"),
+        # text_bigram_coverage — same relational definition in DuckDB
+        # dialect (regexp list split + 1-indexed list extract + QUALIFY
+        # row_number for the deterministic top-k cut).
+        "text_bigram_coverage": (
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(text), '[^a-z]+'), x -> x <> '') AS arr FROM documents), "
+            "b AS (SELECT doc_id, list_transform(range(1, "
+            "greatest(len(arr), 1)), i -> arr[i] || ' ' || arr[i + 1]) "
+            "AS bgs FROM t), "
+            "e AS (SELECT doc_id, unnest(bgs) AS bg FROM b), "
+            "v AS (SELECT bg FROM (SELECT bg, COUNT(*) AS n FROM e "
+            "GROUP BY bg) q QUALIFY row_number() OVER "
+            "(ORDER BY n DESC, bg ASC) <= 256), "
+            "p AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(COUNT(v.bg) AS BIGINT) AS n_hits FROM e "
+            "LEFT JOIN v ON e.bg = v.bg GROUP BY e.doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, "
+            "COALESCE(p.n_hits, 0) AS n_hits, "
+            "COALESCE(p.n_bigrams, 0) - COALESCE(p.n_hits, 0) AS n_oov "
+            "FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id"),
     }

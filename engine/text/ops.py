@@ -397,3 +397,54 @@ def repetition_stats(df: DataFrame, *, text: str = "text",
                  F.expr(f"CAST(size(array_distinct({g})) AS BIGINT)")
                  .alias(f"n_distinct_{n}grams")]
     return df.select(*cols)
+
+
+def bigram_coverage(df: DataFrame, text: str = "text", k: int = 256,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-LM coverage statistics (r4 cont.): how much of each
+    document's bigram stream is covered by the corpus's top-k bigram
+    vocabulary — the integer-exact surface of language-model scoring
+    (n-gram hit/OOV counts; perplexity's log-space sum is the
+    cross-libm float class, the hit counts are not).
+
+    -> (doc_id, n_bigrams, n_hits, n_oov), zero rows kept for docs with
+    fewer than two tokens.
+
+    Vocabulary = top-k bigrams by (count DESC, bigram ASC) — the
+    explicit total tie rule that makes the cut deterministic on any
+    engine.  Scale shape: the token stream is exploded ONCE into a
+    (doc, bigram) frame feeding both the corpus count (map-side
+    combined, vocabulary-sized output) and the per-doc agg; the top-k
+    cut is a global TakeOrdered (k rows, never a full sort) broadcast
+    back as a hash join.
+    """
+    arr = F.filter(F.split(F.lower(F.col(text)), "[^a-z]+"),
+                   lambda t: t != F.lit(""))
+    # NB sequence(1, 0) is a DESCENDING [1, 0] in Spark — gate the
+    # short-doc case explicitly instead of clamping the bound.
+    bg = (df.withColumn("_arr", arr)
+          .select(F.col(id_col), F.explode(F.expr(
+              "CASE WHEN size(_arr) >= 2 THEN "
+              "transform(sequence(1, size(_arr) - 1), "
+              "i -> concat(element_at(_arr, i), ' ', "
+              "element_at(_arr, i + 1))) "
+              "ELSE array() END")).alias("bg")))
+    bg = bg.localCheckpoint(eager=False)
+    vocab = (bg.groupBy("bg").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("bg")).limit(k)
+             .select("bg", F.lit(1).alias("_hit")))
+    per = (bg.join(F.broadcast(vocab), "bg", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_bigrams"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                .alias("n_hits")))
+    base = df.select(id_col)
+    return (base.join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_bigrams", F.lit(0))
+                     - F.coalesce("n_hits", F.lit(0))).cast("long")
+                    .alias("n_oov")))
