@@ -735,6 +735,23 @@ def q_text_bigram_coverage(spark, sf):
     return bigram_coverage(_t(spark, sf, "documents"), k=256)
 
 
+def q_interval_concurrency(spark, sf):
+    """G3 (r4 cont.) — sweep-line concurrency profile
+    (engine/relops.py::interval_concurrency): how many orders are
+    active (30-day half-open window from order date, in exact integer
+    days) at each distinct boundary — the classic +1/-1 sweep with the
+    prefix sum distributed via the global_rank machinery (range
+    repartition + broadcast partition offsets), never a single-reducer
+    window over the big frame."""
+    _prep(spark)
+    from engine.relops import interval_concurrency
+    od = _t(spark, sf, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long").alias("start_d"))
+    od = od.withColumn("end_d", F.col("start_d") + 30)
+    return interval_concurrency(od, "start_d", "end_d")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3187,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_winsorized": q_agg_winsorized,
         "img_palette": q_img_palette,
         "text_bigram_coverage": q_text_bigram_coverage,
+        "interval_concurrency": q_interval_concurrency,
     }
 
 
@@ -4966,4 +4984,14 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(p.n_hits, 0) AS n_hits, "
             "COALESCE(p.n_bigrams, 0) - COALESCE(p.n_hits, 0) AS n_oov "
             "FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id"),
+        # interval_concurrency — single-node exact: running sum window
+        # over the boundary-distinct deltas.
+        "interval_concurrency": (
+            "WITH iv AS (SELECT CAST(datediff('day', DATE '1990-01-01', "
+            "o_orderdate) AS BIGINT) AS s FROM orders), "
+            "d AS (SELECT boundary, CAST(SUM(dd) AS BIGINT) AS delta FROM ("
+            "SELECT s AS boundary, 1 AS dd FROM iv "
+            "UNION ALL SELECT s + 30, -1 FROM iv) GROUP BY boundary) "
+            "SELECT boundary, delta, CAST(SUM(delta) OVER "
+            "(ORDER BY boundary) AS BIGINT) AS active FROM d"),
     }

@@ -209,3 +209,50 @@ def funnel(events: DataFrame, steps, user_col: str = "user_id",
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def global_prefix_sum(df: DataFrame, order_cols, val_col: str,
+                      out: str = "running", n_parts: int | None = None,
+                      inclusive: bool = True) -> DataFrame:
+    """EXACT distributed prefix sum of `val_col` in `order_cols` order
+    (must be a total order) WITHOUT a single-partition window: range-
+    repartition, per-partition running sum, plus a broadcast exclusive
+    running total of per-partition sums (the global_rank pattern,
+    engine/geo/strpack.py).  Integer-exact and associative, so the
+    result is independent of the sampled range boundaries."""
+    cols = list(order_cols)
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(parts, *cols)
+         .withColumn("_pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("_pid").orderBy(*cols)
+          .rowsBetween(Window.unboundedPreceding,
+                       0 if inclusive else -1))
+    d = d.withColumn("_ps", F.coalesce(F.sum(val_col).over(wl), F.lit(0)))
+    psums = d.groupBy("_pid").agg(F.sum(val_col).alias("_s"))
+    wg = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(wg), F.lit(0))).drop("_s")
+    return (d.join(F.broadcast(offs), "_pid")
+            .withColumn(out, (F.col("_ps") + F.col("_off")).cast("long"))
+            .drop("_pid", "_ps", "_off"))
+
+
+def interval_concurrency(df: DataFrame, start_col: str, end_col: str,
+                         n_parts: int | None = None) -> DataFrame:
+    """Sweep-line concurrency profile over half-open intervals
+    [start, end): for each distinct boundary value, how many intervals
+    are active at it.  -> (boundary, delta, active), one row per
+    distinct boundary.
+
+    Scale shape: boundaries aggregate map-side (+1 at start, -1 at
+    end), then ONE exact distributed prefix sum over the boundary-
+    distinct frame (bounded by the value domain, not the row count) —
+    the classic algorithm with no single-reducer window."""
+    deltas = (df.select(F.col(start_col).alias("boundary"),
+                        F.lit(1).alias("_d"))
+              .unionAll(df.select(F.col(end_col).alias("boundary"),
+                                  F.lit(-1).alias("_d")))
+              .groupBy("boundary")
+              .agg(F.sum("_d").cast("long").alias("delta")))
+    return global_prefix_sum(deltas, ["boundary"], "delta", out="active",
+                             n_parts=n_parts)
