@@ -682,6 +682,53 @@ def main() -> None:
         plan_of(incremental_tiles_partitioned(
             spark, _lay, vt_chg, z=6, z_layout=3), "formatted")))
 
+    # -------------------------------------------------- r4-cont additions
+    from engine.geo.snap import snap_points
+    pts_s = spark.range(100000).selectExpr(
+        "id AS pid", "(id * 2654435761) % 4096 AS px",
+        "(id * 40503 + 7) % 4096 AS py")
+    segs_s = spark.range(500).selectExpr(
+        "id AS sid", "(id * 7919) % 4096 AS ax",
+        "(id * 104729 + 3) % 4096 AS ay",
+        "greatest(least((id * 7919) % 4096 + (id * 97) % 65 - 32, 4095), 0) AS bx",
+        "greatest(least((id * 104729 + 3) % 4096 + (id * 131) % 65 - 32, 4095), 0) AS by")
+    sections.append((
+        "Map matching: snap-to-nearest-segment (D23, r4 cont.)",
+        "Candidates = tile equi-join against the r-expanded exploded "
+        "segment bboxes (AQE broadcasts the small layer); the argmin is "
+        "a map-side-combinable min(struct) keyed on point id — look for "
+        "partial_min BELOW the exchange: the shuffle carries one row per "
+        "point per task, never the candidate pairs.  All arithmetic is "
+        "codegen'd integer CASE logic; the only decimal is the exact "
+        "fixed-point DIV.",
+        plan_of(snap_points(pts_s, segs_s, radius=8, tile_bits=4))))
+
+    from engine.relops import skyline_2d, global_prefix_sum
+    sk_in = spark.range(100000).selectExpr(
+        "(id * 2654435761) % 100000 AS x", "(id * 40503 + 7) % 100000 AS y")
+    sections.append((
+        "Distributed 2-D skyline (G2, r4 cont.)",
+        "The distinct frame is RANGE-repartitioned; the prefix min runs "
+        "per partition (partitionBy _pid) and the cross-partition prefix "
+        "arrives as a BROADCAST of per-partition minima — the only "
+        "SinglePartition exchange in the plan is the tiny per-partition-"
+        "min frame, never the data.",
+        plan_of(skyline_2d(sk_in, "x", "y"))))
+
+    from engine.relops import funnel
+    ev_f = spark.range(100000).selectExpr(
+        "id AS event_id", "(id * 2654435761) % 10000 AS user_id",
+        "timestamp_micros(CAST(1700000000000000 + id AS BIGINT)) AS ts",
+        "CASE (id * 7919) % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click' "
+        "WHEN 2 THEN 'purchase' ELSE 'other' END AS event_type")
+    sections.append((
+        "Ordered funnel (F7, r4 cont.)",
+        "k type-filtered skinny frames (the event_type predicate is "
+        "PUSHED to each scan branch) chained by user-key hash joins; "
+        "every min(struct) agg partial-combines below its exchange.  No "
+        "per-user collected state anywhere in the plan.",
+        plan_of(funnel(ev_f, ["view", "click", "purchase"]))))
+
     out = ["# PLANS — annotated physical plans (regenerate: `python tools/dump_plans.py`)",
            "",
            "The judge-facing evidence that the declared plans are the plans "
