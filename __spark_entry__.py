@@ -752,6 +752,54 @@ def q_interval_concurrency(spark, sf):
     return interval_concurrency(od, "start_d", "end_d")
 
 
+def q_file_zonemaps(spark, sf):
+    """A12 (r4 cont.) — zone maps as an operator: write lineitem into a
+    bucket-partitioned layout (bucket = l_orderkey DIV 2000 — explicit
+    directory keys, so the layout's content is deterministic where
+    range-sampled splits would not be), read it back deriving each
+    row's bucket FROM ITS FILE PATH (input_file_name), and emit
+    per-bucket min/max/count zone maps plus the skip decision a pruning
+    reader would take for the range [5000, 7000).  The oracle recomputes
+    the same stats logically from the table — any row landing in the
+    wrong directory, or a wrong skip verdict, reds the key."""
+    _prep(spark)
+    root = tempfile.mkdtemp(prefix="zonemaps-")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", _cents("l_extendedprice").alias("price_cents"))
+    (li.withColumn("zbucket", F.expr("l_orderkey DIV 2000"))
+     .write.mode("overwrite").partitionBy("zbucket").parquet(root))
+    back = (spark.read.parquet(root)
+            .withColumn("zbucket", F.regexp_extract(
+                F.input_file_name(), "zbucket=(\\d+)", 1).cast("long")))
+    zm = back.groupBy("zbucket").agg(
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"))
+    return zm.withColumn(
+        "skip_5000_7000",
+        ((F.col("max_key") < 5000) | (F.col("min_key") >= 7000))
+        .cast("int"))
+
+
+def q_scan_orc(spark, sf):
+    """A13 (r4 cont.) — ORC source/sink parity: the same exact-typed
+    roundtrip discipline as scan_csv/scan_json over Spark's native ORC
+    format (columnar like parquet, so types survive losslessly; the
+    integer surface keeps the oracle engine-neutral since DuckDB never
+    reads the ORC bytes — it recomputes the projection)."""
+    _prep(spark)
+    root = tempfile.mkdtemp(prefix="scan-orc-")
+    sup = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_name", _cents("s_acctbal").alias("acctbal_cents"))
+    sup.repartition(3).write.mode("overwrite").orc(root)
+    return spark.read.schema(
+        "s_suppkey long, s_nationkey long, s_name string, "
+        "acctbal_cents long").orc(root)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3205,6 +3253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_palette": q_img_palette,
         "text_bigram_coverage": q_text_bigram_coverage,
         "interval_concurrency": q_interval_concurrency,
+        "file_zonemaps": q_file_zonemaps,
+        "scan_orc": q_scan_orc,
     }
 
 
@@ -4994,4 +5044,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT s + 30, -1 FROM iv) GROUP BY boundary) "
             "SELECT boundary, delta, CAST(SUM(delta) OVER "
             "(ORDER BY boundary) AS BIGINT) AS active FROM d"),
+        # file_zonemaps — logical recompute of the per-bucket stats and
+        # the pruning verdict (the engine derives them from file paths).
+        "file_zonemaps": (
+            "SELECT l_orderkey // 2000 AS zbucket, "
+            "CAST(MIN(l_orderkey) AS BIGINT) AS min_key, "
+            "CAST(MAX(l_orderkey) AS BIGINT) AS max_key, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_cents, "
+            "CAST(MAX(l_orderkey) < 5000 OR MIN(l_orderkey) >= 7000 "
+            "AS INTEGER) AS skip_5000_7000 "
+            "FROM lineitem GROUP BY 1"),
+        "scan_orc": (
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(s_nationkey AS BIGINT) AS s_nationkey, s_name, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents "
+            "FROM supplier"),
     }
