@@ -800,6 +800,26 @@ def q_scan_orc(spark, sf):
         "acctbal_cents long").orc(root)
 
 
+def q_snapshot_incremental(spark, sf):
+    """A14 (r4 cont.) — Iceberg incremental-append read / CDC feed
+    (engine/icelite.py::scan_incremental): orders committed in three
+    batches by status; the incremental scan from the first snapshot to
+    the head returns exactly the LATER two commits' rows tagged with
+    their commit ordinals, in replayable commit order — metadata-only
+    planning, the base snapshot's files are never read."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    od = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("cents"))
+    root = tempfile.mkdtemp(prefix="icelite-cdc-")
+    t = IceliteTable(root)
+    s1 = t.commit_append(od.filter("o_orderstatus = 'O'"), stage="s1")
+    t.commit_append(od.filter("o_orderstatus = 'F'"), stage="s2")
+    s3 = t.commit_append(od.filter("o_orderstatus = 'P'"), stage="s3")
+    inc = t.scan_incremental(spark, s1, s3)
+    return inc.select("commit_seq", "o_orderkey", "cents")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3255,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_concurrency": q_interval_concurrency,
         "file_zonemaps": q_file_zonemaps,
         "scan_orc": q_scan_orc,
+        "snapshot_incremental": q_snapshot_incremental,
     }
 
 
@@ -5061,4 +5082,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s_nationkey AS BIGINT) AS s_nationkey, s_name, "
             "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents "
             "FROM supplier"),
+        # snapshot_incremental — the CDC phases recomputed from orders:
+        # commit 1 after the base = 'F' rows, commit 2 = 'P' rows.
+        "snapshot_incremental": (
+            "SELECT 1 AS commit_seq, o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderstatus = 'F' "
+            "UNION ALL SELECT 2, o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) "
+            "FROM orders WHERE o_orderstatus = 'P'"),
     }

@@ -37,6 +37,7 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -381,6 +382,60 @@ class IceliteTable:
         if not files:
             return spark.createDataFrame([], self.schema(snapshot_id))
         return spark.read.parquet(*files)
+
+    def scan_incremental(self, spark: SparkSession, from_sid: int,
+                         to_sid: int) -> DataFrame:
+        """Iceberg incremental-append read (CDC feed): every row
+        committed AFTER `from_sid` up to and including `to_sid`, tagged
+        with (commit_seq, snapshot_id) — commit_seq = 1 for the first
+        commit after `from_sid`, ascending in chain order — so a
+        downstream consumer can replay the table's history in commit
+        order (the CDC contract).
+
+        Semantics match Iceberg's incremental read: APPEND-ONLY.  A
+        replace/compact inside the range has no per-row changelog, so
+        the method raises rather than fabricating one; `from_sid` must
+        be an ancestor of `to_sid` (same linear history).  Metadata-only
+        planning — the union reads exactly the files added by the range,
+        never the base snapshot."""
+        st = self._state()
+        snaps = st["snapshots"]
+        by_sid = {s["sid"]: s for s in snaps}
+        chain: list[dict] = []
+        cur: int | None = to_sid
+        while cur is not None and cur != from_sid:
+            rec = by_sid.get(cur)
+            if rec is None:
+                raise ValueError(
+                    f"icelite: snapshot {cur} not found walking "
+                    f"{to_sid} -> {from_sid}")
+            chain.append(rec)
+            if "parent" in rec:
+                cur = rec["parent"]
+            else:
+                i = snaps.index(rec)
+                cur = snaps[i - 1]["sid"] if i > 0 else None
+        if cur != from_sid:
+            raise ValueError(
+                f"icelite: {from_sid} is not an ancestor of {to_sid}")
+        chain.reverse()
+        bad = [r["sid"] for r in chain if r.get("op") != "append"]
+        if bad:
+            raise ValueError(
+                "icelite: incremental read is append-only; range "
+                f"contains non-append commits {bad} (Iceberg parity: "
+                "replace/compact has no per-row changelog)")
+        out = None
+        for seq, rec in enumerate(chain, start=1):
+            part = (self.scan_added(spark, rec["sid"])
+                    .withColumn("commit_seq", F.lit(seq).cast("int"))
+                    .withColumn("snapshot_id",
+                                F.lit(rec["sid"]).cast("long")))
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            sch = self.schema(to_sid).add("commit_seq", "integer")                                      .add("snapshot_id", "long")
+            return spark.createDataFrame([], sch)
+        return out
 
     def diff(self, spark: SparkSession, from_sid: int, to_sid: int) -> DataFrame:
         """H/snapshot_diff — rows in `to_sid` not in `from_sid`.
