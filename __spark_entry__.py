@@ -820,6 +820,52 @@ def q_snapshot_incremental(spark, sf):
     return inc.select("commit_seq", "o_orderkey", "cents")
 
 
+def q_win_firstlast(spark, sf):
+    """F9 (r4 cont.) — navigation window functions: first_value /
+    last_value / nth_value over an explicit full-partition frame (the
+    default running frame makes last_value a footgun — pinned to
+    UNBOUNDED..UNBOUNDED so both engines see the whole partition);
+    total order via (cents, orderkey)."""
+    _prep(spark)
+    od = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", _cents("o_totalprice").alias("cents"))
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.asc("cents"), F.asc("o_orderkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return od.select(
+        "o_orderkey", "o_orderpriority",
+        F.first("cents").over(w).alias("min_cents"),
+        F.last("cents").over(w).alias("max_cents"),
+        F.nth_value("cents", 3).over(w).alias("third_cents"))
+
+
+def q_dq_report(spark, sf):
+    """L5 (r4 cont.) — data-quality report: rule violations over orders
+    as one map-side-combined pass (null keys, non-positive totals,
+    status/priority domain violations, duplicate order keys) — the
+    audit step of the WAP pattern (A9) as a concrete operator; each
+    rule an exact integer count."""
+    _prep(spark)
+    od = _t(spark, sf, "orders")
+    one = od.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum((_cents("o_totalprice") <= 0).cast("long")).alias("nonpos_total"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .alias("bad_status"),
+        F.sum((F.length("o_orderpriority") < 5).cast("long"))
+        .alias("bad_priority"))
+    dups = (od.groupBy("o_orderkey").agg(F.count("*").alias("c"))
+            .filter("c > 1")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                 .alias("dup_key_rows")))
+    return one.crossJoin(dups).selectExpr(
+        "stack(6, 'n_rows', n_rows, 'null_custkey', null_custkey, "
+        "'nonpos_total', nonpos_total, 'bad_status', bad_status, "
+        "'bad_priority', bad_priority, 'dup_key_rows', dup_key_rows) "
+        "AS (rule, n)")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3276,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_zonemaps": q_file_zonemaps,
         "scan_orc": q_scan_orc,
         "snapshot_incremental": q_snapshot_incremental,
+        "win_firstlast": q_win_firstlast,
+        "dq_report": q_dq_report,
     }
 
 
@@ -5091,4 +5139,32 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 2, o_orderkey, "
             "CAST(round(o_totalprice * 100) AS BIGINT) "
             "FROM orders WHERE o_orderstatus = 'P'"),
+        "win_firstlast": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "first_value(cents) OVER w AS min_cents, "
+            "last_value(cents) OVER w AS max_cents, "
+            "nth_value(cents, 3) OVER w AS third_cents "
+            "FROM (SELECT o_orderkey, o_orderpriority, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY cents, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+        # dq_report — each rule recomputed as a scalar subquery.
+        "dq_report": (
+            "SELECT 'n_rows' AS rule, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders UNION ALL "
+            "SELECT 'null_custkey', CAST(COUNT(*) FILTER "
+            "(WHERE o_custkey IS NULL) AS BIGINT) FROM orders UNION ALL "
+            "SELECT 'nonpos_total', CAST(COUNT(*) FILTER "
+            "(WHERE CAST(round(o_totalprice * 100) AS BIGINT) <= 0) "
+            "AS BIGINT) FROM orders UNION ALL "
+            "SELECT 'bad_status', CAST(COUNT(*) FILTER "
+            "(WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) "
+            "FROM orders UNION ALL "
+            "SELECT 'bad_priority', CAST(COUNT(*) FILTER "
+            "(WHERE length(o_orderpriority) < 5) AS BIGINT) FROM orders "
+            "UNION ALL "
+            "SELECT 'dup_key_rows', CAST(COALESCE(SUM(c), 0) AS BIGINT) "
+            "FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey "
+            "HAVING COUNT(*) > 1)"),
     }
