@@ -866,6 +866,24 @@ def q_dq_report(spark, sf):
         "AS (rule, n)")
 
 
+def q_ts_fill_forward(spark, sf):
+    """F10 (r4 cont.) — time-series gap filling with LOCF
+    (engine/relops.py::ts_fill_forward): per-user HOURLY spend series
+    over the full observed span, gaps carried forward — integer
+    buckets and exact cents (interpolation would be float; LOCF is the
+    order-stable policy).  Grid rows come from a native sequence-
+    explode over per-key spans (rows ∝ span, not input), guarded by an
+    in-plan span assert."""
+    _prep(spark)
+    from engine.relops import ts_fill_forward
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+        .alias("hour_bucket"),
+        _cents("value").alias("cents"))
+    return ts_fill_forward(ev, "user_id", "hour_bucket", "cents")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3324,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental": q_snapshot_incremental,
         "win_firstlast": q_win_firstlast,
         "dq_report": q_dq_report,
+        "ts_fill_forward": q_ts_fill_forward,
     }
 
 
@@ -5167,4 +5186,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'dup_key_rows', CAST(COALESCE(SUM(c), 0) AS BIGINT) "
             "FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey "
             "HAVING COUNT(*) > 1)"),
+        # ts_fill_forward — generate_series grid + LOCF via
+        # last_value IGNORE NULLS.
+        "ts_fill_forward": (
+            "WITH ob AS (SELECT user_id, "
+            "epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v "
+            "FROM events GROUP BY 1, 2), "
+            "sp AS (SELECT user_id, MIN(hour_bucket) AS b0, "
+            "MAX(hour_bucket) AS b1 FROM ob GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(b0, b1)) "
+            "AS hour_bucket FROM sp), "
+            "f AS (SELECT g.user_id, g.hour_bucket, ob.v FROM g "
+            "LEFT JOIN ob ON g.user_id = ob.user_id "
+            "AND g.hour_bucket = ob.hour_bucket) "
+            "SELECT user_id, hour_bucket, "
+            "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY hour_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS value, "
+            "CAST(v IS NOT NULL AS INTEGER) AS is_observed FROM f"),
     }

@@ -256,3 +256,43 @@ def interval_concurrency(df: DataFrame, start_col: str, end_col: str,
               .agg(F.sum("_d").cast("long").alias("delta")))
     return global_prefix_sum(deltas, ["boundary"], "delta", out="active",
                              n_parts=n_parts)
+
+
+def ts_fill_forward(df: DataFrame, key_col: str, bucket_col: str,
+                    val_col: str, max_span: int = 1 << 20) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    for each key, materialize EVERY integer bucket between that key's
+    first and last observed bucket, carrying `val_col` forward across
+    the gaps.  -> (key, bucket, value, is_observed).
+
+    Exact by construction (integer buckets, no interpolation — LOCF is
+    the order-stable gap policy; linear interpolation would be float).
+    `max_span` bounds the per-key explode (a key whose span exceeds it
+    fails loudly via an in-plan assert rather than silently fanning out
+    — the vectile-cap philosophy: unbounded blowup should never be an
+    accident).
+
+    Scale shape: one map-side-combined (key, bucket) agg, one tiny
+    per-key span agg feeding a native sequence-explode (rows ∝ spans,
+    not input), one left join back on (key, bucket), and the LOCF
+    window keyed on the same hash key.
+    """
+    obs = (df.groupBy(key_col, bucket_col)
+           .agg(F.sum(val_col).cast("long").alias("_v")))
+    span = obs.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1"))
+    guard = F.coalesce(
+        F.assert_true(F.col("_b1") - F.col("_b0") < F.lit(max_span),
+                      F.lit("ts_fill_forward: key span exceeds max_span"))
+        .cast("long"), F.lit(0))
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("_b0") + guard, F.col("_b1")))
+        .alias(bucket_col))
+    filled = grid.join(obs, [key_col, bucket_col], "left")
+    w = (Window.partitionBy(key_col).orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return filled.select(
+        key_col, bucket_col,
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNotNull().cast("int").alias("is_observed"))

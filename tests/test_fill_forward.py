@@ -1,0 +1,55 @@
+"""F10 — LOCF gap filling vs a sequential reference."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.relops import ts_fill_forward
+
+
+def _run(spark, rows, parts=None, **kw):
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    if parts:
+        df = df.repartition(parts)
+    return {(r.k, r.b): (r.value, r.is_observed)
+            for r in ts_fill_forward(df, "k", "b", "v", **kw).collect()}
+
+
+def _ref(rows):
+    per = {}
+    for k, b, v in rows:
+        per.setdefault(k, {}).setdefault(b, 0)
+        per[k][b] += v
+    out = {}
+    for k, obs in per.items():
+        last = None
+        for b in range(min(obs), max(obs) + 1):
+            if b in obs:
+                last = obs[b]
+                out[(k, b)] = (last, 1)
+            else:
+                out[(k, b)] = (last, 0)
+    return out
+
+
+def test_gaps_filled_and_flagged(spark):
+    rows = [("a", 1, 10), ("a", 4, 40), ("a", 4, 2), ("a", 7, 70),
+            ("b", 100, 5)]
+    got = _run(spark, rows)
+    exp = _ref(rows)
+    assert got == exp
+    assert got[("a", 2)] == (10, 0) and got[("a", 4)] == (42, 1)
+    assert got[("b", 100)] == (5, 1)
+    assert len(got) == 7 + 1
+
+
+def test_partitioning_invariance(spark):
+    rows = [("u%d" % (i % 5), (i * 37) % 50, i) for i in range(200)]
+    assert _run(spark, rows, parts=1) == _run(spark, rows, parts=13) \
+        == _ref(rows)
+
+
+def test_span_guard_fires(spark):
+    rows = [("a", 0, 1), ("a", 10_000_000, 2)]
+    with pytest.raises(Exception, match="max_span|ASSERT|assert"):
+        _run(spark, rows, max_span=1000)
