@@ -884,6 +884,40 @@ def q_ts_fill_forward(spark, sf):
     return ts_fill_forward(ev, "user_id", "hour_bucket", "cents")
 
 
+def q_stream_funnel(spark, sf):
+    """J11 (r4 cont.) — streaming funnel
+    (engine/streaming.py::funnel_stage_stream): the F7 funnel as a
+    stateful stream — per-user stage machine advanced across replayed
+    micro-batches (one int of state per user), final stages folded to
+    per-step user counts.  In-order replay (shuffle_frac=0; the events
+    fixture's ts is monotone in event_id) makes greedy-over-arrival ==
+    the batch funnel, so the twin is the same subsequence-regex
+    oracle."""
+    _prep(spark)
+    from engine import streaming as st
+    root = tempfile.mkdtemp(prefix="stream-funnel-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks,
+                             n_chunks=4, shuffle_frac=0.0)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+    out = st.funnel_stage_stream(sdf)
+    table = st.run_stream_to_icelite(out, f"{root}/tbl", f"{root}/ckpt",
+                                     mode="update")
+    stages = (table.scan(spark).groupBy("user_id")
+              .agg(F.max("stage").alias("stage")))
+    steps = ["view", "click", "purchase"]
+    outs = []
+    for i, name in enumerate(steps, start=1):
+        outs.append(stages.filter(F.col("stage") >= i).agg(
+            F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(name).alias("step_name"), "n_users"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3343,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_firstlast": q_win_firstlast,
         "dq_report": q_dq_report,
         "ts_fill_forward": q_ts_fill_forward,
+        "stream_funnel": q_stream_funnel,
     }
 
 
@@ -3460,6 +3495,25 @@ def _hilbert_twin_sql() -> str:
         "xi >> 14 AS x, yi >> 14 AS y FROM xy)", 16, keep="id, xi, yi")
     return (f"WITH {PTS_SQL}, {XY_SQL}, {chain} "
             "SELECT id, xi, yi, d AS hilbert FROM h15")
+
+
+# The subsequence-regex funnel oracle — shared by the batch key
+# (`funnel`) and the streaming key (`stream_funnel`): the in-order-
+# replay contract makes the two operators equal by construction.
+_FUNNEL_ORACLE = (
+    "WITH ch AS (SELECT user_id, CASE event_type "
+    "WHEN 'view' THEN 'V' WHEN 'click' THEN 'C' "
+    "WHEN 'purchase' THEN 'P' END AS c, ts, event_id "
+    "FROM events WHERE event_type IN ('view','click','purchase')), "
+    "s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) "
+    "AS str FROM ch GROUP BY user_id) "
+    "SELECT 1 AS step_idx, 'view' AS step_name, "
+    "CAST(COUNT(*) FILTER (WHERE regexp_matches(str, 'V')) AS BIGINT) "
+    "AS n_users FROM s UNION ALL "
+    "SELECT 2, 'click', CAST(COUNT(*) FILTER "
+    "(WHERE regexp_matches(str, 'V.*C')) AS BIGINT) FROM s UNION ALL "
+    "SELECT 3, 'purchase', CAST(COUNT(*) FILTER "
+    "(WHERE regexp_matches(str, 'V.*C.*P')) AS BIGINT) FROM s")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4978,20 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         # stream; checked by regex over per-user type strings (V/C/P
         # chars, string_agg ordered by the same (ts, event_id) total
         # order the engine uses).
-        "funnel": (
-            "WITH ch AS (SELECT user_id, CASE event_type "
-            "WHEN 'view' THEN 'V' WHEN 'click' THEN 'C' "
-            "WHEN 'purchase' THEN 'P' END AS c, ts, event_id "
-            "FROM events WHERE event_type IN ('view','click','purchase')), "
-            "s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) "
-            "AS str FROM ch GROUP BY user_id) "
-            "SELECT 1 AS step_idx, 'view' AS step_name, "
-            "CAST(COUNT(*) FILTER (WHERE regexp_matches(str, 'V')) AS BIGINT) "
-            "AS n_users FROM s UNION ALL "
-            "SELECT 2, 'click', CAST(COUNT(*) FILTER "
-            "(WHERE regexp_matches(str, 'V.*C')) AS BIGINT) FROM s UNION ALL "
-            "SELECT 3, 'purchase', CAST(COUNT(*) FILTER "
-            "(WHERE regexp_matches(str, 'V.*C.*P')) AS BIGINT) FROM s"),
+        "funnel": _FUNNEL_ORACLE,
         # scan_csv / scan_json — format-roundtrip parity: the oracle is
         # the same exact-typed projection straight from the parquet
         # views, so the keys red on any engine-side quoting, escaping,
@@ -5205,4 +5246,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY hour_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
             "CURRENT ROW) AS value, "
             "CAST(v IS NOT NULL AS INTEGER) AS is_observed FROM f"),
+        # stream_funnel — identical oracle to the batch funnel (the
+        # in-order-replay contract makes the two operators equal).
+        "stream_funnel": _FUNNEL_ORACLE,
     }

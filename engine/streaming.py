@@ -353,3 +353,43 @@ def read_point_stream(spark: SparkSession, dir_path: str,
     return (spark.readStream.schema(POINTS_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(dir_path))
+
+
+FUNNEL_OUT_SCHEMA = "user_id bigint, stage int"
+FUNNEL_STATE_SCHEMA = "stage int"
+
+
+def funnel_stage_stream(events: DataFrame, steps: tuple[str, ...] = (
+        "view", "click", "purchase")) -> DataFrame:
+    """J11 — streaming funnel stage machine (the stateful complement of
+    the batch relops.funnel): per user, the greedy earliest-match stage
+    advanced across micro-batches via applyInPandasWithState.
+
+    Exactness contract: with an IN-ORDER replay (chunks written with
+    shuffle_frac=0 and per-user ts monotone in the tie-break id, as the
+    events fixture is), arrival order equals the (ts, seq) total order,
+    so greedy-over-arrival == the batch funnel — which is what lets the
+    driver twin stay the subsequence-regex oracle.  State is ONE int
+    per user (the stage — monotone, so cross-batch composition is just
+    continuation); late-data replays would need the per-step watermark
+    history and are out of contract (documented, not silently wrong:
+    the batch operator is the late-data-safe form).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def _update(key, pdfs, state):
+        stage = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for t in pdf["event_type"]:
+                if stage < len(steps) and step_ix.get(t) == stage:
+                    stage += 1
+        state.update((stage,))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                _update, FUNNEL_OUT_SCHEMA, FUNNEL_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
