@@ -918,6 +918,25 @@ def q_stream_funnel(spark, sf):
     return res
 
 
+def q_traj_headings(spark, sf):
+    """D24 (r4 cont.) — per-track heading distribution
+    (engine/geo/traj.py::traj_headings): step directions classified
+    into 8 compass classes by pure integer comparisons (45-degree
+    boundaries are the only libm-free angle splits; exact diagonals get
+    their own intercardinal class), wrap-aware signed dx.  Same derived
+    GPS stream as traj_stats; one shuffle."""
+    _prep(spark)
+    from engine.geo.traj import traj_headings
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return traj_headings(ev)
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3378,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "ts_fill_forward": q_ts_fill_forward,
         "stream_funnel": q_stream_funnel,
+        "traj_headings": q_traj_headings,
     }
 
 
@@ -5249,4 +5269,36 @@ def oracle_sql() -> dict[str, str]:
         # stream_funnel — identical oracle to the batch funnel (the
         # in-order-replay contract makes the two operators equal).
         "stream_funnel": _FUNNEL_ORACLE,
+        # traj_headings — the trig CTE shared with traj_stats + the same
+        # integer comparison CASE ladder.
+        "traj_headings": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "exy AS (SELECT user_id, ts, event_id, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) AS xi, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) AS yi "
+            "FROM epts), "
+            "o AS (SELECT user_id, xi - lag(xi) OVER w AS dxr, "
+            "lag(yi) OVER w - yi AS dy FROM exy "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "d AS (SELECT user_id, CASE WHEN dxr > 536870912 "
+            "THEN dxr - 1073741824 WHEN dxr < -536870912 "
+            "THEN dxr + 1073741824 ELSE dxr END AS dx, dy FROM o "
+            "WHERE dxr IS NOT NULL), "
+            "st AS (SELECT user_id, dx, dy FROM d "
+            "WHERE dx <> 0 OR dy <> 0) "
+            "SELECT user_id, CASE "
+            "WHEN abs(dx) > abs(dy) THEN (CASE WHEN dx > 0 THEN 'E' "
+            "ELSE 'W' END) "
+            "WHEN abs(dy) > abs(dx) THEN (CASE WHEN dy > 0 THEN 'N' "
+            "ELSE 'S' END) "
+            "WHEN dx > 0 AND dy > 0 THEN 'NE' "
+            "WHEN dx > 0 AND dy < 0 THEN 'SE' "
+            "WHEN dx < 0 AND dy > 0 THEN 'NW' ELSE 'SW' END AS heading, "
+            "CAST(COUNT(*) AS BIGINT) AS n_steps FROM st "
+            "GROUP BY 1, 2"),
     }

@@ -77,3 +77,49 @@ def traj_stats(df: DataFrame, key_col: str = "user_id",
         (F.unix_micros(F.col(f"_l.{ts_col}"))
          - F.unix_micros(F.col(f"_f.{ts_col}"))).alias("duration_us"),
     )
+
+
+HEADINGS = ("E", "NE", "N", "NW", "W", "SW", "S", "SE")
+
+
+def _heading_expr(dx, dy):
+    """Exact integer compass classification of a step (dx, dy): the
+    dominant axis wins, exact diagonals (|dx| == |dy|) get their own
+    intercardinal class — boundaries at multiples of 45 degrees are the
+    ONLY angle splits expressible without libm, so the classification
+    is a pure function of integer comparisons (no atan2, no ties)."""
+    ax, ay = F.abs(dx), F.abs(dy)
+    return (F.when(ax > ay, F.when(dx > 0, F.lit("E")).otherwise(F.lit("W")))
+            .when(ay > ax, F.when(dy > 0, F.lit("N")).otherwise(F.lit("S")))
+            .when((dx > 0) & (dy > 0), F.lit("NE"))
+            .when((dx > 0) & (dy < 0), F.lit("SE"))
+            .when((dx < 0) & (dy > 0), F.lit("NW"))
+            .otherwise(F.lit("SW")))
+
+
+def traj_headings(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", seq_col: str = "event_id",
+                  lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Per-key step-heading distribution over the time-ordered track:
+    (key, heading, n_steps), zero-length steps skipped.  The movement-
+    direction descriptor beside traj_stats' distances — all-integer
+    (the heading classes need no trigonometry), one shuffle (the lag
+    window's partitioning feeds the count agg)."""
+    xi, yi = merc_xy_sql(lon, lat)
+    pts = df.select(
+        F.col(key_col), F.col(ts_col), F.col(seq_col),
+        F.expr(xi).alias("_xi"), F.expr(yi).alias("_yi"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    dx_raw = F.col("_xi") - F.lag("_xi").over(w)
+    # shorter-way signed dx on the cyclic x axis
+    dx = (F.when(dx_raw > _N // 2, dx_raw - _N)
+          .when(dx_raw < -(_N // 2), dx_raw + _N)
+          .otherwise(dx_raw))
+    dy = F.lag("_yi").over(w) - F.col("_yi")  # grid y grows south
+    stepped = (pts.withColumn("_dx", dx).withColumn("_dy", dy)
+               .filter(F.col("_dx").isNotNull()
+                       & ((F.col("_dx") != 0) | (F.col("_dy") != 0))))
+    return (stepped
+            .withColumn("heading", _heading_expr(F.col("_dx"), F.col("_dy")))
+            .groupBy(key_col, "heading")
+            .agg(F.count("*").cast("long").alias("n_steps")))

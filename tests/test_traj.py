@@ -93,3 +93,71 @@ def test_traj_stats_single_shuffle(spark, sf_dir):
     plan = traj_stats(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_headings_match_sequential_oracle(spark):
+    """D24 — heading classes vs a pure-Python step classifier."""
+    import datetime as dt
+    import random
+
+    from engine.geo.traj import traj_headings
+
+    rng = random.Random(37)
+    rows = []
+    seq = 0
+    for u in range(8):
+        for _ in range(rng.randrange(2, 25)):
+            rows.append((f"u{u}", dt.datetime(2024, 1, 1)
+                         + dt.timedelta(seconds=seq), seq,
+                         rng.uniform(-179, 179), rng.uniform(-80, 80)))
+            seq += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, "
+              "lon double, lat double")
+
+    def classify(dx, dy):
+        if abs(dx) > abs(dy):
+            return "E" if dx > 0 else "W"
+        if abs(dy) > abs(dx):
+            return "N" if dy > 0 else "S"
+        if dx > 0:
+            return "NE" if dy > 0 else "SE"
+        return "NW" if dy > 0 else "SW"
+
+    per = {}
+    for u, ts, sq, lo, la in rows:
+        per.setdefault(u, []).append((ts, sq, lo, la))
+    exp = {}
+    for u, evs in per.items():
+        evs.sort()
+        xy = [lonlat_to_xy(lo, la) for _, _, lo, la in evs]
+        for (x0, y0), (x1, y1) in zip(xy, xy[1:]):
+            dxr = x1 - x0
+            dx = dxr - N30 if dxr > N30 // 2 else (
+                dxr + N30 if dxr < -(N30 // 2) else dxr)
+            dy = y0 - y1  # grid y grows south
+            if dx == 0 and dy == 0:
+                continue
+            k = (u, classify(dx, dy))
+            exp[k] = exp.get(k, 0) + 1
+
+    for parts in (1, 7):
+        got = {(r.user_id, r.heading): r.n_steps
+               for r in traj_headings(df.repartition(parts)).collect()}
+        assert got == exp
+
+
+def test_headings_exact_diagonals_and_axes(spark):
+    """Cardinal axis steps and exact 45-degree diagonals classify into
+    their own classes (pure integer comparisons, no trig)."""
+    from engine.geo.traj import _heading_expr
+    from pyspark.sql import functions as F
+
+    cases = [(5, 0, "E"), (-3, 0, "W"), (0, 9, "N"), (0, -2, "S"),
+             (4, 4, "NE"), (4, -4, "SE"), (-4, 4, "NW"), (-4, -4, "SW"),
+             (5, 3, "E"), (3, 5, "N"), (-2, -7, "S")]
+    df = spark.createDataFrame([(dx, dy) for dx, dy, _ in cases],
+                               "dx long, dy long")
+    got = [r.h for r in df.select(
+        _heading_expr(F.col("dx"), F.col("dy")).alias("h")).collect()]
+    assert got == [h for _, _, h in cases]
