@@ -937,6 +937,45 @@ def q_traj_headings(spark, sf):
     return traj_headings(ev)
 
 
+def q_knn_classify(spark, sf):
+    """D25 (r4 cont.) — k-NN label voting classifier: each query takes
+    the majority label of its 9 exact nearest points (labels = a
+    deterministic hash class per point), ties broken to the smallest
+    label — the geo-ML composition of D10's exact kNN (same ring-
+    expansion engine underneath; the vote adds one skinny qid-keyed
+    count + argmax)."""
+    _prep(spark)
+    from engine.geo.knn import knn_join
+    nb = knn_join(_knn_queries_df(spark), _points(spark, sf),
+                  k=9, level=6, r0=2, id_col="id", cache_points=True)
+    lab = nb.withColumn("label", F.expr("id % 7"))
+    votes = lab.groupBy("qid", "label").agg(
+        F.count("*").cast("long").alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (votes.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("qid", F.col("label").alias("pred_label"), "votes"))
+
+
+def q_agg_cms(spark, sf):
+    """E14 (r4 cont.) — count-min sketch (engine/sketch.py): depth-3
+    width-1024 deterministic CMS of the per-user event frequencies,
+    probed for users 0..9 alongside the exact truth.  The sketch is a
+    pure integer function of the input multiset (fixed universal-hash
+    rows), so even the *approximate* structure gets a hash-exact
+    driver oracle — the approximation lives in the guarantee
+    (est >= truth, pytest theorem), not run-to-run wobble."""
+    _prep(spark)
+    from engine.sketch import cms_build, cms_estimate
+    ev = _t(spark, sf, "events").select("user_id")
+    cms = cms_build(ev, "user_id")
+    probes = ev.filter("user_id < 10").distinct()
+    est = cms_estimate(cms, probes, "user_id")
+    truth = (ev.filter("user_id < 10").groupBy("user_id")
+             .agg(F.count("*").cast("long").alias("true_n")))
+    return truth.join(est, "user_id")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3398,6 +3437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fill_forward": q_ts_fill_forward,
         "stream_funnel": q_stream_funnel,
         "traj_headings": q_traj_headings,
+        "knn_classify": q_knn_classify,
+        "agg_cms": q_agg_cms,
     }
 
 
@@ -5301,4 +5342,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN dx < 0 AND dy > 0 THEN 'NW' ELSE 'SW' END AS heading, "
             "CAST(COUNT(*) AS BIGINT) AS n_steps FROM st "
             "GROUP BY 1, 2"),
+        # knn_classify — the knn twin extended with the vote CTEs.
+        # agg_cms — the identical deterministic CMS relationally.
+        "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        "knn_classify": 'WITH pts AS (SELECT c_custkey AS id, ((c_custkey * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, ((c_custkey * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat FROM customer), q(qid, lat, lon) AS (VALUES (CAST(0 AS BIGINT), 48.85, 2.3), (CAST(1 AS BIGINT), -33.9, 151.2), (CAST(2 AS BIGINT), 40.7, -74.0), (CAST(3 AS BIGINT), -1.3, 36.8), (CAST(4 AS BIGINT), 64.1, -21.9)), d AS (SELECT q.qid, p.id, 2.0*6371000.0*asin(least(1.0, sqrt(pow(sin((radians(p.lat)-radians(q.lat))/2),2) + cos(radians(q.lat))*cos(radians(p.lat))*pow(sin((radians(p.lon)-radians(q.lon))/2),2)))) AS dist FROM q CROSS JOIN pts p), r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn FROM d), k AS (SELECT qid, id % 7 AS label FROM r WHERE rn <= 9), v AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM k GROUP BY 1, 2), w AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS wr FROM v) SELECT qid, label AS pred_label, votes FROM w WHERE wr = 1',
     }
