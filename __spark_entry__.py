@@ -976,6 +976,46 @@ def q_agg_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_stream_cms(spark, sf):
+    """J12 (r4 cont.) — streaming count-min sketch: per-micro-batch
+    sketches committed to icelite and cell-wise summed at read time —
+    EXACTLY the batch sketch by the CMS merge law (sketch(A++B) ==
+    sketch(A) + sketch(B), proved in tests/test_sketch.py), so this
+    streaming key shares agg_cms's hash-exact oracle verbatim.  The
+    pre-aggregation pattern: each batch ships d*w bounded rows, never
+    raw events."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.sketch import cms_build, cms_estimate
+    root = tempfile.mkdtemp(prefix="stream-cms-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+
+    from engine.icelite import IceliteTable
+    table = IceliteTable(f"{root}/tbl")
+
+    def _sink(batch_df, batch_id):
+        part = cms_build(batch_df.select("user_id"), "user_id")
+        if part.rdd.isEmpty():
+            return
+        table.commit_append(part, stage=f"batch-{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    cms = (table.scan(spark).groupBy("row", "cell")
+           .agg(F.sum("n").cast("long").alias("n")))
+    ev = _t(spark, sf, "events").select("user_id")
+    probes = ev.filter("user_id < 10").distinct()
+    est = cms_estimate(cms, probes, "user_id")
+    truth = (ev.filter("user_id < 10").groupBy("user_id")
+             .agg(F.count("*").cast("long").alias("true_n")))
+    return truth.join(est, "user_id")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3439,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_headings": q_traj_headings,
         "knn_classify": q_knn_classify,
         "agg_cms": q_agg_cms,
+        "stream_cms": q_stream_cms,
     }
 
 
@@ -5343,6 +5384,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_steps FROM st "
             "GROUP BY 1, 2"),
         # knn_classify — the knn twin extended with the vote CTEs.
+        # stream_cms — the merge law makes the streaming sketch equal
+        # the batch sketch, so the oracle is agg_cms's verbatim.
+        "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         "knn_classify": 'WITH pts AS (SELECT c_custkey AS id, ((c_custkey * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, ((c_custkey * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat FROM customer), q(qid, lat, lon) AS (VALUES (CAST(0 AS BIGINT), 48.85, 2.3), (CAST(1 AS BIGINT), -33.9, 151.2), (CAST(2 AS BIGINT), 40.7, -74.0), (CAST(3 AS BIGINT), -1.3, 36.8), (CAST(4 AS BIGINT), 64.1, -21.9)), d AS (SELECT q.qid, p.id, 2.0*6371000.0*asin(least(1.0, sqrt(pow(sin((radians(p.lat)-radians(q.lat))/2),2) + cos(radians(q.lat))*cos(radians(p.lat))*pow(sin((radians(p.lon)-radians(q.lon))/2),2)))) AS dist FROM q CROSS JOIN pts p), r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn FROM d), k AS (SELECT qid, id % 7 AS label FROM r WHERE rn <= 9), v AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM k GROUP BY 1, 2), w AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS wr FROM v) SELECT qid, label AS pred_label, votes FROM w WHERE wr = 1',
