@@ -1016,6 +1016,41 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_cohort_retention(spark, sf):
+    """F9 (r4 cont.) — cohort retention matrix over the events table:
+    users are cohorted by their first active 7-day bucket (integer
+    epoch_us DIV — no date math, exact on both engines) and counted at
+    every (cohort, offset).  ONE full-table exchange: per-user
+    min + collect_set in a single map-side-combined agg, then the
+    explode re-aggregates the tiny cohort x offset frame
+    (engine/relops.py::cohort_retention)."""
+    _prep(spark)
+    from engine.relops import cohort_retention
+    return cohort_retention(_t(spark, sf, "events"), bucket_s=7 * 86400)
+
+
+def q_path_transitions(spark, sf):
+    """F10 (r4 cont.) — first-order Markov transition counts over
+    per-user event paths ('^' marks path entry): the lag window on the
+    user hash + a map-side-combined count over the type x type frame
+    (engine/relops.py::path_transitions)."""
+    _prep(spark)
+    from engine.relops import path_transitions
+    return path_transitions(_t(spark, sf, "events"))
+
+
+def q_scd2_build(spark, sf):
+    """H7 (r4 cont.) — SCD type-2 dimension build from the event feed:
+    consecutive duplicate event_types collapse, each run becomes a
+    versioned validity interval (valid_to NULL on the current row).
+    All three windows share one (user) hash partitioning so Catalyst
+    plans a single exchange (engine/relops.py::scd2_build)."""
+    _prep(spark)
+    from engine.relops import scd2_build
+    return scd2_build(_t(spark, sf, "events"), "user_id", "ts",
+                      "event_type", "event_id")
+
+
 def q_agg_basic(spark, sf):
     _prep(spark)
     li = _t(spark, sf, "lineitem")
@@ -3480,6 +3515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "agg_cms": q_agg_cms,
         "stream_cms": q_stream_cms,
+        "cohort_retention": q_cohort_retention,
+        "path_transitions": q_path_transitions,
+        "scd2_build": q_scd2_build,
     }
 
 
@@ -5389,5 +5427,39 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # cohort_retention — integer 7-day buckets from epoch_us; the
+        # twin is the plain distinct-activity x first-bucket join (the
+        # engine's single-agg collect_set form must equal it exactly).
+        "cohort_retention": (
+            "WITH a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS b "
+            "FROM events), "
+            "u AS (SELECT user_id, b FROM a GROUP BY 1, 2), "
+            "c AS (SELECT user_id, MIN(b) AS cohort_bucket FROM u GROUP BY 1) "
+            "SELECT c.cohort_bucket, u.b - c.cohort_bucket AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM u JOIN c ON u.user_id = c.user_id GROUP BY 1, 2"),
+        # path_transitions — the same lag pairing in SQL.
+        "path_transitions": (
+            "WITH o AS (SELECT COALESCE(lag(event_type) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id), '^') AS from_type, "
+            "event_type AS to_type FROM events) "
+            "SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM o GROUP BY 1, 2"),
+        # scd2_build — lag dup-collapse + lead validity intervals,
+        # integer epoch-micros end to end.
+        "scd2_build": (
+            "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) "
+            "AS us FROM events), "
+            "f AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id) AS prev FROM e), "
+            "g AS (SELECT user_id, event_type, event_id, us FROM f "
+            "WHERE prev IS NULL OR prev <> event_type), "
+            "h AS (SELECT user_id, event_type, us AS valid_from_us, "
+            "lead(us) OVER w2 AS valid_to_us, "
+            "CAST(row_number() OVER w2 AS INTEGER) AS version FROM g "
+            "WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)) "
+            "SELECT user_id, event_type, valid_from_us, valid_to_us, "
+            "version, CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END "
+            "AS is_current FROM h"),
         "knn_classify": 'WITH pts AS (SELECT c_custkey AS id, ((c_custkey * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, ((c_custkey * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat FROM customer), q(qid, lat, lon) AS (VALUES (CAST(0 AS BIGINT), 48.85, 2.3), (CAST(1 AS BIGINT), -33.9, 151.2), (CAST(2 AS BIGINT), 40.7, -74.0), (CAST(3 AS BIGINT), -1.3, 36.8), (CAST(4 AS BIGINT), 64.1, -21.9)), d AS (SELECT q.qid, p.id, 2.0*6371000.0*asin(least(1.0, sqrt(pow(sin((radians(p.lat)-radians(q.lat))/2),2) + cos(radians(q.lat))*cos(radians(p.lat))*pow(sin((radians(p.lon)-radians(q.lon))/2),2)))) AS dist FROM q CROSS JOIN pts p), r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn FROM d), k AS (SELECT qid, id % 7 AS label FROM r WHERE rn <= 9), v AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM k GROUP BY 1, 2), w AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS wr FROM v) SELECT qid, label AS pred_label, votes FROM w WHERE wr = 1',
     }

@@ -296,3 +296,96 @@ def ts_fill_forward(df: DataFrame, key_col: str, bucket_col: str,
         key_col, bucket_col,
         F.last("_v", ignorenulls=True).over(w).alias("value"),
         F.col("_v").isNotNull().cast("int").alias("is_observed"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_s: int = 7 * 86400) -> DataFrame:
+    """F9 — cohort retention analysis: bucket time into integer
+    `bucket_s` periods from the epoch, assign each user to the cohort
+    of their FIRST active bucket, and count distinct users active at
+    each (cohort, offset).  -> (cohort_bucket, week_offset, n_users).
+
+    Integer end to end (epoch_us DIV converts to buckets — no date
+    functions, so both engines agree exactly).
+
+    Scale shape: ONE exchange total — the (user, bucket) activity set
+    is collapsed per user with min + collect_set in a single map-side-
+    combined agg (the set is bounded by the calendar span, not the
+    event count), then exploded and re-aggregated map-side into the
+    cohort matrix (second agg is on the tiny cohort x offset frame).
+    No join, no window over the raw events."""
+    # floor division in the exact integer domain (DIV matches DuckDB //
+    # for the non-negative micros here)
+    bucket = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {bucket_s * 1_000_000}")
+    per_user = (events
+                .select(F.col(user_col).alias("user"),
+                        bucket.alias("_b"))
+                .groupBy("user")
+                .agg(F.min("_b").alias("cohort_bucket"),
+                     F.collect_set("_b").alias("_bs")))
+    act = per_user.select(
+        "cohort_bucket",
+        F.explode("_bs").alias("_b"))
+    return (act.groupBy("cohort_bucket",
+                        (F.col("_b") - F.col("cohort_bucket"))
+                        .alias("week_offset"))
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .select("cohort_bucket", "week_offset", "n_users"))
+
+
+def path_transitions(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", type_col: str = "event_type",
+                     tiebreak: str = "event_id") -> DataFrame:
+    """F10 — first-order Markov transition counts over per-user event
+    paths: order each user's history by (ts, tiebreak), pair every
+    event with its successor, and count (from_type, to_type) globally,
+    with the synthetic '^' start state marking path entries.
+    -> (from_type, to_type, n).
+
+    Scale shape: one window exchange on the user hash (the same
+    partitioning sessionize uses), then a map-side-combined count over
+    the tiny type x type frame.  Per-user state never materializes —
+    the lag is the only sequence operator."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    prev = F.lag(type_col).over(w)
+    return (events
+            .select(F.coalesce(prev, F.lit("^")).alias("from_type"),
+                    F.col(type_col).alias("to_type"))
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def scd2_build(changes: DataFrame, key_col: str, ts_col: str,
+               attr_col: str, tiebreak: str) -> DataFrame:
+    """H7 — slowly-changing-dimension type-2 build: from a change feed
+    (key, ts, attr), collapse consecutive duplicate attribute values
+    and emit one versioned validity interval per run.
+    -> (key, attr, valid_from_us, valid_to_us, version, is_current) —
+    valid_to_us is NULL on each key's current row.
+
+    The warehouse half of the CDC story (snapshot_incremental reads the
+    feed; this shapes it into a dimension).  Integer epoch-micros; the
+    run-collapse is the lag-boundary idiom sessionize uses, so the
+    DuckDB twin is exact.
+
+    Scale shape: all three windows (dup-collapse lag, version
+    row_number, valid_to lead) share ONE (key) hash partitioning —
+    Catalyst plans a single exchange + sort for the whole build."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    ch = (changes
+          .withColumn("_us", us)
+          .withColumn("_prev", F.lag(attr_col).over(w))
+          .filter(F.col("_prev").isNull()
+                  | (F.col("_prev") != F.col(attr_col))))
+    w2 = Window.partitionBy(key_col).orderBy(F.asc("_us"), F.asc(tiebreak))
+    return (ch.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("_us").alias("valid_from_us"),
+        F.lead("_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("int").alias("version"))
+        .withColumn("is_current",
+                    F.col("valid_to_us").isNull().cast("int")))

@@ -1,0 +1,90 @@
+"""r4 continuation batch 3: event-analytics operators — cohort
+retention, Markov path transitions, SCD2 dimension build
+(engine/relops.py).  Each is checked against a brute-force pure-Python
+oracle on a small deterministic fixture, plus structural invariants.
+(DuckDB value-hash parity runs in test_entry_contract's sweep.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter, defaultdict
+
+from engine.relops import cohort_retention, path_transitions, scd2_build
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (user_id, seconds_from_epoch, event_type, event_id)."""
+    data = [(u, EPOCH + dt.timedelta(seconds=s), t, e)
+            for (u, s, t, e) in rows]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long")
+
+
+FIX = [
+    # user 1: buckets 0, 0, 2 (bucket = s // 100)
+    (1, 10, "a", 0), (1, 20, "a", 1), (1, 250, "b", 2),
+    # user 2: buckets 1, 3
+    (2, 150, "b", 3), (2, 350, "a", 4),
+    # user 3: single event, bucket 0; tie on ts with event 0
+    (3, 10, "c", 5),
+    # user 4: consecutive duplicate types + a flip back
+    (4, 5, "a", 6), (4, 6, "a", 7), (4, 7, "b", 8), (4, 8, "a", 9),
+]
+
+
+def test_cohort_retention_brute(spark):
+    got = {(r["cohort_bucket"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(_events(spark, FIX),
+                                     bucket_s=100).collect()}
+    first = {}
+    active = defaultdict(set)
+    for (u, s, _t, _e) in FIX:
+        b = s // 100
+        first[u] = min(first.get(u, b), b)
+        active[u].add(b)
+    want: Counter = Counter()
+    for u, bs in active.items():
+        for b in bs:
+            want[(first[u], b - first[u])] += 1
+    assert got == dict(want)
+
+
+def test_path_transitions_brute(spark):
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in path_transitions(_events(spark, FIX)).collect()}
+    byu = defaultdict(list)
+    for (u, s, t, e) in sorted(FIX, key=lambda r: (r[1], r[3])):
+        byu[u].append(t)
+    want: Counter = Counter()
+    for seq in byu.values():
+        for a, b in zip(["^"] + seq[:-1], seq):
+            want[(a, b)] += 1
+    assert got == dict(want)
+    # conservation: every event contributes exactly one transition
+    assert sum(got.values()) == len(FIX)
+
+
+def test_scd2_build_brute(spark):
+    rows = scd2_build(_events(spark, FIX), "user_id", "ts",
+                      "event_type", "event_id").collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["user_id"]].append(r)
+    # brute: collapse consecutive duplicates per user
+    byu = defaultdict(list)
+    for (u, s, t, e) in sorted(FIX, key=lambda r: (r[1], r[3])):
+        us = s * 1_000_000
+        if not byu[u] or byu[u][-1][0] != t:
+            byu[u].append((t, us))
+    for u, runs in byu.items():
+        got = sorted(by_key[u], key=lambda r: r["version"])
+        assert [(r["event_type"], r["valid_from_us"]) for r in got] == runs
+        # interval chaining + exactly one current row
+        for a, b in zip(got[:-1], got[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+        assert [r["is_current"] for r in got] == [0] * (len(got) - 1) + [1]
+        assert [r["version"] for r in got] == list(range(1, len(got) + 1))
+    assert set(by_key) == set(byu)
