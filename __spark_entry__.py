@@ -1016,6 +1016,62 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_agg_hll(spark, sf):
+    """E15 (r4 cont.) — deterministic HyperLogLog (engine/sketch.py):
+    p=9 / m=512 registers over the splitmix64 avalanche of
+    lineitem.l_partkey, raw integer estimate + exact truth in one row.
+    The register table is a pure function of the key SET (max is
+    order-free and duplicate-blind), so the approximate sketch gets a
+    hash-exact driver oracle — the DuckDB twin recomputes splitmix64
+    through the HUGEINT split-multiply (_mix64_sql) and the identical
+    integer estimate.  Scale shape: one Arrow-batched hash projection
+    + one map-side-combined 512-bucket agg; the estimate runs on the
+    register frame."""
+    _prep(spark)
+    from engine.sketch import hll_build, hll_estimate
+    li = _t(spark, sf, "lineitem")
+    est = hll_estimate(hll_build(li, "l_partkey"))
+    truth = li.agg(F.countDistinct("l_partkey").cast("long")
+                   .alias("true_distinct"))
+    return est.crossJoin(truth)
+
+
+def q_stream_hll(spark, sf):
+    """J13 (r4 cont.) — streaming HyperLogLog: per-micro-batch register
+    tables committed to icelite and MAX-merged at read time — EXACTLY
+    the batch registers by the HLL merge law (regs(A++B) ==
+    cellwise-max(regs(A), regs(B)), proved in tests/test_sketch.py), so
+    this key shares agg-side oracle arithmetic over events.event_id.
+    Each batch ships <=512 bounded rows, never raw events."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.sketch import hll_build, hll_estimate
+    root = tempfile.mkdtemp(prefix="stream-hll-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+
+    from engine.icelite import IceliteTable
+    table = IceliteTable(f"{root}/tbl")
+
+    def _sink(batch_df, batch_id):
+        part = hll_build(batch_df.select("event_id"), "event_id")
+        if part.rdd.isEmpty():
+            return
+        table.commit_append(part, stage=f"batch-{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    regs = (table.scan(spark).groupBy("bucket")
+            .agg(F.max("rho").alias("rho")))
+    truth = _t(spark, sf, "events").agg(
+        F.countDistinct("event_id").cast("long").alias("true_distinct"))
+    return hll_estimate(regs).crossJoin(truth)
+
+
 def q_cohort_retention(spark, sf):
     """F9 (r4 cont.) — cohort retention matrix over the events table:
     users are cohorted by their first active 7-day bucket (integer
@@ -3518,6 +3574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "path_transitions": q_path_transitions,
         "scd2_build": q_scd2_build,
+        "agg_hll": q_agg_hll,
+        "stream_hll": q_stream_hll,
     }
 
 
@@ -3546,6 +3604,39 @@ def _mix64_sql(v: str) -> str:
     t2 = f"CAST(xor({s2}, {s2} >> 27) AS HUGEINT)"
     s3 = f"CAST({_mulmod64_sql(t2, '10723151780598845931')} AS UBIGINT)"
     return f"xor({s3}, {s3} >> 31)"
+
+
+def _hll_oracle_sql(table: str, col: str) -> str:
+    """DuckDB twin of engine.sketch hll_build+hll_estimate over
+    `table.col`, plus the exact distinct truth: splitmix64 via the
+    HUGEINT split-multiply, then the identical bucket/rho/estimate
+    integer arithmetic (rho ladder text shared verbatim via
+    hll_rho_sql; unsigned // and % match the engine's logical-shift
+    bit extraction exactly)."""
+    from engine.sketch import (HLL_ALPHA_DEN, HLL_ALPHA_NUM, HLL_M,
+                               HLL_RMAX, HLL_W, hll_rho_sql)
+    big = 1 << HLL_RMAX
+    h = _mix64_sql(col)
+    bucket = f"CAST(({h}) % {HLL_M} AS BIGINT)"
+    v = f"CAST((({h}) // {HLL_M}) % {1 << HLL_W} AS BIGINT)"
+    return (
+        f"WITH r AS (SELECT {bucket} AS bucket, "
+        f"CAST({hll_rho_sql(f'({v})')} AS BIGINT) AS rho FROM {table}), "
+        "g AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY 1), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS used_buckets, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_RMAX} - rho AS INT)) "
+        "AS BIGINT) AS su FROM g), "
+        f"e AS (SELECT CAST({HLL_M} AS BIGINT) AS m, used_buckets, "
+        f"su + ({HLL_M} - used_buckets) * CAST({big} AS BIGINT) "
+        "AS s_scaled, "
+        f"CAST(({HLL_ALPHA_NUM} * {HLL_M} * {HLL_M} * "
+        f"CAST({big} AS BIGINT)) // ({HLL_ALPHA_DEN} * "
+        f"(su + ({HLL_M} - used_buckets) * CAST({big} AS BIGINT))) "
+        "AS BIGINT) AS hll_est FROM s), "
+        f"t AS (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) "
+        f"AS true_distinct FROM {table}) "
+        "SELECT e.m, e.used_buckets, e.s_scaled, e.hll_est, "
+        "t.true_distinct FROM e CROSS JOIN t")
 
 
 def _simhash_sql() -> str:
@@ -5427,6 +5518,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # agg_hll / stream_hll — deterministic HLL: splitmix64 via the
+        # HUGEINT split-multiply + the identical integer estimate; the
+        # streaming key equals the batch sketch by the MAX merge law.
+        "agg_hll": _hll_oracle_sql("lineitem", "l_partkey"),
+        "stream_hll": _hll_oracle_sql("events", "event_id"),
         # cohort_retention — integer 7-day buckets from epoch_us; the
         # twin is the plain distinct-activity x first-bucket join (the
         # engine's single-agg collect_set form must equal it exactly).

@@ -23,6 +23,8 @@ pre-aggregation structure.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,3 +70,98 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str,
          .withColumn("n", F.coalesce("n", F.lit(0))))
     return (j.groupBy(key_col)
             .agg(F.min("n").cast("long").alias("cms_est")))
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+# Deterministic HLL beside the CMS: p=9 -> m=512 buckets over the
+# splitmix64 avalanche (engine/text/dedup._mix64 — the engine's
+# standard vectorized hash; an Arrow-batched kernel on the Spark side,
+# the HUGEINT split-multiply twin `_mix64_sql` on the DuckDB side).
+# The register value rho is the 1-based first-set-bit position inside
+# a FIXED 22-bit window of the hash, so every register — and the
+# integer estimate — is a pure function of the input SET (max is
+# order-free and duplicate-blind): identical on any engine, which is
+# what makes a driver hash-oracle possible for an approximate
+# structure.  The approximation lives in the guarantee
+# (stderr ~ 1.04/sqrt(m) ~ 4.6%, pytest), never run-to-run wobble.
+#
+# The small-range linear-counting correction is deliberately NOT on
+# the driver surface (it needs ln): the committed output is the raw
+# integer estimate plus (m, used_buckets), from which a consumer
+# applies LC when used < ~0.7*m (pytest proves LC lands within 5% on
+# a small-range fixture).  alpha is the committed fixed-point rational
+# 7213/10000; est = (ALPHA_NUM*m^2*2^RMAX) DIV (ALPHA_DEN*S) is exact
+# int64 (numerator < 2^54).
+#
+# An earlier draft hashed with the CMS's mod-(2^31-1) LCG rows —
+# measured est errors of 27-130% at n=2e2..1e6: lattice structure in
+# the high bits wrecks the geometric rank statistic even though the
+# same hash is fine for CMS bucketing.  Rank-based sketches need
+# avalanche hashes; committed here as a lesson, enforced by the
+# accuracy pytest.
+
+HLL_P = 9
+HLL_M = 1 << HLL_P          # 512 buckets = hash bits 0..8
+HLL_W = 22                  # rank window = hash bits 9..30
+HLL_RMAX = HLL_W + 1        # rho for an all-clear window
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 7213, 10000
+
+
+def hll_rho_sql(v: str) -> str:
+    """1-based first-set-bit position of expression `v` within the
+    fixed HLL_W-bit window, as a portable CASE ladder (no log2 floats;
+    the SAME text runs on Spark and DuckDB)."""
+    cases = " ".join(
+        f"WHEN {v} >= {1 << (HLL_W - k)} THEN {k}"
+        for k in range(1, HLL_W + 1))
+    return f"(CASE {cases} ELSE {HLL_RMAX} END)"
+
+
+def _mix64_udf():
+    from engine.text.dedup import _mix64
+
+    @F.pandas_udf("long")
+    def mix(s: pd.Series) -> pd.Series:
+        h = _mix64(s.to_numpy(dtype="int64").view(np.uint64).copy())
+        return pd.Series(h.view(np.int64))
+    return mix
+
+
+def hll_build(df: DataFrame, key_col: str) -> DataFrame:
+    """-> (bucket, rho): the register table (only non-empty buckets
+    appear).  One Arrow-batched hash projection + one map-side-combined
+    exchange; registers of disjoint partitions merge by cell-wise MAX
+    (the groupBy IS the merge), the property stream_hll leans on.
+    Signed int64 carries the uint64 hash bits: bucket/window extraction
+    uses & / shiftrightunsigned, which see raw bits, never the sign."""
+    mix = _mix64_udf()
+    h = df.select(mix(F.col(key_col).cast("long")).alias("_h"))
+    v = f"(shiftrightunsigned(_h, {HLL_P}) & {(1 << HLL_W) - 1})"
+    return (h.selectExpr(
+        f"CAST((_h & {HLL_M - 1}) AS BIGINT) AS bucket",
+        f"CAST({hll_rho_sql(v)} AS BIGINT) AS rho")
+        .groupBy("bucket").agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """registers (bucket, rho) -> one row (m, used_buckets, s_scaled,
+    hll_est): the raw HLL estimate in exact integer arithmetic.
+    s_scaled = sum(2^(RMAX-rho)) + (m-used)*2^RMAX (an empty bucket
+    contributes 2^-0 = 1, scaled by 2^RMAX); est = ALPHA_NUM*m^2*2^RMAX
+    DIV (ALPHA_DEN*s_scaled).  Runs on the <=m-row register frame."""
+    big = 1 << HLL_RMAX
+    agg = registers.agg(
+        F.count("*").cast("long").alias("used_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"{HLL_RMAX} - CAST(rho AS INT))"))
+        .cast("long").alias("_s_used"))
+    return agg.selectExpr(
+        f"CAST({HLL_M} AS BIGINT) AS m",
+        "used_buckets",
+        f"_s_used + ({HLL_M} - used_buckets) * CAST({big} AS BIGINT) "
+        "AS s_scaled",
+        f"CAST(({HLL_ALPHA_NUM} * {HLL_M} * {HLL_M} * "
+        f"CAST({big} AS BIGINT)) DIV ({HLL_ALPHA_DEN} * "
+        f"(_s_used + ({HLL_M} - used_buckets) * CAST({big} AS BIGINT))) "
+        "AS BIGINT) AS hll_est")

@@ -72,3 +72,78 @@ def test_merge_is_cellwise_addition(spark):
     whole = cms_build(dab, "k")
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, whole.collect()))
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+import math
+
+import numpy as np
+
+from engine.sketch import (HLL_M, HLL_RMAX, HLL_W, hll_build, hll_estimate)
+from engine.text.dedup import _mix64
+
+
+def _hll_ref(keys):
+    """Sequential register reference: dict bucket -> max rho."""
+    h = _mix64(np.asarray(sorted(set(keys)), dtype=np.int64)
+               .view(np.uint64).copy())
+    bucket = (h & np.uint64(HLL_M - 1)).astype(int)
+    v = ((h >> np.uint64(9)) & np.uint64((1 << HLL_W) - 1)).astype(np.int64)
+    rho = np.where(v > 0,
+                   HLL_W - np.floor(np.log2(np.maximum(v, 1))).astype(int),
+                   HLL_RMAX)
+    regs: dict = {}
+    for b, r in zip(bucket, rho):
+        regs[int(b)] = max(regs.get(int(b), 0), int(r))
+    return regs
+
+
+def _regs(df):
+    return {r["bucket"]: r["rho"] for r in df.collect()}
+
+
+def test_hll_registers_match_sequential(spark):
+    keys = [k * 17 + 3 for k in range(4000)] + [5, 5, 5]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    assert _regs(hll_build(df, "k")) == _hll_ref(keys)
+
+
+def test_hll_merge_law(spark):
+    """regs(A ++ B) == cellwise max of regs(A), regs(B) — the property
+    stream_hll's icelite read-time MAX-merge leans on."""
+    a = [k for k in range(2000)]
+    b = [k * 31 + 7 for k in range(1500)]
+    da = spark.createDataFrame([(k,) for k in a], "k long")
+    db = spark.createDataFrame([(k,) for k in b], "k long")
+    ra, rb = _regs(hll_build(da, "k")), _regs(hll_build(db, "k"))
+    merged = {bk: max(ra.get(bk, 0), rb.get(bk, 0))
+              for bk in set(ra) | set(rb)}
+    dab = spark.createDataFrame([(k,) for k in a + b], "k long")
+    assert _regs(hll_build(dab, "k")) == merged
+
+
+def test_hll_accuracy_and_duplicate_blindness(spark):
+    """Raw estimate within 3 stderr (~14%% at m=512) of truth in the
+    large-range regime, and invariant under duplication."""
+    n = 30000
+    df = spark.createDataFrame([(k * 13 + 1,) for k in range(n)], "k long")
+    row = hll_estimate(hll_build(df, "k")).collect()[0]
+    assert abs(row["hll_est"] - n) / n < 3 * 1.04 / math.sqrt(HLL_M)
+    dup = df.union(df).union(df)
+    row2 = hll_estimate(hll_build(dup, "k")).collect()[0]
+    assert (row2["m"], row2["used_buckets"], row2["s_scaled"],
+            row2["hll_est"]) == \
+           (row["m"], row["used_buckets"], row["s_scaled"], row["hll_est"])
+
+
+def test_hll_small_range_linear_counting(spark):
+    """The committed (m, used) surface supports the consumer-side
+    linear-counting correction: LC = m * ln(m / (m - used)) lands
+    within 5%% when n << m, where the raw estimate legitimately
+    overshoots (documented small-range regime)."""
+    n = 150
+    df = spark.createDataFrame([(k * 7919,) for k in range(n)], "k long")
+    row = hll_estimate(hll_build(df, "k")).collect()[0]
+    lc = HLL_M * math.log(HLL_M / (HLL_M - row["used_buckets"]))
+    assert abs(lc - n) / n < 0.05
