@@ -1016,6 +1016,31 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_graph_sssp(spark, sf):
+    """N3 (r4 cont.) — multi-source shortest paths, hop-bounded
+    Bellman-Ford rounds (engine/graph.py::sssp_int) over a
+    deterministic 3-out-regular graph derived from customer keys,
+    sources {1..5}, 6 rounds.  The engine relaxes skinny (node, dist)
+    frontiers — one equi-join + map-side-combined MIN per round over a
+    checkpointed static edge frame; the DuckDB twin ENUMERATES all
+    <=6-hop paths with a recursive CTE and takes MIN — exact because
+    min over integer path sums is order-free."""
+    _prep(spark)
+    from engine.graph import sssp_int
+    cu = _t(spark, sf, "customer")
+    e = (cu.selectExpr("c_custkey AS src",
+                       "(c_custkey * 2654435761) % 1024 AS dst",
+                       "1 + (c_custkey % 97) AS w")
+         .unionByName(cu.selectExpr("c_custkey AS src",
+                                    "(c_custkey * 40503 + 7) % 1024 AS dst",
+                                    "1 + (c_custkey % 89) AS w"))
+         .unionByName(cu.selectExpr("c_custkey AS src",
+                                    "(c_custkey + 1) % 1024 AS dst",
+                                    "5 AS w")))
+    srcs = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    return sssp_int(e, srcs, max_hops=6)
+
+
 def q_agg_hll(spark, sf):
     """E15 (r4 cont.) — deterministic HyperLogLog (engine/sketch.py):
     p=9 / m=512 registers over the splitmix64 avalanche of
@@ -3576,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "agg_hll": q_agg_hll,
         "stream_hll": q_stream_hll,
+        "graph_sssp": q_graph_sssp,
     }
 
 
@@ -5518,6 +5544,24 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # graph_sssp — hop-bounded path enumeration + MIN: the
+        # recursive CTE materializes every <=6-hop path from the
+        # sources; the engine's frontier relaxation must equal it.
+        "graph_sssp": (
+            "WITH RECURSIVE e AS ("
+            "SELECT c_custkey AS src, (c_custkey * 2654435761) % 1024 "
+            "AS dst, 1 + (c_custkey % 97) AS w FROM customer "
+            "UNION ALL SELECT c_custkey, (c_custkey * 40503 + 7) % 1024, "
+            "1 + (c_custkey % 89) FROM customer "
+            "UNION ALL SELECT c_custkey, (c_custkey + 1) % 1024, 5 "
+            "FROM customer), "
+            "p(node, d, h) AS ("
+            "SELECT node, CAST(0 AS BIGINT), 0 FROM "
+            "(VALUES (1), (2), (3), (4), (5)) s(node) "
+            "UNION ALL SELECT e.dst, p.d + e.w, p.h + 1 "
+            "FROM p JOIN e ON p.node = e.src WHERE p.h < 6) "
+            "SELECT CAST(node AS BIGINT) AS node, MIN(d) AS dist "
+            "FROM p GROUP BY 1"),
         # agg_hll / stream_hll — deterministic HLL: splitmix64 via the
         # HUGEINT split-multiply + the identical integer estimate; the
         # streaming key equals the batch sketch by the MAX merge law.

@@ -164,3 +164,56 @@ def triangles_py(edge_list) -> dict:
                 for x in (a, b, c):
                     out[x] = out.get(x, 0) + 1
     return out
+
+
+def sssp_int(edges: DataFrame, sources: DataFrame, src: str = "src",
+             dst: str = "dst", weight: str = "w",
+             max_hops: int = 8) -> DataFrame:
+    """N3 — multi-source shortest paths with integer weights, bounded
+    to paths of at most `max_hops` edges (Bellman-Ford rounds; set
+    max_hops >= n-1 for true SSSP on a positive-weight graph).
+    `sources` is a one-column (node) frame; -> (node, dist) for every
+    node reachable within the bound, dist = min total weight from ANY
+    source.  Directed; weights must be non-negative int64.
+
+    Exact by construction — min over integer path sums is order-free —
+    so the DuckDB twin (hop-bounded recursive-CTE path enumeration +
+    MIN) is an exact oracle; the engine never enumerates paths, it
+    relaxes frontiers.
+
+    Scale shape: the pagerank pattern — the edge frame is static (hash-
+    partitioned once by src and localCheckpointed); each round shuffles
+    only the skinny (node, dist) frame through one equi-join + one
+    map-side-combined MIN, and the frame is localCheckpointed per round
+    to keep lineage flat.  Rounds = max_hops = O(graph diameter) for
+    the convergent case.  A frontier-delta optimization (relax only
+    nodes improved last round) is the documented next step for graphs
+    whose diameter >> average path length; the bounded form keeps
+    every round's input deterministic."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"),
+                     F.col(weight).cast("long").alias("w"))
+    e = e.repartition("u").localCheckpoint(eager=True)
+    dist = sources.select(F.col(sources.columns[0]).cast("long")
+                          .alias("node"),
+                          F.lit(0).cast("long").alias("dist"))
+    for _ in range(max_hops):
+        cand = (dist.join(e, dist.node == e.u)
+                .select(F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(cand)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def sssp_py(edge_list, sources, max_hops: int = 8) -> dict:
+    """Sequential reference: hop-bounded Bellman-Ford."""
+    dist = {s: 0 for s in sources}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for u, v, w in edge_list:
+            if u in dist and dist[u] + w < nxt.get(v, 1 << 62):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist

@@ -78,3 +78,59 @@ def test_triangles_duplicate_and_reversed_edges_collapse(spark):
     got = {r.node: r.n_triangles
            for r in triangle_count(_edf(spark, tri)).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------- SSSP
+
+import heapq
+import random
+
+from engine.graph import sssp_int, sssp_py
+
+
+def _dijkstra(edge_list, sources):
+    adj = {}
+    for u, v, w in edge_list:
+        adj.setdefault(u, []).append((v, w))
+    dist = {s: 0 for s in sources}
+    pq = [(0, s) for s in sources]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def _rand_graph(rng, n=60, m=180):
+    return [(rng.randrange(n), rng.randrange(n), rng.randrange(1, 20))
+            for _ in range(m)]
+
+
+def test_sssp_matches_hop_bounded_reference(spark):
+    rng = random.Random(11)
+    edges = _rand_graph(rng)
+    srcs = [0, 7, 13]
+    for hops in (1, 3, 6):
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+        got = {r["node"]: r["dist"]
+               for r in sssp_int(df, sdf, max_hops=hops).collect()}
+        assert got == sssp_py(edges, srcs, max_hops=hops)
+
+
+def test_sssp_converges_to_dijkstra(spark):
+    """max_hops >= n-1 gives true SSSP on positive weights."""
+    rng = random.Random(23)
+    edges = _rand_graph(rng, n=30, m=90)
+    srcs = [0, 5]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {r["node"]: r["dist"]
+           for r in sssp_int(df, sdf, max_hops=29).collect()}
+    assert got == _dijkstra(edges, srcs)
