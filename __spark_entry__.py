@@ -1016,6 +1016,31 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_traj_staypoints(spark, sf):
+    """D26 (r4 cont.) — stay-point detection
+    (engine/geo/traj.py::traj_staypoints): runs of >=5 consecutive
+    per-user points inside one 5-degree grid cell.  The fixture walks
+    each user through a deterministic cell sequence (cell advances
+    every 8 events, +-0.5-degree in-cell jitter from event_id), so
+    real multi-point stays exist and cell boundaries are never hit —
+    floor(coord/5.0) is two IEEE ops, bit-identical across engines,
+    no libm trig.  One exchange: lag window, run-id cumsum, and rollup
+    all share the user hash."""
+    _prep(spark)
+    from engine.geo.traj import traj_staypoints
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"),
+                                              F.asc("event_id"))
+    ev = (_t(spark, sf, "events")
+          .withColumn("_rn", F.row_number().over(w) - 1)
+          .selectExpr(
+              "user_id", "ts", "event_id",
+              "-180.0 + ((user_id * 3 + _rn DIV 8) % 72) * 5.0 + 2.5 "
+              "+ ((event_id % 100) - 50) / 100.0 AS lon",
+              "-85.0 + ((user_id * 5 + (_rn DIV 8) * 2) % 34) * 5.0 "
+              "+ 2.5 + ((event_id % 61) - 30) / 100.0 AS lat"))
+    return traj_staypoints(ev, min_points=5, cell_deg=5.0)
+
+
 def q_graph_sssp(spark, sf):
     """N3 (r4 cont.) — multi-source shortest paths, hop-bounded
     Bellman-Ford rounds (engine/graph.py::sssp_int) over a
@@ -3602,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hll": q_agg_hll,
         "stream_hll": q_stream_hll,
         "graph_sssp": q_graph_sssp,
+        "traj_staypoints": q_traj_staypoints,
     }
 
 
@@ -5544,6 +5570,34 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # traj_staypoints — the same deterministic cell walk + the
+        # sessionize-style run collapse in SQL; floor(x/5.0) is two
+        # IEEE ops so the cells match bit-exactly without trig.
+        "traj_staypoints": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS BIGINT) AS rn FROM events), "
+            "p AS (SELECT user_id, ts, event_id, "
+            "epoch_us(ts) AS us, "
+            "CAST(floor((-180.0 + ((user_id * 3 + rn // 8) % 72) * 5.0 "
+            "+ 2.5 + ((event_id % 100) - 50) / 100.0) / 5.0) AS BIGINT) "
+            "AS cx, "
+            "CAST(floor((-85.0 + ((user_id * 5 + (rn // 8) * 2) % 34) "
+            "* 5.0 + 2.5 + ((event_id % 61) - 30) / 100.0) / 5.0) "
+            "AS BIGINT) AS cy FROM e), "
+            "f AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL "
+            "OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy "
+            "THEN 1 ELSE 0 END AS chg FROM p "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS run FROM f), "
+            "g AS (SELECT user_id, run, cx AS cell_x, cy AS cell_y, "
+            "CAST(COUNT(*) AS BIGINT) AS n_points, MIN(us) AS start_us, "
+            "MAX(us) AS end_us FROM r GROUP BY 1, 2, 3, 4) "
+            "SELECT user_id, cell_x, cell_y, n_points, start_us, "
+            "end_us, end_us - start_us AS dwell_us FROM g "
+            "WHERE n_points >= 5"),
         # graph_sssp — hop-bounded path enumeration + MIN: the
         # recursive CTE materializes every <=6-hop path from the
         # sources; the engine's frontier relaxation must equal it.

@@ -123,3 +123,49 @@ def traj_headings(df: DataFrame, key_col: str = "user_id",
             .withColumn("heading", _heading_expr(F.col("_dx"), F.col("_dy")))
             .groupBy(key_col, "heading")
             .agg(F.count("*").cast("long").alias("n_steps")))
+
+
+def traj_staypoints(df: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", seq_col: str = "event_id",
+                    lat: str = "lat", lon: str = "lon",
+                    cell_deg: float = 5.0,
+                    min_points: int = 3) -> DataFrame:
+    """Stay-point detection over time-ordered tracks: a stay is a run
+    of >= `min_points` CONSECUTIVE points of one key inside the same
+    `cell_deg`-degree grid cell.  -> (key, cell_x, cell_y, n_points,
+    start_us, end_us, dwell_us); a key that leaves a cell and returns
+    produces two stays (runs, not visits — the trajectory-mining
+    convention).
+
+    Grid arithmetic is floor(coord / cell_deg) — two IEEE double ops
+    (divide + floor), bit-identical across engines, so the DuckDB twin
+    is exact without the libm-trig fragility the mercator kernels have
+    to golden-pin.
+
+    Scale shape: the sessionize idiom — ONE exchange; the lag window,
+    the run-id running sum, and the per-run rollup all share the (key)
+    hash partitioning.  Runs never materialize per-key state."""
+    cx = F.floor(F.col(lon) / F.lit(cell_deg)).cast("long")
+    cy = F.floor(F.col(lat) / F.lit(cell_deg)).cast("long")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    pts = (df.select(F.col(key_col), F.col(ts_col), F.col(seq_col),
+                     cx.alias("_cx"), cy.alias("_cy"), us.alias("_us"))
+           .withColumn("_chg",
+                       F.when(F.lag("_cx").over(w).isNull()
+                              | (F.lag("_cx").over(w) != F.col("_cx"))
+                              | (F.lag("_cy").over(w) != F.col("_cy")),
+                              1).otherwise(0))
+           .withColumn("_run", F.sum("_chg").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (pts.groupBy(key_col, "_run",
+                        F.col("_cx").alias("cell_x"),
+                        F.col("_cy").alias("cell_y"))
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.min("_us").alias("start_us"),
+                 F.max("_us").alias("end_us"))
+            .filter(F.col("n_points") >= min_points)
+            .select(key_col, "cell_x", "cell_y", "n_points",
+                    "start_us", "end_us",
+                    (F.col("end_us") - F.col("start_us"))
+                    .alias("dwell_us")))

@@ -161,3 +161,41 @@ def test_headings_exact_diagonals_and_axes(spark):
     got = [r.h for r in df.select(
         _heading_expr(F.col("dx"), F.col("dy")).alias("h")).collect()]
     assert got == [h for _, _, h in cases]
+
+
+# ----------------------------------------------------------- staypoints
+
+import datetime as _dt
+
+from engine.geo.traj import traj_staypoints
+
+
+def test_staypoints_brute(spark):
+    """Runs of >=3 same-cell consecutive points, vs a sequential scan."""
+    epoch = _dt.datetime(1970, 1, 1)
+    # track: cell A x4 (with in-cell jitter), cell B x2, back to A x3
+    pts = [
+        (1, 10, 0, 12.1, 7.2), (1, 20, 1, 12.9, 7.8),
+        (1, 30, 2, 12.5, 7.1), (1, 40, 3, 12.2, 7.9),
+        (1, 50, 4, 22.0, 7.0), (1, 60, 5, 22.4, 7.4),
+        (1, 70, 6, 12.0, 7.0), (1, 80, 7, 12.8, 7.6),
+        (1, 90, 8, 12.3, 7.3),
+        # user 2: never 3 in a row
+        (2, 10, 9, 0.0, 0.0), (2, 20, 10, 30.0, 0.0),
+        (2, 30, 11, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, epoch + _dt.timedelta(seconds=s), e, la, lo)
+         for (u, s, e, lo, la) in pts],
+        "user_id long, ts timestamp, event_id long, lat double, lon double")
+    rows = sorted(
+        traj_staypoints(df, min_points=3, cell_deg=5.0).collect(),
+        key=lambda r: r["start_us"])
+    assert [(r["user_id"], r["cell_x"], r["cell_y"], r["n_points"],
+             r["start_us"] // 1_000_000, r["end_us"] // 1_000_000)
+            for r in rows] == [
+        (1, 2, 1, 4, 10, 40),     # first stay in cell (12/5=2, 7/5=1)
+        (1, 2, 1, 3, 70, 90),     # the return visit is a SEPARATE stay
+    ]
+    for r in rows:
+        assert r["dwell_us"] == r["end_us"] - r["start_us"]
