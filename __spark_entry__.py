@@ -1016,6 +1016,40 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_mv_incremental(spark, sf):
+    """H8 (r4 cont.) — incremental materialized-view maintenance
+    (engine/mv.py): the events table is committed to an icelite fact
+    table in four chronological chunks; after EVERY commit the grouped
+    view (per event_type: n, sum_cents, min/max event_id) is refreshed
+    by folding ONLY that commit's delta (scan_incremental file
+    planning) into the current view — the O(delta + |view|) refresh a
+    10^12-row fact table needs.  The cursor rides on the view table's
+    own commit props, so resume-after-kill is free.  The final view
+    must equal the one-shot full recompute — the DuckDB twin."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    from engine.mv import mv_refresh
+    root = tempfile.mkdtemp(prefix="mv-inc-")
+    fact = IceliteTable(f"{root}/fact")
+    mv = IceliteTable(f"{root}/view")
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    measures = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "CAST(round(value * 100) AS BIGINT)"),
+        "min_eid": ("min", "event_id"),
+        "max_eid": ("max", "event_id"),
+    }
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        chunk = ev.filter((F.col("event_id") >= lo)
+                          & (F.col("event_id") < hi))
+        fact.commit_append(chunk, stage=f"chunk-{i}",
+                           sort_within=["event_id"])
+        mv_refresh(spark, fact, mv, ["event_type"], measures)
+    return mv.scan(spark)
+
+
 def q_traj_staypoints(spark, sf):
     """D26 (r4 cont.) — stay-point detection
     (engine/geo/traj.py::traj_staypoints): runs of >=5 consecutive
@@ -3628,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "graph_sssp": q_graph_sssp,
         "traj_staypoints": q_traj_staypoints,
+        "mv_incremental": q_mv_incremental,
     }
 
 
@@ -5570,6 +5605,15 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # mv_incremental — the incrementally-maintained view must
+        # equal the one-shot full recompute exactly (integer measures).
+        "mv_incremental": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, "
+            "CAST(MIN(event_id) AS BIGINT) AS min_eid, "
+            "CAST(MAX(event_id) AS BIGINT) AS max_eid "
+            "FROM events GROUP BY 1"),
         # traj_staypoints — the same deterministic cell walk + the
         # sessionize-style run collapse in SQL; floor(x/5.0) is two
         # IEEE ops so the cells match bit-exactly without trig.
