@@ -1016,6 +1016,30 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_bloom_filter_join(spark, sf):
+    """D27 (r4 cont.) — deterministic Bloom-filter semi-join
+    (engine/sketch.py): the nation-1 customers' keys build a 512-bit
+    filter, folded into ONE broadcast array row; orders are pre-
+    filtered by a native forall(array_contains) projection with ZERO
+    probe-side shuffle — the runtime-filter mechanic behind big-join
+    pruning, surfaced as an operator.  Output = every candidate order
+    tagged is_actual, so the committed false-positive SET (a pure
+    function of the build keys under the three seeded splitmix64
+    positions) is hash-checked against the DuckDB twin."""
+    _prep(spark)
+    from engine.sketch import bloom_build, bloom_probe
+    cust = _t(spark, sf, "customer")
+    build = cust.filter("c_nationkey = 1").select("c_custkey")
+    bits = bloom_build(build, "c_custkey")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cand = bloom_probe(orders, "o_custkey", bits)
+    return (cand.join(F.broadcast(build.withColumn("_b", F.lit(1))),
+                      cand.o_custkey == build.c_custkey, "left")
+            .select("o_orderkey", "o_custkey",
+                    F.coalesce("_b", F.lit(0)).cast("int")
+                    .alias("is_actual")))
+
+
 def q_mv_incremental(spark, sf):
     """H8 (r4 cont.) — incremental materialized-view maintenance
     (engine/mv.py): the events table is committed to an icelite fact
@@ -3663,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "traj_staypoints": q_traj_staypoints,
         "mv_incremental": q_mv_incremental,
+        "bloom_filter_join": q_bloom_filter_join,
     }
 
 
@@ -5605,6 +5630,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # bloom_filter_join — the committed FP set relationally: the
+        # same three seeded splitmix64 positions (HUGEINT twin), the
+        # same 512-slot table, the same all-positions-set test.
+        "bloom_filter_join": ("WITH b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey = 1), ""pos AS (" + " UNION ".join(f"SELECT DISTINCT CAST(({_mix64_sql(f'(k + {s})')}) % 512 AS BIGINT) AS p FROM b" for s in (0, 1000000007, 998244353)) + "), ""c AS (SELECT o_orderkey, o_custkey FROM orders WHERE " + " AND ".join(f"CAST(({_mix64_sql(f'(o_custkey + {s})')}) % 512 AS BIGINT) IN (SELECT p FROM pos)" for s in (0, 1000000007, 998244353)) + ") ""SELECT c.o_orderkey, c.o_custkey, CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS is_actual FROM c LEFT JOIN b ON c.o_custkey = b.k"),
         # mv_incremental — the incrementally-maintained view must
         # equal the one-shot full recompute exactly (integer measures).
         "mv_incremental": (

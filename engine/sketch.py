@@ -165,3 +165,60 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         f"CAST({big} AS BIGINT)) DIV ({HLL_ALPHA_DEN} * "
         f"(_s_used + ({HLL_M} - used_buckets) * CAST({big} AS BIGINT))) "
         "AS BIGINT) AS hll_est")
+
+
+# ------------------------------------------------------------ Bloom filter
+
+# Deterministic Bloom-filter semi-join — the runtime-filter mechanic
+# behind big-join pruning, as a first-class operator: build a bit set
+# from the (small) build side's keys, broadcast it, and pre-filter the
+# big probe side BEFORE any shuffle; the real join afterwards removes
+# the false positives.  k=3 independent positions come from the same
+# splitmix64 avalanche under three committed seed offsets, so the
+# filter — including its false-positive SET — is a pure function of
+# the build keys: the DuckDB twin reproduces it exactly, which turns
+# "approximate" membership into a hash-exact driver oracle (the CMS /
+# HLL move again: the approximation is the FP-rate guarantee
+# (1 - e^(-kn/m))^k, pytest, never wobble).
+
+BLOOM_SEEDS = (0, 1_000_000_007, 998_244_353)
+
+
+def _bloom_pos_udf(m_bits: int):
+    from engine.text.dedup import _mix64
+
+    @F.pandas_udf("array<long>")
+    def pos(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype="int64").view(np.uint64)
+        cols = [(_mix64((x + np.uint64(seed)).copy())
+                 % np.uint64(m_bits)).astype(np.int64)
+                for seed in BLOOM_SEEDS]
+        return pd.Series(np.stack(cols, axis=1).tolist())
+    return pos
+
+
+def bloom_build(df: DataFrame, key_col: str,
+                m_bits: int = 512) -> DataFrame:
+    """-> (pos): the DISTINCT set bit positions of the build side's
+    keys.  <= m_bits rows — broadcast-sized by construction.  One
+    Arrow-batched hash projection + one tiny distinct."""
+    pos = _bloom_pos_udf(m_bits)
+    return (df.select(F.explode(pos(F.col(key_col).cast("long")))
+                      .alias("pos")).distinct())
+
+
+def bloom_probe(probe: DataFrame, key_col: str, bits: DataFrame,
+                m_bits: int = 512) -> DataFrame:
+    """Keep exactly the probe rows whose k positions are ALL set.
+    The bit set is folded into ONE sorted-array row and broadcast; the
+    membership test is a native `forall(array_contains)` projection —
+    ZERO probe-side shuffle (the whole point of a runtime filter: the
+    big side is filtered in place before any exchange).  m_bits bounds
+    the broadcast at one array of <= m_bits longs."""
+    pos = _bloom_pos_udf(m_bits)
+    arr = bits.agg(F.sort_array(F.collect_list("pos")).alias("_bits"))
+    return (probe
+            .withColumn("_pos", pos(F.col(key_col).cast("long")))
+            .crossJoin(F.broadcast(arr))
+            .filter(F.expr("forall(_pos, p -> array_contains(_bits, p))"))
+            .drop("_pos", "_bits"))

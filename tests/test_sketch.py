@@ -147,3 +147,51 @@ def test_hll_small_range_linear_counting(spark):
     row = hll_estimate(hll_build(df, "k")).collect()[0]
     lc = HLL_M * math.log(HLL_M / (HLL_M - row["used_buckets"]))
     assert abs(lc - n) / n < 0.05
+
+
+# ------------------------------------------------------------ Bloom filter
+
+from engine.sketch import BLOOM_SEEDS, bloom_build, bloom_probe
+
+
+def _bloom_ref_pos(x, m=512):
+    a = np.asarray([x], dtype=np.int64).view(np.uint64)
+    return {int(_mix64((a + np.uint64(s)).copy())[0] % np.uint64(m))
+            for s in BLOOM_SEEDS}
+
+
+def test_bloom_no_false_negatives_and_exact_fp_set(spark):
+    build_keys = [k * 13 + 5 for k in range(80)]
+    probe_keys = list(range(3000))
+    bd = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    pd_ = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    bits = bloom_build(bd, "k")
+    got = {r["k"] for r in bloom_probe(pd_, "k", bits).collect()}
+    # sequential reference
+    setpos = set()
+    for k in build_keys:
+        setpos |= _bloom_ref_pos(k)
+    want = {k for k in probe_keys if _bloom_ref_pos(k) <= setpos}
+    assert got == want                      # exact, FPs included
+    assert set(build_keys) <= got           # no false negatives ever
+    fps = got - set(build_keys)
+    n, m, k = len(set(build_keys)), 512, 3
+    import math as _m
+    expected_fp = (1 - _m.exp(-k * n / m)) ** k
+    # generous 3x envelope on the classic FP-rate estimate
+    assert len(fps) / len(probe_keys) < 3 * expected_fp + 0.01
+
+
+def test_bloom_probe_plan_has_no_probe_shuffle(spark):
+    """The probe side must be filtered in place: no Exchange above the
+    probe scan (broadcast of the one-row bit array only)."""
+    bd = spark.createDataFrame([(k,) for k in range(50)], "k long")
+    pr = spark.range(0, 10000).selectExpr("id AS k")
+    plan = (bloom_probe(pr, "k", bloom_build(bd, "k"))
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    # shuffle exchanges may appear only under the broadcast build of
+    # the bit array (keyed on `pos`); the probe side must have none
+    for line in plan.splitlines():
+        m = re.search(r"Exchange (hash|range)partitioning\(([^,)]+)", line)
+        assert m is None or m.group(2).startswith("pos#"), line
