@@ -1016,6 +1016,20 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_bpe_train(spark, sf):
+    """M29 (r4 cont.) — DISTRIBUTED BPE training over the FULL corpus
+    (engine/text/bpe.py::bpe_train_dist): 40 merge rounds, each one
+    vocab-sized pair-count agg + a single-row TakeOrdered argmax + an
+    Arrow-batched merge apply — cost O(rounds * vocab) after the
+    initial word count, independent of corpus row count.  Bit-equal to
+    the sequential Sennrich reference (pytest parity sweep); the
+    driver oracle is the sf0.01-pinned golden (iterative training is
+    not SQL-expressible)."""
+    _prep(spark)
+    from engine.text.bpe import bpe_train_dist
+    return bpe_train_dist(_t(spark, sf, "documents"), n_merges=40)
+
+
 def q_bloom_filter_join(spark, sf):
     """D27 (r4 cont.) — deterministic Bloom-filter semi-join
     (engine/sketch.py): the nation-1 customers' keys build a 512-bit
@@ -3688,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_staypoints": q_traj_staypoints,
         "mv_incremental": q_mv_incremental,
         "bloom_filter_join": q_bloom_filter_join,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -5630,6 +5645,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # bpe_train — sf0.01-pinned golden (iterative merge training
+        # is not SQL-expressible); the independent check is the
+        # distributed-vs-sequential parity sweep in tests/test_bpe.py.
+        "bpe_train": ("SELECT * FROM read_parquet("
+                      f"'{_REPO}/oracle/golden/bpe_train.parquet')"),
         # bloom_filter_join — the committed FP set relationally: the
         # same three seeded splitmix64 positions (HUGEINT twin), the
         # same 512-slot table, the same all-positions-set test.

@@ -66,3 +66,41 @@ def test_partitioning_independence(spark, sf_dir):
     b = sorted(map(tuple, bpe_stats(docs.repartition(13), n_merges=40,
                                     sample=32).collect()))
     assert a == b
+
+
+# ------------------------------------------------- distributed training
+
+from engine.text.bpe import bpe_train_dist, bpe_train_full
+
+
+def test_dist_training_matches_sequential(spark):
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "low lower lowest low low", "newer newest new new wider"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train_dist(df, n_merges=25).collect()]
+    want = [(i, a, b, c)
+            for i, (a, b, c) in enumerate(bpe_train_full(texts, 25))]
+    assert got == want
+
+
+def test_dist_training_matches_sequential_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train_dist(docs, n_merges=15).collect()]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = [(i, a, b, c)
+            for i, (a, b, c) in enumerate(bpe_train_full(texts, 15))]
+    assert got == want
+
+
+def test_dist_training_partitioning_invariant(spark):
+    """Same merges under a different partitioning (order-free aggs)."""
+    texts = ["aa ab ba bb ab aa", "ba ba ab aa bb"] * 4
+    df1 = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                "doc_id long, text string")
+    df2 = df1.repartition(13)
+    r1 = [tuple(r) for r in bpe_train_dist(df1, n_merges=8).collect()]
+    r2 = [tuple(r) for r in bpe_train_dist(df2, n_merges=8).collect()]
+    assert r1 == r2

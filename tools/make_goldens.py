@@ -68,7 +68,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_palette (r4 cont.): all-integer fixed-cube palette
                # counts; independent check = brute per-pixel kernel in
                # tests/test_quantize.py.
-               "img_palette")
+               "img_palette",
+               # bpe_train (r4 cont.): table-fed, sf0.01-pinned —
+               # distributed whole-corpus BPE training; independent
+               # check = the dist-vs-sequential parity sweep in
+               # tests/test_bpe.py.
+               "bpe_train")
 
 
 def main() -> None:
