@@ -1016,6 +1016,21 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_img_cc_labels(spark, sf):
+    """C-family (r4 cont.) — per-image connected-component labeling
+    (engine/image/cc.py): threshold the luminance plane, label the
+    4-connected blobs with a scanline union-find, report (n_blobs,
+    max_blob, fg_pixels) per image — the within-image complement of
+    the tile-grid polygonize.  One Arrow-batched pass, no shuffle.
+    Golden-pinned like the other synthetic-image keys; the independent
+    oracle is pytest's BFS flood-fill reference + structural
+    identities (tests/test_cc.py)."""
+    _prep(spark)
+    from engine.image.cc import image_components
+    from engine.synth import gen_images
+    return image_components(gen_images(spark, 240, seed=42))
+
+
 def q_bpe_train(spark, sf):
     """M29 (r4 cont.) — DISTRIBUTED BPE training over the FULL corpus
     (engine/text/bpe.py::bpe_train_dist): 40 merge rounds, each one
@@ -3703,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental": q_mv_incremental,
         "bloom_filter_join": q_bloom_filter_join,
         "bpe_train": q_bpe_train,
+        "img_cc_labels": q_img_cc_labels,
     }
 
 
@@ -5645,6 +5661,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # img_cc_labels — synthetic-image golden (sf-independent);
+        # independent check = BFS flood-fill parity in tests/test_cc.py.
+        "img_cc_labels": ("SELECT * FROM read_parquet("
+                          f"'{_REPO}/oracle/golden/img_cc_labels.parquet')"),
         # bpe_train — sf0.01-pinned golden (iterative merge training
         # is not SQL-expressible); the independent check is the
         # distributed-vs-sequential parity sweep in tests/test_bpe.py.

@@ -73,7 +73,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # distributed whole-corpus BPE training; independent
                # check = the dist-vs-sequential parity sweep in
                # tests/test_bpe.py.
-               "bpe_train")
+               "bpe_train",
+               # img_cc_labels (r4 cont.): all-integer blob stats;
+               # independent check = BFS flood-fill reference in
+               # tests/test_cc.py.
+               "img_cc_labels")
 
 
 def main() -> None:
