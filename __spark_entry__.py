@@ -1016,6 +1016,32 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_join_interval(spark, sf):
+    """D28 (r4 cont.) — interval-overlap join
+    (engine/relops.py::interval_join): two event-derived interval sets
+    (disjoint user classes) joined on half-open overlap with exact
+    overlap lengths.  Never a theta-join: intervals explode into the
+    1-hour buckets they span (<=2 each — spans are bounded by the
+    bucket), candidates meet in a hash equi-join on the bucket, and
+    the responsibility rule (the bucket of max(a.s, b.s), which both
+    sides provably span) keeps each pair exactly once.  The DuckDB
+    twin IS the plain theta-join — the blocked plan must reproduce it
+    exactly."""
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+
+    def side(mod, idc):
+        return (ev.filter(f"user_id % 7 = {mod}")
+                .selectExpr(f"event_id AS {idc}",
+                            "unix_micros(CAST(ts AS TIMESTAMP)) AS s",
+                            "unix_micros(CAST(ts AS TIMESTAMP)) + "
+                            "((event_id % 3600) + 1) * 1000000 AS e"))
+    from engine.relops import interval_join
+    return interval_join(side(0, "a_eid"), side(1, "b_eid"),
+                         a_id="a_eid", b_id="b_eid",
+                         bucket=3_600_000_000)
+
+
 def q_img_cc_labels(spark, sf):
     """C-family (r4 cont.) — per-image connected-component labeling
     (engine/image/cc.py): threshold the luminance plane, label the
@@ -3719,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_join": q_bloom_filter_join,
         "bpe_train": q_bpe_train,
         "img_cc_labels": q_img_cc_labels,
+        "join_interval": q_join_interval,
     }
 
 
@@ -5661,6 +5688,18 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # join_interval — the plain theta-join the bucket-blocked
+        # engine plan must reproduce exactly.
+        "join_interval": (
+            "WITH a AS (SELECT event_id AS a_eid, epoch_us(ts) AS s, "
+            "epoch_us(ts) + ((event_id % 3600) + 1) * 1000000 AS e "
+            "FROM events WHERE user_id % 7 = 0), "
+            "b AS (SELECT event_id AS b_eid, epoch_us(ts) AS s, "
+            "epoch_us(ts) + ((event_id % 3600) + 1) * 1000000 AS e "
+            "FROM events WHERE user_id % 7 = 1) "
+            "SELECT a.a_eid, b.b_eid, "
+            "least(a.e, b.e) - greatest(a.s, b.s) AS overlap "
+            "FROM a JOIN b ON a.s < b.e AND b.s < a.e"),
         # img_cc_labels — synthetic-image golden (sf-independent);
         # independent check = BFS flood-fill parity in tests/test_cc.py.
         "img_cc_labels": ("SELECT * FROM read_parquet("

@@ -389,3 +389,41 @@ def scd2_build(changes: DataFrame, key_col: str, ts_col: str,
         F.row_number().over(w2).cast("int").alias("version"))
         .withColumn("is_current",
                     F.col("valid_to_us").isNull().cast("int")))
+
+
+def interval_join(a: DataFrame, b: DataFrame, *, a_id: str, b_id: str,
+                  s_col: str = "s", e_col: str = "e",
+                  bucket: int = 3_600_000_000) -> DataFrame:
+    """D28 — interval-overlap join on half-open integer intervals
+    [s, e): every (a, b) pair with a.s < b.e AND b.s < a.e, plus the
+    exact overlap length.  -> (a_id, b_id, overlap).
+
+    Scale shape: never a theta-join.  Each interval explodes into the
+    coarse `bucket`s it spans (sequence over floor(s/B)..floor((e-1)/B)
+    — bounded fan-out when spans are bounded, the vectile-cap
+    philosophy says pick B >= the typical span); candidates meet in a
+    hash equi-join on the bucket; the responsibility rule keeps each
+    pair exactly once, in the bucket containing max(a.s, b.s) — which
+    both sides provably span whenever they overlap.  The refine
+    predicate then discards non-overlapping same-bucket pairs.
+    """
+    av = a.select(F.col(a_id).alias("_aid"),
+                  F.col(s_col).cast("long").alias("_as"),
+                  F.col(e_col).cast("long").alias("_ae"))
+    bv = b.select(F.col(b_id).alias("_bid"),
+                  F.col(s_col).cast("long").alias("_bs"),
+                  F.col(e_col).cast("long").alias("_be"))
+    B = int(bucket)
+    ax = av.withColumn(
+        "_bk", F.explode(F.expr(f"sequence(_as DIV {B}, (_ae - 1) DIV {B})")))
+    bx = bv.withColumn(
+        "_bk", F.explode(F.expr(f"sequence(_bs DIV {B}, (_be - 1) DIV {B})")))
+    j = (ax.join(bx, "_bk")
+         .filter((F.col("_as") < F.col("_be"))
+                 & (F.col("_bs") < F.col("_ae")))
+         .filter(F.col("_bk")
+                 == F.expr(f"greatest(_as, _bs) DIV {B}")))
+    return j.select(F.col("_aid").alias(a_id),
+                    F.col("_bid").alias(b_id),
+                    (F.least("_ae", "_be")
+                     - F.greatest("_as", "_bs")).alias("overlap"))

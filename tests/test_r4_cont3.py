@@ -88,3 +88,39 @@ def test_scd2_build_brute(spark):
         assert [r["is_current"] for r in got] == [0] * (len(got) - 1) + [1]
         assert [r["version"] for r in got] == list(range(1, len(got) + 1))
     assert set(by_key) == set(byu)
+
+
+# ---------------------------------------------------------- interval join
+
+import random
+
+from engine.relops import interval_join
+
+
+def test_interval_join_matches_brute(spark):
+    rng = random.Random(5)
+    A = [(i, rng.randrange(0, 500), 0) for i in range(60)]
+    A = [(i, s, s + rng.randrange(1, 80)) for (i, s, _) in A]
+    B = [(i, rng.randrange(0, 500), 0) for i in range(70)]
+    B = [(i, s, s + rng.randrange(1, 80)) for (i, s, _) in B]
+    da = spark.createDataFrame(A, "a_id long, s long, e long")
+    db = spark.createDataFrame(B, "b_id long, s long, e long")
+    got = {(r["a_id"], r["b_id"]): r["overlap"]
+           for r in interval_join(da, db, a_id="a_id", b_id="b_id",
+                                  bucket=64).collect()}
+    want = {(i, j): min(e1, e2) - max(s1, s2)
+            for (i, s1, e1) in A for (j, s2, e2) in B
+            if s1 < e2 and s2 < e1}
+    assert got == want
+
+
+def test_interval_join_span_exceeding_bucket(spark):
+    """Intervals longer than the bucket still pair exactly once."""
+    da = spark.createDataFrame([(1, 0, 1000)], "a_id long, s long, e long")
+    db = spark.createDataFrame([(2, 500, 501), (3, 999, 2000),
+                                (4, 1000, 1100)],
+                               "b_id long, s long, e long")
+    got = sorted((r["a_id"], r["b_id"], r["overlap"]) for r in
+                 interval_join(da, db, a_id="a_id", b_id="b_id",
+                               bucket=16).collect())
+    assert got == [(1, 2, 1), (1, 3, 1)]   # [s,e) half-open: 4 touches only
