@@ -1016,6 +1016,24 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_hotspot_gi(spark, sf):
+    """C-family (r4 cont.) — Getis-Ord Gi* hot spots
+    (engine/geo/raster.py::gi_star_scaled) over the same sparse
+    128x128 integer raster moran_i uses: per occupied cell the
+    n-scaled BIGINT components (a_num, b_den) plus the exact-integer
+    z = +-2 classification — no floats on the wire, so the driver
+    hash-checks even the significance call.  Plan: broadcast stats
+    row, explode-9-offsets + ONE hash equi-join for the focal sum
+    (never a theta-join), per-cell arithmetic after."""
+    _prep(spark)
+    from engine.geo.raster import gi_star_scaled
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return gi_star_scaled(pix)
+
+
 def q_join_interval(spark, sf):
     """D28 (r4 cont.) — interval-overlap join
     (engine/relops.py::interval_join): two event-derived interval sets
@@ -3746,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "img_cc_labels": q_img_cc_labels,
         "join_interval": q_join_interval,
+        "hotspot_gi": q_hotspot_gi,
     }
 
 
@@ -5688,6 +5707,29 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # hotspot_gi — the same integer Gi* algebra with the focal
+        # sum as a plain neighborhood theta-join (fine for an oracle;
+        # the ENGINE must never theta-join).
+        "hotspot_gi": (
+            "WITH pix AS (SELECT (c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(w) AS BIGINT) AS s, "
+            "CAST(SUM(w * w) AS BIGINT) AS ss FROM pix), "
+            "f AS (SELECT a.gx, a.gy, a.w AS x, "
+            "CAST(COUNT(*) AS BIGINT) AS k, "
+            "CAST(SUM(b.w) AS BIGINT) AS focal FROM pix a JOIN pix b "
+            "ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 "
+            "GROUP BY 1, 2, 3), "
+            "o AS (SELECT gx, gy, x, k, focal, "
+            "st.n * focal - k * st.s AS a_num, "
+            "(st.n * st.ss - st.s * st.s) * (st.n * k - k * k) AS b_den, "
+            "st.n AS n FROM f, st) "
+            "SELECT gx, gy, x, k, focal, a_num, b_den, "
+            "CAST(CASE WHEN a_num * a_num * (n - 1) > 4 * b_den THEN "
+            "CASE WHEN a_num > 0 THEN 1 ELSE -1 END ELSE 0 END "
+            "AS INTEGER) AS hot FROM o"),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

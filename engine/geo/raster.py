@@ -413,3 +413,65 @@ def moran_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
                     (F.lit(2) * F.col("ne")).alias("w_directed"),
                     (F.lit(2) * F.col("nh")).alias("num_scaled"),
                     F.col("d").alias("den_scaled")))
+
+
+def gi_star_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                   w: str = "w") -> DataFrame:
+    """C-family (r4 cont.) — Getis-Ord Gi* hot-spot components per
+    occupied cell, in the moran_scaled exact-integer surface: with
+    binary 8-neighborhood-plus-self weights over the OCCUPIED cells
+    (the sparse-raster study set, matching moran_scaled's convention),
+
+        Gi*_i = A_i / sqrt(B_i / (n-1)),
+        A_i   = n * focal_i - k_i * s          (numerator, n-scaled)
+        B_i   = (n*ss - s^2) * (n*k_i - k_i^2)
+
+    -> (gx, gy, x, k, focal, a_num, b_den, hot) — all BIGINT, no
+    floats on the wire (the tile_raster r2 lesson).  `hot` is the
+    exact-integer z = +-2 classification: +1 / -1 when
+    A^2*(n-1) > 4*B with the matching sign, else 0 — committed as
+    z^2 = 4 so the comparison stays in int64 at every driver sf.
+
+    Scale shape: one tiny broadcast stats row; the focal sum is an
+    explode of the 9 neighbor offsets + ONE hash equi-join on cell
+    coords (never a theta-join); everything downstream is per-cell
+    arithmetic.  Cell table is bounded by the grid, not the rows."""
+    st = pixels.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col(w).cast("long")).alias("_s"),
+        F.sum(F.col(w).cast("long") * F.col(w).cast("long")).alias("_ss"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    # every cell volunteers its value to its 9 neighborhood centers
+    give = (pixels.select(
+        F.col(x).alias("_sx"), F.col(y).alias("_sy"),
+        F.col(w).cast("long").alias("_wv"),
+        F.explode(offs).alias("_o"))
+        .select((F.col("_sx") + F.col("_o.dx")).alias("cx"),
+                (F.col("_sy") + F.col("_o.dy")).alias("cy"), "_wv"))
+    base = pixels.select(F.col(x).alias("cx"), F.col(y).alias("cy"),
+                         F.col(w).cast("long").alias("_x"))
+    foc = (base.join(give, ["cx", "cy"])
+           .groupBy("cx", "cy")
+           .agg(F.first("_x").alias("_x"),
+                F.count("*").cast("long").alias("k"),
+                F.sum("_wv").alias("focal")))
+    out = (foc.crossJoin(F.broadcast(st))
+           .select(
+               F.col("cx").alias(x), F.col("cy").alias(y),
+               F.col("_x").alias("x"), F.col("k"), F.col("focal"),
+               (F.col("_n") * F.col("focal") - F.col("k") * F.col("_s"))
+               .alias("a_num"),
+               ((F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+                * (F.col("_n") * F.col("k") - F.col("k") * F.col("k")))
+               .alias("b_den"),
+               F.col("_n").alias("_n")))
+    zcmp = (out["a_num"] * out["a_num"] * (F.col("_n") - 1)
+            > F.lit(4) * F.col("b_den"))
+    return (out.withColumn(
+        "hot",
+        F.when(zcmp & (F.col("a_num") > 0), 1)
+        .when(zcmp & (F.col("a_num") < 0), -1)
+        .otherwise(0).cast("int"))
+        .drop("_n"))

@@ -112,3 +112,57 @@ def test_moran_real_mercator_pixels(spark, sf_dir):
                       (np.asarray(y30) >> 20).tolist()))
     assert (got.n, got.s_w, got.w_directed, got.num_scaled,
             got.den_scaled) == _moran_brute(cnt)
+
+
+# ------------------------------------------------------------- Gi* hotspots
+
+import math
+
+from engine.geo.raster import gi_star_scaled
+
+
+def _gi_brute(cells):
+    """cells: {(x, y): w} -> per-cell reference via float Gi* formula."""
+    n = len(cells)
+    s = sum(cells.values())
+    ss = sum(v * v for v in cells.values())
+    xbar, s2 = s / n, ss / n - (s / n) ** 2
+    out = {}
+    for (cx, cy), v in cells.items():
+        nb = [(cx + dx, cy + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        k = sum(1 for p in nb if p in cells)
+        focal = sum(cells.get(p, 0) for p in nb)
+        num = focal - k * s / n
+        den = math.sqrt(s2) * math.sqrt((n * k - k * k) / (n - 1))
+        out[(cx, cy)] = (k, focal, num / den if den else 0.0)
+    return out
+
+
+def test_gi_star_matches_float_reference(spark):
+    import random
+    rng = random.Random(3)
+    cells = {}
+    # a dense hot cluster + scattered noise
+    for dx in range(3):
+        for dy in range(3):
+            cells[(10 + dx, 10 + dy)] = 30 + rng.randrange(5)
+    for _ in range(60):
+        cells[(rng.randrange(40), rng.randrange(40))] = 1 + rng.randrange(3)
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    rows = {(r["gx"], r["gy"]): r for r in gi_star_scaled(df).collect()}
+    ref = _gi_brute(cells)
+    n = len(cells)
+    assert set(rows) == set(ref)
+    for key, (k, focal, z) in ref.items():
+        r = rows[key]
+        assert (r["k"], r["focal"]) == (k, focal)
+        # scaled integer z^2 identity: z^2 == a_num^2 (n-1) / b_den
+        if r["b_den"]:
+            z2 = r["a_num"] ** 2 * (n - 1) / r["b_den"]
+            assert abs(z2 - z * z) < 1e-6 * max(1.0, z * z)
+        # classification matches the float reference at |z| = 2
+        want_hot = 1 if z > 2 else (-1 if z < -2 else 0)
+        assert r["hot"] == want_hot
+    # the planted cluster center is hot
+    assert rows[(11, 11)]["hot"] == 1
