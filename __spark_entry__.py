@@ -1016,6 +1016,24 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_graph_components(spark, sf):
+    """N4 (r4 cont.) — connected components over a generic edge table
+    (engine/text/dedup.py::connected_components, the min-label +
+    pointer-jumping engine behind dedup_clusters, surfaced as a graph
+    operator): O(log diameter) rounds of two skinny (id, label)
+    shuffles each.  Fixture = the triangle-count key's deterministic
+    512-node hashed graph; the twin is the recursive-CTE reachability
+    closure + MIN."""
+    _prep(spark)
+    from engine.text.dedup import connected_components
+    ed = _t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 512 AS id_a",
+        "((c_custkey * 40503 + 7) DIV 512) % 512 AS id_b")
+    cc = connected_components(ed.filter("id_a <> id_b"))
+    return cc.select(F.col("id").alias("node"),
+                     F.col("cluster_id").alias("component_id"))
+
+
 def q_hotspot_gi(spark, sf):
     """C-family (r4 cont.) — Getis-Ord Gi* hot spots
     (engine/geo/raster.py::gi_star_scaled) over the same sparse
@@ -3765,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_cc_labels": q_img_cc_labels,
         "join_interval": q_join_interval,
         "hotspot_gi": q_hotspot_gi,
+        "graph_components": q_graph_components,
     }
 
 
@@ -5707,6 +5726,18 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # graph_components — recursive-CTE reachability closure + MIN
+        # (the dedup_clusters oracle form over a generic edge list).
+        "graph_components": (
+            "WITH RECURSIVE e0 AS (SELECT (c_custkey * 2654435761) % 512 "
+            "AS a, ((c_custkey * 40503 + 7) // 512) % 512 AS b "
+            "FROM customer), "
+            "e AS (SELECT a AS src, b AS dst FROM e0 WHERE a <> b "
+            "UNION SELECT b, a FROM e0 WHERE a <> b), "
+            "r(id, lbl) AS (SELECT src, src FROM e "
+            "UNION SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id) "
+            "SELECT id AS node, MIN(lbl) AS component_id FROM r "
+            "GROUP BY id"),
         # hotspot_gi — the same integer Gi* algebra with the focal
         # sum as a plain neighborhood theta-join (fine for an oracle;
         # the ENGINE must never theta-join).
