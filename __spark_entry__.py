@@ -1016,6 +1016,25 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_traj_resample(spark, sf):
+    """D29 (r4 cont.) — trajectory resampling to a fixed 6-hour grid
+    (engine/geo/traj.py::traj_resample): per-user positions at every
+    grid tick inside the track span via EXACT integer linear
+    interpolation between the bracketing points (millisecond time
+    resolution keeps dx*dt inside int64; the mathematical-mod floor
+    reduction makes Spark DIV and DuckDB // agree on negative deltas).
+    One (user) exchange: span agg -> native sequence grid -> union
+    with real points -> two LOCF windows."""
+    _prep(spark)
+    from engine.geo.traj import traj_resample
+    ev = _t(spark, sf, "events").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "(event_id * 2654435761) % 360000000 AS x",
+        "(event_id * 40503 + 7) % 170000000 AS y",
+        "event_id AS seq")
+    return traj_resample(ev, grid_us=21_600_000_000)
+
+
 def q_graph_components(spark, sf):
     """N4 (r4 cont.) — connected components over a generic edge table
     (engine/text/dedup.py::connected_components, the min-label +
@@ -3784,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval": q_join_interval,
         "hotspot_gi": q_hotspot_gi,
         "graph_components": q_graph_components,
+        "traj_resample": q_traj_resample,
     }
 
 
@@ -5726,6 +5746,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # traj_resample — the same grid + two-LOCF-window lerp in SQL
+        # (IGNORE NULLS last_value; mathematical-mod floor reduction
+        # so // and DIV agree on negative deltas).
+        "traj_resample": 'WITH p AS (SELECT user_id AS k, epoch_us(ts) AS t, (event_id * 2654435761) % 360000000 AS x, (event_id * 40503 + 7) % 170000000 AS y, 1 AS real, event_id AS seq FROM events), sp AS (SELECT k, MIN(t) AS t0, MAX(t) AS t1 FROM p GROUP BY 1), g AS (SELECT k, unnest(range(((t0 + 21600000000 - 1) // 21600000000) * 21600000000, (t1 // 21600000000) * 21600000000 + 1, 21600000000)) AS t, CAST(NULL AS BIGINT) AS x, CAST(NULL AS BIGINT) AS y, 0 AS real, CAST(-1 AS BIGINT) AS seq FROM sp WHERE ((t0 + 21600000000 - 1) // 21600000000) * 21600000000 <= (t1 // 21600000000) * 21600000000), a AS (SELECT * FROM p UNION ALL SELECT * FROM g), b AS (SELECT k, t, real, last_value(CASE WHEN real = 1 THEN t END IGNORE NULLS) OVER wa AS pt0, last_value(CASE WHEN real = 1 THEN x END IGNORE NULLS) OVER wa AS px0, last_value(CASE WHEN real = 1 THEN y END IGNORE NULLS) OVER wa AS py0, last_value(CASE WHEN real = 1 THEN t END IGNORE NULLS) OVER wd AS pt1, last_value(CASE WHEN real = 1 THEN x END IGNORE NULLS) OVER wd AS px1, last_value(CASE WHEN real = 1 THEN y END IGNORE NULLS) OVER wd AS py1 FROM a WINDOW wa AS (PARTITION BY k ORDER BY t ASC, real DESC, seq ASC ROWS UNBOUNDED PRECEDING), wd AS (PARTITION BY k ORDER BY t DESC, real DESC, seq DESC ROWS UNBOUNDED PRECEDING)) SELECT k AS user_id, t AS tick_us, CASE WHEN pt1 = pt0 THEN px0 ELSE px0 + ((((px1 - px0) * ((t // 1000) - (pt0 // 1000))) - (((((px1 - px0) * ((t // 1000) - (pt0 // 1000))) % ((pt1 // 1000) - (pt0 // 1000))) + ((pt1 // 1000) - (pt0 // 1000))) % ((pt1 // 1000) - (pt0 // 1000)))) // ((pt1 // 1000) - (pt0 // 1000))) END AS x, CASE WHEN pt1 = pt0 THEN py0 ELSE py0 + ((((py1 - py0) * ((t // 1000) - (pt0 // 1000))) - (((((py1 - py0) * ((t // 1000) - (pt0 // 1000))) % ((pt1 // 1000) - (pt0 // 1000))) + ((pt1 // 1000) - (pt0 // 1000))) % ((pt1 // 1000) - (pt0 // 1000)))) // ((pt1 // 1000) - (pt0 // 1000))) END AS y FROM b WHERE real = 0 AND pt0 IS NOT NULL AND pt1 IS NOT NULL',
         # graph_components — recursive-CTE reachability closure + MIN
         # (the dedup_clusters oracle form over a generic edge list).
         "graph_components": (

@@ -169,3 +169,85 @@ def traj_staypoints(df: DataFrame, key_col: str = "user_id",
                     "start_us", "end_us",
                     (F.col("end_us") - F.col("start_us"))
                     .alias("dwell_us")))
+
+
+def traj_resample(df: DataFrame, key_col: str = "user_id",
+                  us_col: str = "us", x_col: str = "x", y_col: str = "y",
+                  seq_col: str = "seq", grid_us: int = 3_600_000_000,
+                  max_ticks: int = 1 << 20) -> DataFrame:
+    """Resample each track to the fixed `grid_us` time grid by EXACT
+    integer linear interpolation between the surrounding points.
+    -> (key, tick_us, x, y): one row per grid tick inside the track's
+    [first, last] span.  Coordinates are integer micro-units; the lerp
+    runs at millisecond time resolution so dx * dt stays far inside
+    int64 (|dx| < 2^29 micro-deg, dt < 2^45 ms -> product < 2^63 for
+    spans up to ~1 year).
+
+    Floor-division parity: Spark DIV truncates toward zero while
+    DuckDB // floors, so the lerp first reduces the numerator by the
+    MATHEMATICAL mod ((a % b + b) % b) — the remaining division is
+    exact, where truncation and floor agree, making the twin
+    bit-identical for negative deltas too.
+
+    Scale shape: the sessionize/fill-forward idiom — per-key span agg
+    feeds a native sequence-explode of grid markers (`max_ticks`
+    guards the fan-out in-plan, the vectile-cap philosophy); markers
+    union with the real points and BOTH bracketing points arrive via
+    two LOCF windows (asc + desc) sharing one (key) hash
+    partitioning.  One real exchange end to end."""
+    pts = df.select(F.col(key_col).alias("k"),
+                    F.col(us_col).cast("long").alias("t"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"),
+                    F.lit(1).alias("real"),
+                    F.col(seq_col).cast("long").alias("seq"))
+    G = int(grid_us)
+    span = pts.groupBy("k").agg(F.min("t").alias("_t0"),
+                                F.max("t").alias("_t1"))
+    guard = F.coalesce(
+        F.assert_true((F.col("_t1") - F.col("_t0")) / G < max_ticks,
+                      F.lit("traj_resample: span exceeds max_ticks"))
+        .cast("long"), F.lit(0))
+    first = (F.expr(f"((_t0 + {G} - 1) DIV {G}) * {G}") + guard)
+    last = F.expr(f"(_t1 DIV {G}) * {G}")
+    grid = (span.select("k", first.alias("_f"), last.alias("_l"))
+            .filter(F.col("_f") <= F.col("_l"))
+            .select("k", F.explode(
+                F.expr(f"sequence(_f, _l, {G})")).alias("t"))
+            .select("k", "t", F.lit(None).cast("long").alias("x"),
+                    F.lit(None).cast("long").alias("y"),
+                    F.lit(0).alias("real"),
+                    F.lit(-1).cast("long").alias("seq")))
+    allp = pts.unionByName(grid)
+    # seq is the total-order tiebreak for same-timestamp real points
+    # (grid rows carry seq = -1; `real` already separates the classes)
+    wa = (Window.partitionBy("k")
+          .orderBy(F.asc("t"), F.desc("real"), F.asc("seq"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    # real sorts before grid at equal t in BOTH windows, so a tick
+    # coinciding with a point (including a track's last point) brackets
+    # to that exact point instead of being dropped
+    wd = (Window.partitionBy("k")
+          .orderBy(F.desc("t"), F.desc("real"), F.desc("seq"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    lo = [F.last(F.when(F.col("real") == 1, F.col(c)), ignorenulls=True)
+          .over(wa).alias(f"_{c}0") for c in ("t", "x", "y")]
+    hi = [F.last(F.when(F.col("real") == 1, F.col(c)), ignorenulls=True)
+          .over(wd).alias(f"_{c}1") for c in ("t", "x", "y")]
+    br = allp.select("k", "t", "real", *lo, *hi).filter("real = 0")
+
+    def lerp(c0, c1):
+        # millisecond resolution; exact floor via mathematical mod
+        # (the CASE guards the den=0 coincident-span branch before the
+        # division is ever evaluated — safe under ANSI)
+        num = f"(({c1} - {c0}) * ((t DIV 1000) - (_t0 DIV 1000)))"
+        den = "((_t1 DIV 1000) - (_t0 DIV 1000))"
+        fdiv = f"(({num} - ((({num} % {den}) + {den}) % {den})) DIV {den})"
+        return F.expr(
+            f"CASE WHEN _t1 = _t0 THEN {c0} ELSE {c0} + {fdiv} END")
+
+    return (br.filter(F.col("_t0").isNotNull() & F.col("_t1").isNotNull())
+            .select(F.col("k").alias(key_col),
+                    F.col("t").alias("tick_us"),
+                    lerp("_x0", "_x1").alias("x"),
+                    lerp("_y0", "_y1").alias("y")))

@@ -199,3 +199,53 @@ def test_staypoints_brute(spark):
     ]
     for r in rows:
         assert r["dwell_us"] == r["end_us"] - r["start_us"]
+
+
+# ------------------------------------------------------------- resample
+
+from engine.geo.traj import traj_resample
+
+
+def test_resample_brute(spark):
+    """Grid-tick lerp vs a sequential reference, negative deltas
+    included."""
+    # track 1: x decreasing (negative dx), y increasing
+    pts = [
+        (1, 0, 1000, 0, 0), (1, 10_000_000, 400, 600, 1),
+        (1, 25_000_000, 100, 900, 2),
+        # track 2: single point -> tick only if it lands on the grid
+        (2, 8_000_000, 7, 7, 3),
+        # track 3: coincident tick and point
+        (3, 4_000_000, 50, 60, 4), (3, 12_000_000, 90, 20, 5),
+    ]
+    df = spark.createDataFrame(pts, "user_id long, us long, x long, "
+                               "y long, seq long")
+    G = 4_000_000
+    got = {(r["user_id"], r["tick_us"]): (r["x"], r["y"])
+           for r in traj_resample(df, grid_us=G).collect()}
+
+    def lerp(c0, c1, t, t0, t1):
+        if t1 == t0:
+            return c0
+        num = (c1 - c0) * (t // 1000 - t0 // 1000)
+        den = t1 // 1000 - t0 // 1000
+        return c0 + (num - ((num % den) + den) % den) // den
+
+    want = {}
+    by_k = {}
+    for (k, t, x, y, s) in pts:
+        by_k.setdefault(k, []).append((t, x, y))
+    for k, ps in by_k.items():
+        ps.sort()
+        t0, t1 = ps[0][0], ps[-1][0]
+        tick = ((t0 + G - 1) // G) * G
+        while tick <= t1:
+            lo = max(p for p in ps if p[0] <= tick)
+            hi = min(p for p in ps if p[0] >= tick)
+            want[(k, tick)] = (lerp(lo[1], hi[1], tick, lo[0], hi[0]),
+                               lerp(lo[2], hi[2], tick, lo[0], hi[0]))
+            tick += G
+    assert got == want
+    # endpoints: coincident grid tick reproduces the exact point
+    assert got[(3, 4_000_000)] == (50, 60)
+    assert got[(3, 12_000_000)] == (90, 20)
