@@ -1016,6 +1016,21 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_anomaly_mad(spark, sf):
+    """E16 (r4 cont.) — robust per-user outlier profile
+    (engine/relops.py::mad_outliers) over event value cents: exact
+    lower-median and MAD by selection (every statistic is an element
+    of the input multiset — no interpolation, no floats), anomalies =
+    |x - med| > 3 * MAD as a pure integer comparison.  Two selection
+    windows + rollup share one user-hash partitioning."""
+    _prep(spark)
+    from engine.relops import mad_outliers
+    ev = _t(spark, sf, "events").selectExpr(
+        "user_id", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    return mad_outliers(ev, "user_id", "cents", "event_id")
+
+
 def q_traj_resample(spark, sf):
     """D29 (r4 cont.) — trajectory resampling to a fixed 6-hour grid
     (engine/geo/traj.py::traj_resample): per-user positions at every
@@ -3804,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "graph_components": q_graph_components,
         "traj_resample": q_traj_resample,
+        "anomaly_mad": q_anomaly_mad,
     }
 
 
@@ -5746,6 +5762,28 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # anomaly_mad — the same selection medians by row_number.
+        "anomaly_mad": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "b AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY v, event_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS n FROM e), "
+            "m AS (SELECT user_id, v AS med FROM b "
+            "WHERE rn = (n + 1) // 2), "
+            "d AS (SELECT b.user_id, b.event_id, b.v, b.n, m.med, "
+            "abs(b.v - m.med) AS dev FROM b JOIN m "
+            "ON b.user_id = m.user_id), "
+            "d2 AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY dev, event_id) AS rn2 FROM d), "
+            "md AS (SELECT user_id, dev AS mad FROM d2 "
+            "WHERE rn2 = (n + 1) // 2) "
+            "SELECT d.user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(d.med) AS BIGINT) AS med, "
+            "CAST(MIN(md.mad) AS BIGINT) AS mad, "
+            "CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_anomalies "
+            "FROM d JOIN md ON d.user_id = md.user_id GROUP BY 1"),
         # traj_resample — the same grid + two-LOCF-window lerp in SQL
         # (IGNORE NULLS last_value; mathematical-mod floor reduction
         # so // and DIV agree on negative deltas).

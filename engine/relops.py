@@ -427,3 +427,46 @@ def interval_join(a: DataFrame, b: DataFrame, *, a_id: str, b_id: str,
                     F.col("_bid").alias(b_id),
                     (F.least("_ae", "_be")
                      - F.greatest("_as", "_bs")).alias("overlap"))
+
+
+def mad_outliers(df: DataFrame, key_col: str, val_col: str,
+                 tiebreak: str, k_mad: int = 3) -> DataFrame:
+    """E16 — robust per-key outlier profile via the exact LOWER MEDIAN
+    and median absolute deviation, entirely in the integer domain:
+    med = the (n+1) DIV 2-th smallest value, MAD = the lower median of
+    |x - med|, and an observation is anomalous when |x - med| >
+    k_mad * MAD (the classic k=3 rule as an integer comparison — no
+    1.4826 consistency scaling, which would be float; consumers apply
+    it downstream if they want sigma units).
+    -> (key, n, med, mad, n_anomalies).
+
+    Selection medians (not interpolated averages) keep every statistic
+    an element of the input multiset — deterministic, hash-checkable,
+    and identical on any engine.
+
+    Scale shape: two selection windows + the outlier rollup all hash
+    on the key, so Catalyst reuses ONE partitioning (sorts differ per
+    window; no second exchange); the med/mad frames are key-sized and
+    join back on the same hash.  Skew is bounded by the busiest key."""
+    w1 = Window.partitionBy(key_col).orderBy(F.asc("_v"), F.asc(tiebreak))
+    base = (df.select(F.col(key_col),
+                      F.col(val_col).cast("long").alias("_v"),
+                      F.col(tiebreak))
+            .withColumn("_rn", F.row_number().over(w1))
+            .withColumn("_n", F.count("*").over(
+                Window.partitionBy(key_col))))
+    med = (base.filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select(F.col(key_col), F.col("_v").alias("med")))
+    dev = (base.join(med, key_col)
+           .withColumn("_d", F.abs(F.col("_v") - F.col("med"))))
+    w2 = Window.partitionBy(key_col).orderBy(F.asc("_d"), F.asc(tiebreak))
+    mad = (dev.withColumn("_rn2", F.row_number().over(w2))
+           .filter(F.col("_rn2") == F.expr("(_n + 1) DIV 2"))
+           .select(F.col(key_col), F.col("_d").alias("mad")))
+    return (dev.join(mad, key_col)
+            .groupBy(key_col)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.first("med").alias("med"),
+                 F.first("mad").alias("mad"),
+                 F.sum(F.when(F.col("_d") > k_mad * F.col("mad"), 1)
+                       .otherwise(0)).cast("long").alias("n_anomalies")))

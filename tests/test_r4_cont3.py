@@ -124,3 +124,43 @@ def test_interval_join_span_exceeding_bucket(spark):
                  interval_join(da, db, a_id="a_id", b_id="b_id",
                                bucket=16).collect())
     assert got == [(1, 2, 1), (1, 3, 1)]   # [s,e) half-open: 4 touches only
+
+
+# ------------------------------------------------------------ MAD outliers
+
+from engine.relops import mad_outliers
+
+
+def _lower_median(vals):
+    s = sorted(vals)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def test_mad_outliers_brute(spark):
+    rng = random.Random(9)
+    rows = []
+    eid = 0
+    for u in range(5):
+        base = rng.randrange(100, 200)
+        for _ in range(rng.randrange(3, 40)):
+            v = base + rng.randrange(-10, 11)
+            if rng.random() < 0.1:
+                v += 1000          # planted outliers
+            rows.append((u, eid, v))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, v long")
+    got = {r["user_id"]: (r["n"], r["med"], r["mad"], r["n_anomalies"])
+           for r in mad_outliers(df, "user_id", "v", "event_id").collect()}
+    byu = {}
+    for (u, e, v) in rows:
+        byu.setdefault(u, []).append(v)
+    for u, vs in byu.items():
+        med = _lower_median(vs)
+        mad = _lower_median([abs(v - med) for v in vs])
+        n_anom = sum(1 for v in vs if abs(v - med) > 3 * mad)
+        assert got[u] == (len(vs), med, mad, n_anom)
+    assert set(got) == set(byu)
+    # every statistic is an element of its input multiset (selection)
+    for u, (n, med, mad, _a) in got.items():
+        assert med in byu[u]
+        assert mad in {abs(v - med) for v in byu[u]}
