@@ -1016,6 +1016,44 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_stream_mv(spark, sf):
+    """J14 (r4 cont.) — STREAMING incremental view maintenance: the
+    event stream lands in an icelite fact table via foreachBatch and
+    mv_refresh folds each batch's delta into the grouped view inside
+    the same sink — the streaming face of H8 (cursor on the view's
+    commit props, O(delta + |view|) per micro-batch).  The final view
+    must equal the one-shot full recompute, so this key shares
+    mv_incremental's oracle arithmetic."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.icelite import IceliteTable
+    from engine.mv import mv_refresh
+    root = tempfile.mkdtemp(prefix="stream-mv-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+    fact = IceliteTable(f"{root}/fact")
+    mv = IceliteTable(f"{root}/view")
+    measures = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "CAST(round(value * 100) AS BIGINT)"),
+        "min_eid": ("min", "event_id"),
+        "max_eid": ("max", "event_id"),
+    }
+
+    def _sink(batch_df, batch_id):
+        if batch_df.rdd.isEmpty():
+            return
+        fact.commit_append(batch_df, stage=f"batch-{batch_id}")
+        mv_refresh(spark, fact, mv, ["event_type"], measures)
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return mv.scan(spark)
+
+
 def q_anomaly_mad(spark, sf):
     """E16 (r4 cont.) — robust per-user outlier profile
     (engine/relops.py::mad_outliers) over event value cents: exact
@@ -3820,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "traj_resample": q_traj_resample,
         "anomaly_mad": q_anomaly_mad,
+        "stream_mv": q_stream_mv,
     }
 
 
@@ -5762,6 +5801,15 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # stream_mv — the incrementally-maintained streaming view
+        # equals the one-shot full recompute (mv_incremental's twin).
+        "stream_mv": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, "
+            "CAST(MIN(event_id) AS BIGINT) AS min_eid, "
+            "CAST(MAX(event_id) AS BIGINT) AS max_eid "
+            "FROM events GROUP BY 1"),
         # anomaly_mad — the same selection medians by row_number.
         "anomaly_mad": (
             "WITH e AS (SELECT user_id, event_id, "
