@@ -1016,6 +1016,23 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_raster_proximity(spark, sf):
+    """C-family (r4 cont.) — bounded-radius proximity
+    (engine/geo/raster.py::raster_proximity) over the moran/Gi*
+    128x128 sparse raster: per occupied cell the L1 distance to its
+    nearest occupied neighbor within Chebyshev radius 4, sentinel 9
+    beyond.  The cell-ring idiom: fixed 80-offset explode + ONE hash
+    equi-join + min-agg — never a theta-join; the twin IS the
+    theta-join."""
+    _prep(spark)
+    from engine.geo.raster import raster_proximity
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return raster_proximity(pix, radius=4)
+
+
 def q_stream_mv(spark, sf):
     """J14 (r4 cont.) — STREAMING incremental view maintenance: the
     event stream lands in an icelite fact table via foreachBatch and
@@ -3859,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_resample": q_traj_resample,
         "anomaly_mad": q_anomaly_mad,
         "stream_mv": q_stream_mv,
+        "raster_proximity": q_raster_proximity,
     }
 
 
@@ -5801,6 +5819,19 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # raster_proximity — the plain bounded theta-join + sentinel.
+        "raster_proximity": (
+            "WITH pix AS (SELECT (c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy FROM customer "
+            "GROUP BY 1, 2), "
+            "n AS (SELECT a.gx, a.gy, "
+            "MIN(abs(a.gx - b.gx) + abs(a.gy - b.gy)) AS nn "
+            "FROM pix a JOIN pix b ON abs(a.gx - b.gx) <= 4 "
+            "AND abs(a.gy - b.gy) <= 4 "
+            "AND NOT (a.gx = b.gx AND a.gy = b.gy) GROUP BY 1, 2) "
+            "SELECT pix.gx, pix.gy, "
+            "CAST(COALESCE(n.nn, 9) AS BIGINT) AS nn_l1 FROM pix "
+            "LEFT JOIN n ON pix.gx = n.gx AND pix.gy = n.gy"),
         # stream_mv — the incrementally-maintained streaming view
         # equals the one-shot full recompute (mv_incremental's twin).
         "stream_mv": (

@@ -475,3 +475,39 @@ def gi_star_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
         .when(zcmp & (F.col("a_num") < 0), -1)
         .otherwise(0).cast("int"))
         .drop("_n"))
+
+
+def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                     radius: int = 4) -> DataFrame:
+    """C-family (r4 cont.) — bounded-radius proximity: for every
+    occupied cell, the L1 distance to the nearest OTHER occupied cell
+    within Chebyshev radius `radius` (the GIS "near" analysis /
+    nearest-neighbor-distance distribution over the sparse raster).
+    Cells with no neighbor inside the bound report the sentinel
+    2*radius + 1 ("beyond") — the bounded-search honesty rule: absent
+    is reported, never fabricated.  -> (gx, gy, nn_l1).
+
+    Scale shape: the cell-ring idiom — each occupied cell volunteers
+    itself to its (2R+1)^2 - 1 neighbor positions (a literal offset
+    array, native explode), candidates meet in ONE hash equi-join on
+    the position, min-agg per target; the base left-joins back so
+    isolated cells keep their sentinel.  Never a theta-join; fan-out
+    is the fixed (2R+1)^2 constant, not data-dependent."""
+    R = int(radius)
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(abs(dx) + abs(dy)).alias("d"))
+        for dx in range(-R, R + 1) for dy in range(-R, R + 1)
+        if not (dx == 0 and dy == 0)])
+    base = pixels.select(F.col(x).alias("cx"), F.col(y).alias("cy"))
+    give = (base.select("cx", "cy", F.explode(offs).alias("_o"))
+            .select((F.col("cx") + F.col("_o.dx")).alias("tx"),
+                    (F.col("cy") + F.col("_o.dy")).alias("ty"),
+                    F.col("_o.d").alias("d")))
+    near = (base.join(give, (base.cx == give.tx) & (base.cy == give.ty))
+            .groupBy("cx", "cy")
+            .agg(F.min("d").cast("long").alias("_nn")))
+    return (base.join(near, ["cx", "cy"], "left")
+            .select(F.col("cx").alias(x), F.col("cy").alias(y),
+                    F.coalesce("_nn", F.lit(2 * R + 1)).cast("long")
+                    .alias("nn_l1")))

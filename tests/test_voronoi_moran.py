@@ -166,3 +166,27 @@ def test_gi_star_matches_float_reference(spark):
         assert r["hot"] == want_hot
     # the planted cluster center is hot
     assert rows[(11, 11)]["hot"] == 1
+
+
+# ----------------------------------------------------------- proximity
+
+from engine.geo.raster import raster_proximity
+
+
+def test_raster_proximity_brute(spark):
+    import random
+    rng = random.Random(17)
+    cells = {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+    cells |= {(0, 0)}                       # guaranteed isolated corner?
+    df = spark.createDataFrame([(x, y) for (x, y) in cells],
+                               "gx long, gy long")
+    R = 3
+    got = {(r["gx"], r["gy"]): r["nn_l1"]
+           for r in raster_proximity(df, radius=R).collect()}
+    want = {}
+    for (x, y) in cells:
+        ds = [abs(x - a) + abs(y - b) for (a, b) in cells
+              if (a, b) != (x, y)
+              and abs(x - a) <= R and abs(y - b) <= R]
+        want[(x, y)] = min(ds) if ds else 2 * R + 1
+    assert got == want
