@@ -1016,6 +1016,23 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_text_pii_scrub(spark, sf):
+    """M30 (r4 cont.) — PII scrubbing (engine/text/ops.py::pii_scrub):
+    the documents corpus with deterministic injected PII (an email and
+    a long numeric id derived from doc_id) redacted to typed
+    placeholders with removal counts.  Pure native regexp codegen —
+    zero Python, no shuffle; the committed patterns are plain
+    character classes chosen to behave identically under Java regex
+    and RE2, so the twin is exact."""
+    _prep(spark)
+    from engine.text.ops import pii_scrub
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "concat(text, ' contact user', doc_id, '@mail', "
+        "doc_id % 7, '.com ref ', 100000 + doc_id * 37) AS text")
+    return pii_scrub(docs)
+
+
 def q_raster_proximity(spark, sf):
     """C-family (r4 cont.) — bounded-radius proximity
     (engine/geo/raster.py::raster_proximity) over the moran/Gi*
@@ -3877,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_mad": q_anomaly_mad,
         "stream_mv": q_stream_mv,
         "raster_proximity": q_raster_proximity,
+        "text_pii_scrub": q_text_pii_scrub,
     }
 
 
@@ -5819,6 +5837,21 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # text_pii_scrub — identical patterns under RE2 ('g' flag for
+        # global replace; group 0 extract).
+        "text_pii_scrub": (
+            "WITH d AS (SELECT doc_id, concat(text, ' contact user', "
+            "doc_id, '@mail', doc_id % 7, '.com ref ', "
+            "100000 + doc_id * 37) AS text FROM documents), "
+            "s AS (SELECT doc_id, text, regexp_replace(text, "
+            "'[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g') AS s1 "
+            "FROM d) "
+            "SELECT doc_id, regexp_replace(s1, '[0-9]{6,}', '<NUM>', "
+            "'g') AS scrubbed, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(s1, '[0-9]{6,}')) AS BIGINT) "
+            "AS n_number FROM s"),
         # raster_proximity — the plain bounded theta-join + sentinel.
         "raster_proximity": (
             "WITH pix AS (SELECT (c_custkey * 2654435761) % 128 AS gx, "

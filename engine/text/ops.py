@@ -448,3 +448,36 @@ def bigram_coverage(df: DataFrame, text: str = "text", k: int = 256,
                     (F.coalesce("n_bigrams", F.lit(0))
                      - F.coalesce("n_hits", F.lit(0))).cast("long")
                     .alias("n_oov")))
+
+
+# committed PII patterns: simple character-class regexes chosen to
+# behave identically under Java regex (Spark) and RE2 (DuckDB) — no
+# backreferences, no lookaround, no alternation-order traps.  Scrub
+# ORDER is part of the contract: emails first (their local parts may
+# contain short digit runs), then long digit runs on the already
+# email-scrubbed text, so n_number is well-defined.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "<EMAIL>"),
+    ("number", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
+    """M30 — PII scrubbing (the Dolma/CCNet-style redaction pass):
+    replace emails and long digit runs with typed placeholder tokens
+    and count what was removed.  -> (id, scrubbed, n_email, n_number).
+
+    All native regexp codegen — zero Python, no shuffle, rows out ==
+    rows in: the 100 TB plan for redaction is `map`, nothing else."""
+    from pyspark.sql import functions as F
+
+    (em_name, em_pat, em_rep), (nu_name, nu_pat, nu_rep) = PII_PATTERNS
+    s1 = F.regexp_replace(F.col(text_col), em_pat, em_rep)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(s1, nu_pat, nu_rep).alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(em_pat),
+                                    F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(s1, F.lit(nu_pat), F.lit(0)))
+        .cast("long").alias("n_number"))

@@ -87,3 +87,34 @@ def test_repetition_flags_degenerate_docs(spark):
     assert r[0].n_distinct_2grams <= 3
     assert r[1].n_distinct_2grams >= 990
     assert r[0].top_token_count >= 499
+
+
+# ------------------------------------------------------------- PII scrub
+
+import re
+
+from engine.text.ops import PII_PATTERNS, pii_scrub
+
+
+def test_pii_scrub_brute(spark):
+    docs = [
+        (0, "plain text no pii at all"),
+        (1, "mail me at alice1@example.com or bob@test.org now"),
+        (2, "ids 1234567 and 99999 and 123456789012"),
+        (3, "mixed a9@b8.cc plus 7654321 tail"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["scrubbed"], r["n_email"], r["n_number"])
+           for r in pii_scrub(df).collect()}
+    (em, em_pat, em_rep), (nu, nu_pat, nu_rep) = PII_PATTERNS
+    for did, text in docs:
+        n_email = len(re.findall(em_pat, text))
+        s1 = re.sub(em_pat, em_rep, text)
+        n_number = len(re.findall(nu_pat, s1))
+        scrubbed = re.sub(nu_pat, nu_rep, s1)
+        assert got[did] == (scrubbed, n_email, n_number)
+    # the 5-digit run survives; the email local-part digits never
+    # count as numbers (scrub-order contract)
+    assert "99999" in got[2][0] and got[2][2] == 2
+    assert got[1] == ("mail me at <EMAIL> or <EMAIL> now", 2, 0)
