@@ -1016,6 +1016,32 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_snapshot_rollback(spark, sf):
+    """A-family (r4 cont.) — snapshot rollback
+    (engine/icelite.py::rollback, Iceberg rollback_to_snapshot
+    parity): three chronological event chunks committed, then the
+    branch ref moved back to the second snapshot — pure metadata, the
+    rolled-back commit stays time-travelable until expiry.  The scan
+    after rollback must equal the first two chunks exactly."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="rollback-")
+    t = IceliteTable(f"{root}/tbl")
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    sids = []
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        sids.append(t.commit_append(
+            ev.filter((F.col("event_id") >= lo)
+                      & (F.col("event_id") < hi)),
+            stage=f"chunk-{i}", sort_within=["event_id"]))
+    t.rollback(sids[1])
+    return (t.scan(spark)
+            .select("event_id", "user_id", "event_type",
+                    F.col("ts").cast("timestamp").alias("ts")))
+
+
 def q_text_pii_scrub(spark, sf):
     """M30 (r4 cont.) — PII scrubbing (engine/text/ops.py::pii_scrub):
     the documents corpus with deterministic injected PII (an email and
@@ -3895,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mv": q_stream_mv,
         "raster_proximity": q_raster_proximity,
         "text_pii_scrub": q_text_pii_scrub,
+        "snapshot_rollback": q_snapshot_rollback,
     }
 
 
@@ -5837,6 +5864,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        # snapshot_rollback — the first two chronological thirds.
+        "snapshot_rollback": (
+            "WITH n AS (SELECT COUNT(*) AS c FROM events) "
+            "SELECT event_id, user_id, event_type, ts FROM events, n "
+            "WHERE event_id < (2 * n.c) // 3"),
         # text_pii_scrub — identical patterns under RE2 ('g' flag for
         # global replace; group 0 extract).
         "text_pii_scrub": (

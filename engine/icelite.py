@@ -268,6 +268,27 @@ class IceliteTable:
             self._write_state(snaps, refs)
             return src
 
+    def rollback(self, to_sid: int, branch: str = "main") -> int:
+        """Iceberg `rollback_to_snapshot`: move the branch ref back to
+        an ANCESTOR snapshot.  Pure metadata (the atomic refs swap
+        under the commit lock); later snapshots stay on disk — still
+        time-travelable — until expire_snapshots collects them, which
+        is exactly Iceberg's rollback contract."""
+        with self._commit_locked():
+            st = self._state()
+            snaps, refs = st["snapshots"], st["refs"]
+            cur = refs.get(branch)
+            if cur is None:
+                raise KeyError(f"icelite: unknown branch {branch!r}")
+            if not self._is_ancestor(snaps, to_sid, cur):
+                raise ValueError(
+                    f"icelite: snapshot {to_sid} is not an ancestor of "
+                    f"{branch!r}@{cur} — cannot roll back across "
+                    "branches")
+            refs[branch] = to_sid
+            self._write_state(snaps, refs)
+            return to_sid
+
     def commit_append(self, df: DataFrame, stage: str | None = None,
                       props: dict[str, str] | None = None,
                       sort_within: list[str] | None = None,

@@ -287,3 +287,35 @@ def test_pre_branch_table_backcompat(spark, tmp_path):
     assert t.scan(spark).count() == 10
     t.create_branch("b")
     assert t.refs()["b"] == 2
+
+
+def test_rollback_moves_ref_and_preserves_time_travel(spark, tmp_path):
+    from engine.icelite import IceliteTable
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.commit_append(spark.range(0, 10).selectExpr("id AS v"), stage="a")
+    s2 = t.commit_append(spark.range(10, 25).selectExpr("id AS v"), stage="b")
+    s3 = t.commit_append(spark.range(25, 30).selectExpr("id AS v"), stage="c")
+    assert t.current_snapshot_id() == s3
+    t.rollback(s2)
+    assert t.current_snapshot_id() == s2
+    assert t.scan(spark).count() == 25
+    # the rolled-back snapshot stays time-travelable (Iceberg parity)
+    assert t.scan(spark, snapshot_id=s3).count() == 30
+    # appending after rollback forks history from s2
+    s4 = t.commit_append(spark.range(100, 102).selectExpr("id AS v"),
+                         stage="d")
+    got = sorted(r["v"] for r in t.scan(spark).collect())
+    assert got == list(range(25)) + [100, 101]
+    assert t.current_snapshot_id() == s4
+
+
+def test_rollback_rejects_non_ancestor(spark, tmp_path):
+    import pytest as _pytest
+    from engine.icelite import IceliteTable
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.commit_append(spark.range(3).selectExpr("id AS v"), stage="a")
+    t.create_branch("audit", from_sid=s1)
+    sb = t.commit_append(spark.range(5).selectExpr("id AS v"),
+                         stage="b", branch="audit")
+    with _pytest.raises(ValueError):
+        t.rollback(sb)           # audit head is not a main ancestor
