@@ -1016,6 +1016,32 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def q_poly_dissolve(spark, sf):
+    """C-family (r4 cont.) — polygon dissolve in the covering-cell
+    domain: polygons grouped by a deterministic attribute class, their
+    level-8 coverings UNIONED (the shared-cell dedup IS the dissolve)
+    and compacted to the minimal mixed-level covering per group
+    (engine/geo/cells.py::compact_cells with the group as the key) —
+    the raster-domain answer to vector dissolve, exact by
+    construction.  Skinny (group, cell) frames end to end; one window
+    shuffle per level step."""
+    _prep(spark)
+    from engine.geo.cells import compact_cells
+    from engine.geo.layer import PolygonLayer
+    base = PolygonLayer.from_json().build_df(spark, 8)
+    cov = base.selectExpr(
+        "concat('G', CAST(CAST(substring(poly_id, 2, 10) AS INT) % 3 "
+        "AS STRING)) AS grp", "cell_p AS cell")
+    # overlap on purpose: P01's covering joins EVERY group (the layer's
+    # polygons are cell-disjoint at level 8, so without this the
+    # union-dedup half of dissolve would go unexercised)
+    p01 = base.filter("poly_id = 'P01'").selectExpr("cell_p AS cell")
+    every = spark.createDataFrame([("G0",), ("G1",), ("G2",)],
+                                  "grp string")
+    cov = cov.unionByName(every.crossJoin(p01)).distinct()
+    return compact_cells(cov, level=8, min_level=4, group_cols=("grp",))
+
+
 def q_snapshot_rollback(spark, sf):
     """A-family (r4 cont.) — snapshot rollback
     (engine/icelite.py::rollback, Iceberg rollback_to_snapshot
@@ -3946,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_proximity": q_raster_proximity,
         "text_pii_scrub": q_text_pii_scrub,
         "snapshot_rollback": q_snapshot_rollback,
+        "poly_dissolve": q_poly_dissolve,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4211,6 +4238,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT poly_id, CAST(4 AS INTEGER) AS level, cell FROM l4")
     compact_sql = ("WITH " + ", ".join(compact_ctes) + " "
                    + " UNION ALL ".join(compact_fins))
+
+    # poly_dissolve: same inline covering VALUES; group + distinct is
+    # the dissolve, then the identical per-level compaction recurrence
+    # keyed on the group.
+    dissolve_ctes = [f"l8v(poly_id, cell) AS (VALUES {cov_vals})",
+                     "d8 AS (SELECT grp, cell FROM ("
+                     "SELECT 'G' || CAST(CAST(substr(poly_id, 2) "
+                     "AS INTEGER) % 3 AS VARCHAR) AS grp, cell FROM l8v "
+                     "UNION ALL SELECT g.grp, v.cell FROM "
+                     "(VALUES ('G0'), ('G1'), ('G2')) g(grp), l8v v "
+                     "WHERE v.poly_id = 'P01') GROUP BY 1, 2)"]
+    dissolve_fins = []
+    for _lv in range(8, 4, -1):
+        _src = "d8" if _lv == 8 else f"d{_lv}"
+        dissolve_ctes.append(
+            f"e{_lv} AS (SELECT grp, cell, cell // 4 AS parent, "
+            f"COUNT(*) OVER (PARTITION BY grp, cell // 4) AS n "
+            f"FROM {_src})")
+        dissolve_fins.append(
+            f"SELECT grp, CAST({_lv} AS INTEGER) AS level, cell "
+            f"FROM e{_lv} WHERE n < 4")
+        dissolve_ctes.append(
+            f"d{_lv - 1} AS (SELECT grp, parent AS cell FROM e{_lv} "
+            f"WHERE n = 4 AND cell % 4 = 0)")
+    dissolve_fins.append(
+        "SELECT grp, CAST(4 AS INTEGER) AS level, cell FROM d4")
+    dissolve_sql = ("WITH " + ", ".join(dissolve_ctes) + " "
+                    + " UNION ALL ".join(dissolve_fins))
 
     # data_split: the full splitmix64 avalanche recomputed in SQL via
     # the verified HUGEINT split-multiply kernel; seed enters as the
@@ -5891,6 +5946,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
+        "poly_dissolve": dissolve_sql,
         # snapshot_rollback — the first two chronological thirds.
         "snapshot_rollback": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events) "

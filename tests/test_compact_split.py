@@ -296,3 +296,32 @@ def test_stratified_sample_reproducible_and_converges(spark):
     n_de = len(a) - n_en
     assert abs(n_en / 20_000 - 0.25) < 0.02
     assert abs(n_de / 20_000 - 0.75) < 0.02
+
+
+def test_grouped_dissolve_covers_union_of_members(spark):
+    """Dissolve semantics: expanding the compacted per-group covering
+    back to leaf level reproduces exactly the UNION of the member
+    coverings (shared cells counted once)."""
+    from engine.geo.cells import compact_cells
+    from engine.geo.layer import PolygonLayer
+    base = PolygonLayer.from_json().build_df(spark, 8)
+    rows = base.selectExpr("poly_id", "cell_p AS cell").collect()
+    groups = {}
+    for r in rows:
+        g = f"G{int(r['poly_id'][1:]) % 3}"
+        groups.setdefault(g, set()).add(r["cell"])
+        groups.setdefault("GALL", set()).add(r["cell"])   # overlap group
+    df = spark.createDataFrame(
+        [(g, c) for g, cells in groups.items() for c in cells],
+        "grp string, cell long")
+    out = compact_cells(df, level=8, min_level=4,
+                        group_cols=("grp",)).collect()
+    got = {}
+    for r in out:
+        leaves = range(r["cell"] << (2 * (8 - r["level"])),
+                       (r["cell"] + 1) << (2 * (8 - r["level"])))
+        s = got.setdefault(r["grp"], set())
+        for leaf in leaves:
+            assert leaf not in s, "overlapping covering cells emitted"
+            s.add(leaf)
+    assert got == groups
