@@ -3713,7 +3713,7 @@ _R5_WINDOW = (
     "hull_diameter", "cell_hilbert", "tile_integral", "img_moments",
     "seg_intersect_join", "seg_rasterize", "voronoi_assign", "moran_i",
     "bpe_tokenize", "editdist_join", "quad_adaptive",
-    "cluster_grid_density", "hexbin_rollup", "tile_kde", "agg_ols",
+    "cluster_grid_density", "hexbin_rollup", "tile_kde", "poly_dissolve",
     "graph_pagerank", "graph_triangles", "snapshot_incremental",
     "stream_funnel")
 
