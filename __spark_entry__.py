@@ -1016,6 +1016,43 @@ def q_stream_cms(spark, sf):
     return truth.join(est, "user_id")
 
 
+def _covering_xy8():
+    """Level-8 covering cells deinterleaved to (poly_id, cx, cy) —
+    driver-side layer metadata, shared verbatim by the Spark key
+    (createDataFrame) and the DuckDB twin (inline VALUES)."""
+    from engine.geo.layer import PolygonLayer
+
+    def deint(c):
+        x = y = 0
+        for i in range(16):
+            x |= ((c >> (2 * i)) & 1) << i
+            y |= ((c >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    out = []
+    for cell, pid, _full in PolygonLayer.from_json().covering(8):
+        x, y = deint(int(cell))
+        out.append((pid, x, y))
+    return out
+
+
+def q_geo_nearest_poly(spark, sf):
+    """D30 (r4 cont.) — nearest-polygon assignment
+    (engine/geo/join.py::nearest_polygon): each fixture point gets the
+    closest level-8 covering cell of any polygon within Chebyshev 2
+    (L1 distance, ties to the smallest poly_id), sentinel 5 + NULL
+    beyond — the reverse-geocode fallback beside the containment
+    joins.  Point grid coords are the driver-green mercator formula;
+    the covering is metadata, broadcast; fixed 25-offset explode +
+    one equi-join, never a theta-join (the twin IS the theta-join)."""
+    _prep(spark)
+    from engine.geo.join import nearest_polygon
+    cov = spark.createDataFrame(_covering_xy8(),
+                                "poly_id string, cx long, cy long")
+    return nearest_polygon(_points(spark, sf), cov,
+                           level=8, radius=2)
+
+
 def q_poly_dissolve(spark, sf):
     """C-family (r4 cont.) — polygon dissolve in the covering-cell
     domain: polygons grouped by a deterministic attribute class, their
@@ -3973,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "snapshot_rollback": q_snapshot_rollback,
         "poly_dissolve": q_poly_dissolve,
+        "geo_nearest_poly": q_geo_nearest_poly,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4238,6 +4276,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT poly_id, CAST(4 AS INTEGER) AS level, cell FROM l4")
     compact_sql = ("WITH " + ", ".join(compact_ctes) + " "
                    + " UNION ALL ".join(compact_fins))
+
+    # geo_nearest_poly: covering (poly_id, cx, cy) inline (the same
+    # Python deinterleave feeds the Spark key), level-8 mercator in
+    # DuckDB dialect mirroring merc_xy_sql operand-for-operand, then
+    # the bounded theta-join + (d, poly_id) argmin + sentinel.
+    _cov_xy = ", ".join(f"('{p}', CAST({x} AS BIGINT), "
+                        f"CAST({y} AS BIGINT))"
+                        for p, x, y in _covering_xy8())
+    _lat_c = "least(greatest(lat, -85.05112878), 85.05112878)"
+    _px8 = ("greatest(least(CAST(floor(((lon + 180.0)/360.0) * 256.0) "
+            "AS BIGINT), 255), 0)")
+    _py8 = (f"greatest(least(CAST(floor(((1.0 - ln(tan(pi()/4.0 + "
+            f"radians({_lat_c})/2.0))/pi())/2.0) * 256.0) AS BIGINT), "
+            "255), 0)")
+    nearest_poly_sql = (
+        f"WITH {PTS_SQL}, "
+        f"g AS (SELECT id, {_px8} AS px, {_py8} AS py FROM pts), "
+        f"cov(poly_id, cx, cy) AS (VALUES {_cov_xy}), "
+        "h AS (SELECT g.id, cov.poly_id, "
+        "abs(g.px - cov.cx) + abs(g.py - cov.cy) AS d, "
+        "row_number() OVER (PARTITION BY g.id ORDER BY "
+        "abs(g.px - cov.cx) + abs(g.py - cov.cy), cov.poly_id) AS rn "
+        "FROM g JOIN cov ON abs(g.px - cov.cx) <= 2 "
+        "AND abs(g.py - cov.cy) <= 2) "
+        "SELECT g.id, h.poly_id, "
+        "CAST(COALESCE(h.d, 5) AS BIGINT) AS d_l1 FROM g "
+        "LEFT JOIN h ON g.id = h.id AND h.rn = 1")
 
     # poly_dissolve: same inline covering VALUES; group + distinct is
     # the dissolve, then the identical per-level compaction recurrence
@@ -5947,6 +6012,7 @@ def oracle_sql() -> dict[str, str]:
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         "poly_dissolve": dissolve_sql,
+        "geo_nearest_poly": nearest_poly_sql,
         # snapshot_rollback — the first two chronological thirds.
         "snapshot_rollback": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events) "

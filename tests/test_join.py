@@ -171,3 +171,43 @@ def test_zonal_stats_matches_brute_force(spark):
                             v if lo is None else min(lo, v),
                             v if hi is None else max(hi, v))
     assert got == exp and len(exp) == 2
+
+
+# --------------------------------------------------------- nearest poly
+
+def test_nearest_polygon_brute(spark):
+    """Bounded nearest-covering-cell assignment vs a sequential scan,
+    incl. tie-break and sentinel."""
+    from engine.geo.join import nearest_polygon
+    cov = [("PA", 10, 10), ("PB", 12, 10), ("PA", 11, 10), ("PZ", 50, 50)]
+    cdf = spark.createDataFrame(cov, "poly_id string, cx long, cy long")
+    # points at known grid positions: lon/lat chosen so the level-8
+    # merc coords land exactly (x = floor((lon+180)/360*256))
+    import math
+
+    def lonlat_for(x, y):
+        lon = (x + 0.5) / 256.0 * 360.0 - 180.0
+        # invert y = floor((1 - ln(tan(pi/4 + rad/2))/pi)/2 * 256)
+        t = (1.0 - 2.0 * (y + 0.5) / 256.0) * math.pi
+        lat = math.degrees(2.0 * math.atan(math.exp(t)) - math.pi / 2.0)
+        return lon, lat
+
+    pts = []
+    for i, (x, y) in enumerate([(10, 10),   # on PA
+                                (13, 10),   # d1 to PB
+                                (11, 12),   # d2 tie PA(11,10)/PB? ->
+                                (30, 30),   # beyond radius 2
+                                (12, 12)]):  # d2, tie PA(11,10)x? PB(12,10) d2 -> PA vs PB
+        lon, lat = lonlat_for(x, y)
+        pts.append((i, lon, lat))
+    pdf = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {r["id"]: (r["poly_id"], r["d_l1"])
+           for r in nearest_polygon(pdf, cdf, radius=2).collect()}
+    want = {}
+    for i, (x, y) in enumerate([(10, 10), (13, 10), (11, 12),
+                                (30, 30), (12, 12)]):
+        cands = [(abs(x - cx) + abs(y - cy), p) for (p, cx, cy) in cov
+                 if abs(x - cx) <= 2 and abs(y - cy) <= 2]
+        want[i] = (min(cands)[1], min(cands)[0]) if cands else (None, 5)
+    assert got == want
+    assert got[3] == (None, 5)          # sentinel beyond the bound
