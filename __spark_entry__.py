@@ -3752,7 +3752,7 @@ _R5_WINDOW = (
     "bpe_tokenize", "editdist_join", "quad_adaptive",
     "cluster_grid_density", "hexbin_rollup", "tile_kde", "poly_dissolve",
     "graph_pagerank", "graph_triangles", "snapshot_incremental",
-    "stream_funnel")
+    "geo_nearest_poly")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
