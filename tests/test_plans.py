@@ -472,3 +472,62 @@ def test_editdist_join_no_cartesian_native_verify(spark):
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+# ------------------------------------------------ r4-cont-2 plan shapes
+
+def _count_shuffles(plan: str) -> int:
+    # formatted mode: shuffle nodes are headed "(N) Exchange" (broadcast
+    # nodes are "BroadcastExchange" and don't match)
+    import re as _re
+    return sum(1 for ln in plan.splitlines()
+               if _re.match(r"\(\d+\) Exchange\b", ln.strip()))
+
+
+def test_cohort_retention_single_exchange(spark):
+    """The cohort matrix touches the raw events through exactly one
+    full-table hash exchange (the per-user min+collect_set agg); the
+    explode re-agg runs on the tiny matrix with its own exchange, so
+    the plan carries two hash exchanges total — never a join, never a
+    window over raw events."""
+    from engine.relops import cohort_retention
+    ev = spark.range(10000).selectExpr(
+        "id % 100 AS user_id",
+        "timestamp_micros(id * 1000000) AS ts")
+    plan = plan_of(cohort_retention(ev))
+    assert _count_shuffles(plan) <= 2, plan
+    assert "Join" not in plan
+
+
+def test_staypoints_windows_and_rollup_share_partitioning(spark):
+    """Lag window + run cumsum + per-run rollup: ONE hash exchange."""
+    from engine.geo.traj import traj_staypoints
+    ev = spark.range(10000).selectExpr(
+        "id % 100 AS user_id",
+        "timestamp_micros(id * 1000000) AS ts", "id AS event_id",
+        "CAST(id % 360 - 180 AS DOUBLE) AS lon",
+        "CAST(id % 170 - 85 AS DOUBLE) AS lat")
+    plan = plan_of(traj_staypoints(ev))
+    assert _count_shuffles(plan) == 1, plan
+
+
+def test_scd2_single_exchange(spark):
+    from engine.relops import scd2_build
+    ev = spark.range(10000).selectExpr(
+        "id % 100 AS user_id",
+        "timestamp_micros(id * 1000000) AS ts",
+        "CAST(id % 7 AS STRING) AS event_type", "id AS event_id")
+    plan = plan_of(scd2_build(ev, "user_id", "ts", "event_type",
+                              "event_id"))
+    assert _count_shuffles(plan) == 1, plan
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """Redaction at scale is map, nothing else: no exchange, no
+    Python stage (native regexp codegen)."""
+    from engine.text.ops import pii_scrub
+    docs = spark.range(1000).selectExpr("id AS doc_id",
+                                        "CAST(id AS STRING) AS text")
+    plan = plan_of(pii_scrub(docs))
+    assert _count_shuffles(plan) == 0, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
