@@ -415,6 +415,57 @@ def moran_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
                     F.col("d").alias("den_scaled")))
 
 
+def geary_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                 w: str = "w") -> DataFrame:
+    """Global Geary's C spatial-autocorrelation components over a sparse
+    integer raster, exact-integer domain (r4 cont.) — the local-contrast
+    complement of `moran_scaled` (same rook-between-occupied-cells
+    adjacency convention; C reacts to squared neighbour DIFFERENCES
+    where I reacts to centered products, so the two disagree exactly on
+    high-frequency structure).
+
+        C = (n-1) · Σ_{i~j} (w_i − w_j)² / (2W · Σ_i (w_i − w̄)²)
+
+    Differences need no mean-centering, so the numerator Σ (w_i−w_j)²
+    is a plain BIGINT; the denominator reuses moran's n-scaled identity
+    Σ(w_i − w̄)² = den_scaled / n² with den_scaled = Σ(n·w_i − S)².
+    Emits ONE row (n, s_w, w_directed, num_diff, den_scaled);
+    C = (n−1)·n²·num_diff / (2·w_directed·den_scaled) is a trivial
+    driver-side division, kept off the wire to stay float-free.
+
+    Exactness bound: identical to moran_scaled (|n·w_i − S| ≤ n·max_w).
+
+    Scale shape: same as moran — the input is already cell-aggregated,
+    one tiny broadcast stats row, two skinny neighbor equi-joins hash-
+    partitioned on cell coords; cell table bounded by the grid, never
+    the point count."""
+    st = pixels.agg(F.count("*").cast("long").alias("_n"),
+                    F.sum(F.col(w).cast("long")).alias("_s"))
+    cent = (pixels.crossJoin(F.broadcast(st))
+            .select(F.col(x).alias("cx"), F.col(y).alias("cy"),
+                    F.col(w).cast("long").alias("v"),
+                    (F.col("_n") * F.col(w).cast("long") - F.col("_s"))
+                    .alias("c"), "_n", "_s"))
+    a = cent.select("cx", "cy", F.col("v").alias("va"))
+    b = cent.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                    F.col("v").alias("vb"))
+    right = a.join(b, (a.cx + 1 == b.bx) & (a.cy == b.by))
+    down = a.join(b, (a.cx == b.bx) & (a.cy + 1 == b.by))
+    und = right.unionByName(down)
+    num_half = und.agg(
+        F.coalesce(F.sum((F.col("va") - F.col("vb"))
+                         * (F.col("va") - F.col("vb"))), F.lit(0))
+        .alias("nh"),
+        F.count("*").cast("long").alias("ne"))
+    den = cent.agg(F.sum(F.col("c") * F.col("c")).alias("d"),
+                   F.first("_n").alias("n"), F.first("_s").alias("s_w"))
+    return (den.crossJoin(num_half)
+            .select(F.col("n"), F.col("s_w"),
+                    (F.lit(2) * F.col("ne")).alias("w_directed"),
+                    (F.lit(2) * F.col("nh")).alias("num_diff"),
+                    F.col("d").alias("den_scaled")))
+
+
 def gi_star_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
                    w: str = "w") -> DataFrame:
     """C-family (r4 cont.) — Getis-Ord Gi* hot-spot components per

@@ -114,6 +114,72 @@ def test_moran_real_mercator_pixels(spark, sf_dir):
             got.den_scaled) == _moran_brute(cnt)
 
 
+# ------------------------------------------------------------- Geary's C
+
+from engine.geo.raster import geary_scaled
+
+
+def _geary_brute(cells: dict[tuple[int, int], int]):
+    n, s = len(cells), sum(cells.values())
+    num = edges = 0
+    for (x, y), v in cells.items():
+        for dx, dy in ((1, 0), (0, 1)):
+            if (x + dx, y + dy) in cells:
+                d = v - cells[(x + dx, y + dy)]
+                num += d * d
+                edges += 1
+    den = sum((n * v - s) ** 2 for v in cells.values())
+    return n, s, 2 * edges, 2 * num, den
+
+
+def _run_geary(spark, cells):
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in sorted(cells.items())],
+        "gx long, gy long, w long")
+    return geary_scaled(df).collect()[0]
+
+
+def test_geary_matches_brute(spark):
+    cnt = Counter(((k * 7) % 13, (k * 11) % 13) for k in range(60))
+    r = _run_geary(spark, cnt)
+    assert (r.n, r.s_w, r.w_directed, r.num_diff, r.den_scaled) == \
+        _geary_brute(cnt)
+
+
+def test_geary_constant_field_degenerates(spark):
+    cells = {(x, y): 7 for x in range(4) for y in range(4)}
+    r = _run_geary(spark, cells)
+    assert (r.w_directed, r.num_diff, r.den_scaled) == (48, 0, 0)
+
+
+def test_geary_shift_invariance(spark):
+    base = {(x, y): (x * 3 + y * 5) % 7 + 1
+            for x in range(5) for y in range(5) if (x + y) % 3}
+    r1 = _run_geary(spark, base)
+    r2 = _run_geary(spark, {k: w + 100 for k, w in base.items()})
+    assert (r1.num_diff, r1.den_scaled, r1.w_directed) == \
+        (r2.num_diff, r2.den_scaled, r2.w_directed)
+
+
+def test_geary_vs_float_reference(spark):
+    """The assembled C ratio matches the textbook float formula."""
+    import random
+    rng = random.Random(9)
+    cells = {(rng.randrange(12), rng.randrange(12)): 1 + rng.randrange(9)
+             for _ in range(70)}
+    r = _run_geary(spark, cells)
+    n, W = r.n, r.w_directed
+    c_engine = (n - 1) * n * n * r.num_diff / (2 * W * r.den_scaled)
+    xbar = sum(cells.values()) / n
+    num = sum((cells[(x, y)] - cells[(x + dx, y + dy)]) ** 2
+              for (x, y) in cells for dx, dy in ((1, 0), (0, 1), (-1, 0),
+                                                 (0, -1))
+              if (x + dx, y + dy) in cells)
+    den = sum((v - xbar) ** 2 for v in cells.values())
+    c_ref = (n - 1) * num / (2 * W * den)
+    assert abs(c_engine - c_ref) < 1e-12 * max(1.0, abs(c_ref))
+
+
 # ------------------------------------------------------------- Gi* hotspots
 
 import math
