@@ -1229,6 +1229,28 @@ def q_graph_components(spark, sf):
                      F.col("cluster_id").alias("component_id"))
 
 
+def q_graph_kcore(spark, sf):
+    """N5 (r4 cont.) — k-core extraction (engine/graph.py::kcore):
+    iterative peeling to the ASSERTED fixpoint, k=4.  Fixture = the
+    512-node hashed background graph of the components/triangles keys
+    UNIONed with a planted 10-clique (nodes 0-9), so the core is
+    non-empty at every sf while the background's survival is genuinely
+    data-dependent (sf0.01: 264 of 512 nodes survive after 3 peel
+    rounds).  The k-core is the UNIQUE greatest fixpoint of the peel
+    round, so the DuckDB twin — the same round unrolled 8× — is exact
+    by theorem once both sides reach fixpoint (the engine raises if it
+    doesn't; 8 ≥ the probed 3-round convergence with margin)."""
+    _prep(spark)
+    from engine.graph import kcore
+    bg = _t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 512 AS src",
+        "((c_custkey * 40503 + 7) DIV 512) % 512 AS dst")
+    a = spark.range(10).select(F.col("id").alias("src"))
+    cl = (a.crossJoin(spark.range(10).select(F.col("id").alias("dst")))
+          .filter("src < dst"))
+    return kcore(bg.unionByName(cl), k=4, max_rounds=8)
+
+
 def q_hotspot_gi(spark, sf):
     """C-family (r4 cont.) — Getis-Ord Gi* hot spots
     (engine/geo/raster.py::gi_star_scaled) over the same sparse
@@ -4036,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval": q_join_interval,
         "hotspot_gi": q_hotspot_gi,
         "graph_components": q_graph_components,
+        "graph_kcore": q_graph_kcore,
         "traj_resample": q_traj_resample,
         "anomaly_mad": q_anomaly_mad,
         "stream_mv": q_stream_mv,
@@ -4188,6 +4211,40 @@ def _seg_twin_sql() -> str:
             "SELECT a.seg_id AS a_id, b.seg_id AS b_id "
             "FROM segs a JOIN segs b ON a.seg_id < b.seg_id "
             f"AND ({seg_intersect_sql('a', 'b')})")
+
+
+def _kcore_twin_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled k-core peel for DuckDB: the same monotone round
+    function the engine iterates (engine/graph.py::kcore), repeated a
+    fixed `rounds` >= the fixture's probed convergence (engine asserts
+    its own fixpoint, so insufficient unrolling can only show up as a
+    loud mismatch, never a silent agreement on a wrong answer)."""
+    # AS MATERIALIZED is load-bearing: each round references the prior
+    # round 3x, so inlined CTEs re-expand (and re-open the parquet)
+    # exponentially in the round count.
+    parts = [
+        "WITH base AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 512 AS a, "
+        "((c_custkey * 40503 + 7) // 512) % 512 AS b FROM customer), "
+        "cl AS (SELECT a.range AS a, b.range AS b "
+        "FROM range(10) a, range(10) b WHERE a.range < b.range), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, "
+        "GREATEST(a, b) AS v FROM (SELECT a, b FROM base WHERE a <> b "
+        "UNION ALL SELECT a, b FROM cl))"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", k{r} AS MATERIALIZED (SELECT n FROM "
+            f"(SELECT u AS n FROM e{r-1} "
+            f"UNION ALL SELECT v AS n FROM e{r-1}) "
+            f"GROUP BY n HAVING COUNT(*) >= {k})"
+            f", e{r} AS MATERIALIZED (SELECT u, v FROM e{r-1} "
+            f"WHERE u IN (SELECT n FROM k{r}) "
+            f"AND v IN (SELECT n FROM k{r}))")
+    parts.append(
+        f" SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+        f"FROM (SELECT u AS n FROM e{rounds} "
+        f"UNION ALL SELECT v AS n FROM e{rounds}) GROUP BY n")
+    return "".join(parts)
 
 
 def _hilbert_twin_sql() -> str:
@@ -6167,6 +6224,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN a_num * a_num * (n - 1) > 4 * b_den THEN "
             "CASE WHEN a_num > 0 THEN 1 ELSE -1 END ELSE 0 END "
             "AS INTEGER) AS hot FROM o"),
+        # graph_kcore — the same peel round unrolled past the probed
+        # fixpoint (uniqueness of the k-core makes it exact).
+        "graph_kcore": _kcore_twin_sql(),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

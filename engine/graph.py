@@ -217,3 +217,68 @@ def sssp_py(edge_list, sources, max_hops: int = 8) -> dict:
                 nxt[v] = dist[u] + w
         dist = nxt
     return dist
+
+
+def kcore(edges: DataFrame, k: int = 3, src: str = "src",
+          dst: str = "dst", max_rounds: int = 32) -> DataFrame:
+    """k-core extraction -> (node, core_deg): the maximal subgraph in
+    which every node has degree >= k, plus each surviving node's degree
+    WITHIN that subgraph (r4 cont.).
+
+    The k-core is UNIQUE and peeling-order-independent (it is the
+    greatest fixpoint of "drop nodes with degree < k"), which is what
+    makes an exact relational twin possible: both engines run the same
+    monotone round function, and any round count >= the convergence
+    round yields the identical set.  The engine iterates to an ASSERTED
+    fixpoint (raises after `max_rounds`, never silently truncates);
+    the DuckDB twin unrolls a fixed round budget, so a fixture that
+    converged under the engine's assert is bit-identical by theorem.
+
+    Round body: degree = one map-side-combined agg over the skinny
+    (u, v) edge frame; keep = filter; edge restriction = two semi-joins
+    on the endpoint.  Keep sets shrink monotonically (e_{i+1} subset of
+    e_i => degrees nonincreasing), so an unchanged KEPT-NODE COUNT
+    proves an unchanged set — the O(1)-driver-byte convergence test.
+    Each round localCheckpoints the shrunken edge frame (the
+    dedup_clusters lineage pattern).  At scale: O(rounds) shuffles of
+    edge-sized skinny frames, no all-pairs anywhere; real-world graphs
+    peel in few rounds (degeneracy ordering), adversarial paths in
+    O(n/2) — bound it with max_rounds and pre-filter leaves if needed."""
+    e = _undirect(edges, src, dst).localCheckpoint(eager=False)
+    prev = -1
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("u").alias("n"))
+               .unionAll(e.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        n_keep = keep.count()
+        if n_keep == prev:
+            return (e.select(F.col("u").alias("node"))
+                    .unionAll(e.select(F.col("v").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count("*").cast("long").alias("core_deg")))
+        prev = n_keep
+        e = (e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
+             .join(keep.withColumnRenamed("n", "v"), "v", "semi")
+             .select("u", "v")
+             .localCheckpoint(eager=False))
+    raise RuntimeError(
+        f"kcore: no fixpoint within max_rounds={max_rounds}")
+
+
+def kcore_py(edge_list, k: int = 3) -> dict:
+    """Sequential reference: naive repeated peeling."""
+    adj: dict = {}
+    for u, v in edge_list:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}

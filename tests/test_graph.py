@@ -134,3 +134,63 @@ def test_sssp_converges_to_dijkstra(spark):
     got = {r["node"]: r["dist"]
            for r in sssp_int(df, sdf, max_hops=29).collect()}
     assert got == _dijkstra(edges, srcs)
+
+
+# --------------------------------------------------------------- k-core
+
+from engine.graph import kcore, kcore_py
+
+
+def _kcore_rows(spark, edges, k, parts=None, max_rounds=32):
+    got = kcore(_edf(spark, edges, parts), k=k, max_rounds=max_rounds)
+    return {(r["node"], r["core_deg"]) for r in got.collect()}
+
+
+def test_kcore_matches_reference_random(spark):
+    rng = random.Random(41)
+    for trial in range(3):
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(90)]
+        for k in (2, 3, 4):
+            want = set(kcore_py(edges, k=k).items())
+            assert _kcore_rows(spark, edges, k) == want, (trial, k)
+
+
+def test_kcore_clique_survives_pendant_trees_peel(spark):
+    # K5 (nodes 0-4) with a pendant path 4-10-11-12: the path peels
+    # away round by round, the clique stays intact with core_deg 4.
+    edges = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    edges += [(4, 10), (10, 11), (11, 12)]
+    got = _kcore_rows(spark, edges, k=3)
+    assert got == {(n, 4) for n in range(5)}
+
+
+def test_kcore_path_peels_to_empty(spark):
+    edges = [(i, i + 1) for i in range(12)]
+    assert _kcore_rows(spark, edges, k=2) == set()
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    edges = [(i, (i + 1) % 9) for i in range(9)]
+    assert _kcore_rows(spark, edges, k=2) == {(n, 2) for n in range(9)}
+
+
+def test_kcore_duplicate_reversed_selfloop_edges_collapse(spark):
+    tri = [(0, 1), (1, 2), (2, 0)]
+    noisy = tri + [(1, 0), (2, 1), (0, 0), (2, 2)] + tri
+    assert _kcore_rows(spark, noisy, k=2) == \
+        _kcore_rows(spark, tri, k=2) == {(0, 2), (1, 2), (2, 2)}
+
+
+def test_kcore_partitioning_invariance(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(70)]
+    assert _kcore_rows(spark, edges, 3, parts=1) == \
+        _kcore_rows(spark, edges, 3, parts=13)
+
+
+def test_kcore_max_rounds_raises_loudly(spark):
+    # a 12-path needs ~6 peel rounds at k=2; cap at 2 must raise, not
+    # silently emit a truncated "core"
+    edges = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        kcore(_edf(spark, edges), k=2, max_rounds=2).collect()
