@@ -3230,6 +3230,28 @@ def q_geo_area_centroid(spark, sf):
     return area_centroid(rings_df(PolygonLayer.from_json(), spark))
 
 
+def q_poly_triangulate(spark, sf):
+    """B-family (r4 cont.) — ear-clipping triangulation of the outer
+    rings (engine/geo/triangulate.py): deterministic lowest-position
+    ear scan over FLOOR-q6 integer coords, one Arrow batch per
+    partition, triangles exploded natively.  Driver surface = the
+    per-ring invariant pair the twin can recompute independently:
+    n_tris (= deduped vertex count − 2, checking the dedup semantics)
+    and Σ tri area2 (= |shoelace area2|, the measure-exactness of the
+    cover — overlaps or gaps red the key).  The per-triangle structure
+    is pytest-verified by the directed-edge-cancellation theorem."""
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    from engine.geo.triangulate import triangulate_rings
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    tri = triangulate_rings(rings)
+    return tri.groupBy("poly_id", "ring_id").agg(
+        F.count("*").cast("long").alias("n_tris"),
+        F.sum("area2").alias("tri_area2_sum"))
+
+
 def q_simplify_rings(spark, sf):
     """B-family (late r3): Douglas-Peucker ring simplification in exact
     integer domain — FLOOR-q6 quantization, arbitrary-precision cross^2
@@ -3945,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "resample_mixture": q_resample_mixture,
         "simplify_rings": q_simplify_rings,
+        "poly_triangulate": q_poly_triangulate,
         "raster_polygonize": q_raster_polygonize,
         "scan_parquet": q_scan_parquet,
         "gen_images": q_gen_images,
@@ -4341,6 +4364,40 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM((y3 + ny3) * (x3 * ny3 - nx3 * y3)) AS BIGINT) AS cy_num_q3, "
         "CAST(SUM(x3 * ny3 - nx3 * y3) AS BIGINT) AS area2_q3 "
         "FROM e GROUP BY 1, 2, 3")
+
+    # poly_triangulate: the same inlined outer-ring vertices; the twin
+    # recomputes the engine's two invariants independently — deduped
+    # vertex count − 2 (consecutive dups via lag, one cyclic closing
+    # dup via arg_min/arg_max) and |shoelace area2| (dup-invariant, so
+    # computed over the raw ring).
+    triangulate_sql = (
+        f"WITH v(poly_id, ring_id, kind, seq, lon, lat) AS "
+        f"(VALUES {ring_vals}), "
+        "q AS (SELECT poly_id, ring_id, seq, "
+        "CAST(floor(lon * 1000000.0) AS BIGINT) AS x, "
+        "CAST(floor(lat * 1000000.0) AS BIGINT) AS y "
+        "FROM v WHERE kind = 'outer'), "
+        "k AS (SELECT poly_id, ring_id, seq, x, y, "
+        "lag(x) OVER w AS px, lag(y) OVER w AS py "
+        "FROM q WINDOW w AS (PARTITION BY ring_id ORDER BY seq)), "
+        "kept AS (SELECT poly_id, ring_id, seq, x, y FROM k "
+        "WHERE px IS NULL OR x <> px OR y <> py), "
+        "cnt AS (SELECT poly_id, ring_id, COUNT(*) "
+        "- CASE WHEN COUNT(*) > 1 "
+        "AND arg_max(x, seq) = arg_min(x, seq) "
+        "AND arg_max(y, seq) = arg_min(y, seq) THEN 1 ELSE 0 END "
+        "AS n_dedup FROM kept GROUP BY 1, 2), "
+        "e AS (SELECT poly_id, ring_id, x, y, "
+        "coalesce(lead(x) OVER w, first_value(x) OVER w) AS nx, "
+        "coalesce(lead(y) OVER w, first_value(y) OVER w) AS ny FROM q "
+        "WINDOW w AS (PARTITION BY ring_id ORDER BY seq)), "
+        "ar AS (SELECT poly_id, ring_id, "
+        "ABS(SUM(x * ny - nx * y)) AS area2 FROM e GROUP BY 1, 2) "
+        "SELECT cnt.poly_id, cnt.ring_id, "
+        "CAST(cnt.n_dedup - 2 AS BIGINT) AS n_tris, "
+        "CAST(ar.area2 AS BIGINT) AS tri_area2_sum "
+        "FROM cnt JOIN ar ON cnt.ring_id = ar.ring_id "
+        "AND cnt.poly_id = ar.poly_id")
 
     # cell_compact: inline the level-8 covering rows (shared INPUT, as
     # with geo_area_centroid's vertices); the compaction itself —
@@ -5094,6 +5151,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) "
             "AS BIGINT) AS sum_q6 FROM x GROUP BY 1, 2"),
         "geo_area_centroid": shoelace_sql,
+        "poly_triangulate": triangulate_sql,
         "text_topterms": (
             "WITH t AS (SELECT doc_id, "
             "unnest(string_split_regex(lower(text), '[^a-z]+')) AS term "

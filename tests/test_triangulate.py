@@ -1,0 +1,148 @@
+"""Ear-clipping triangulation: the directed-edge-cancellation theorem
+(a set of n-2 CCW triangles is a triangulation of a simple ring IFF
+internal directed edges cancel pairwise and the residue is exactly the
+boundary cycle), area-sum exactness, degenerate handling, and
+distributed==sequential parity."""
+
+from __future__ import annotations
+
+import collections
+import math
+import random
+
+import pytest
+
+from engine.geo.triangulate import (_cross, _dedup_open_ring, _shoelace2,
+                                    earclip_py, triangulate_rings)
+
+
+def _assert_is_triangulation(pts, tris):
+    """pts: open deduped ring; tris: coordinate triples."""
+    n = len(pts)
+    assert len(tris) == n - 2
+    area = abs(_shoelace2(pts))
+    assert sum(_cross(a, b, c) for a, b, c in tris) == area
+    assert all(_cross(a, b, c) >= 0 for a, b, c in tris)
+    edges = collections.Counter()
+    for a, b, c in tris:
+        for u, v in ((a, b), (b, c), (c, a)):
+            if edges[(v, u)] > 0:
+                edges[(v, u)] -= 1
+            else:
+                edges[(u, v)] += 1
+    residue = {e for e, k in edges.items() if k}
+    ccw = pts if _shoelace2(pts) >= 0 else pts[::-1]
+    boundary = {(ccw[i], ccw[(i + 1) % n]) for i in range(n)}
+    assert residue == boundary
+
+
+def _star_polygon(rng, n, r=1000):
+    """Angle-sorted random points around a center: always simple."""
+    angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+    pts = []
+    for t in angs:
+        rad = rng.randrange(r // 4, r)
+        p = (round(rad * math.cos(t)), round(rad * math.sin(t)))
+        if not pts or pts[-1] != p:
+            pts.append(p)
+    return pts if len(pts) >= 3 and abs(_shoelace2(pts)) > 0 else None
+
+
+def test_square_splits_into_two_ccw_triangles():
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    tris = earclip_py(pts)
+    _assert_is_triangulation(pts, tris)
+    assert len(tris) == 2 and all(_cross(a, b, c) == 16 for a, b, c in tris)
+
+
+def test_cw_input_is_normalized():
+    pts = [(0, 0), (0, 4), (4, 4), (4, 0)]       # clockwise square
+    _assert_is_triangulation(pts[::-1], earclip_py(pts))
+
+
+def test_random_star_polygons():
+    rng = random.Random(4242)
+    done = 0
+    while done < 25:
+        pts = _star_polygon(rng, rng.randrange(5, 60))
+        if pts is None:
+            continue
+        _assert_is_triangulation(pts, earclip_py(pts))
+        done += 1
+
+
+def test_reflex_comb_polygon():
+    # a comb with deep reflex notches — the ear test must reject
+    # triangles containing the teeth
+    pts = [(0, 0), (10, 0), (10, 10), (8, 10), (8, 2), (6, 2), (6, 10),
+           (4, 10), (4, 2), (2, 2), (2, 10), (0, 10)]
+    _assert_is_triangulation(pts, earclip_py(pts))
+
+
+def test_collinear_chain_fallback_zero_area_ears():
+    # collinear run along the bottom edge: fallback clips emit
+    # zero-area triangles but n-2 and the area sum still hold
+    pts = [(0, 0), (2, 0), (4, 0), (6, 0), (6, 6), (0, 6)]
+    tris = earclip_py(pts)
+    _assert_is_triangulation(pts, tris)
+
+
+def test_nonsimple_bowtie_raises():
+    with pytest.raises(RuntimeError):
+        earclip_py([(0, 0), (4, 4), (4, 0), (0, 4)])
+
+
+def test_dedup_open_ring_handles_closed_and_runs():
+    assert _dedup_open_ring([0, 0, 4, 4, 0], [0, 0, 0, 4, 0]) == \
+        [(0, 0), (4, 0), (4, 4)]
+
+
+def test_spark_matches_sequential_and_partitioning(spark):
+    rng = random.Random(99)
+    rows, want = [], {}
+    made = 0
+    while made < 8:
+        pts = _star_polygon(rng, rng.randrange(6, 40))
+        if pts is None:
+            continue
+        rid = f"p{made}:0:outer"
+        verts = [(x / 1e6, y / 1e6) for x, y in pts]
+        # expected coords go through the SAME double floor(v*1e6) path
+        # the operator quantizes with (x/1e6*1e6 is not exact in binary)
+        qpts = _dedup_open_ring(
+            [math.floor(vx * 1e6) for vx, _ in verts],
+            [math.floor(vy * 1e6) for _, vy in verts])
+        try:
+            want[rid] = earclip_py(qpts)
+        except RuntimeError:
+            continue                 # quantization broke simplicity
+        rows.append((f"p{made}", rid, "outer", verts))
+        made += 1
+    from engine.geo.measure import RING_SCHEMA
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, schema=RING_SCHEMA) \
+            .repartition(parts)
+        got = collections.defaultdict(list)
+        for r in triangulate_rings(df).orderBy("ring_id", "tri_idx") \
+                .collect():
+            got[r.ring_id].append(((r.ax, r.ay), (r.bx, r.by),
+                                   (r.cx, r.cy)))
+        assert dict(got) == want, parts
+
+
+def test_fixture_outer_rings_all_triangulate(spark):
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    raw = {r.ring_id: r.verts for r in rings.collect()}
+    tri = triangulate_rings(rings)
+    per = collections.defaultdict(list)
+    for r in tri.orderBy("ring_id", "tri_idx").collect():
+        per[r.ring_id].append(((r.ax, r.ay), (r.bx, r.by), (r.cx, r.cy)))
+    assert set(per) == set(raw)
+    for rid, tris in per.items():
+        pts = _dedup_open_ring(
+            [math.floor(v.lon * 1e6) for v in raw[rid]],
+            [math.floor(v.lat * 1e6) for v in raw[rid]])
+        _assert_is_triangulation(pts, tris)
