@@ -2770,6 +2770,22 @@ def q_moran_i(spark, sf):
     return moran_scaled(pix)
 
 
+def q_raster_flowdir(spark, sf):
+    """D8 flow direction (r4 cont.,
+    engine/geo/raster.py::flow_dir_d8): steepest-descent direction per
+    occupied cell of the sparse 128×128 count raster, argmax'd on the
+    exact integer score drop²·(2/d²) with lowest-code tie-break; sinks
+    and flats emit dir = -1.  One 8-offset explode + one hash
+    equi-join + one map-side-combined min-struct argmax."""
+    _prep(spark)
+    from engine.geo.raster import flow_dir_d8
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return flow_dir_d8(pix)
+
+
 def q_geary_c(spark, sf):
     """Global Geary's C components (r4 cont.,
     engine/geo/raster.py::geary_scaled): rook-adjacency local-contrast
@@ -4028,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_assign": q_voronoi_assign,
         "moran_i": q_moran_i,
         "geary_c": q_geary_c,
+        "raster_flowdir": q_raster_flowdir,
         "bpe_tokenize": q_bpe_tokenize,
         "editdist_join": q_editdist_join,
         # r4-cont. adds — parked past position 50 (r5 window candidates,
@@ -6285,6 +6302,29 @@ def oracle_sql() -> dict[str, str]:
         # graph_kcore — the same peel round unrolled past the probed
         # fixpoint (uniqueness of the k-core makes it exact).
         "graph_kcore": _kcore_twin_sql(),
+        # raster_flowdir — independent formulation: neighbor join +
+        # row_number argmax over the identical integer score.
+        "raster_flowdir": (
+            "WITH pix AS MATERIALIZED (SELECT "
+            "(c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "d(dir, dx, dy, m) AS (VALUES (0, 1, 0, 2), (1, 1, 1, 1), "
+            "(2, 0, 1, 2), (3, -1, 1, 1), (4, -1, 0, 2), (5, -1, -1, 1), "
+            "(6, 0, -1, 2), (7, 1, -1, 1)), "
+            "sc AS (SELECT p.gx, p.gy, d.dir, "
+            "(p.w - n.w) * (p.w - n.w) * d.m AS score "
+            "FROM pix p CROSS JOIN d JOIN pix n "
+            "ON n.gx = p.gx + d.dx AND n.gy = p.gy + d.dy "
+            "WHERE p.w > n.w), "
+            "b AS (SELECT gx, gy, dir, score, row_number() OVER "
+            "(PARTITION BY gx, gy ORDER BY score DESC, dir ASC) AS rn "
+            "FROM sc) "
+            "SELECT p.gx, p.gy, "
+            "CAST(coalesce(b.dir, -1) AS INTEGER) AS dir, "
+            "CAST(coalesce(b.score, 0) AS BIGINT) AS score "
+            "FROM pix p LEFT JOIN (SELECT * FROM b WHERE rn = 1) b "
+            "ON b.gx = p.gx AND b.gy = p.gy"),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

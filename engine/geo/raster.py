@@ -528,6 +528,60 @@ def gi_star_scaled(pixels: DataFrame, x: str = "gx", y: str = "gy",
         .drop("_n"))
 
 
+def flow_dir_d8(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                w: str = "w") -> DataFrame:
+    """D8 steepest-descent flow direction per occupied cell, exact
+    integer domain (r4 cont.) — the hydrology-class raster operator
+    (ESRI flow-direction family) over the sparse-raster convention of
+    moran/gi*/proximity (absent cells are "no observation": only
+    occupied 8-neighbors compete; a cell with no positive drop gets
+    dir = -1, the sink/flat marker).
+
+    Direction codes 0..7 CCW from east (0=E, 1=NE, 2=N, 3=NW, 4=W,
+    5=SW, 6=S, 7=SE).  D8 picks argmax drop/distance with distance 1
+    (cardinal) or √2 (diagonal); for positive drops that ordering is
+    EXACTLY the ordering of score = drop² · (2/d²) ∈ int64 — 2·drop²
+    cardinal, drop² diagonal — so the argmax is float-free.  Ties break
+    to the LOWEST direction code (documented, mirrorable).  Emits
+    (gx, gy, dir, score).
+
+    Scale shape: one 8-offset explode + ONE hash equi-join on cell
+    coords (the gi_star focal shape), one map-side-combined argmax agg
+    via the min-struct idiom.  Cell table bounded by the grid."""
+    dirs = [(0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+            (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)]
+    off = F.array(*[
+        F.struct(F.lit(d).alias("d"), F.lit(dx).alias("dx"),
+                 F.lit(dy).alias("dy"),
+                 F.lit(2 if dx == 0 or dy == 0 else 1).alias("m"))
+        for d, dx, dy in dirs])
+    base = pixels.select(F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"),
+                         F.col(w).cast("long").alias("cw"))
+    cand = (base.select("cx", "cy", "cw", F.explode(off).alias("o"))
+            .select("cx", "cy", "cw", F.col("o.d").alias("d"),
+                    (F.col("cx") + F.col("o.dx")).alias("nx"),
+                    (F.col("cy") + F.col("o.dy")).alias("ny"),
+                    F.col("o.m").alias("m")))
+    nbr = base.select(F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+                      F.col("cw").alias("nw"))
+    scored = (cand.join(nbr, ["nx", "ny"])
+              .filter(F.col("cw") > F.col("nw"))
+              .select("cx", "cy", F.col("d"),
+                      ((F.col("cw") - F.col("nw"))
+                       * (F.col("cw") - F.col("nw"))
+                       * F.col("m")).alias("score")))
+    best = (scored.groupBy("cx", "cy")
+            .agg(F.min(F.struct((F.lit(0) - F.col("score")).alias("ns"),
+                                F.col("d").alias("d"))).alias("b"))
+            .select("cx", "cy", F.col("b.d").alias("dir"),
+                    (F.lit(0) - F.col("b.ns")).alias("score")))
+    return (base.join(best, ["cx", "cy"], "left")
+            .select(F.col("cx").alias(x), F.col("cy").alias(y),
+                    F.coalesce("dir", F.lit(-1)).cast("int").alias("dir"),
+                    F.coalesce("score", F.lit(0)).alias("score")))
+
+
 def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
                      radius: int = 4) -> DataFrame:
     """C-family (r4 cont.) — bounded-radius proximity: for every

@@ -256,3 +256,66 @@ def test_raster_proximity_brute(spark):
               and abs(x - a) <= R and abs(y - b) <= R]
         want[(x, y)] = min(ds) if ds else 2 * R + 1
     assert got == want
+
+
+# ------------------------------------------------------------ D8 flow dir
+
+from engine.geo.raster import flow_dir_d8
+
+_D8 = [(0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+       (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)]
+
+
+def _flowdir_brute(cells):
+    out = {}
+    for (x, y), w in cells.items():
+        best = (-1, 0)
+        for d, dx, dy in _D8:
+            nb = cells.get((x + dx, y + dy))
+            if nb is None or nb >= w:
+                continue
+            m = 2 if dx == 0 or dy == 0 else 1
+            score = (w - nb) ** 2 * m
+            if best[0] == -1 or score > best[1] \
+                    or (score == best[1] and d < best[0]):
+                best = (d, score)
+        out[(x, y)] = best
+    return out
+
+
+def test_flowdir_matches_brute(spark):
+    import random
+    rng = random.Random(31)
+    cells = {(rng.randrange(15), rng.randrange(15)): rng.randrange(1, 30)
+             for _ in range(120)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    got = {(r.gx, r.gy): (r.dir, r.score) for r in flow_dir_d8(df).collect()}
+    assert got == _flowdir_brute(cells)
+
+
+def test_flowdir_theorems(spark):
+    # a strict pyramid: the peak flows to a cardinal neighbor only when
+    # diagonals are relatively steeper is false here — every interior
+    # cell flows downhill, the 4 lowest corner cells are local sinks
+    cells = {(x, y): 20 - max(abs(x - 2), abs(y - 2))
+             for x in range(5) for y in range(5)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    rows = {(r.gx, r.gy): (r.dir, r.score) for r in flow_dir_d8(df).collect()}
+    ref = _flowdir_brute(cells)
+    assert rows == ref
+    # peak: all 8 neighbors drop by 1 -> cardinal wins on distance
+    # (score 2 vs 1), tie among cardinals breaks to the lowest code 0=E
+    assert rows[(2, 2)] == (0, 2)
+    # corners are the minima of their neighborhoods -> sinks
+    for c in ((0, 0), (4, 0), (0, 4), (4, 4)):
+        assert rows[c][0] == -1 and rows[c][1] == 0
+
+
+def test_flowdir_uniform_field_is_all_sinks(spark):
+    df = spark.createDataFrame(
+        [(x, y, 5) for x in range(4) for y in range(4)],
+        "gx long, gy long, w long")
+    rows = flow_dir_d8(df).collect()
+    assert all(r.dir == -1 and r.score == 0 for r in rows)
