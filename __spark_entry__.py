@@ -457,6 +457,28 @@ def q_traj_stats(spark, sf):
     return traj_stats(ev)
 
 
+def q_traj_hausdorff(spark, sf):
+    """D-family (r4 cont.) — discrete Hausdorff track similarity
+    (engine/geo/traj.py::hausdorff_pairs): exact squared-integer
+    max-of-min distances between all pairs of the 40 lowest-user_id
+    tracks (the bounded-candidate contract; positions derived directly
+    in the integer 2^20 grid from event_id, no float quantization).
+    Hausdorff is pure max-of-min — fully relational — so the twin is an
+    exact independent SQL recomputation, not a golden pin (DTW/Frechet,
+    the DP family, would need one)."""
+    _prep(spark)
+    from engine.geo.traj import hausdorff_pairs
+    pts = _t(spark, sf, "events").filter("user_id < 40").selectExpr(
+        "user_id AS key", "event_id AS pid",
+        "(event_id * 2654435761) % 1048576 AS xi",
+        "(event_id * 40503 + 7) % 1048576 AS yi")
+    keys = pts.select(F.col("key").alias("key_a")).distinct()
+    pairs = keys.join(
+        keys.select(F.col("key_a").alias("key_b")),
+        F.col("key_a") < F.col("key_b"))
+    return hausdorff_pairs(pts, pairs)
+
+
 def q_traj_polyline(spark, sf):
     """D22 (r4 cont.) — encoded-polyline trajectory serialization
     (engine/geo/polyline.py): each user's time-ordered GPS trace
@@ -4058,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_wap": q_snapshot_wap,
         "img_histogram": q_img_histogram,
         "traj_polyline": q_traj_polyline,
+        "traj_hausdorff": q_traj_hausdorff,
         "skyline": q_skyline,
         "funnel": q_funnel,
         "img_sobel": q_img_sobel,
@@ -5891,6 +5914,33 @@ def oracle_sql() -> dict[str, str]:
         # list_transform over range(n_chunks) -> ordered string_agg.
         # All-integer (coords derived in e5 ints from event_id), so the
         # strings must match byte for byte.
+        # traj_hausdorff — independent max-of-min recomputation over
+        # the same bounded pair set (MATERIALIZED: the pair-point
+        # frame is referenced by both directed reductions).
+        "traj_hausdorff": (
+            "WITH p AS MATERIALIZED (SELECT user_id AS key, "
+            "event_id AS pid, "
+            "(event_id * 2654435761) % 1048576 AS xi, "
+            "(event_id * 40503 + 7) % 1048576 AS yi "
+            "FROM events WHERE user_id < 40), "
+            "ks AS (SELECT DISTINCT key FROM p), "
+            "pr AS (SELECT a.key AS key_a, b.key AS key_b "
+            "FROM ks a JOIN ks b ON a.key < b.key), "
+            "d2 AS MATERIALIZED (SELECT pr.key_a, pr.key_b, "
+            "a.pid AS aid, b.pid AS bid, "
+            "(a.xi - b.xi) * (a.xi - b.xi) "
+            "+ (a.yi - b.yi) * (a.yi - b.yi) AS d2 "
+            "FROM pr JOIN p a ON a.key = pr.key_a "
+            "JOIN p b ON b.key = pr.key_b), "
+            "ab AS (SELECT key_a, key_b, "
+            "CAST(MAX(m) AS BIGINT) AS h2_ab FROM (SELECT key_a, key_b, "
+            "aid, MIN(d2) AS m FROM d2 GROUP BY 1, 2, 3) GROUP BY 1, 2), "
+            "ba AS (SELECT key_a, key_b, "
+            "CAST(MAX(m) AS BIGINT) AS h2_ba FROM (SELECT key_a, key_b, "
+            "bid, MIN(d2) AS m FROM d2 GROUP BY 1, 2, 3) GROUP BY 1, 2) "
+            "SELECT ab.key_a, ab.key_b, ab.h2_ab, ba.h2_ba, "
+            "GREATEST(ab.h2_ab, ba.h2_ba) AS h2 FROM ab "
+            "JOIN ba ON ab.key_a = ba.key_a AND ab.key_b = ba.key_b"),
         "traj_polyline": (
             "WITH pts AS (SELECT user_id, ts, event_id, "
             "(event_id * 40503 + 7) % 17000000 - 8500000 AS lat, "

@@ -251,3 +251,49 @@ def traj_resample(df: DataFrame, key_col: str = "user_id",
                     F.col("t").alias("tick_us"),
                     lerp("_x0", "_x1").alias("x"),
                     lerp("_y0", "_y1").alias("y")))
+
+
+def hausdorff_pairs(points: DataFrame, pairs: DataFrame,
+                    key: str = "key", pid: str = "pid",
+                    x: str = "xi", y: str = "yi") -> DataFrame:
+    """Discrete Hausdorff distance between track pairs, exact squared-
+    integer domain (r4 cont.) -> (key_a, key_b, h2_ab, h2_ba, h2).
+
+    h2_ab = max_{a in A} min_{b in B} d2(a, b)  (directed, squared),
+    h2    = max(h2_ab, h2_ba)                   (symmetric).
+
+    Unlike the DP similarity family (DTW/Frechet), Hausdorff is pure
+    max-of-min — fully relational, so the DuckDB twin is an exact
+    independent recomputation rather than a golden pin.
+
+    Contract: `pairs` is the BOUNDED candidate set (the join_dwithin /
+    knn blocking stages produce exactly such sets); the operator is
+    deliberately brute-force PER PAIR (|A|x|B| rows for a pair), the
+    correct shape once candidates are bounded — never all-pairs over
+    the corpus.  Plan: two hash equi-joins fan points onto pairs, the
+    d2 frame is localCheckpointed ONCE and feeds both directed
+    reductions (groupBy min then max, map-side combined), one final
+    pair-key join.  All shuffles carry skinny integer rows."""
+    pa = points.select(F.col(key).alias("key_a"),
+                       F.col(pid).alias("aid"),
+                       F.col(x).cast("long").alias("ax"),
+                       F.col(y).cast("long").alias("ay"))
+    pb = points.select(F.col(key).alias("key_b"),
+                       F.col(pid).alias("bid"),
+                       F.col(x).cast("long").alias("bx"),
+                       F.col(y).cast("long").alias("by"))
+    d2 = (pairs.join(pa, "key_a").join(pb, "key_b")
+          .select("key_a", "key_b", "aid", "bid",
+                  ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                   + (F.col("ay") - F.col("by"))
+                   * (F.col("ay") - F.col("by"))).alias("d2"))
+          .localCheckpoint(eager=False))
+    ab = (d2.groupBy("key_a", "key_b", "aid")
+          .agg(F.min("d2").alias("m"))
+          .groupBy("key_a", "key_b").agg(F.max("m").alias("h2_ab")))
+    ba = (d2.groupBy("key_a", "key_b", "bid")
+          .agg(F.min("d2").alias("m"))
+          .groupBy("key_a", "key_b").agg(F.max("m").alias("h2_ba")))
+    return (ab.join(ba, ["key_a", "key_b"])
+            .select("key_a", "key_b", "h2_ab", "h2_ba",
+                    F.greatest("h2_ab", "h2_ba").alias("h2")))

@@ -249,3 +249,49 @@ def test_resample_brute(spark):
     # endpoints: coincident grid tick reproduces the exact point
     assert got[(3, 4_000_000)] == (50, 60)
     assert got[(3, 12_000_000)] == (90, 20)
+
+
+# ---------------------------------------------------------- Hausdorff
+
+from engine.geo.traj import hausdorff_pairs
+
+
+def _haus_brute(a, b):
+    h_ab = max(min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in b)
+               for ax, ay in a)
+    h_ba = max(min((ax - bx) ** 2 + (ay - by) ** 2 for ax, ay in a)
+               for bx, by in b)
+    return h_ab, h_ba, max(h_ab, h_ba)
+
+
+def _run_haus(spark, tracks, pairs):
+    rows = [(k, i, x, y) for k, pts in tracks.items()
+            for i, (x, y) in enumerate(pts)]
+    p = spark.createDataFrame(rows, "key long, pid long, xi long, yi long")
+    pr = spark.createDataFrame(pairs, "key_a long, key_b long")
+    return {(r.key_a, r.key_b): (r.h2_ab, r.h2_ba, r.h2)
+            for r in hausdorff_pairs(p, pr).collect()}
+
+
+def test_hausdorff_matches_brute(spark):
+    import random
+    rng = random.Random(77)
+    tracks = {k: [(rng.randrange(100), rng.randrange(100))
+                  for _ in range(rng.randrange(3, 25))] for k in range(6)}
+    pairs = [(a, b) for a in range(6) for b in range(6) if a < b]
+    got = _run_haus(spark, tracks, pairs)
+    for a, b in pairs:
+        assert got[(a, b)] == _haus_brute(tracks[a], tracks[b]), (a, b)
+
+
+def test_hausdorff_theorems(spark):
+    # identity: h(A, A) = 0; containment: A subset of B => h_ab = 0
+    # while h_ba measures the extra points; translation changes h by
+    # the exact squared offset when tracks are single points
+    a = [(0, 0), (10, 0), (10, 10)]
+    b = a + [(50, 50)]
+    got = _run_haus(spark, {0: a, 1: b, 2: [(3, 4)], 3: [(0, 0)]},
+                    [(0, 0), (0, 1), (2, 3)])
+    assert got[(0, 0)] == (0, 0, 0)
+    assert got[(0, 1)] == (0, (50 - 10) ** 2 + (50 - 10) ** 2, 3200)
+    assert got[(2, 3)] == (25, 25, 25)
