@@ -2808,6 +2808,24 @@ def q_raster_flowdir(spark, sf):
     return flow_dir_d8(pix)
 
 
+def q_raster_flowacc(spark, sf):
+    """D8 flow accumulation (r4 cont.,
+    engine/geo/raster.py::flow_accumulation): per-cell count of
+    upstream cells draining through it, over the same 128×128 count
+    raster as raster_flowdir.  Paths strictly descend in w, so
+    acyclicity and a max-path-length ≤ max(w) hop bound are theorems —
+    the engine walks all origins simultaneously (one skinny equi-join
+    per hop, asserted to drain), the twin is the same walk as a true
+    recursive CTE."""
+    _prep(spark)
+    from engine.geo.raster import flow_accumulation
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return flow_accumulation(pix)
+
+
 def q_geary_c(spark, sf):
     """Global Geary's C components (r4 cont.,
     engine/geo/raster.py::geary_scaled): rook-adjacency local-contrast
@@ -4067,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "geary_c": q_geary_c,
         "raster_flowdir": q_raster_flowdir,
+        "raster_flowacc": q_raster_flowacc,
         "bpe_tokenize": q_bpe_tokenize,
         "editdist_join": q_editdist_join,
         # r4-cont. adds — parked past position 50 (r5 window candidates,
@@ -5914,6 +5933,36 @@ def oracle_sql() -> dict[str, str]:
         # list_transform over range(n_chunks) -> ordered string_agg.
         # All-integer (coords derived in e5 ints from event_id), so the
         # strings must match byte for byte.
+        # raster_flowacc — the same D8 edge set, then a genuinely
+        # recursive walk (licensed by the strict-descent acyclicity
+        # theorem); acc = count of (origin, at) pairs per cell.
+        "raster_flowacc": (
+            "WITH RECURSIVE pix AS MATERIALIZED (SELECT "
+            "(c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "d(dir, dx, dy, m) AS (VALUES (0, 1, 0, 2), (1, 1, 1, 1), "
+            "(2, 0, 1, 2), (3, -1, 1, 1), (4, -1, 0, 2), (5, -1, -1, 1), "
+            "(6, 0, -1, 2), (7, 1, -1, 1)), "
+            "sc AS (SELECT p.gx, p.gy, d.dir, "
+            "(p.w - n.w) * (p.w - n.w) * d.m AS score "
+            "FROM pix p CROSS JOIN d JOIN pix n "
+            "ON n.gx = p.gx + d.dx AND n.gy = p.gy + d.dy "
+            "WHERE p.w > n.w), "
+            "b AS MATERIALIZED (SELECT gx, gy, dir FROM "
+            "(SELECT gx, gy, dir, row_number() OVER "
+            "(PARTITION BY gx, gy ORDER BY score DESC, dir ASC) AS rn "
+            "FROM sc) WHERE rn = 1), "
+            "e AS MATERIALIZED (SELECT b.gx, b.gy, "
+            "b.gx + d.dx AS tx, b.gy + d.dy AS ty "
+            "FROM b JOIN d ON d.dir = b.dir), "
+            "walk(ox, oy, ax, ay) AS ("
+            "SELECT gx, gy, gx, gy FROM pix "
+            "UNION ALL "
+            "SELECT w.ox, w.oy, e.tx, e.ty FROM walk w "
+            "JOIN e ON e.gx = w.ax AND e.gy = w.ay) "
+            "SELECT ax AS gx, ay AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS acc FROM walk GROUP BY 1, 2"),
         # traj_hausdorff — independent max-of-min recomputation over
         # the same bounded pair set (MATERIALIZED: the pair-point
         # frame is referenced by both directed reductions).

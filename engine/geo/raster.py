@@ -582,6 +582,58 @@ def flow_dir_d8(pixels: DataFrame, x: str = "gx", y: str = "gy",
                     F.coalesce("score", F.lit(0)).alias("score")))
 
 
+def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                      w: str = "w", max_rounds: int = 64) -> DataFrame:
+    """D8 flow accumulation per occupied cell (r4 cont.) — the classic
+    companion of `flow_dir_d8`: acc(c) = number of cells (including c
+    itself) whose D8 flow path passes through c.
+
+    Termination is a THEOREM, not a hope: every D8 step goes strictly
+    downhill in w, so the flow graph is acyclic and path length is
+    bounded by the number of distinct descending w values — on count
+    rasters that is max(w) hops.  The engine walks every origin's path
+    simultaneously (frontier = (origin, at) pairs, one hash equi-join
+    per hop, sinks drop out) and asserts the frontier empties within
+    `max_rounds` (raises loudly otherwise); the DuckDB twin is the same
+    walk as a genuinely recursive CTE — the acyclicity theorem is what
+    licenses unbounded recursion there.
+
+    Scale shape: per round one skinny equi-join on cell coords; total
+    shuffled rows O(n · max path length).  On DEM-like inputs path
+    length is the pour-path length; pre-break long paths by basin
+    partitioning if a real DEM needs it (documented, not silently
+    done)."""
+    flow = flow_dir_d8(pixels, x, y, w)
+    dirs = {0: (1, 0), 1: (1, 1), 2: (0, 1), 3: (-1, 1),
+            4: (-1, 0), 5: (-1, -1), 6: (0, -1), 7: (1, -1)}
+    dx = F.element_at(F.array(*[F.lit(dirs[d][0]) for d in range(8)]),
+                      F.col("dir") + 1)
+    dy = F.element_at(F.array(*[F.lit(dirs[d][1]) for d in range(8)]),
+                      F.col("dir") + 1)
+    edges = (flow.filter(F.col("dir") >= 0)
+             .select(F.col(x).alias("fx"), F.col(y).alias("fy"),
+                     (F.col(x) + dx).alias("tx"),
+                     (F.col(y) + dy).alias("ty"))
+             .localCheckpoint(eager=False))
+    frontier = pixels.select(F.col(x).alias("ox"), F.col(y).alias("oy"),
+                             F.col(x).alias("ax"), F.col(y).alias("ay"))
+    visits = frontier
+    for _ in range(max_rounds):
+        frontier = (frontier
+                    .join(edges, (F.col("ax") == F.col("fx"))
+                          & (F.col("ay") == F.col("fy")))
+                    .select("ox", "oy", F.col("tx").alias("ax"),
+                            F.col("ty").alias("ay"))
+                    .localCheckpoint(eager=False))
+        if frontier.rdd.isEmpty():
+            return (visits.groupBy(F.col("ax").alias(x),
+                                   F.col("ay").alias(y))
+                    .agg(F.count("*").cast("long").alias("acc")))
+        visits = visits.unionByName(frontier).localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"flow_accumulation: path longer than max_rounds={max_rounds}")
+
+
 def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
                      radius: int = 4) -> DataFrame:
     """C-family (r4 cont.) — bounded-radius proximity: for every

@@ -319,3 +319,55 @@ def test_flowdir_uniform_field_is_all_sinks(spark):
         "gx long, gy long, w long")
     rows = flow_dir_d8(df).collect()
     assert all(r.dir == -1 and r.score == 0 for r in rows)
+
+
+# ------------------------------------------------------- flow accumulation
+
+from engine.geo.raster import flow_accumulation
+
+
+def _flowacc_brute(cells):
+    fd = _flowdir_brute(cells)
+    acc = {k: 0 for k in cells}
+    for start in cells:
+        cur = start
+        while True:
+            acc[cur] += 1
+            d = fd[cur][0]
+            if d == -1:
+                break
+            dx, dy = _D8[d][1], _D8[d][2]
+            cur = (cur[0] + dx, cur[1] + dy)
+    return acc
+
+
+def test_flowacc_matches_brute(spark):
+    import random
+    rng = random.Random(13)
+    cells = {(rng.randrange(12), rng.randrange(12)): rng.randrange(1, 20)
+             for _ in range(90)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.acc for r in flow_accumulation(df).collect()}
+    assert got == _flowacc_brute(cells)
+
+
+def test_flowacc_conservation_and_sink_drainage(spark):
+    # a monotone staircase drains everything into the single minimum:
+    # the sink's acc equals n, every cell has acc >= 1, and the sum of
+    # accs equals the total number of (origin, cell-on-path) pairs
+    cells = {(x, 0): x + 1 for x in range(8)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.acc for r in flow_accumulation(df).collect()}
+    assert got[(0, 0)] == 8                       # the global sink
+    assert got == {(x, 0): 8 - x for x in range(8)}
+
+
+def test_flowacc_max_rounds_raises_loudly(spark):
+    import pytest as _pytest
+    cells = {(x, 0): x + 1 for x in range(8)}     # 7-hop path
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        flow_accumulation(df, max_rounds=3)
