@@ -3308,6 +3308,27 @@ def q_poly_triangulate(spark, sf):
         F.sum("area2").alias("tri_area2_sum"))
 
 
+def q_poly_sample(spark, sf):
+    """B-family (r4 cont.) — area-weighted point sampling inside
+    polygons (engine/geo/triangulate.py::sample_polygons): 8 points per
+    outer ring by the stratified midpoint rule over triangle prefix
+    areas, positions emitted as EXACT rational numerators (px_num/q) so
+    in-polygon containment is a theorem, not a rounding hope.  Pure
+    function of (layer, k, seed) — sf-independent like the other
+    polygon-layer keys.  Oracle = golden pin (the triangulation is not
+    SQL-expressible); independent verification is
+    tests/test_triangulate.py: exact scaled-integer PIP containment of
+    every sample, the |count − k·A_i/T| < 1 stratification theorem,
+    and partitioning invariance."""
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    from engine.geo.triangulate import sample_polygons
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    return sample_polygons(rings, k=8)
+
+
 def q_simplify_rings(spark, sf):
     """B-family (late r3): Douglas-Peucker ring simplification in exact
     integer domain — FLOOR-q6 quantization, arbitrary-precision cross^2
@@ -4024,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "simplify_rings": q_simplify_rings,
         "poly_triangulate": q_poly_triangulate,
+        "poly_sample": q_poly_sample,
         "raster_polygonize": q_raster_polygonize,
         "scan_parquet": q_scan_parquet,
         "gen_images": q_gen_images,
@@ -5083,7 +5105,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_augment", "simplify_rings", "tile_vector_encode",
                      "tile_vector_encode_mvt", "img_patches",
                      "img_moments", "bpe_tokenize", "img_histogram",
-                     "img_sobel", "img_palette")},
+                     "img_sobel", "img_palette", "poly_sample")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -146,3 +146,76 @@ def test_fixture_outer_rings_all_triangulate(spark):
             [math.floor(v.lon * 1e6) for v in raw[rid]],
             [math.floor(v.lat * 1e6) for v in raw[rid]])
         _assert_is_triangulation(pts, tris)
+
+
+# --------------------------------------------------------------- sampling
+
+from engine.geo.triangulate import sample_polygons
+
+
+def _pip_scaled(px_num, py_num, q, pts):
+    """Exact PIP of the rational point (px_num/q, py_num/q) against the
+    integer ring: scale the ring by q and ray-cast in exact ints.
+    Boundary counts as inside (samples may land on chord edges)."""
+    n = len(pts)
+    sp = [(x * q, y * q) for x, y in pts]
+    inside = False
+    for i in range(n):
+        (x1, y1), (x2, y2) = sp[i], sp[(i + 1) % n]
+        # on-segment check, exact
+        if (x2 - x1) * (py_num - y1) == (y2 - y1) * (px_num - x1):
+            if min(x1, x2) <= px_num <= max(x1, x2) \
+                    and min(y1, y2) <= py_num <= max(y1, y2):
+                return True
+        if (y1 > py_num) != (y2 > py_num):
+            # px < x1 + (py-y1)(x2-x1)/(y2-y1), exact cross-multiplied
+            lhs = (px_num - x1) * (y2 - y1)
+            rhs = (py_num - y1) * (x2 - x1)
+            if (lhs < rhs) if (y2 > y1) else (lhs > rhs):
+                inside = not inside
+    return inside
+
+
+def test_samples_inside_polygon_and_stratified(spark):
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    raw = {r.ring_id: r.verts for r in rings.collect()}
+    k = 8
+    out = sample_polygons(rings, k=k).collect()
+    assert len(out) == k * len(raw)
+    per_tri = collections.Counter()
+    for r in out:
+        pts = _dedup_open_ring(
+            [math.floor(v.lon * 1e6) for v in raw[r.ring_id]],
+            [math.floor(v.lat * 1e6) for v in raw[r.ring_id]])
+        assert _pip_scaled(r.px_num, r.py_num, r.q, pts), \
+            (r.ring_id, r.j)
+        per_tri[(r.ring_id, r.tri_idx)] += 1
+    # stratification theorem: each triangle receives within 1 of its
+    # proportional share
+    for rid, verts in raw.items():
+        pts = _dedup_open_ring([math.floor(v.lon * 1e6) for v in verts],
+                               [math.floor(v.lat * 1e6) for v in verts])
+        tris = earclip_py(pts)
+        total = sum(_cross(a, b, c) for a, b, c in tris)
+        for i, (a, b, c) in enumerate(tris):
+            share = k * _cross(a, b, c) / total
+            assert abs(per_tri[(rid, i)] - share) < 1, (rid, i)
+
+
+def test_sampling_partitioning_and_seed(spark):
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    a = sorted(map(tuple, sample_polygons(rings, k=4).collect()))
+    b = sorted(map(tuple,
+                   sample_polygons(rings.repartition(5), k=4).collect()))
+    c = sorted(map(tuple,
+                   sample_polygons(rings, k=4, seed=2).collect()))
+    assert a == b
+    assert a != c                     # the seed actually moves points
+    # same slots/triangles either way (the seed only moves barycentrics)
+    assert [r[:4] for r in a] == [r[:4] for r in c]

@@ -25,7 +25,7 @@ sys.path.insert(0, ROOT)
 
 GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                "media_features", "media_resize", "media_frames",
-               "img_augment", "simplify_rings",
+               "img_augment", "simplify_rings", "poly_sample",
                # tile_raster is the one table-fed golden: it is pinned at
                # the driver's fixed correctness scale (sf0.01 per the
                # driver contract).  Its r2 trig-SQL twin recomputed the
