@@ -1075,6 +1075,29 @@ def q_geo_nearest_poly(spark, sf):
                            level=8, radius=2)
 
 
+def q_eval_auc(spark, sf):
+    """M-family (r4 cont.) — exact ROC-AUC components
+    (engine/ml/evals.py::auc_components): rank-sum (Mann-Whitney)
+    AUC with average-rank tie correction over a derived binary label
+    + integer score, emitted as the exact BIGINT tuple (n_pos, n_neg,
+    auc_num2) with AUC = auc_num2/(2*n_pos*n_neg) — float-free on the
+    wire (the moran_i convention).  Scale shape: one map-side-combined
+    groupBy(score) over the base table, rank window over the
+    aggregated <=1250-row distinct-score relation, final single-row
+    agg — never a global raw-row sort, never a pos x neg pair join.
+    The twin is the same tie-corrected rank algebra in ANSI SQL; the
+    pytest oracle is brute pairwise 2*wins + ties."""
+    _prep(spark)
+    from engine.ml.evals import auc_components
+    scored = _t(spark, sf, "customer").selectExpr(
+        "CASE WHEN (c_custkey * 2654435761) % 100 < 40 THEN 1 ELSE 0 "
+        "END AS y",
+        "(c_custkey * 40503 + 11) % 1000 + "
+        "(CASE WHEN (c_custkey * 2654435761) % 100 < 40 THEN 250 "
+        "ELSE 0 END) AS score")
+    return auc_components(scored, label="y", score="score")
+
+
 def q_poly_dissolve(spark, sf):
     """C-family (r4 cont.) — polygon dissolve in the covering-cell
     domain: polygons grouped by a deterministic attribute class, their
@@ -4171,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_rollback": q_snapshot_rollback,
         "poly_dissolve": q_poly_dissolve,
         "geo_nearest_poly": q_geo_nearest_poly,
+        "eval_auc": q_eval_auc,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6317,6 +6341,24 @@ def oracle_sql() -> dict[str, str]:
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         "poly_dissolve": dissolve_sql,
         "geo_nearest_poly": nearest_poly_sql,
+        # eval_auc — the identical tie-corrected rank-sum algebra in
+        # ANSI SQL (integer end to end; the window runs over the
+        # aggregated distinct-score relation exactly as the engine's).
+        "eval_auc": (
+            "WITH l AS (SELECT CASE WHEN (c_custkey * 2654435761) % 100 "
+            "< 40 THEN 1 ELSE 0 END AS y, "
+            "(c_custkey * 40503 + 11) % 1000 + "
+            "(CASE WHEN (c_custkey * 2654435761) % 100 < 40 THEN 250 "
+            "ELSE 0 END) AS score FROM customer), "
+            "g AS (SELECT score, COUNT(*) AS g, SUM(y) AS gp FROM l "
+            "GROUP BY 1), "
+            "c AS (SELECT g, gp, COALESCE(SUM(g) OVER (ORDER BY score "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb "
+            "FROM g) "
+            "SELECT CAST(SUM(gp) AS BIGINT) AS n_pos, "
+            "CAST(SUM(g) - SUM(gp) AS BIGINT) AS n_neg, "
+            "CAST(SUM(gp * (2 * cb + g + 1)) - SUM(gp) * (SUM(gp) + 1) "
+            "AS BIGINT) AS auc_num2 FROM c"),
         # snapshot_rollback — the first two chronological thirds.
         "snapshot_rollback": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events) "
