@@ -1098,6 +1098,27 @@ def q_eval_auc(spark, sf):
     return auc_components(scored, label="y", score="score")
 
 
+def q_ts_ohlc(spark, sf):
+    """F-family (r4 cont.) — OHLC candlestick bars
+    (engine/relops.py::ohlc_bars): per (event_type, 5-minute bucket)
+    open/high/low/close/volume of the cents-valued event stream.
+    Open/close ride the min-struct/max-struct argmin idiom over
+    (us, event_id) — a TOTAL order, so bars are partitioning/retry
+    independent — inside the SAME map-side-combined aggregation buffer
+    as high/low/volume: one shuffle, no per-row window, no raw-row
+    sort.  The twin picks open/close via row_number in ANSI SQL (an
+    independent formulation of the same total order)."""
+    _prep(spark)
+    from engine.relops import ohlc_bars
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id"),
+        _cents("value").alias("cents"))
+    return ohlc_bars(ev, "event_type", "us", "event_id", "cents",
+                     bucket_us=300_000_000)
+
+
 def q_poly_dissolve(spark, sf):
     """C-family (r4 cont.) — polygon dissolve in the covering-cell
     domain: polygons grouped by a deterministic attribute class, their
@@ -4195,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_dissolve": q_poly_dissolve,
         "geo_nearest_poly": q_geo_nearest_poly,
         "eval_auc": q_eval_auc,
+        "ts_ohlc": q_ts_ohlc,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6359,6 +6381,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(g) - SUM(gp) AS BIGINT) AS n_neg, "
             "CAST(SUM(gp * (2 * cb + g + 1)) - SUM(gp) * (SUM(gp) + 1) "
             "AS BIGINT) AS auc_num2 FROM c"),
+        # ts_ohlc — open/close re-derived via row_number over the same
+        # (us, event_id) total order (independent formulation of the
+        # engine's min-struct argmin); exact cents, floor bucket.
+        "ts_ohlc": (
+            "WITH e AS (SELECT event_type AS key, "
+            "epoch_us(ts) AS us, event_id AS seq, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "b AS (SELECT key, us // 300000000 AS bucket, us, seq, v "
+            "FROM e), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY key, bucket "
+            "ORDER BY us, seq) AS rn, row_number() OVER (PARTITION BY "
+            "key, bucket ORDER BY us DESC, seq DESC) AS rd FROM b) "
+            "SELECT key, bucket, "
+            "CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open_c, "
+            "CAST(MAX(v) AS BIGINT) AS high_c, "
+            "CAST(MIN(v) AS BIGINT) AS low_c, "
+            "CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close_c, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(v) AS BIGINT) AS volume_c "
+            "FROM r GROUP BY 1, 2"),
         # snapshot_rollback — the first two chronological thirds.
         "snapshot_rollback": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events) "

@@ -470,3 +470,38 @@ def mad_outliers(df: DataFrame, key_col: str, val_col: str,
                  F.first("mad").alias("mad"),
                  F.sum(F.when(F.col("_d") > k_mad * F.col("mad"), 1)
                        .otherwise(0)).cast("long").alias("n_anomalies")))
+
+
+def ohlc_bars(df: DataFrame, key_col: str, us_col: str, seq_col: str,
+              val_col: str, bucket_us: int) -> DataFrame:
+    """OHLC candlestick bars: per (key, time bucket) the
+    open / high / low / close / volume summary of an integer-valued
+    series on an integer-microsecond timeline ->
+    (key, bucket, open_c, high_c, low_c, close_c, n, volume_c).
+
+    Open/close are picked by the min-struct / max-struct argmin idiom
+    over (us, seq) — `seq_col` breaks timestamp ties, so the ordering
+    is TOTAL and the bars are partitioning/retry/resume independent.
+    All outputs are exact BIGINTs (callers pass cents, never floats).
+
+    Scale shape: ONE map-side-combined groupBy(key, bucket) — the
+    argmin rides the same aggregation buffer as high/low/volume, so
+    there is no per-row window, no sort of the raw rows, and no second
+    shuffle.  Bucket index = us DIV bucket_us (timestamps are
+    non-negative epoch micros, so truncating and floor division agree).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"{us_col} DIV {bucket_us}").alias("bucket"),
+        F.col(us_col).cast("long").alias("_us"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(val_col).cast("long").alias("_v"))
+    return (base.groupBy("key", "bucket")
+            .agg(F.min(F.struct("_us", "_seq", "_v")).getField("_v")
+                 .alias("open_c"),
+                 F.max("_v").alias("high_c"),
+                 F.min("_v").alias("low_c"),
+                 F.max(F.struct("_us", "_seq", "_v")).getField("_v")
+                 .alias("close_c"),
+                 F.count("*").cast("long").alias("n"),
+                 F.sum("_v").cast("long").alias("volume_c")))
