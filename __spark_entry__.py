@@ -3110,6 +3110,22 @@ def q_img_histogram(spark, sf):
     return image_histograms(gen_images(spark, 240, seed=42))
 
 
+def q_img_otsu(spark, sf):
+    """Per-image Otsu threshold (r4 cont., engine/image/otsu.py): the
+    classical automatic binarization — argmax of between-class
+    variance over the exact 766-value luminance histogram, decided by
+    cross-multiplied big-int rationals (no float in the decision, ties
+    to the smallest t), so the output is bit-stable across hosts and
+    partitionings.  One mapInPandas pass, pixels never leave the
+    worker.  Golden-pinned like the other synthetic-image keys; the
+    independent oracle is pytest's Fraction-arithmetic brute argmax
+    (tests/test_otsu.py)."""
+    _prep(spark)
+    from engine.image.otsu import image_otsu
+    from engine.synth import gen_images
+    return image_otsu(gen_images(spark, 240, seed=42))
+
+
 def q_img_invariants(spark, sf):
     """C7 — the north-rule per-row invariant as a distributed check:
     decode -> re-encode -> decode round trip per fmt; exact for lossless
@@ -4217,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_poly": q_geo_nearest_poly,
         "eval_auc": q_eval_auc,
         "ts_ohlc": q_ts_ohlc,
+        "img_otsu": q_img_otsu,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5151,7 +5168,8 @@ def oracle_sql() -> dict[str, str]:
                      "img_augment", "simplify_rings", "tile_vector_encode",
                      "tile_vector_encode_mvt", "img_patches",
                      "img_moments", "bpe_tokenize", "img_histogram",
-                     "img_sobel", "img_palette", "poly_sample")},
+                     "img_sobel", "img_palette", "poly_sample",
+                     "img_otsu")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -77,7 +77,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_cc_labels (r4 cont.): all-integer blob stats;
                # independent check = BFS flood-fill reference in
                # tests/test_cc.py.
-               "img_cc_labels")
+               "img_cc_labels",
+               # img_otsu (r4 cont.): big-int-rational argmax threshold;
+               # independent check = Fraction-arithmetic brute in
+               # tests/test_otsu.py.
+               "img_otsu")
 
 
 def main() -> None:
