@@ -649,6 +649,24 @@ def q_graph_triangles(spark, sf):
     return triangle_count(ed)
 
 
+def q_graph_jaccard(spark, sf):
+    """N-family (r4 cont.) — neighborhood-Jaccard link prediction
+    (engine/graph.py::jaccard_links): node pairs sharing >= 2
+    neighbors over the same hash-derived edge set as graph_triangles,
+    with exact BIGINT Jaccard components (n_common, deg_a, deg_b) and
+    an is_edge flag — similarity is a trivial driver-side division.
+    Wedge join + ONE map-side-combined pair count + two degree probes;
+    the candidate set is output-bound (C(d,2) wedges per center IS the
+    multiset being counted).  The twin is the same relational algebra
+    brute-forced in SQL."""
+    _prep(spark)
+    from engine.graph import jaccard_links
+    ed = _t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 512 AS src",
+        "((c_custkey * 40503 + 7) DIV 512) % 512 AS dst")
+    return jaccard_links(ed, min_common=2)
+
+
 def q_win_range(spark, sf):
     """F8 (r4 cont.) — RANGE-frame window (value-based bounds, the
     frame family rows-frames can't express): per-user running cents sum
@@ -4234,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_auc": q_eval_auc,
         "ts_ohlc": q_ts_ohlc,
         "img_otsu": q_img_otsu,
+        "graph_jaccard": q_graph_jaccard,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6195,6 +6214,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM "
             "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
             "UNION ALL SELECT c FROM tri) GROUP BY node"),
+        # graph_jaccard — the same relational algebra over the shared
+        # edge derivation: symmetric adjacency, wedge self-join, pair
+        # count, degree probes, existing-edge flag.
+        "graph_jaccard": (
+            "WITH ed AS (SELECT DISTINCT "
+            "least((c_custkey * 2654435761) % 512, "
+            "((c_custkey * 40503 + 7) // 512) % 512) AS u, "
+            "greatest((c_custkey * 2654435761) % 512, "
+            "((c_custkey * 40503 + 7) // 512) % 512) AS v FROM customer), "
+            "e AS (SELECT u, v FROM ed WHERE u <> v), "
+            "sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym "
+            "GROUP BY 1), "
+            "c AS (SELECT s1.v AS a, s2.v AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_common "
+            "FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT c.a, c.b, c.n_common, da.deg AS deg_a, "
+            "db.deg AS deg_b, "
+            "CAST(CASE WHEN e2.u IS NULL THEN 0 ELSE 1 END AS INTEGER) "
+            "AS is_edge "
+            "FROM c JOIN deg da ON da.u = c.a "
+            "JOIN deg db ON db.u = c.b "
+            "LEFT JOIN e e2 ON e2.u = c.a AND e2.v = c.b"),
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.

@@ -282,3 +282,47 @@ def kcore_py(edge_list, k: int = 3) -> dict:
                 adj[m].discard(n)
             changed = True
     return {n: len(nb) for n, nb in adj.items()}
+
+
+def jaccard_links(edges: DataFrame, src: str = "src", dst: str = "dst",
+                  min_common: int = 1) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: every node pair (a < b)
+    sharing >= `min_common` neighbors, with the exact integer
+    components of their Jaccard similarity ->
+    (a, b, n_common, deg_a, deg_b, is_edge).
+
+    Jaccard = n_common / (deg_a + deg_b - n_common) is a trivial
+    driver-side division, so the wire format stays BIGINT-exact (the
+    components convention).  `is_edge` marks pairs that are already
+    edges — link-prediction consumers filter is_edge = 0.
+
+    Scale shape: candidate pairs come from the wedge join (two copies
+    of the symmetric adjacency equi-joined on the shared center), then
+    ONE map-side-combined count per (a, b) and two broadcast-able
+    degree probes.  The wedge join is output-bound by construction —
+    a center of degree d contributes C(d, 2) candidate pairs, which IS
+    the result multiset being counted, so no algorithm does less work;
+    `min_common` caps what survives the count, and hub-heavy graphs
+    should pre-filter centers the same way the LSH bucket guard does.
+    """
+    und = _undirect(edges, src, dst)
+    sym = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    a = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    b = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    common = (a.join(b, "w")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count("*").cast("long").alias("n_common"))
+              .filter(F.col("n_common") >= min_common))
+    out = (common
+           .join(deg.select(F.col("u").alias("a"),
+                            F.col("deg").alias("deg_a")), "a")
+           .join(deg.select(F.col("u").alias("b"),
+                            F.col("deg").alias("deg_b")), "b")
+           .join(und.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                            F.lit(1).alias("_e")), ["a", "b"], "left"))
+    return out.select("a", "b", "n_common", "deg_a", "deg_b",
+                      F.coalesce(F.col("_e"), F.lit(0)).cast("int")
+                      .alias("is_edge"))

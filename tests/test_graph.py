@@ -194,3 +194,61 @@ def test_kcore_max_rounds_raises_loudly(spark):
     edges = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError, match="max_rounds"):
         kcore(_edf(spark, edges), k=2, max_rounds=2).collect()
+
+
+# ---- neighborhood-Jaccard link prediction ---------------------------
+
+def _jaccard_py(edges, min_common=1):
+    """Brute reference: neighbor sets per node, all pairs."""
+    from itertools import combinations
+    und = {tuple(sorted((u, v))) for u, v in edges if u != v}
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    out = {}
+    for a, b in combinations(sorted(nbr), 2):
+        n_common = len(nbr[a] & nbr[b])
+        if n_common >= min_common:
+            out[(a, b)] = (n_common, len(nbr[a]), len(nbr[b]),
+                           int((a, b) in und))
+    return out
+
+
+def test_jaccard_matches_brute_random(spark):
+    from engine.graph import jaccard_links
+    rng = random.Random(5)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    got = {(r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.is_edge)
+           for r in jaccard_links(_edf(spark, edges)).collect()}
+    assert got == _jaccard_py(edges)
+
+
+def test_jaccard_min_common_filter(spark):
+    from engine.graph import jaccard_links
+    rng = random.Random(9)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    got = {(r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.is_edge)
+           for r in jaccard_links(_edf(spark, edges),
+                                  min_common=3).collect()}
+    assert got == _jaccard_py(edges, min_common=3)
+
+
+def test_jaccard_square_closed_form(spark):
+    from engine.graph import jaccard_links
+    # 4-cycle 0-1-2-3-0: opposite corners share BOTH neighbors and are
+    # NOT edges (the canonical link-prediction hit); adjacent corners
+    # share none.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {(r.a, r.b): (r.n_common, r.is_edge)
+           for r in jaccard_links(_edf(spark, edges)).collect()}
+    assert got == {(0, 2): (2, 0), (1, 3): (2, 0)}
+
+
+def test_jaccard_duplicate_reversed_selfloop_edges_collapse(spark):
+    from engine.graph import jaccard_links
+    base = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    noisy = base + [(1, 0), (0, 1), (3, 3), (2, 1)]
+    a = sorted(map(tuple, jaccard_links(_edf(spark, base)).collect()))
+    b = sorted(map(tuple, jaccard_links(_edf(spark, noisy, 7)).collect()))
+    assert a == b
