@@ -3364,6 +3364,46 @@ def q_geo_area_centroid(spark, sf):
     return area_centroid(rings_df(PolygonLayer.from_json(), spark))
 
 
+# Deterministic INVALID rings appended to the layer rings by
+# poly_validate so every defect class is exercised: a proper bowtie
+# crossing, a consecutive-duplicate vertex (whose flanking edges also
+# touch), a clockwise-but-simple square, and a vertex touching another
+# edge's interior.  Exact small-integer coords — floor-q6 is trivially
+# identical on both engines.
+INVALID_RINGS = [
+    ("X0", "X0:bowtie", "outer",
+     [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0)]),
+    ("X1", "X1:dup", "outer",
+     [(0.0, 0.0), (2.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]),
+    ("X2", "X2:cw", "outer",
+     [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0)]),
+    ("X3", "X3:touch", "outer",
+     [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 0.0)]),
+]
+
+
+def q_poly_validate(spark, sf):
+    """B-family (r4 cont.) — ring validity report
+    (engine/geo/validate.py::validate_rings): per-ring OGC
+    is-simple/orientation audit — consecutive-duplicate count,
+    non-adjacent segment self-intersections (proper sign crossings +
+    collinear/endpoint touches, all exact q6 integer predicates),
+    signed shoelace area, derived is_simple — over the layer rings
+    plus four deterministic invalid rings covering every defect class.
+    Geometry-local Arrow pass, zero shuffle.  The twin recomputes the
+    segment-pair scan relationally (lead-window segments + non-adjacent
+    self-join + sign arithmetic) over the same inlined vertices."""
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import RING_SCHEMA, rings_df
+    from engine.geo.validate import validate_rings
+    bad = spark.createDataFrame(
+        [(p, r, k, [(float(x), float(y)) for x, y in vs])
+         for p, r, k, vs in INVALID_RINGS], schema=RING_SCHEMA)
+    rings = rings_df(PolygonLayer.from_json(), spark).unionByName(bad)
+    return validate_rings(rings)
+
+
 def q_poly_triangulate(spark, sf):
     """B-family (r4 cont.) — ear-clipping triangulation of the outer
     rings (engine/geo/triangulate.py): deterministic lowest-position
@@ -4253,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ohlc": q_ts_ohlc,
         "img_otsu": q_img_otsu,
         "graph_jaccard": q_graph_jaccard,
+        "poly_validate": q_poly_validate,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4561,6 +4602,70 @@ def oracle_sql() -> dict[str, str]:
         "CAST(ar.area2 AS BIGINT) AS tri_area2_sum "
         "FROM cnt JOIN ar ON cnt.ring_id = ar.ring_id "
         "AND cnt.poly_id = ar.poly_id")
+
+    # poly_validate: the same inlined vertex list PLUS the invalid
+    # fixture rings; the validity arithmetic is recomputed
+    # independently — lead-window segments, non-adjacent self-join,
+    # orientation SIGNS (never d1*d2, which would overflow), bbox
+    # touch tests.  Definition shared with engine/geo/validate.py:
+    # zero-length edges counted as dups then excluded from the pair
+    # scan; adjacency = consecutive ORIGINAL indices mod n.
+    bad_vals = ", ".join(
+        f"('{p}', '{r}', '{k}', {s}, {float(x)!r}, {float(y)!r})"
+        for p, r, k, vs in INVALID_RINGS
+        for s, (x, y) in enumerate(vs))
+    _d = lambda px, py: (  # noqa: E731 — sign operand builder
+        f"sign((qbx - qax) * ({py} - qay) - (qby - qay) * ({px} - qax))")
+    _d34 = lambda qx, qy: (  # noqa: E731
+        f"sign((pbx - pax) * ({qy} - pay) - (pby - pay) * ({qx} - pax))")
+    _bb = lambda px, py, ax, ay, bx, by: (  # noqa: E731
+        f"({px} BETWEEN least({ax}, {bx}) AND greatest({ax}, {bx}) "
+        f"AND {py} BETWEEN least({ay}, {by}) AND greatest({ay}, {by}))")
+    validate_sql = (
+        f"WITH v(poly_id, ring_id, kind, seq, lon, lat) AS "
+        f"(VALUES {ring_vals}, {bad_vals}), "
+        "q AS (SELECT poly_id, ring_id, kind, seq, "
+        "CAST(floor(lon * 1000000.0) AS BIGINT) AS x, "
+        "CAST(floor(lat * 1000000.0) AS BIGINT) AS y FROM v), "
+        "e AS (SELECT poly_id, ring_id, kind, seq, x AS ax, y AS ay, "
+        "coalesce(lead(x) OVER w, first_value(x) OVER w) AS bx, "
+        "coalesce(lead(y) OVER w, first_value(y) OVER w) AS by, "
+        "COUNT(*) OVER (PARTITION BY ring_id) AS n FROM q "
+        "WINDOW w AS (PARTITION BY ring_id ORDER BY seq)), "
+        "base AS (SELECT poly_id, ring_id, kind, "
+        "CAST(COUNT(*) AS INTEGER) AS n_vertices, "
+        "CAST(SUM(CASE WHEN ax = bx AND ay = by THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_edges, "
+        "CAST(SUM(ax * by - bx * ay) AS BIGINT) AS area2_q6 "
+        "FROM e GROUP BY 1, 2, 3), "
+        "segs AS (SELECT * FROM e WHERE ax <> bx OR ay <> by), "
+        "px AS (SELECT s1.ring_id, "
+        "s1.ax AS pax, s1.ay AS pay, s1.bx AS pbx, s1.by AS pby, "
+        "s2.ax AS qax, s2.ay AS qay, s2.bx AS qbx, s2.by AS qby "
+        "FROM segs s1 JOIN segs s2 ON s1.ring_id = s2.ring_id "
+        "AND s1.seq < s2.seq AND s2.seq - s1.seq <> 1 "
+        "AND s2.seq - s1.seq <> s1.n - 1), "
+        "hit AS (SELECT ring_id, CAST(COUNT(*) AS BIGINT) AS n_self_x "
+        "FROM px WHERE "
+        f"(({_d('pax', 'pay')}) * ({_d('pbx', 'pby')}) < 0 AND "
+        f"({_d34('qax', 'qay')}) * ({_d34('qbx', 'qby')}) < 0) "
+        f"OR (({_d('pax', 'pay')}) = 0 AND "
+        f"{_bb('pax', 'pay', 'qax', 'qay', 'qbx', 'qby')}) "
+        f"OR (({_d('pbx', 'pby')}) = 0 AND "
+        f"{_bb('pbx', 'pby', 'qax', 'qay', 'qbx', 'qby')}) "
+        f"OR (({_d34('qax', 'qay')}) = 0 AND "
+        f"{_bb('qax', 'qay', 'pax', 'pay', 'pbx', 'pby')}) "
+        f"OR (({_d34('qbx', 'qby')}) = 0 AND "
+        f"{_bb('qbx', 'qby', 'pax', 'pay', 'pbx', 'pby')}) "
+        "GROUP BY 1) "
+        "SELECT b.poly_id, b.ring_id, b.kind, b.n_vertices, "
+        "b.n_dup_edges, b.area2_q6, "
+        "CAST(CASE WHEN b.area2_q6 > 0 THEN 1 ELSE 0 END AS INTEGER) "
+        "AS is_ccw, "
+        "CAST(coalesce(h.n_self_x, 0) AS BIGINT) AS n_self_x, "
+        "CAST(CASE WHEN b.n_dup_edges = 0 AND coalesce(h.n_self_x, 0) "
+        "= 0 THEN 1 ELSE 0 END AS INTEGER) AS is_simple "
+        "FROM base b LEFT JOIN hit h ON h.ring_id = b.ring_id")
 
     # cell_compact: inline the level-8 covering rows (shared INPUT, as
     # with geo_area_centroid's vertices); the compaction itself —
@@ -5316,6 +5421,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_q6 FROM x GROUP BY 1, 2"),
         "geo_area_centroid": shoelace_sql,
         "poly_triangulate": triangulate_sql,
+        "poly_validate": validate_sql,
         "text_topterms": (
             "WITH t AS (SELECT doc_id, "
             "unnest(string_split_regex(lower(text), '[^a-z]+')) AS term "
