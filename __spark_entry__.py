@@ -479,6 +479,29 @@ def q_traj_hausdorff(spark, sf):
     return hausdorff_pairs(pts, pairs)
 
 
+def q_traj_frechet(spark, sf):
+    """D-family (r4 cont.) — discrete Frechet track similarity
+    (engine/geo/traj.py::frechet_pairs): the ORDER-AWARE companion to
+    traj_hausdorff — minimal-coupling max leash, squared, exact
+    integers, over all pairs of the 24 lowest-user_id tracks (the
+    bounded-candidate contract; same integer 2^20 grid derivation).
+    Frechet is a DP, not relational max-of-min, so the oracle is the
+    sf0.01-pinned golden; the independent verification is pytest's
+    memoized recursive reference + the f2 >= h2 domination theorem
+    (tests/test_frechet.py)."""
+    _prep(spark)
+    from engine.geo.traj import frechet_pairs
+    pts = _t(spark, sf, "events").filter("user_id < 24").selectExpr(
+        "user_id AS key", "event_id AS pid",
+        "(event_id * 2654435761) % 1048576 AS xi",
+        "(event_id * 40503 + 7) % 1048576 AS yi")
+    keys = pts.select(F.col("key").alias("key_a")).distinct()
+    pairs = keys.join(
+        keys.select(F.col("key_a").alias("key_b")),
+        F.col("key_a") < F.col("key_b"))
+    return frechet_pairs(pts, pairs)
+
+
 def q_traj_polyline(spark, sf):
     """D22 (r4 cont.) — encoded-polyline trajectory serialization
     (engine/geo/polyline.py): each user's time-ordered GPS trace
@@ -4294,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_otsu": q_img_otsu,
         "graph_jaccard": q_graph_jaccard,
         "poly_validate": q_poly_validate,
+        "traj_frechet": q_traj_frechet,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5293,7 +5317,7 @@ def oracle_sql() -> dict[str, str]:
                      "tile_vector_encode_mvt", "img_patches",
                      "img_moments", "bpe_tokenize", "img_histogram",
                      "img_sobel", "img_palette", "poly_sample",
-                     "img_otsu")},
+                     "img_otsu", "traj_frechet")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -297,3 +297,76 @@ def hausdorff_pairs(points: DataFrame, pairs: DataFrame,
     return (ab.join(ba, ["key_a", "key_b"])
             .select("key_a", "key_b", "h2_ab", "h2_ba",
                     F.greatest("h2_ab", "h2_ba").alias("h2")))
+
+
+def frechet_py(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> int:
+    """Sequential discrete-Frechet reference: squared coupling distance
+    via the classical DP  c(i,j) = max(d2(i,j), min(c(i-1,j),
+    c(i,j-1), c(i-1,j-1)))  in exact Python ints (rolling row)."""
+    n, m = len(a), len(b)
+    prev: list[int] = []
+    for i in range(n):
+        cur = [0] * m
+        for j in range(m):
+            d = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                reach = d
+            elif i == 0:
+                reach = max(cur[j - 1], d)
+            elif j == 0:
+                reach = max(prev[j], d)
+            else:
+                reach = max(min(prev[j], cur[j - 1], prev[j - 1]), d)
+            cur[j] = reach
+        prev = cur
+    return prev[m - 1]
+
+
+def frechet_pairs(points: DataFrame, pairs: DataFrame,
+                  key: str = "key", pid: str = "pid",
+                  x: str = "xi", y: str = "yi") -> DataFrame:
+    """Discrete Frechet distance between track pairs, exact squared-
+    integer domain (r4 cont.) -> (key_a, key_b, n_a, n_b, f2).
+
+    The ORDER-AWARE similarity beside hausdorff_pairs: the minimal (over
+    monotone couplings) maximal leash length, squared.  Frechet is a DP,
+    not a relational max-of-min, so the driver oracle is an sf-pinned
+    golden; the independent verification is pytest's memoized recursive
+    reference plus the f2 >= h2 domination theorem.
+
+    Contract mirrors hausdorff_pairs: `pairs` is the BOUNDED candidate
+    set, and each track must fit one aggregation buffer (the traj
+    family's bounded-track contract — GPS traces, not unbounded
+    streams).  Plan: per-key ordered array agg (ONE map-side-combined
+    shuffle over the points), two broadcast-able joins fanning arrays
+    onto pairs, then an Arrow-batched DP pass whose work is
+    O(|A|·|B|) per pair — bounded because candidates are."""
+    import pandas as pd
+
+    trk = (points.groupBy(key)
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col(pid).cast("long").alias("pid"),
+                        F.col(x).cast("long").alias("x"),
+                        F.col(y).cast("long").alias("y")))).alias("trk")))
+    j = (pairs
+         .join(trk.select(F.col(key).alias("key_a"),
+                          F.col("trk").alias("ta")), "key_a")
+         .join(trk.select(F.col(key).alias("key_b"),
+                          F.col("trk").alias("tb")), "key_b"))
+
+    def _dp(batches):
+        for pdf in batches:
+            out = {"key_a": [], "key_b": [], "n_a": [], "n_b": [],
+                   "f2": []}
+            for r in pdf.itertuples(index=False):
+                a = [(int(v["x"]), int(v["y"])) for v in r.ta]
+                b = [(int(v["x"]), int(v["y"])) for v in r.tb]
+                out["key_a"].append(r.key_a)
+                out["key_b"].append(r.key_b)
+                out["n_a"].append(len(a))
+                out["n_b"].append(len(b))
+                out["f2"].append(frechet_py(a, b))
+            yield pd.DataFrame(out)
+
+    schema = "key_a long, key_b long, n_a int, n_b int, f2 long"
+    return j.mapInPandas(_dp, schema=schema)

@@ -81,7 +81,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_otsu (r4 cont.): big-int-rational argmax threshold;
                # independent check = Fraction-arithmetic brute in
                # tests/test_otsu.py.
-               "img_otsu")
+               "img_otsu",
+               # traj_frechet (r4 cont.): table-fed, sf0.01-pinned —
+               # the discrete-Frechet DP is not SQL-expressible;
+               # independent check = memoized recursive reference +
+               # the f2 >= h2 domination theorem in tests/test_frechet.py.
+               "traj_frechet")
 
 
 def main() -> None:
