@@ -3167,6 +3167,21 @@ def q_img_otsu(spark, sf):
     return image_otsu(gen_images(spark, 240, seed=42))
 
 
+def q_img_rle(spark, sf):
+    """Per-image run-length stats (r4 cont., engine/image/rle.py): the
+    compressibility profile — row-major luminance RLE reduced to exact
+    integer counts (n_runs, max_run, distinct luminances, 2·n_runs
+    byte cost), the cheap screenshot-vs-photo curation signal without
+    the float-entropy tie class.  One mapInPandas pass, pixels never
+    leave the worker.  Golden-pinned like the other synthetic-image
+    keys; the independent oracle is pytest's brute double-loop run
+    scan (tests/test_rle.py)."""
+    _prep(spark)
+    from engine.image.rle import image_rle
+    from engine.synth import gen_images
+    return image_rle(gen_images(spark, 240, seed=42))
+
+
 def q_img_invariants(spark, sf):
     """C7 — the north-rule per-row invariant as a distributed check:
     decode -> re-encode -> decode round trip per fmt; exact for lossless
@@ -4318,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard": q_graph_jaccard,
         "poly_validate": q_poly_validate,
         "traj_frechet": q_traj_frechet,
+        "img_rle": q_img_rle,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5317,7 +5333,7 @@ def oracle_sql() -> dict[str, str]:
                      "tile_vector_encode_mvt", "img_patches",
                      "img_moments", "bpe_tokenize", "img_histogram",
                      "img_sobel", "img_palette", "poly_sample",
-                     "img_otsu", "traj_frechet")},
+                     "img_otsu", "traj_frechet", "img_rle")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -86,7 +86,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # the discrete-Frechet DP is not SQL-expressible;
                # independent check = memoized recursive reference +
                # the f2 >= h2 domination theorem in tests/test_frechet.py.
-               "traj_frechet")
+               "traj_frechet",
+               # img_rle (r4 cont.): all-integer run-length stats;
+               # independent check = brute double-loop run scan in
+               # tests/test_rle.py.
+               "img_rle")
 
 
 def main() -> None:
