@@ -1116,6 +1116,22 @@ def q_geo_nearest_poly(spark, sf):
                            level=8, radius=2)
 
 
+def q_feat_hash(spark, sf):
+    """M-family (r4 cont.) — hashing-trick sparse features
+    (engine/text/ops.py::feature_hash): per-doc signed bucket counts
+    over alphanumeric tokens, hash = the driver-green fingerprint
+    rolling polynomial, sign from an independent hash bit (h DIV
+    n_buckets, not h % 2, which would correlate with the bucket).
+    The vocabulary-free featurizer: no vocab build, no broadcast,
+    stable under corpus growth.  One native token explode + ONE
+    map-side-combined agg, zero Python.  The twin recomputes the same
+    hash via list_reduce (the text_fingerprint idiom: DuckDB's
+    first-element seed equals Spark's 0-seed after one step)."""
+    _prep(spark)
+    from engine.text.ops import feature_hash
+    return feature_hash(_t(spark, sf, "documents"), n_buckets=1024)
+
+
 def q_eval_auc(spark, sf):
     """M-family (r4 cont.) — exact ROC-AUC components
     (engine/ml/evals.py::auc_components): rank-sum (Mann-Whitney)
@@ -4334,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_validate": q_poly_validate,
         "traj_frechet": q_traj_frechet,
         "img_rle": q_img_rle,
+        "feat_hash": q_feat_hash,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6570,6 +6587,22 @@ def oracle_sql() -> dict[str, str]:
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         "poly_dissolve": dissolve_sql,
         "geo_nearest_poly": nearest_poly_sql,
+        # feat_hash — same rolling-hash (list_reduce seeds with the
+        # first element == Spark's 0-seed after one step), same
+        # bucket/sign split, same cancellation-drop.
+        "feat_hash": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok "
+            "FROM documents), "
+            "h AS (SELECT doc_id, list_reduce(list_transform("
+            "regexp_split_to_array(tok, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), "
+            "(acc, x) -> (acc * 31 + x) % 2147483647) AS h FROM t), "
+            "s AS (SELECT doc_id, CAST(h % 1024 AS INTEGER) AS bucket, "
+            "CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END AS sgn "
+            "FROM h) "
+            "SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val "
+            "FROM s GROUP BY 1, 2 HAVING SUM(sgn) <> 0"),
         # eval_auc — the identical tie-corrected rank-sum algebra in
         # ANSI SQL (integer end to end; the window runs over the
         # aggregated distinct-score relation exactly as the engine's).

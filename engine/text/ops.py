@@ -481,3 +481,38 @@ def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
         .cast("long").alias("n_email"),
         F.size(F.regexp_extract_all(s1, F.lit(nu_pat), F.lit(0)))
         .cast("long").alias("n_number"))
+
+
+def feature_hash(df: DataFrame, text: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = 1024) -> DataFrame:
+    """Hashing-trick sparse features (r4 cont.) -> (id, bucket, val):
+    each alphanumeric token hashes to a bucket with the corpus-shared
+    rolling polynomial hash (fingerprint_col's (acc*31 + ascii) mod
+    2^31-1 — bit-identical in DuckDB via list_reduce), signed by an
+    INDEPENDENT hash bit ((h DIV n_buckets) % 2, not h % 2, which
+    would correlate sign with bucket), then summed per (doc, bucket).
+    Rows whose signed sum cancels to 0 are dropped (deterministic —
+    cancellation is a function of the token multiset).
+
+    The fixed-vocabulary-free featurizer of the training-data
+    pipeline: no vocab build, no broadcast, stable under corpus
+    growth.  Scale shape: one native token explode + ONE
+    map-side-combined (id, bucket) agg — zero Python, bounded fan-out
+    per doc (its token count).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"regexp_extract_all({text}, '[A-Za-z0-9]+', 0)")).alias("tok"))
+    h = F.expr(
+        f"aggregate(split(tok, ''), 0L, "
+        f"(acc, c) -> pmod(acc * 31 + ascii(c), {FP_MOD}L))")
+    s = (tok.withColumn("h", h)
+         .selectExpr(id_col,
+                     f"CAST(h % {n_buckets} AS INT) AS bucket",
+                     f"CASE WHEN (h DIV {n_buckets}) % 2 = 0 "
+                     "THEN 1 ELSE -1 END AS sgn"))
+    return (s.groupBy(id_col, "bucket")
+            .agg(F.sum("sgn").cast("long").alias("val"))
+            .filter(F.col("val") != 0))
