@@ -1176,6 +1176,44 @@ def q_ts_ohlc(spark, sf):
                      bucket_us=300_000_000)
 
 
+def q_stream_ohlc(spark, sf):
+    """J15 (r4 cont.) — streaming OHLC bars: each micro-batch folds to
+    mergeable partials (engine/relops.py::ohlc_partials — the open/
+    close WITNESSES (us, seq) stay on the row, making the partial a
+    commutative monoid) committed to icelite, then ohlc_merge at read
+    time reproduces the batch `ohlc_bars` EXACTLY by the merge law
+    (pytest-asserted in tests/test_ohlc_merge.py), so this key shares
+    the ts_ohlc oracle verbatim.  Each batch ships one bounded row per
+    (key, bucket) it touched — never raw events."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.icelite import IceliteTable
+    from engine.relops import ohlc_merge, ohlc_partials
+    root = tempfile.mkdtemp(prefix="stream-ohlc-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+    table = IceliteTable(f"{root}/tbl")
+
+    def _sink(batch_df, batch_id):
+        ev = batch_df.select(
+            F.col("event_type"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            F.col("event_id"),
+            _cents("value").alias("cents"))
+        part = ohlc_partials(ev, "event_type", "us", "event_id",
+                             "cents", bucket_us=300_000_000)
+        if part.rdd.isEmpty():
+            return
+        table.commit_append(part, stage=f"batch-{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return ohlc_merge(table.scan(spark))
+
+
 def q_poly_dissolve(spark, sf):
     """C-family (r4 cont.) — polygon dissolve in the covering-cell
     domain: polygons grouped by a deterministic attribute class, their
@@ -4351,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_frechet": q_traj_frechet,
         "img_rle": q_img_rle,
         "feat_hash": q_feat_hash,
+        "stream_ohlc": q_stream_ohlc,
     }
     out = {key: base[key] for key in _R4_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4382,6 +4421,27 @@ def _mix64_sql(v: str) -> str:
     t2 = f"CAST(xor({s2}, {s2} >> 27) AS HUGEINT)"
     s3 = f"CAST({_mulmod64_sql(t2, '10723151780598845931')} AS UBIGINT)"
     return f"xor({s3}, {s3} >> 31)"
+
+
+# Shared by ts_ohlc (batch) and stream_ohlc (micro-batch partials +
+# merge — equal by the OHLC monoid merge law, tests/test_ohlc_merge.py).
+_OHLC_ORACLE_SQL = (
+    "WITH e AS (SELECT event_type AS key, "
+    "epoch_us(ts) AS us, event_id AS seq, "
+    "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+    "b AS (SELECT key, us // 300000000 AS bucket, us, seq, v "
+    "FROM e), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY key, bucket "
+    "ORDER BY us, seq) AS rn, row_number() OVER (PARTITION BY "
+    "key, bucket ORDER BY us DESC, seq DESC) AS rd FROM b) "
+    "SELECT key, bucket, "
+    "CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open_c, "
+    "CAST(MAX(v) AS BIGINT) AS high_c, "
+    "CAST(MIN(v) AS BIGINT) AS low_c, "
+    "CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close_c, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS volume_c "
+    "FROM r GROUP BY 1, 2")
 
 
 def _hll_oracle_sql(table: str, col: str) -> str:
@@ -6621,26 +6681,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(g) - SUM(gp) AS BIGINT) AS n_neg, "
             "CAST(SUM(gp * (2 * cb + g + 1)) - SUM(gp) * (SUM(gp) + 1) "
             "AS BIGINT) AS auc_num2 FROM c"),
-        # ts_ohlc — open/close re-derived via row_number over the same
-        # (us, event_id) total order (independent formulation of the
-        # engine's min-struct argmin); exact cents, floor bucket.
-        "ts_ohlc": (
-            "WITH e AS (SELECT event_type AS key, "
-            "epoch_us(ts) AS us, event_id AS seq, "
-            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
-            "b AS (SELECT key, us // 300000000 AS bucket, us, seq, v "
-            "FROM e), "
-            "r AS (SELECT *, row_number() OVER (PARTITION BY key, bucket "
-            "ORDER BY us, seq) AS rn, row_number() OVER (PARTITION BY "
-            "key, bucket ORDER BY us DESC, seq DESC) AS rd FROM b) "
-            "SELECT key, bucket, "
-            "CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open_c, "
-            "CAST(MAX(v) AS BIGINT) AS high_c, "
-            "CAST(MIN(v) AS BIGINT) AS low_c, "
-            "CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close_c, "
-            "CAST(COUNT(*) AS BIGINT) AS n, "
-            "CAST(SUM(v) AS BIGINT) AS volume_c "
-            "FROM r GROUP BY 1, 2"),
+        # ts_ohlc / stream_ohlc — open/close re-derived via row_number
+        # over the same (us, event_id) total order (independent
+        # formulation of the engine's min-struct argmin); exact cents,
+        # floor bucket.  The streaming key equals the batch bars by
+        # the partial-merge law (tests/test_ohlc_merge.py), so both
+        # share this twin verbatim.
+        "ts_ohlc": _OHLC_ORACLE_SQL,
+        "stream_ohlc": _OHLC_ORACLE_SQL,
         # snapshot_rollback — the first two chronological thirds.
         "snapshot_rollback": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events) "

@@ -505,3 +505,64 @@ def ohlc_bars(df: DataFrame, key_col: str, us_col: str, seq_col: str,
                  .alias("close_c"),
                  F.count("*").cast("long").alias("n"),
                  F.sum("_v").cast("long").alias("volume_c")))
+
+
+def ohlc_partials(df: DataFrame, key_col: str, us_col: str,
+                  seq_col: str, val_col: str,
+                  bucket_us: int) -> DataFrame:
+    """Mergeable OHLC partials over any row subset -> (key, bucket,
+    open_us, open_seq, open_c, high_c, low_c, close_us, close_seq,
+    close_c, n, volume_c).
+
+    Same single map-side-combined aggregation as `ohlc_bars`, but the
+    open/close WITNESSES (their (us, seq) coordinates) stay on the
+    row, which makes the partial a commutative monoid: `ohlc_merge`
+    over partials of ANY disjoint split of the input equals
+    `ohlc_bars` of the whole (the merge law, pytest-asserted in
+    tests/test_ohlc_merge.py).  This is the shard/micro-batch path —
+    each batch ships one bounded row per (key, bucket) it touched,
+    never raw events.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"{us_col} DIV {bucket_us}").alias("bucket"),
+        F.col(us_col).cast("long").alias("_us"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(val_col).cast("long").alias("_v"))
+    o = F.min(F.struct("_us", "_seq", "_v")).alias("_o")
+    c = F.max(F.struct("_us", "_seq", "_v")).alias("_c")
+    return (base.groupBy("key", "bucket")
+            .agg(o, F.max("_v").alias("high_c"),
+                 F.min("_v").alias("low_c"), c,
+                 F.count("*").cast("long").alias("n"),
+                 F.sum("_v").cast("long").alias("volume_c"))
+            .select("key", "bucket",
+                    F.col("_o._us").alias("open_us"),
+                    F.col("_o._seq").alias("open_seq"),
+                    F.col("_o._v").alias("open_c"),
+                    "high_c", "low_c",
+                    F.col("_c._us").alias("close_us"),
+                    F.col("_c._seq").alias("close_seq"),
+                    F.col("_c._v").alias("close_c"),
+                    "n", "volume_c"))
+
+
+def ohlc_merge(parts: DataFrame) -> DataFrame:
+    """Fold OHLC partials (`ohlc_partials` rows from any number of
+    shards / micro-batches) into final bars with the exact `ohlc_bars`
+    schema (key, bucket, open_c, high_c, low_c, close_c, n,
+    volume_c).  Open/close re-run the min-struct / max-struct argmin
+    over the carried witnesses — the (us, seq) order is TOTAL, so the
+    merge is associative + commutative and the result is independent
+    of how rows were split into partials.  ONE map-side-combined
+    shuffle over the already-tiny partials frame.
+    """
+    return (parts.groupBy("key", "bucket")
+            .agg(F.min(F.struct("open_us", "open_seq", "open_c"))
+                 .getField("open_c").alias("open_c"),
+                 F.max("high_c").alias("high_c"),
+                 F.min("low_c").alias("low_c"),
+                 F.max(F.struct("close_us", "close_seq", "close_c"))
+                 .getField("close_c").alias("close_c"),
+                 F.sum("n").cast("long").alias("n"),
+                 F.sum("volume_c").cast("long").alias("volume_c")))
