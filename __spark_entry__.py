@@ -2947,6 +2947,24 @@ def q_raster_flowdir(spark, sf):
     return flow_dir_d8(pix)
 
 
+def q_raster_slope(spark, sf):
+    """Horn slope/aspect (r4 cont., engine/geo/raster.py::horn_slope):
+    per occupied cell of the sparse 128x128 count raster, the 8x-scaled
+    integer Horn gradient (gx8, gy8), slope2 = gx8^2 + gy8^2, and the
+    45-degree aspect octant via the shared OCTANT_CASE integer
+    classifier (-1 = flat; absent neighbors are TRUE ZEROS on a count
+    raster).  One 8-offset volunteer explode + ONE map-side-combined
+    hash agg on cell coords + a LEFT join back to the occupied set —
+    never a theta-join, zero Python."""
+    _prep(spark)
+    from engine.geo.raster import horn_slope
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return horn_slope(pix)
+
+
 def q_raster_flowacc(spark, sf):
     """D8 flow accumulation (r4 cont.,
     engine/geo/raster.py::flow_accumulation): per-cell count of
@@ -4317,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "geary_c": q_geary_c,
         "raster_flowdir": q_raster_flowdir,
+        "raster_slope": q_raster_slope,
         "raster_flowacc": q_raster_flowacc,
         "bpe_tokenize": q_bpe_tokenize,
         "editdist_join": q_editdist_join,
@@ -4442,6 +4461,32 @@ _OHLC_ORACLE_SQL = (
     "CAST(COUNT(*) AS BIGINT) AS n, "
     "CAST(SUM(v) AS BIGINT) AS volume_c "
     "FROM r GROUP BY 1, 2")
+
+
+def _raster_slope_twin_sql() -> str:
+    """DuckDB twin of horn_slope over the customer-derived 128x128
+    count raster: the same 8-coefficient Horn stencil gathered by a
+    LEFT neighbor join (absent = true zero), the octant via the
+    engine's OCTANT_CASE text verbatim."""
+    from engine.geo.raster import OCTANT_CASE
+    return (
+        "WITH pix AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 128 AS gx, "
+        "(c_custkey * 40503 + 7) % 128 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "d(rx, ry, kx, ky) AS (VALUES "
+        "(-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1), "
+        "(0, -1, 0, -2), (0, 1, 0, 2), "
+        "(1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1)), "
+        "g AS (SELECT p.gx, p.gy, p.w, "
+        "CAST(COALESCE(SUM(d.kx * n.w), 0) AS BIGINT) AS gx8, "
+        "CAST(COALESCE(SUM(d.ky * n.w), 0) AS BIGINT) AS gy8 "
+        "FROM pix p CROSS JOIN d LEFT JOIN pix n "
+        "ON n.gx = p.gx + d.rx AND n.gy = p.gy + d.ry "
+        "GROUP BY 1, 2, 3) "
+        "SELECT gx, gy, w, gx8, gy8, "
+        "CAST(gx8 * gx8 + gy8 * gy8 AS BIGINT) AS slope2, "
+        f"CAST({OCTANT_CASE} AS INTEGER) AS octant FROM g")
 
 
 def _hll_oracle_sql(table: str, col: str) -> str:
@@ -6818,6 +6863,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(b.score, 0) AS BIGINT) AS score "
             "FROM pix p LEFT JOIN (SELECT * FROM b WHERE rn = 1) b "
             "ON b.gx = p.gx AND b.gy = p.gy"),
+        # raster_slope — the same Horn stencil as a LEFT neighbor join
+        # (absent = zero on a count raster) + the engine's OCTANT_CASE
+        # text verbatim (pure integer comparisons, so sharing the text
+        # shares the semantics — the _OHLC_ORACLE_SQL idiom).
+        "raster_slope": _raster_slope_twin_sql(),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

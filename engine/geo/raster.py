@@ -634,6 +634,84 @@ def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
         f"flow_accumulation: path longer than max_rounds={max_rounds}")
 
 
+# Shared half-quadrant (45-degree sector) classification of the Horn
+# gradient vector, counter-clockwise from east, half-open [k*45, (k+1)*45)
+# boundaries; -1 = flat.  Pure integer comparisons, so the SAME text is
+# used verbatim by the Spark expression and the DuckDB twin — identical
+# semantics by construction (the ohlc/_OHLC_ORACLE_SQL sharing idiom).
+OCTANT_CASE = (
+    "CASE WHEN gx8 = 0 AND gy8 = 0 THEN -1 "
+    "WHEN gx8 > 0 AND gy8 >= 0 AND gx8 > gy8 THEN 0 "
+    "WHEN gx8 > 0 AND gy8 > 0 THEN 1 "
+    "WHEN gx8 <= 0 AND gy8 > 0 AND -gx8 < gy8 THEN 2 "
+    "WHEN gx8 < 0 AND gy8 > 0 THEN 3 "
+    "WHEN gx8 < 0 AND gy8 <= 0 AND -gx8 > -gy8 THEN 4 "
+    "WHEN gx8 < 0 AND gy8 < 0 THEN 5 "
+    "WHEN gx8 >= 0 AND gy8 < 0 AND gx8 < -gy8 THEN 6 "
+    "ELSE 7 END")
+
+
+def horn_slope(pixels: DataFrame, x: str = "gx", y: str = "gy",
+               w: str = "w") -> DataFrame:
+    """Horn-method gradient per occupied cell of a sparse COUNT raster,
+    exact integer domain (r4 cont.) — the slope/aspect member of the
+    terrain family (flow_dir_d8 / flow_accumulation).
+
+    Convention: on a COUNT raster an absent cell is a TRUE ZERO (no
+    points landed there), unlike the moran/gi* "no observation" reading
+    — so the full 3x3 Horn stencil applies with absent neighbors = 0,
+    and only the OUTPUT domain is restricted to occupied cells.  The
+    8x-scaled numerators (no division, stays BIGINT):
+
+        gx8 = (ne + 2e + se) - (nw + 2w + sw)
+        gy8 = (ne + 2n + nw) - (se + 2s + sw)
+
+    slope2 = gx8^2 + gy8^2 (monotone in the true slope magnitude, so
+    ordering/thresholding needs no sqrt), and the aspect octant is the
+    45-degree half-quadrant of (gx8, gy8) via OCTANT_CASE (-1 = flat),
+    counter-clockwise from east, ties committed to the CCW boundary.
+
+    Scale shape: the gi_star volunteer idiom inverted — each occupied
+    cell explodes its 8 (offset, x-coeff, y-coeff) structs toward the
+    CENTERS it influences, contributions meet in ONE map-side-combined
+    hash agg on cell coords, and a LEFT join back to the occupied set
+    bounds the output (isolated cells keep gx8 = gy8 = 0, flat).
+    Integer codegen end to end, zero Python; cell table bounded by the
+    grid, never the point count."""
+    coeffs = []
+    for rx in (-1, 0, 1):
+        for ry in (-1, 0, 1):
+            if rx == 0 and ry == 0:
+                continue
+            kx = rx * (2 if ry == 0 else 1)
+            ky = ry * (2 if rx == 0 else 1)
+            coeffs.append((rx, ry, kx, ky))
+    offs = F.array(*[
+        F.struct(F.lit(rx).alias("rx"), F.lit(ry).alias("ry"),
+                 F.lit(kx).cast("long").alias("kx"),
+                 F.lit(ky).cast("long").alias("ky"))
+        for rx, ry, kx, ky in coeffs])
+    base = pixels.select(F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"),
+                         F.col(w).cast("long").alias("cw"))
+    give = (base.select("cx", "cy", "cw", F.explode(offs).alias("o"))
+            .select((F.col("cx") - F.col("o.rx")).alias("tx"),
+                    (F.col("cy") - F.col("o.ry")).alias("ty"),
+                    (F.col("o.kx") * F.col("cw")).alias("gxc"),
+                    (F.col("o.ky") * F.col("cw")).alias("gyc")))
+    grad = (give.groupBy("tx", "ty")
+            .agg(F.sum("gxc").alias("gx8"), F.sum("gyc").alias("gy8")))
+    return (base.join(grad, (base.cx == grad.tx) & (base.cy == grad.ty),
+                      "left")
+            .select(F.col("cx").alias(x), F.col("cy").alias(y),
+                    F.col("cw").alias("w"),
+                    F.coalesce("gx8", F.lit(0)).alias("gx8"),
+                    F.coalesce("gy8", F.lit(0)).alias("gy8"))
+            .withColumn("slope2", F.col("gx8") * F.col("gx8")
+                        + F.col("gy8") * F.col("gy8"))
+            .withColumn("octant", F.expr(OCTANT_CASE).cast("int")))
+
+
 def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
                      radius: int = 4) -> DataFrame:
     """C-family (r4 cont.) — bounded-radius proximity: for every
