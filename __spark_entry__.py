@@ -2947,6 +2947,24 @@ def q_raster_flowdir(spark, sf):
     return flow_dir_d8(pix)
 
 
+def q_raster_basins(spark, sf):
+    """Watershed basins (r4 cont., engine/geo/raster.py::basin_labels):
+    every occupied cell of the sparse 128x128 count raster labeled with
+    the sink its D8 flow path terminates at, by POINTER DOUBLING —
+    ceil(log2(max path)) + 1 skinny equi-join rounds instead of
+    walking hop by hop (the flowacc acyclicity theorem guarantees the
+    sink exists and is unique).  The DuckDB twin IS the hop-by-hop walk
+    (recursive CTE, terminal row per origin) — the doubled plan must
+    reproduce it exactly."""
+    _prep(spark)
+    from engine.geo.raster import basin_labels
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return basin_labels(pix)
+
+
 def q_raster_slope(spark, sf):
     """Horn slope/aspect (r4 cont., engine/geo/raster.py::horn_slope):
     per occupied cell of the sparse 128x128 count raster, the 8x-scaled
@@ -4336,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geary_c": q_geary_c,
         "raster_flowdir": q_raster_flowdir,
         "raster_slope": q_raster_slope,
+        "raster_basins": q_raster_basins,
         "raster_flowacc": q_raster_flowacc,
         "bpe_tokenize": q_bpe_tokenize,
         "editdist_join": q_editdist_join,
@@ -6336,6 +6355,38 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e ON e.gx = w.ax AND e.gy = w.ay) "
             "SELECT ax AS gx, ay AS gy, "
             "CAST(COUNT(*) AS BIGINT) AS acc FROM walk GROUP BY 1, 2"),
+        # raster_basins — the hop-by-hop walk the pointer-doubled plan
+        # must reproduce: same flow edges (e), recursive CTE to the
+        # terminal cell, one anti-join to keep only the sink row.
+        "raster_basins": (
+            "WITH RECURSIVE pix AS MATERIALIZED (SELECT "
+            "(c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "d(dir, dx, dy, m) AS (VALUES (0, 1, 0, 2), (1, 1, 1, 1), "
+            "(2, 0, 1, 2), (3, -1, 1, 1), (4, -1, 0, 2), (5, -1, -1, 1), "
+            "(6, 0, -1, 2), (7, 1, -1, 1)), "
+            "sc AS (SELECT p.gx, p.gy, d.dir, "
+            "(p.w - n.w) * (p.w - n.w) * d.m AS score "
+            "FROM pix p CROSS JOIN d JOIN pix n "
+            "ON n.gx = p.gx + d.dx AND n.gy = p.gy + d.dy "
+            "WHERE p.w > n.w), "
+            "b AS MATERIALIZED (SELECT gx, gy, dir FROM "
+            "(SELECT gx, gy, dir, row_number() OVER "
+            "(PARTITION BY gx, gy ORDER BY score DESC, dir ASC) AS rn "
+            "FROM sc) WHERE rn = 1), "
+            "e AS MATERIALIZED (SELECT b.gx, b.gy, "
+            "b.gx + d.dx AS tx, b.gy + d.dy AS ty "
+            "FROM b JOIN d ON d.dir = b.dir), "
+            "walk(ox, oy, ax, ay) AS ("
+            "SELECT gx, gy, gx, gy FROM pix "
+            "UNION ALL "
+            "SELECT w.ox, w.oy, e.tx, e.ty FROM walk w "
+            "JOIN e ON e.gx = w.ax AND e.gy = w.ay) "
+            "SELECT w.ox AS gx, w.oy AS gy, "
+            "CAST(w.ax AS BIGINT) AS bx, CAST(w.ay AS BIGINT) AS by "
+            "FROM walk w LEFT JOIN e ON e.gx = w.ax AND e.gy = w.ay "
+            "WHERE e.gx IS NULL"),
         # traj_hausdorff — independent max-of-min recomputation over
         # the same bounded pair set (MATERIALIZED: the pair-point
         # frame is referenced by both directed reductions).

@@ -634,6 +634,70 @@ def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
         f"flow_accumulation: path longer than max_rounds={max_rounds}")
 
 
+def basin_labels(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                 w: str = "w", max_rounds: int = 20) -> DataFrame:
+    """Watershed basin delineation per occupied cell (r4 cont.) — the
+    third member of the D8 terrain family: every cell is labeled with
+    the SINK its steepest-descent flow path terminates at (basin =
+    drainage area of one sink; sinks and flats label themselves).
+
+    Correctness rests on the flow_accumulation acyclicity theorem
+    (every D8 step strictly descends in w, so each cell's path reaches
+    a unique sink in at most max(w) hops) — but where flowacc WALKS the
+    paths hop by hop, basins only need the ENDPOINT, so the engine uses
+    POINTER DOUBLING: parent(c) = the D8 next cell (self for sinks),
+    then parent <- parent(parent) each round, halving every remaining
+    path — ceil(log2(max path)) + 1 rounds instead of max-path rounds
+    (max_rounds = 20 covers paths of 2^20 cells).  Convergence is
+    CHECKED, not hoped: a round runs only while some parent is still a
+    non-sink, and exhausting max_rounds raises loudly.
+
+    Scale shape: per round ONE skinny hash equi-join on cell coords
+    (the doubling) + one semi-join probe against the non-sink set, all
+    on (x, y, px, py) int rows checkpointed between rounds; no window
+    over the raster, no theta-join, cell table bounded by the grid.
+    Output: (gx, gy, bx, by) — the cell and its basin's sink."""
+    flow = flow_dir_d8(pixels, x, y, w)
+    dirs = {0: (1, 0), 1: (1, 1), 2: (0, 1), 3: (-1, 1),
+            4: (-1, 0), 5: (-1, -1), 6: (0, -1), 7: (1, -1)}
+    dx = F.element_at(F.array(*[F.lit(dirs[d][0]) for d in range(8)]),
+                      F.col("dir") + 1)
+    dy = F.element_at(F.array(*[F.lit(dirs[d][1]) for d in range(8)]),
+                      F.col("dir") + 1)
+    par = (flow.select(
+        F.col(x).cast("long").alias("ux"), F.col(y).cast("long").alias("uy"),
+        F.when(F.col("dir") >= 0, F.col(x) + dx).otherwise(F.col(x))
+        .cast("long").alias("px"),
+        F.when(F.col("dir") >= 0, F.col(y) + dy).otherwise(F.col(y))
+        .cast("long").alias("py"))
+        .localCheckpoint(eager=False))
+    nonsink = (flow.filter(F.col("dir") >= 0)
+               .select(F.col(x).cast("long").alias("sx"),
+                       F.col(y).cast("long").alias("sy"))
+               .localCheckpoint(eager=False))
+    cur = par
+    for _ in range(max_rounds):
+        pending = cur.join(nonsink, (cur.px == nonsink.sx)
+                           & (cur.py == nonsink.sy), "left_semi")
+        if pending.rdd.isEmpty():
+            return cur.select(F.col("ux").alias(x), F.col("uy").alias(y),
+                              F.col("px").alias("bx"),
+                              F.col("py").alias("by"))
+        # double: parent <- cur(cur) — the hop view is CUR itself, so
+        # every round halves the remaining path (2^k after round k).
+        # Every parent is an occupied cell (flow edges only target
+        # occupied neighbors; sinks self-loop), so the inner join
+        # never drops rows.
+        hop = cur.select(F.col("ux").alias("hx"), F.col("uy").alias("hy"),
+                         F.col("px").alias("hpx"), F.col("py").alias("hpy"))
+        cur = (cur.join(hop, (cur.px == hop.hx) & (cur.py == hop.hy))
+               .select("ux", "uy", F.col("hpx").alias("px"),
+                       F.col("hpy").alias("py"))
+               .localCheckpoint(eager=False))
+    raise RuntimeError(
+        f"basin_labels: flow path longer than 2^{max_rounds} cells")
+
+
 # Shared half-quadrant (45-degree sector) classification of the Horn
 # gradient vector, counter-clockwise from east, half-open [k*45, (k+1)*45)
 # boundaries; -1 = flat.  Pure integer comparisons, so the SAME text is

@@ -371,3 +371,75 @@ def test_flowacc_max_rounds_raises_loudly(spark):
         [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
     with _pytest.raises(RuntimeError, match="max_rounds"):
         flow_accumulation(df, max_rounds=3)
+
+
+# ------------------------------------------------------- watershed basins
+
+from engine.geo.raster import basin_labels
+
+
+def _basins_brute(cells):
+    fd = _flowdir_brute(cells)
+    out = {}
+    for start in cells:
+        cur = start
+        while fd[cur][0] != -1:
+            d = fd[cur][0]
+            cur = (cur[0] + _D8[d][1], cur[1] + _D8[d][2])
+        out[start] = cur
+    return out
+
+
+def test_basins_match_brute(spark):
+    import random
+    rng = random.Random(47)
+    cells = {(rng.randrange(14), rng.randrange(14)): rng.randrange(1, 25)
+             for _ in range(110)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    got = {(r.gx, r.gy): (r.bx, r.by) for r in basin_labels(df).collect()}
+    assert got == _basins_brute(cells)
+
+
+def test_basins_long_chain_needs_doubling(spark):
+    # a 40-cell monotone staircase: hop-by-hop would need 39 rounds,
+    # pointer doubling converges in ceil(log2(39)) + 1 = 7
+    cells = {(x, 0): x + 1 for x in range(40)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    got = {(r.gx, r.gy): (r.bx, r.by)
+           for r in basin_labels(df, max_rounds=7).collect()}
+    assert got == {(x, 0): (0, 0) for x in range(40)}
+
+
+def test_basins_labels_are_sinks_and_cover(spark):
+    import random
+    rng = random.Random(7)
+    cells = {(rng.randrange(10), rng.randrange(10)): rng.randrange(1, 15)
+             for _ in range(60)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    rows = basin_labels(df).collect()
+    fd = _flowdir_brute(cells)
+    assert len(rows) == len(cells)                 # exactly one label each
+    for r in rows:
+        assert fd[(r.bx, r.by)][0] == -1           # every label is a sink
+    sinks = {k for k, v in fd.items() if v[0] == -1}
+    assert {(r.bx, r.by) for r in rows} == sinks   # every sink drains itself
+
+
+def test_basins_uniform_field_all_self(spark):
+    df = spark.createDataFrame(
+        [(x, y, 5) for x in range(4) for y in range(4)],
+        "gx long, gy long, w long")
+    rows = basin_labels(df).collect()
+    assert all((r.bx, r.by) == (r.gx, r.gy) for r in rows)
+
+
+def test_basins_max_rounds_raises_loudly(spark):
+    import pytest as _pytest
+    cells = {(x, 0): x + 1 for x in range(40)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
+    with _pytest.raises(RuntimeError, match="basin_labels"):
+        basin_labels(df, max_rounds=3)
