@@ -531,3 +531,20 @@ def test_pii_scrub_is_pure_map(spark):
     plan = plan_of(pii_scrub(docs))
     assert _count_shuffles(plan) == 0, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_horn_slope_native_no_nested_loop(spark):
+    """r4 cont.: the Horn stencil is a volunteer explode + ONE hash agg
+    on cell coords + a join back — all codegen, never a theta-join,
+    zero Python stages."""
+    from engine.geo.raster import horn_slope
+    pix = spark.range(500).selectExpr(
+        "id % 23 AS gx", "id % 17 AS gy").groupBy("gx", "gy").count() \
+        .withColumnRenamed("count", "w")
+    plan = plan_of(horn_slope(pix))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Generate" in plan, plan   # the volunteer explode
+    # the gradient agg is map-side combined (partial below its exchange)
+    assert "partial_sum" in plan, plan
