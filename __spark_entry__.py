@@ -2947,6 +2947,22 @@ def q_raster_flowdir(spark, sf):
     return flow_dir_d8(pix)
 
 
+def q_raster_tpi(spark, sf):
+    """TPI (r4 cont., engine/geo/raster.py::tpi_index): per occupied
+    cell of the sparse 128x128 count raster, the 8x-scaled Topographic
+    Position Index tpi8 = 8*w - sum(8-neighborhood) (absent = true
+    zero, so the scaled form is exact — no division, no floats) and
+    the sign classification.  The horn_slope plan shape: volunteer
+    explode + ONE map-side-combined hash agg + LEFT join back."""
+    _prep(spark)
+    from engine.geo.raster import tpi_index
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return tpi_index(pix)
+
+
 def q_raster_basins(spark, sf):
     """Watershed basins (r4 cont., engine/geo/raster.py::basin_labels):
     every occupied cell of the sparse 128x128 count raster labeled with
@@ -4355,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_flowdir": q_raster_flowdir,
         "raster_slope": q_raster_slope,
         "raster_basins": q_raster_basins,
+        "raster_tpi": q_raster_tpi,
         "raster_flowacc": q_raster_flowacc,
         "bpe_tokenize": q_bpe_tokenize,
         "editdist_join": q_editdist_join,
@@ -6355,6 +6372,25 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e ON e.gx = w.ax AND e.gy = w.ay) "
             "SELECT ax AS gx, ay AS gy, "
             "CAST(COUNT(*) AS BIGINT) AS acc FROM walk GROUP BY 1, 2"),
+        # raster_tpi — LEFT neighbor-join stencil, same integer
+        # arithmetic, sign by CASE.
+        "raster_tpi": (
+            "WITH pix AS MATERIALIZED (SELECT "
+            "(c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "d(rx, ry) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), "
+            "(0, 1), (1, -1), (1, 0), (1, 1)), "
+            "g AS (SELECT p.gx, p.gy, p.w, "
+            "CAST(COALESCE(SUM(n.w), 0) AS BIGINT) AS nbr_sum "
+            "FROM pix p CROSS JOIN d LEFT JOIN pix n "
+            "ON n.gx = p.gx + d.rx AND n.gy = p.gy + d.ry "
+            "GROUP BY 1, 2, 3) "
+            "SELECT gx, gy, w, nbr_sum, "
+            "CAST(8 * w - nbr_sum AS BIGINT) AS tpi8, "
+            "CAST(CASE WHEN 8 * w - nbr_sum > 0 THEN 1 "
+            "WHEN 8 * w - nbr_sum < 0 THEN -1 ELSE 0 END AS INTEGER) "
+            "AS cls FROM g"),
         # raster_basins — the hop-by-hop walk the pointer-doubled plan
         # must reproduce: same flow edges (e), recursive CTE to the
         # terminal cell, one anti-join to keep only the sink row.

@@ -776,6 +776,42 @@ def horn_slope(pixels: DataFrame, x: str = "gx", y: str = "gy",
             .withColumn("octant", F.expr(OCTANT_CASE).cast("int")))
 
 
+def tpi_index(pixels: DataFrame, x: str = "gx", y: str = "gy",
+              w: str = "w") -> DataFrame:
+    """Topographic Position Index (Weiss) per occupied cell of a sparse
+    COUNT raster, exact integer domain (r4 cont.): the cell's value
+    minus the MEAN of its 8 neighbors, carried 8x-scaled so no division
+    ever happens — tpi8 = 8*w - sum(8-neighborhood), with horn_slope's
+    convention that absent cells on a count raster are TRUE ZEROS (so
+    the denominator is always exactly 8 and the scaled form is exact).
+    cls = sign(tpi8): +1 locally high (ridge/peak), -1 locally low
+    (valley/pit), 0 neutral — the landform-classification input.
+
+    Scale shape: identical to horn_slope — one 8-offset volunteer
+    explode, ONE map-side-combined hash agg on cell coords, LEFT join
+    back to the occupied set (isolated cells: nbr_sum 0, tpi8 = 8w).
+    Integer codegen end to end, zero Python, cell table bounded by the
+    grid.  Output: (gx, gy, w, nbr_sum, tpi8, cls)."""
+    offs = F.array(*[
+        F.struct(F.lit(rx).alias("rx"), F.lit(ry).alias("ry"))
+        for rx in (-1, 0, 1) for ry in (-1, 0, 1)
+        if not (rx == 0 and ry == 0)])
+    base = pixels.select(F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"),
+                         F.col(w).cast("long").alias("cw"))
+    give = (base.select("cx", "cy", "cw", F.explode(offs).alias("o"))
+            .select((F.col("cx") - F.col("o.rx")).alias("tx"),
+                    (F.col("cy") - F.col("o.ry")).alias("ty"), "cw"))
+    nbr = give.groupBy("tx", "ty").agg(F.sum("cw").alias("nbr_sum"))
+    return (base.join(nbr, (base.cx == nbr.tx) & (base.cy == nbr.ty),
+                      "left")
+            .select(F.col("cx").alias(x), F.col("cy").alias(y),
+                    F.col("cw").alias("w"),
+                    F.coalesce("nbr_sum", F.lit(0)).alias("nbr_sum"))
+            .withColumn("tpi8", F.lit(8) * F.col("w") - F.col("nbr_sum"))
+            .withColumn("cls", F.signum("tpi8").cast("int")))
+
+
 def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
                      radius: int = 4) -> DataFrame:
     """C-family (r4 cont.) — bounded-radius proximity: for every

@@ -113,3 +113,51 @@ def test_random_raster_vs_brute(spark):
     got = {(r.gx, r.gy): (r.w, r.gx8, r.gy8, r.slope2, r.octant)
            for r in horn_slope(_df(spark, rows)).collect()}
     assert got == _brute(rows)
+
+
+# --------------------------------------------------------------- TPI
+
+from engine.geo.raster import tpi_index
+
+
+def _tpi_brute(rows):
+    occ = {(x, y): w for x, y, w in rows}
+    out = {}
+    for (x, y), w in occ.items():
+        s = sum(occ.get((x + rx, y + ry), 0)
+                for rx in (-1, 0, 1) for ry in (-1, 0, 1)
+                if not (rx == 0 and ry == 0))
+        t = 8 * w - s
+        out[(x, y)] = (w, s, t, (t > 0) - (t < 0))
+    return out
+
+
+def test_tpi_brute_force_parity(spark):
+    got = {(r.gx, r.gy): (r.w, r.nbr_sum, r.tpi8, r.cls)
+           for r in tpi_index(_df(spark, ROWS)).collect()}
+    assert got == _tpi_brute(ROWS)
+
+
+def test_tpi_isolated_and_uniform(spark):
+    got = {(r.gx, r.gy): r for r in tpi_index(_df(spark, ROWS)).collect()}
+    iso = got[(10, 10)]
+    # isolated cell: all 8 neighbors are zero -> maximally ridge-like
+    assert (iso.nbr_sum, iso.tpi8, iso.cls) == (0, 48, 1)
+    # a flat 5x5 block's center cell is neutral
+    flat = [(x, y, 3) for x in range(5) for y in range(5)]
+    center = {(r.gx, r.gy): r for r in
+              tpi_index(_df(spark, flat)).collect()}[(2, 2)]
+    assert (center.nbr_sum, center.tpi8, center.cls) == (24, 0, 0)
+
+
+def test_tpi_random_vs_brute_and_repartition(spark):
+    rng = np.random.default_rng(11)
+    pts = {(int(x), int(y)) for x, y in
+           zip(rng.integers(0, 12, 140), rng.integers(0, 12, 140))}
+    rows = [(x, y, int(1 + (x * 5 + y * 11) % 7)) for x, y in pts]
+    a = tpi_index(_df(spark, rows))
+    b = tpi_index(_df(spark, rows).repartition(5))
+    got = {(r.gx, r.gy): (r.w, r.nbr_sum, r.tpi8, r.cls)
+           for r in a.collect()}
+    assert got == _tpi_brute(rows)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
