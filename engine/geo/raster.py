@@ -625,7 +625,7 @@ def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
                     .select("ox", "oy", F.col("tx").alias("ax"),
                             F.col("ty").alias("ay"))
                     .localCheckpoint(eager=False))
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():
             return (visits.groupBy(F.col("ax").alias(x),
                                    F.col("ay").alias(y))
                     .agg(F.count("*").cast("long").alias("acc")))
@@ -679,7 +679,7 @@ def basin_labels(pixels: DataFrame, x: str = "gx", y: str = "gy",
     for _ in range(max_rounds):
         pending = cur.join(nonsink, (cur.px == nonsink.sx)
                            & (cur.py == nonsink.sy), "left_semi")
-        if pending.rdd.isEmpty():
+        if pending.isEmpty():
             return cur.select(F.col("ux").alias(x), F.col("uy").alias(y),
                               F.col("px").alias("bx"),
                               F.col("py").alias("by"))

@@ -116,8 +116,8 @@ def test_split_deterministic_and_partition_invariant(spark, sf_dir):
 
 def test_split_fractions_converge(spark):
     df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
-    counts = dict(assign_splits(df, seed=1).groupBy("split").count()
-                  .rdd.map(lambda r: (r["split"], r["count"])).collect())
+    counts = {r["split"]: r["count"] for r in
+              assign_splits(df, seed=1).groupBy("split").count().collect()}
     total = sum(counts.values())
     assert total == 20_000
     assert abs(counts["train"] / total - 0.8) < 0.02
