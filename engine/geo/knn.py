@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
+from engine.ckpt import materialize
+
 from oracle.geo import EARTH_RADIUS_M
 
 from .cells import cell_parent_col, demorton_np, disk_cells_np, with_cell
@@ -155,7 +157,8 @@ def make_safe_r_udf(level: int, r0: int = 1):
 def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
              r0: int = 1, max_rounds: int = 12,
              qid_col: str = "qid", id_col: str = "image_id",
-             native_dist: bool = True, cache_points: bool = False) -> DataFrame:
+             native_dist: bool = True, cache_points: bool = False,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """Exact kNN: for each query row, the k nearest points (dist asc, id
     tiebreak).  Returns (qid, image_id, dist_m, rn).
 
@@ -211,13 +214,13 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
         # one execution of the big candidates join per round: topk is at
         # most |pending| x k rows, so materializing it locally is cheap
         # and the stats / verdict / output reads below all reuse it
-        # NOTE: localCheckpoint pins the materialized round to EXECUTOR
-        # storage — on a real cluster an executor loss after truncation
-        # cannot recompute (lineage is gone) and the job fails/retries
-        # from the stage; acceptable for a bounded retry loop (rounds are
-        # cheap to re-run), use reliable checkpoint() on a DFS dir if the
-        # cluster churns executors.
-        topk = topk.localCheckpoint(eager=True)
+        # NOTE: the default localCheckpoint pins the materialized round
+        # to EXECUTOR storage — on a real cluster an executor loss after
+        # truncation cannot recompute (lineage is gone) and the job
+        # fails; acceptable for a bounded retry loop (rounds are cheap
+        # to re-run).  Pass checkpoint_dir to switch every round to a
+        # reliable DFS checkpoint when the cluster churns executors.
+        topk = materialize(topk, eager=True, checkpoint_dir=checkpoint_dir)
         stats = topk.groupBy(qid_col).agg(
             F.count("*").alias("cnt"),
             F.max("dist_m").alias("kth"),
@@ -244,8 +247,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, level: int,
         # driver.  `failed` is at most |pending| skinny rows; it is
         # materialized once (localCheckpoint) because three consumers
         # read it, and the only driver-side scalar is its count.
-        failed = merged.filter(~satisfied).select(qid_col) \
-                       .localCheckpoint(eager=True)
+        failed = materialize(merged.filter(~satisfied).select(qid_col),
+                             eager=True, checkpoint_dir=checkpoint_dir)
         n_failed = failed.count()
         ok = topk.select(qid_col, id_col, "dist_m", "rn")
         if n_failed:

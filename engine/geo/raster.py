@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from engine.ckpt import materialize
 from engine.geo.cells import LEVEL, merc_xy_sql
 
 
@@ -583,7 +584,8 @@ def flow_dir_d8(pixels: DataFrame, x: str = "gx", y: str = "gy",
 
 
 def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
-                      w: str = "w", max_rounds: int = 64) -> DataFrame:
+                      w: str = "w", max_rounds: int = 64,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """D8 flow accumulation per occupied cell (r4 cont.) — the classic
     companion of `flow_dir_d8`: acc(c) = number of cells (including c
     itself) whose D8 flow path passes through c.
@@ -613,8 +615,8 @@ def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
     edges = (flow.filter(F.col("dir") >= 0)
              .select(F.col(x).alias("fx"), F.col(y).alias("fy"),
                      (F.col(x) + dx).alias("tx"),
-                     (F.col(y) + dy).alias("ty"))
-             .localCheckpoint(eager=False))
+                     (F.col(y) + dy).alias("ty")))
+    edges = materialize(edges, eager=False, checkpoint_dir=checkpoint_dir)
     frontier = pixels.select(F.col(x).alias("ox"), F.col(y).alias("oy"),
                              F.col(x).alias("ax"), F.col(y).alias("ay"))
     visits = frontier
@@ -623,19 +625,22 @@ def flow_accumulation(pixels: DataFrame, x: str = "gx", y: str = "gy",
                     .join(edges, (F.col("ax") == F.col("fx"))
                           & (F.col("ay") == F.col("fy")))
                     .select("ox", "oy", F.col("tx").alias("ax"),
-                            F.col("ty").alias("ay"))
-                    .localCheckpoint(eager=False))
+                            F.col("ty").alias("ay")))
+        frontier = materialize(frontier, eager=False,
+                               checkpoint_dir=checkpoint_dir)
         if frontier.isEmpty():
             return (visits.groupBy(F.col("ax").alias(x),
                                    F.col("ay").alias(y))
                     .agg(F.count("*").cast("long").alias("acc")))
-        visits = visits.unionByName(frontier).localCheckpoint(eager=False)
+        visits = materialize(visits.unionByName(frontier), eager=False,
+                             checkpoint_dir=checkpoint_dir)
     raise RuntimeError(
         f"flow_accumulation: path longer than max_rounds={max_rounds}")
 
 
 def basin_labels(pixels: DataFrame, x: str = "gx", y: str = "gy",
-                 w: str = "w", max_rounds: int = 20) -> DataFrame:
+                 w: str = "w", max_rounds: int = 20,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Watershed basin delineation per occupied cell (r4 cont.) — the
     third member of the D8 terrain family: every cell is labeled with
     the SINK its steepest-descent flow path terminates at (basin =
@@ -669,12 +674,13 @@ def basin_labels(pixels: DataFrame, x: str = "gx", y: str = "gy",
         F.when(F.col("dir") >= 0, F.col(x) + dx).otherwise(F.col(x))
         .cast("long").alias("px"),
         F.when(F.col("dir") >= 0, F.col(y) + dy).otherwise(F.col(y))
-        .cast("long").alias("py"))
-        .localCheckpoint(eager=False))
+        .cast("long").alias("py")))
+    par = materialize(par, eager=False, checkpoint_dir=checkpoint_dir)
     nonsink = (flow.filter(F.col("dir") >= 0)
                .select(F.col(x).cast("long").alias("sx"),
-                       F.col(y).cast("long").alias("sy"))
-               .localCheckpoint(eager=False))
+                       F.col(y).cast("long").alias("sy")))
+    nonsink = materialize(nonsink, eager=False,
+                          checkpoint_dir=checkpoint_dir)
     cur = par
     for _ in range(max_rounds):
         pending = cur.join(nonsink, (cur.px == nonsink.sx)
@@ -690,10 +696,11 @@ def basin_labels(pixels: DataFrame, x: str = "gx", y: str = "gy",
         # never drops rows.
         hop = cur.select(F.col("ux").alias("hx"), F.col("uy").alias("hy"),
                          F.col("px").alias("hpx"), F.col("py").alias("hpy"))
-        cur = (cur.join(hop, (cur.px == hop.hx) & (cur.py == hop.hy))
+        cur = materialize(
+            cur.join(hop, (cur.px == hop.hx) & (cur.py == hop.hy))
                .select("ux", "uy", F.col("hpx").alias("px"),
-                       F.col("hpy").alias("py"))
-               .localCheckpoint(eager=False))
+                       F.col("hpy").alias("py")),
+            eager=False, checkpoint_dir=checkpoint_dir)
     raise RuntimeError(
         f"basin_labels: flow path longer than 2^{max_rounds} cells")
 

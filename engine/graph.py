@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from engine.ckpt import materialize
+
 S0_DEFAULT = 1 << 30
 DAMP_NUM, DAMP_DEN = 85, 100
 
@@ -48,7 +50,8 @@ def _undirect(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                  iters: int = 4, s0: int = S0_DEFAULT,
-                 broadcast_ranks: bool | None = None) -> DataFrame:
+                 broadcast_ranks: bool | None = None,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Undirected integer PageRank: every edge (u, v) carries mass both
     ways.  -> (node, rank) after `iters` rounds from the uniform start
     rank = s0.
@@ -67,7 +70,8 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError("pagerank_int: n * s0 too large for the exact "
                          "int64 audit — lower s0")
     deg = bi.groupBy("u").agg(F.count("*").alias("outdeg"))
-    ed = bi.join(deg, "u").localCheckpoint(eager=True)
+    ed = materialize(bi.join(deg, "u"), eager=True,
+                     checkpoint_dir=checkpoint_dir)
 
     # broadcast_ranks=True avoids reshuffling the edge frame each
     # round by broadcasting the node-sized rank frame — MEASURED SLOWER
@@ -92,8 +96,8 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                      (F.lit(base)
                       + F.expr(f"({DAMP_NUM} * coalesce(m, 0)) "
                                f"DIV {DAMP_DEN}")).cast("long")
-                     .alias("rank"))
-             .localCheckpoint(eager=True))
+                     .alias("rank")))
+        r = materialize(r, eager=True, checkpoint_dir=checkpoint_dir)
     return r
 
 
@@ -168,7 +172,8 @@ def triangles_py(edge_list) -> dict:
 
 def sssp_int(edges: DataFrame, sources: DataFrame, src: str = "src",
              dst: str = "dst", weight: str = "w",
-             max_hops: int = 8) -> DataFrame:
+             max_hops: int = 8,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """N3 — multi-source shortest paths with integer weights, bounded
     to paths of at most `max_hops` edges (Bellman-Ford rounds; set
     max_hops >= n-1 for true SSSP on a positive-weight graph).
@@ -193,7 +198,8 @@ def sssp_int(edges: DataFrame, sources: DataFrame, src: str = "src",
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"),
                      F.col(weight).cast("long").alias("w"))
-    e = e.repartition("u").localCheckpoint(eager=True)
+    e = materialize(e.repartition("u"), eager=True,
+                    checkpoint_dir=checkpoint_dir)
     dist = sources.select(F.col(sources.columns[0]).cast("long")
                           .alias("node"),
                           F.lit(0).cast("long").alias("dist"))
@@ -201,9 +207,10 @@ def sssp_int(edges: DataFrame, sources: DataFrame, src: str = "src",
         cand = (dist.join(e, dist.node == e.u)
                 .select(F.col("v").alias("node"),
                         (F.col("dist") + F.col("w")).alias("dist")))
-        dist = (dist.unionByName(cand)
-                .groupBy("node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=False))
+        dist = materialize(
+            dist.unionByName(cand)
+                .groupBy("node").agg(F.min("dist").alias("dist")),
+            eager=False, checkpoint_dir=checkpoint_dir)
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
 
@@ -220,7 +227,8 @@ def sssp_py(edge_list, sources, max_hops: int = 8) -> dict:
 
 
 def kcore(edges: DataFrame, k: int = 3, src: str = "src",
-          dst: str = "dst", max_rounds: int = 32) -> DataFrame:
+          dst: str = "dst", max_rounds: int = 32,
+          checkpoint_dir: str | None = None) -> DataFrame:
     """k-core extraction -> (node, core_deg): the maximal subgraph in
     which every node has degree >= k, plus each surviving node's degree
     WITHIN that subgraph (r4 cont.).
@@ -244,7 +252,8 @@ def kcore(edges: DataFrame, k: int = 3, src: str = "src",
     edge-sized skinny frames, no all-pairs anywhere; real-world graphs
     peel in few rounds (degeneracy ordering), adversarial paths in
     O(n/2) — bound it with max_rounds and pre-filter leaves if needed."""
-    e = _undirect(edges, src, dst).localCheckpoint(eager=False)
+    e = materialize(_undirect(edges, src, dst), eager=False,
+                    checkpoint_dir=checkpoint_dir)
     prev = -1
     for _ in range(max_rounds):
         deg = (e.select(F.col("u").alias("n"))
@@ -258,10 +267,11 @@ def kcore(edges: DataFrame, k: int = 3, src: str = "src",
                     .groupBy("node")
                     .agg(F.count("*").cast("long").alias("core_deg")))
         prev = n_keep
-        e = (e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
+        e = materialize(
+            e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
              .join(keep.withColumnRenamed("n", "v"), "v", "semi")
-             .select("u", "v")
-             .localCheckpoint(eager=False))
+             .select("u", "v"),
+            eager=False, checkpoint_dir=checkpoint_dir)
     raise RuntimeError(
         f"kcore: no fixpoint within max_rounds={max_rounds}")
 

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from engine.ckpt import materialize
 from pyspark.sql.types import ArrayType, LongType
 
 MERSENNE = (1 << 31) - 1  # minhash modulus: a*v+b stays inside uint64
@@ -331,7 +333,8 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a pair list -> (id, cluster_id) with
     cluster_id = min reachable id.  Min-label propagation PLUS pointer
     jumping (label <- min(label, label-of-label), the hash-to-min move):
@@ -344,14 +347,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     across edges = component min id) and determinism are unchanged.
     The per-round convergence check is a driver-side scalar count, same
     bounded-loop pattern as engine/geo/knn.py; each round is
-    localCheckpointed so the plan does not grow with iterations."""
+    materialized (engine/ckpt.py: localCheckpoint, or reliable
+    checkpoint under `checkpoint_dir` for executor-loss-tolerant
+    clusters) so the plan does not grow with iterations."""
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
+             .distinct())
+    edges = materialize(edges, eager=True, checkpoint_dir=checkpoint_dir)
+    labels = materialize(
+        edges.select(F.col("src").alias("id")).distinct()
+             .withColumn("label", F.col("id")),
+        eager=True, checkpoint_dir=checkpoint_dir)
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.dst == labels.id)
                .groupBy("src").agg(F.min("label").alias("nbr_label")))
@@ -370,8 +377,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                               F.least(stepped.label, par.plabel)
                               .alias("label"),
                               (F.least(stepped.label, par.plabel)
-                               < F.col("old_label")).alias("chg"))
-                      .localCheckpoint(eager=True))
+                               < F.col("old_label")).alias("chg")))
+        new_labels = materialize(new_labels, eager=True,
+                                 checkpoint_dir=checkpoint_dir)
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("id", "label")
         if changed == 0:
@@ -382,7 +390,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 def dedup_clusters(df: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text", threshold: float = 0.7,
                    num_hashes: int = 32, bands: int = 8, k: int = 4,
-                   max_bucket: int | None = 4096) -> DataFrame:
+                   max_bucket: int | None = 4096,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Keep-one-per-cluster dedup (the operation an LLM-corpus pipeline
     actually runs): MinHash+LSH verified pairs -> connected components ->
     every doc labeled with its cluster representative (min id; singleton
@@ -393,11 +402,12 @@ def dedup_clusters(df: DataFrame, *, id_col: str = "doc_id",
     # verified pairs are O(duplicates) rows; materialize once so the CC
     # rounds (and the edge symmetrization) never re-run the LSH + shingle
     # verify pipeline (measured: re-execution cost ~7 s vs 311-row reuse)
-    pairs = minhash_dedup(df, id_col=id_col, text_col=text_col,
-                          threshold=threshold, num_hashes=num_hashes,
-                          bands=bands, k=k,
-                          max_bucket=max_bucket).localCheckpoint(eager=True)
-    comp = connected_components(pairs)
+    pairs = materialize(
+        minhash_dedup(df, id_col=id_col, text_col=text_col,
+                      threshold=threshold, num_hashes=num_hashes,
+                      bands=bands, k=k, max_bucket=max_bucket),
+        eager=True, checkpoint_dir=checkpoint_dir)
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return (df.select(id_col)
             .join(comp, df[id_col] == comp.id, "left")
             .select(F.col(id_col),
