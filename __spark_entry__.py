@@ -3508,6 +3508,62 @@ def q_geo_area_centroid(spark, sf):
     return area_centroid(rings_df(PolygonLayer.from_json(), spark))
 
 
+def q_geo_area_spherical(spark, sf):
+    """B-family (r5) — geodesic twin of geo_area_centroid (VERDICT-r4
+    missing #3): per-ring SIGNED spherical-excess area in m² over the
+    antimeridian-split layer, exact for great-circle edges (per-edge
+    tan-half-angle excess formula, l'Huilier-verified in
+    tests/test_spherical_area.py).  Native HOF fold, zero Python, zero
+    shuffle.  The DuckDB twin runs the IDENTICAL dialect-neutral term
+    text (engine/geo/measure.py::excess_term_sql) as a lead()-window
+    sum over the inlined vertices; both engines round to the km²-scale
+    grain (round(x, -3)) — 4 orders above fold-order/libm drift."""
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df, spherical_area
+    return spherical_area(rings_df(PolygonLayer.from_json(), spark))
+
+
+GEOJSON_FIXTURE = "/root/repo/oracle/layer12plus.geojson"
+
+
+def q_scan_geojson(spark, sf):
+    """A-family (r5) — standard-interchange polygon source (VERDICT-r4
+    missing #4): read the committed RFC 7946 FeatureCollection
+    (Polygon + MultiPolygon, holes, antimeridian-split parts, ring
+    orientation normalized) with the SPARK-NATIVE GeoJSON reader
+    (engine/geo/geojson.py::read_geojson — `coordinates` captured as
+    raw JSON text under an explicit schema, re-parsed per geometry
+    type with from_json: no Python stage, no driver JSON pass) and
+    emit a per-part EXACT-INTEGER summary: open-vertex count, hole
+    count, FLOOR-q6 bbox, signed shoelace 2*area.  The DuckDB twin
+    parses the SAME file independently (read_json_auto +
+    json_transform) and recomputes every integer.  Write -> read ->
+    write byte equality and covering parity vs the native loader are
+    proved in tests/test_geojson.py."""
+    _prep(spark)
+    from engine.geo.geojson import read_geojson
+    from engine.geo.measure import _cross_fold
+    parts = read_geojson(spark, GEOJSON_FIXTURE)
+    q6 = "CAST(floor(v[{i}] * 1000000.0) AS BIGINT)"
+    pts = (f"transform(ring_xy, v -> struct({q6.format(i=0)} AS x, "
+           f"{q6.format(i=1)} AS y))")
+    return parts.select(
+        "poly_id", "name", "part_idx",
+        F.expr("CAST(size(ring_xy) AS INT)").alias("n_vertices"),
+        F.expr("CAST(size(holes_xy) AS INT)").alias("n_holes"),
+        F.expr(f"array_min(transform(ring_xy, v -> {q6.format(i=0)}))")
+        .alias("x0_q6"),
+        F.expr(f"array_min(transform(ring_xy, v -> {q6.format(i=1)}))")
+        .alias("y0_q6"),
+        F.expr(f"array_max(transform(ring_xy, v -> {q6.format(i=0)}))")
+        .alias("x1_q6"),
+        F.expr(f"array_max(transform(ring_xy, v -> {q6.format(i=1)}))")
+        .alias("y1_q6"),
+        F.expr(_cross_fold(pts)).alias("area2_q6"),
+    )
+
+
 # Deterministic INVALID rings appended to the layer rings by
 # poly_validate so every defect class is exercised: a proper bowtie
 # crossing, a consecutive-duplicate vertex (whose flanking edges also
@@ -4149,18 +4205,24 @@ def q_snapshot_wap(spark, sf):
 # (tools/check_contract.py sf0.01) + pytest-oracle evidence only; the
 # full swap rationale is recorded in DRIVER_WINDOWS.json r5_final.
 _R5_WINDOW = (
+    # (r5 new operators — the VERDICT-r4 asks: GeoJSON interchange and
+    # the geodesic area twin; both check_contract-green at
+    # sf0.001+sf0.01.  They take the slots of stream_ohlc (merge-law-
+    # tied to in-window ts_ohlc) and img_sobel (4th member of the
+    # image-golden family, 3 stay in-window).)
+    "scan_geojson", "geo_area_spherical",
     # (a) overflow swap-ins: the strongest never-verified oracles
     "poly_validate", "poly_triangulate",
     "raster_slope", "raster_basins", "raster_tpi",
     "raster_flowdir", "raster_flowacc", "geary_c",
-    "eval_auc", "graph_kcore", "ts_ohlc", "stream_ohlc",
+    "eval_auc", "graph_kcore", "ts_ohlc",
     "img_otsu", "traj_hausdorff", "traj_frechet", "feat_hash",
-    # (b) the r5_planned queue, minus the 16 retired thin-parity keys
+    # (b) the r5_planned queue, minus the 17 retired thin-parity keys
     "length_buckets", "tile_integral", "img_moments",
     "seg_intersect_join", "seg_rasterize", "str_pack",
     "voronoi_assign", "moran_i", "bpe_tokenize", "editdist_join",
     "quad_adaptive", "cluster_grid_density", "agg_ols", "snapshot_wap",
-    "img_histogram", "traj_polyline", "skyline", "funnel", "img_sobel",
+    "img_histogram", "traj_polyline", "skyline", "funnel",
     "scan_csv", "scan_json", "snap_segment",
     "graph_pagerank", "graph_triangles",
     "text_bigram_coverage", "interval_concurrency",
@@ -4277,6 +4339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "emb_centroid": q_emb_centroid,
         "geo_area_centroid": q_geo_area_centroid,
+        "geo_area_spherical": q_geo_area_spherical,
+        "scan_geojson": q_scan_geojson,
         "text_topterms": q_text_topterms,
         "cell_compact": q_cell_compact,
         "data_split": q_data_split,
@@ -4760,6 +4824,58 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM((y3 + ny3) * (x3 * ny3 - nx3 * y3)) AS BIGINT) AS cy_num_q3, "
         "CAST(SUM(x3 * ny3 - nx3 * y3) AS BIGINT) AS area2_q3 "
         "FROM e GROUP BY 1, 2, 3")
+
+    # geo_area_spherical: the SAME per-edge excess term text the engine
+    # folds (engine/geo/measure.py::excess_term_sql — atan2/tan/radians
+    # are dialect-neutral), as a lead()-window SUM over the same
+    # inlined vertices; round(x, -3) on both engines absorbs
+    # fold-order/libm drift (~1e-13 relative vs the 1e3 m² grain).
+    from engine.geo.measure import EARTH_RADIUS_M as _R_M
+    from engine.geo.measure import excess_term_sql as _excess
+    _r2 = f"{float(_R_M)!r} * {float(_R_M)!r}"
+    spherical_sql = (
+        f"WITH v(poly_id, ring_id, kind, seq, lon, lat) AS (VALUES {ring_vals}), "
+        "e AS (SELECT poly_id, ring_id, kind, lon, lat, "
+        "coalesce(lead(lon) OVER w, first_value(lon) OVER w) AS nlon, "
+        "coalesce(lead(lat) OVER w, first_value(lat) OVER w) AS nlat FROM v "
+        "WINDOW w AS (PARTITION BY ring_id ORDER BY seq)) "
+        "SELECT poly_id, ring_id, kind, CAST(COUNT(*) AS INTEGER) AS n_vertices, "
+        f"round(-SUM({_excess('lon', 'lat', 'nlon', 'nlat')}) * {_r2}, -3) "
+        "AS area_m2 FROM e GROUP BY 1, 2, 3")
+
+    # scan_geojson: DuckDB parses the SAME committed FeatureCollection
+    # independently (read_json_auto; json_transform resolves the
+    # per-geometry-type coordinate nesting the Spark reader resolves
+    # with from_json) and recomputes the exact-integer summary.  NB
+    # DuckDB list slices are INCLUSIVE: [: -2] drops the closing vertex.
+    from engine.geo.geojson import read_geojson as _rg  # noqa: F401 (parity anchor)
+    geojson_sql = (
+        "WITH fl AS (SELECT unnest(features) AS f FROM read_json_auto("
+        f"'{GEOJSON_FIXTURE}', maximum_object_size=134217728)), "
+        "g AS (SELECT f.properties.poly_id AS poly_id, "
+        "f.properties.name AS name, "
+        "CASE WHEN f.geometry.type = 'Polygon' "
+        "THEN [json_transform(f.geometry.coordinates, '[[[\"DOUBLE\"]]]')] "
+        "ELSE json_transform(f.geometry.coordinates, '[[[[\"DOUBLE\"]]]]') "
+        "END AS parts FROM fl), "
+        "p AS (SELECT poly_id, name, "
+        "CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS part_idx, "
+        "unnest(parts) AS rings FROM g), "
+        "r AS (SELECT poly_id, name, part_idx, "
+        "CASE WHEN len(rings[1]) > 1 AND rings[1][1] = rings[1][-1] "
+        "THEN rings[1][:-2] ELSE rings[1] END AS outer_ring, "
+        "CAST(len(rings) - 1 AS INTEGER) AS n_holes FROM p), "
+        "q AS (SELECT poly_id, name, part_idx, n_holes, "
+        "list_transform(outer_ring, v -> CAST(floor(v[1] * 1000000.0) AS BIGINT)) AS xs, "
+        "list_transform(outer_ring, v -> CAST(floor(v[2] * 1000000.0) AS BIGINT)) AS ys "
+        "FROM r) "
+        "SELECT poly_id, name, part_idx, CAST(len(xs) AS INTEGER) AS n_vertices, "
+        "n_holes, "
+        "list_aggregate(xs, 'min') AS x0_q6, list_aggregate(ys, 'min') AS y0_q6, "
+        "list_aggregate(xs, 'max') AS x1_q6, list_aggregate(ys, 'max') AS y1_q6, "
+        "CAST(list_sum(list_transform(generate_series(1, len(xs)), "
+        "i -> xs[i] * ys[i % len(xs) + 1] - xs[i % len(xs) + 1] * ys[i])) "
+        "AS BIGINT) AS area2_q6 FROM q")
 
     # poly_triangulate: the same inlined outer-ring vertices; the twin
     # recomputes the engine's two invariants independently — deduped
@@ -5612,6 +5728,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) "
             "AS BIGINT) AS sum_q6 FROM x GROUP BY 1, 2"),
         "geo_area_centroid": shoelace_sql,
+        "geo_area_spherical": spherical_sql,
+        "scan_geojson": geojson_sql,
         "poly_triangulate": triangulate_sql,
         "poly_validate": validate_sql,
         "text_topterms": (

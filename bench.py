@@ -16,7 +16,10 @@ Protocol notes (honesty rules, SURVEY.md §6):
 - the spatial query reads narrow columns only — the parquet scan must
   prune `bytes` (the design point: payload never rides the shuffle);
 - per-query wall times are measured after one warm-up action so JVM/
-  Python-worker startup is not attributed to the first query.
+  Python-worker startup is not attributed to the first query;
+- reps are INTERLEAVED across queries (rep loop outer, query loop
+  inner) so a shared-host freeze window poisons at most one rep per
+  query, never all reps of one query (r5; see main()).
 """
 
 from __future__ import annotations
@@ -267,36 +270,42 @@ def main() -> None:
 
     import statistics
 
-    for name, fn, args, reps in [
-        # EVERY query reports the median of 3 runs (SURVEY §6 protocol):
-        # run 1 additionally pays one-time query compilation (amortizes
-        # to nothing at cluster scale), and this shared host freezes for
-        # multi-second windows — a single-rep 0.2s query has been
-        # observed at 7-14s inside one (BASELINE.md host-drift notes);
-        # the median absorbs one poisoned rep per query
-        ("spatial_tile", bench_spatial_tile, (spark, images_path, n_images), 3),
-        ("knn", bench_knn, (spark, images_path), 3),
-        ("phash_hamming", bench_phash_hamming, (spark, images_path), 3),
-        ("agg_basic", bench_agg_basic, (spark, sf_dir), 3),
-        ("join_sortmerge", bench_join_sortmerge, (spark, sf_dir), 3),
-        ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir), 3),
-        ("ann_topk", bench_ann_topk, (spark, sf_dir), 3),
-        ("tile_raster", bench_tile_raster, (spark, images_path), 3),
-        ("tile_pyramid", bench_tile_pyramid, (spark, images_path), 3),
-        ("dedup_clusters", bench_dedup_clusters, (spark, sf_dir), 3),
+    battery = [
+        ("spatial_tile", bench_spatial_tile, (spark, images_path, n_images)),
+        ("knn", bench_knn, (spark, images_path)),
+        ("phash_hamming", bench_phash_hamming, (spark, images_path)),
+        ("agg_basic", bench_agg_basic, (spark, sf_dir)),
+        ("join_sortmerge", bench_join_sortmerge, (spark, sf_dir)),
+        ("minhash_dedup", bench_minhash_dedup, (spark, sf_dir)),
+        ("ann_topk", bench_ann_topk, (spark, sf_dir)),
+        ("tile_raster", bench_tile_raster, (spark, images_path)),
+        ("tile_pyramid", bench_tile_pyramid, (spark, images_path)),
+        ("dedup_clusters", bench_dedup_clusters, (spark, sf_dir)),
         # r4 adds (document non-comparability of the TOTAL vs r3 in
         # BASELINE.md; the 10 queries above remain the comparable set)
-        ("vectile_encode", bench_vectile_encode, (spark, images_path), 3),
-        ("polygonize_rings", bench_polygonize_rings, (spark, images_path), 3),
-    ]:
-        secs = []
-        for _ in range(reps):
+        ("vectile_encode", bench_vectile_encode, (spark, images_path)),
+        ("polygonize_rings", bench_polygonize_rings, (spark, images_path)),
+    ]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # INTERLEAVED protocol (r5; same fix the scaling bench adopted in
+    # r3): reps are the OUTER loop — rep 1 of every query, then rep 2 of
+    # every query, ... — so a multi-second host freeze (observed: a 0.2s
+    # query at 7-14s inside one window, BASELINE.md host-drift notes)
+    # poisons at most one rep of EACH query instead of all reps of ONE
+    # query, and the per-query median recovers it.  Rep 1 additionally
+    # pays one-time query compilation (amortizes to nothing at cluster
+    # scale); the median absorbs that too.
+    all_secs: dict[str, list[float]] = {name: [] for name, _, _ in battery}
+    for _ in range(reps):
+        for name, fn, args in battery:
             sec, info = fn(*args)
-            secs.append(sec)
-        queries[name] = round(statistics.median(secs), 3)
-        extras.update(info)
+            all_secs[name].append(sec)
+            extras.update(info)
+    for name, _, _ in battery:
+        queries[name] = round(statistics.median(all_secs[name]), 3)
         if reps > 1:
-            extras[f"{name}_all_sec"] = [round(s, 3) for s in secs]
+            extras[f"{name}_all_sec"] = [round(s, 3) for s in all_secs[name]]
     extras["spatial_rows_per_sec"] = round(
         n_images / queries["spatial_tile"], 1)
 

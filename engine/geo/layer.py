@@ -224,7 +224,15 @@ class PolygonLayer:
         return cls(polys)
 
     def parts(self) -> dict[str, list[tuple[np.ndarray, list[np.ndarray]]]]:
-        return {p.poly_id: p.split_antimeridian() for p in self.polygons}
+        """Antimeridian-split parts per poly_id.  Polygon records
+        SHARING a poly_id (MultiPolygon features from the GeoJSON
+        reader) merge into one part list — the even-odd PIP over
+        disjoint parts' concatenated edges stays exact, and the
+        covering already dedups (cell, poly_id)."""
+        out: dict[str, list[tuple[np.ndarray, list[np.ndarray]]]] = {}
+        for p in self.polygons:
+            out.setdefault(p.poly_id, []).extend(p.split_antimeridian())
+        return out
 
     def covering(self, level: int) -> list[tuple[int, str, bool]]:
         """All (cell_p, poly_id, full) rows at `level`, deduplicated."""
