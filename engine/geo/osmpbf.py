@@ -1,0 +1,435 @@
+"""OSM PBF source (r5): a from-scratch reader/writer for the
+OpenStreetMap PBF interchange format (the reference repo's native
+input format), with a Spark-native blob-parallel scan.
+
+No protobuf library exists in this environment (and none is needed):
+PBF is protobuf-over-zlib with a tiny, stable schema, so this module
+hand-rolls the varint/zigzag/length-delimited wire format for exactly
+the messages OSM uses (public spec: wiki.openstreetmap.org/wiki/PBF_Format).
+
+File layout: repeated [int32-BE length][BlobHeader][Blob].
+  BlobHeader: 1=type(string: OSMHeader|OSMData), 3=datasize(int32)
+  Blob:       1=raw(bytes) | 3=zlib_data(bytes), 2=raw_size(int32)
+  OSMData payload = PrimitiveBlock:
+    1=stringtable(1=bytes*), 2=PrimitiveGroup*,
+    17=granularity(default 100), 19=lat_offset, 20=lon_offset
+  PrimitiveGroup: 2=DenseNodes | 3=Way* (one entity type per group)
+  DenseNodes: 1=packed sint64 id deltas, 8/9=packed sint64 lat/lon
+    deltas, 10=packed int32 keys_vals (k,v string-table index pairs,
+    0-terminated per node; empty iff NO node in the block has tags)
+  Way: 1=id, 2=packed uint32 key idx, 3=packed uint32 val idx,
+    8=packed sint64 ref deltas
+  degrees = 1e-9 * (offset + granularity * stored)  — this module
+  keeps coordinates as EXACT int64 nanodegrees end to end.
+
+Scale design (10^12-entity planet-scale input, SURVEY.md §4):
+
+* `blob_index(path)` is the planning pass — it reads ONLY the 4-byte
+  lengths and ~32-byte BlobHeaders (datasize lets it seek over every
+  payload), exactly parquet-footer-style metadata planning: O(blobs)
+  tiny reads, no decompression.  A planet file is ~50 GB in ~8k-entity
+  blobs; a directory of files parallelizes as files × blobs.
+* `read_osm_nodes` / `read_osm_ways` turn the index into a DataFrame
+  of (path, offset, size) work items and decode each blob in ONE
+  Arrow-batched `mapInPandas` stage: seek, read, inflate, parse,
+  cumsum the delta arrays (numpy).  Decode parallelism = blob count;
+  no driver bottleneck, no shuffle, pixels^H^Hbytes never leave the
+  task that read them.
+* `assemble_ways` is the canonical OSM ETL step the reference performs
+  (way refs -> node coordinates -> geometry): an explode + equi-join
+  on node id + one per-way ordered reduction — the join is the
+  partitioned-hash shape that survives 10^12 nodes (broadcast the way
+  side instead when it is dimension-sized).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+GRANULARITY = 100  # nanodegrees per stored unit (the format default)
+
+# ------------------------------------------------------- wire format
+
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("unsigned varint cannot encode negatives")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    val, shift = 0, 0
+    while True:
+        b = buf[off]
+        off += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, off
+        shift += 7
+
+
+def _zig(n: int) -> int:
+    return (n << 1) if n >= 0 else ((-n << 1) - 1)
+
+
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint(field << 3 | wire)
+
+
+def _f_varint(field: int, n: int) -> bytes:
+    return _key(field, 0) + _varint(n)
+
+
+def _f_bytes(field: int, b: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(b)) + b
+
+
+def _f_packed(field: int, vals: list[int], signed: bool) -> bytes:
+    body = b"".join(_varint(_zig(v) if signed else v) for v in vals)
+    return _f_bytes(field, body)
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
+    """Yield (field_no, wire_type, value) — int for varint fields,
+    bytes for length-delimited; fixed32/64 skipped (OSM doesn't use
+    them in the messages we read)."""
+    off = 0
+    while off < len(buf):
+        tag, off = _read_varint(buf, off)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, off = _read_varint(buf, off)
+        elif wire == 2:
+            ln, off = _read_varint(buf, off)
+            val = buf[off:off + ln]
+            off += ln
+        elif wire == 5:
+            val = buf[off:off + 4]
+            off += 4
+        elif wire == 1:
+            val = buf[off:off + 8]
+            off += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _unpack_varints(body: bytes, signed: bool) -> list[int]:
+    out, off = [], 0
+    while off < len(body):
+        v, off = _read_varint(body, off)
+        out.append(_unzig(v) if signed else v)
+    return out
+
+
+# ------------------------------------------------------------- writer
+
+
+def _string_table(strings: list[bytes]) -> bytes:
+    return b"".join(_f_bytes(1, s) for s in strings)
+
+
+class _Strings:
+    """First-use-order string table; index 0 is the empty sentinel."""
+
+    def __init__(self) -> None:
+        self.idx: dict[str, int] = {}
+        self.table: list[bytes] = [b""]
+
+    def __call__(self, s: str) -> int:
+        i = self.idx.get(s)
+        if i is None:
+            i = self.idx[s] = len(self.table)
+            self.table.append(s.encode("utf-8"))
+        return i
+
+
+def _dense_nodes_block(nodes: list[tuple[int, int, int, dict]]) -> bytes:
+    st = _Strings()
+    ids = [n[0] for n in nodes]
+    lats, lons = [], []
+    for _, lat_nano, lon_nano, _ in nodes:
+        if lat_nano % GRANULARITY or lon_nano % GRANULARITY:
+            raise ValueError(
+                f"coordinates must be multiples of {GRANULARITY} nano°")
+        lats.append(lat_nano // GRANULARITY)
+        lons.append(lon_nano // GRANULARITY)
+    kv: list[int] = []
+    any_tags = any(n[3] for n in nodes)
+    if any_tags:
+        for _, _, _, tags in nodes:
+            for k, v in tags.items():
+                kv += [st(k), st(v)]
+            kv.append(0)
+    delta = lambda xs: [xs[0]] + [b - a for a, b in zip(xs, xs[1:])]  # noqa: E731
+    dense = (_f_packed(1, delta(ids), signed=True)
+             + _f_packed(8, delta(lats), signed=True)
+             + _f_packed(9, delta(lons), signed=True)
+             + (_f_packed(10, kv, signed=False) if any_tags else b""))
+    group = _f_bytes(2, dense)
+    return (_f_bytes(1, _string_table(st.table)) + _f_bytes(2, group)
+            + _f_varint(17, GRANULARITY))
+
+
+def _ways_block(ways: list[tuple[int, list[int], dict]]) -> bytes:
+    st = _Strings()
+    bodies = []
+    for wid, refs, tags in ways:
+        delta = [refs[0]] + [b - a for a, b in zip(refs, refs[1:])]
+        body = _f_varint(1, wid)
+        if tags:
+            body += _f_packed(2, [st(k) for k in tags], signed=False)
+            body += _f_packed(3, [st(v) for v in tags.values()],
+                              signed=False)
+        body += _f_packed(8, delta, signed=True)
+        bodies.append(_f_bytes(3, body))
+    return (_f_bytes(1, _string_table(st.table))
+            + _f_bytes(2, b"".join(bodies)) + _f_varint(17, GRANULARITY))
+
+
+def _blob(block: bytes, btype: bytes) -> bytes:
+    z = zlib.compress(block, 6)
+    blob = _f_varint(2, len(block)) + _f_bytes(3, z)
+    header = _f_bytes(1, btype) + _f_varint(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def write_osm_pbf(path: str,
+                  nodes: list[tuple[int, int, int, dict]],
+                  ways: list[tuple[int, list[int], dict]] = (),
+                  block_size: int = 8000) -> None:
+    """nodes: (id, lat_nanodeg, lon_nanodeg, tags); ways: (id, node
+    refs, tags).  Entities are chunked into `block_size` blobs so even
+    a small fixture exercises the blob-parallel read path."""
+    header = (_f_bytes(4, b"OsmSchema-V0.6") + _f_bytes(4, b"DenseNodes")
+              + _f_bytes(16, b"spark-graft-osmpbf"))
+    with open(path, "wb") as f:
+        f.write(_blob(header, b"OSMHeader"))
+        for i in range(0, len(nodes), block_size):
+            f.write(_blob(_dense_nodes_block(nodes[i:i + block_size]),
+                          b"OSMData"))
+        ways = list(ways)
+        for i in range(0, len(ways), block_size):
+            f.write(_blob(_ways_block(ways[i:i + block_size]), b"OSMData"))
+
+
+# ----------------------------------------------------------- planning
+
+
+def blob_index(path: str) -> list[tuple[str, int, int, str]]:
+    """[(path, payload_offset, payload_size, blob_type)] — the
+    metadata-only planning pass (module docstring)."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if not raw:
+                return out
+            (hlen,) = struct.unpack(">I", raw)
+            btype, dsize = "", 0
+            for field, _, val in _fields(f.read(hlen)):
+                if field == 1:
+                    btype = val.decode()
+                elif field == 3:
+                    dsize = val
+            out.append((path, f.tell(), dsize, btype))
+            f.seek(dsize, 1)
+
+
+def _read_blob(path: str, off: int, size: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(off)
+        payload = f.read(size)
+    raw, z = b"", None
+    for field, _, val in _fields(payload):
+        if field == 1:
+            raw = val
+        elif field == 3:
+            z = val
+    return zlib.decompress(z) if z is not None else raw
+
+
+# ------------------------------------------------------------ parsing
+
+
+def _parse_block(block: bytes) -> tuple[list[bytes], int, int, int, list]:
+    strings: list[bytes] = []
+    gran, lat_off, lon_off = 100, 0, 0
+    groups = []
+    for field, _, val in _fields(block):
+        if field == 1:
+            strings = [v for f2, _, v in _fields(val) if f2 == 1]
+        elif field == 2:
+            groups.append(val)
+        elif field == 17:
+            gran = val
+        elif field == 19:
+            lat_off = val  # int64 nanodegrees (this writer emits 0)
+        elif field == 20:
+            lon_off = val
+    return strings, gran, lat_off, lon_off, groups
+
+
+def decode_nodes(block: bytes) -> pd.DataFrame:
+    """One PrimitiveBlock -> DataFrame (id, lat_nano, lon_nano, tags).
+    Delta decode is a numpy cumsum — vectorized per blob."""
+    strings, gran, lat_off, lon_off, groups = _parse_block(block)
+    ids, lats, lons, tag_col = [], [], [], []
+    for g in groups:
+        dense = None
+        for field, _, val in _fields(g):
+            if field == 2:
+                dense = val
+        if dense is None:
+            continue
+        did = dlat = dlon = []
+        kv: list[int] = []
+        for field, _, val in _fields(dense):
+            if field == 1:
+                did = _unpack_varints(val, signed=True)
+            elif field == 8:
+                dlat = _unpack_varints(val, signed=True)
+            elif field == 9:
+                dlon = _unpack_varints(val, signed=True)
+            elif field == 10:
+                kv = _unpack_varints(val, signed=False)
+        n = len(did)
+        ids.append(np.cumsum(np.array(did, np.int64)))
+        lats.append(lat_off + gran * np.cumsum(np.array(dlat, np.int64)))
+        lons.append(lon_off + gran * np.cumsum(np.array(dlon, np.int64)))
+        if kv:
+            tags, cur, i = [], {}, 0
+            while i < len(kv):
+                if kv[i] == 0:
+                    tags.append(cur)
+                    cur = {}
+                    i += 1
+                else:
+                    cur[strings[kv[i]].decode()] = strings[kv[i + 1]].decode()
+                    i += 2
+            tag_col.extend(tags)
+        else:
+            tag_col.extend({} for _ in range(n))
+    if not ids:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "lat_nano": pd.Series([], dtype="int64"),
+                             "lon_nano": pd.Series([], dtype="int64"),
+                             "tags": pd.Series([], dtype="object")})
+    return pd.DataFrame({"id": np.concatenate(ids),
+                         "lat_nano": np.concatenate(lats),
+                         "lon_nano": np.concatenate(lons),
+                         "tags": tag_col})
+
+
+def decode_ways(block: bytes) -> pd.DataFrame:
+    strings, _, _, _, groups = _parse_block(block)
+    wids, refs_col, tags_col = [], [], []
+    for g in groups:
+        for field, _, wbuf in _fields(g):
+            if field != 3:
+                continue
+            wid, keys, vals, drefs = 0, [], [], []
+            for f2, _, val in _fields(wbuf):
+                if f2 == 1:
+                    wid = val
+                elif f2 == 2:
+                    keys = _unpack_varints(val, signed=False)
+                elif f2 == 3:
+                    vals = _unpack_varints(val, signed=False)
+                elif f2 == 8:
+                    drefs = _unpack_varints(val, signed=True)
+            wids.append(wid)
+            refs_col.append(np.cumsum(np.array(drefs, np.int64)).tolist())
+            tags_col.append({strings[k].decode(): strings[v].decode()
+                             for k, v in zip(keys, vals)})
+    # explicit dtypes: an empty column would default to float64, which
+    # Arrow cannot convert to list<int64>/map (nodes-only blobs yield
+    # zero ways and vice versa)
+    return pd.DataFrame({"id": pd.Series(wids, dtype="int64"),
+                         "refs": pd.Series(refs_col, dtype="object"),
+                         "tags": pd.Series(tags_col, dtype="object")})
+
+
+# -------------------------------------------------------- Spark scans
+
+NODE_SCHEMA = ("id long, lat_nano long, lon_nano long, "
+               "tags map<string,string>")
+WAY_SCHEMA = "id long, refs array<long>, tags map<string,string>"
+
+
+def _work_items(spark, paths: list[str]):
+    items = [(p, off, size) for path in paths
+             for p, off, size, btype in blob_index(path)
+             if btype == "OSMData"]
+    return spark.createDataFrame(
+        items, "path string, off long, size long").repartition(
+        min(len(items), 4 * spark.sparkContext.defaultParallelism) or 1)
+
+
+def read_osm_nodes(spark, *paths: str):
+    def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for p, off, size in zip(pdf["path"], pdf["off"], pdf["size"]):
+                yield decode_nodes(_read_blob(p, int(off), int(size)))
+
+    return _work_items(spark, list(paths)).mapInPandas(go, NODE_SCHEMA)
+
+
+def read_osm_ways(spark, *paths: str):
+    def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for p, off, size in zip(pdf["path"], pdf["off"], pdf["size"]):
+                yield decode_ways(_read_blob(p, int(off), int(size)))
+
+    return _work_items(spark, list(paths)).mapInPandas(go, WAY_SCHEMA)
+
+
+# ----------------------------------------------------- way assembly
+
+
+def assemble_ways(ways, nodes):
+    """The reference's geometry-construction join: way refs -> node
+    coordinates, reduced per way in ref order.  Emits exact-integer
+    per-way stats: n_refs, endpoint node ids, and the L1 polyline
+    length in nanodegrees (SUM |Δlat|+|Δlon| over consecutive refs).
+
+    Plan: posexplode (fan-out = way length) -> partitioned hash join
+    on node id (the 10^12-node-safe shape; pass a broadcast()ed
+    `nodes` for dimension-sized extracts) -> one window + one agg on
+    way_id (AQE reuses the exchange)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    exploded = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("pos", "ref"))
+    j = exploded.join(nodes.select(F.col("id").alias("ref"),
+                                   "lat_nano", "lon_nano"), "ref")
+    w = Window.partitionBy("way_id").orderBy("pos")
+    steps = j.select(
+        "way_id", "pos", "ref", "lat_nano", "lon_nano",
+        (F.abs(F.col("lat_nano") - F.lag("lat_nano").over(w))
+         + F.abs(F.col("lon_nano") - F.lag("lon_nano").over(w)))
+        .alias("step_l1"))
+    return (steps.groupBy("way_id").agg(
+        F.count("*").cast("int").alias("n_refs"),
+        F.min_by("ref", "pos").alias("first_ref"),
+        F.max_by("ref", "pos").alias("last_ref"),
+        F.coalesce(F.sum("step_l1"), F.lit(0)).alias("len_l1_nano")))

@@ -1,0 +1,191 @@
+"""OSM PBF source (r5; engine/geo/osmpbf.py): wire-format round trip,
+blob-index planning, delta/zigzag/stringtable edge cases, Spark
+blob-parallel scan parity, and the way-assembly join vs a pure-Python
+reduction.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+import pytest
+
+from engine.geo.osmpbf import (
+    _read_blob, _unzig, _varint, _zig, assemble_ways, blob_index,
+    decode_nodes, decode_ways, read_osm_nodes, read_osm_ways,
+    write_osm_pbf,
+)
+
+
+def _nodes(n=100):
+    out = []
+    for i in range(n):
+        tags = {"kind": "abc"[i % 3]}
+        if i % 3 == 0:
+            tags["name"] = f"n{i}"
+        out.append((1000 + 7 * i,
+                    (((i * 2654435761) % 1800000000) - 900000000) * 100,
+                    (((i * 40503) % 3600000000) - 1800000000) * 100,
+                    tags))
+    return out
+
+
+def _ways(w=40, n=100):
+    return [(2 * 10 ** 9 + k,
+             [1000 + 7 * ((k * 13 + j * 11) % n) for j in range(2 + k % 4)],
+             {"highway": "x"} if k % 2 == 0 else {})
+            for k in range(w)]
+
+
+def _decode_all(path):
+    nodes, ways = [], []
+    for p, off, size, btype in blob_index(path):
+        if btype != "OSMData":
+            continue
+        block = _read_blob(p, off, size)
+        nodes.append(decode_nodes(block))
+        ways.append(decode_ways(block))
+    return pd.concat(nodes, ignore_index=True), \
+        pd.concat(ways, ignore_index=True)
+
+
+# --------------------------------------------------------- wire format
+
+def test_zigzag_involution():
+    for n in (0, 1, -1, 2, -2, 63, -64, 2 ** 40, -2 ** 40,
+              2 ** 62, -2 ** 62):
+        assert _unzig(_zig(n)) == n
+    assert [_zig(v) for v in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+
+
+def test_varint_boundaries():
+    from engine.geo.osmpbf import _read_varint
+    for n in (0, 1, 127, 128, 300, 2 ** 21 - 1, 2 ** 21, 2 ** 63 - 1):
+        buf = _varint(n)
+        val, off = _read_varint(buf, 0)
+        assert (val, off) == (n, len(buf))
+    assert _varint(127) == b"\x7f" and _varint(128) == b"\x80\x01"
+    with pytest.raises(ValueError):
+        _varint(-1)
+
+
+def test_roundtrip_exact(tmp_path):
+    path = str(tmp_path / "t.pbf")
+    nodes, ways = _nodes(), _ways()
+    write_osm_pbf(path, nodes, ways, block_size=32)
+    gn, gw = _decode_all(path)
+    assert list(zip(gn["id"], gn["lat_nano"], gn["lon_nano"],
+                    gn["tags"])) == nodes
+    assert list(zip(gw["id"], gw["refs"], gw["tags"])) == ways
+
+
+def test_blob_index_is_metadata_only(tmp_path):
+    """The planner reads headers and SEEKS over payloads — offsets and
+    sizes exactly tile the file, and the payload at each (off, size)
+    inflates to a parseable block."""
+    path = str(tmp_path / "t.pbf")
+    write_osm_pbf(path, _nodes(), _ways(), block_size=32)
+    idx = blob_index(path)
+    import os
+    pos = 0
+    with open(path, "rb") as f:
+        for p, off, size, btype in idx:
+            (hlen,) = struct.unpack(">I", f.read(4))
+            f.seek(hlen, 1)
+            assert f.tell() == off
+            f.seek(size, 1)
+            pos = f.tell()
+    assert pos == os.path.getsize(path)
+    assert [b for _, _, _, b in idx][0] == "OSMHeader"
+    assert all(b == "OSMData" for _, _, _, b in idx[1:])
+    # 100 nodes / 32 per block -> 4 node blobs; 40 ways -> 2 blobs
+    assert len(idx) == 1 + 4 + 2
+
+
+def test_untagged_block_omits_keys_vals(tmp_path):
+    """Spec: keys_vals is EMPTY iff no node in the block has tags —
+    and a tagged block 0-terminates every node, tagged or not."""
+    path = str(tmp_path / "t.pbf")
+    bare = [(i + 1, i * 100, -i * 100, {}) for i in range(10)]
+    write_osm_pbf(path, bare, block_size=100)
+    gn, _ = _decode_all(path)
+    assert list(gn["tags"]) == [{}] * 10
+    mixed = bare[:5] + [(99, 0, 0, {"a": "b"})]
+    write_osm_pbf(path, mixed, block_size=100)
+    gn, _ = _decode_all(path)
+    assert list(gn["tags"]) == [{}] * 5 + [{"a": "b"}]
+
+
+def test_negative_deltas_and_extremes(tmp_path):
+    """Descending ids/coords force negative deltas through zigzag;
+    poles and antimeridian are exact."""
+    path = str(tmp_path / "t.pbf")
+    nodes = [(10 ** 12, 90_000_000_000, 180_000_000_000, {}),
+             (5, -90_000_000_000, -180_000_000_000, {}),
+             (10 ** 9, 0, 0, {})]
+    write_osm_pbf(path, nodes, block_size=100)
+    gn, _ = _decode_all(path)
+    assert list(zip(gn["id"], gn["lat_nano"], gn["lon_nano"])) == \
+        [(i, la, lo) for i, la, lo, _ in nodes]
+
+
+def test_granularity_enforced(tmp_path):
+    with pytest.raises(ValueError, match="multiples"):
+        write_osm_pbf(str(tmp_path / "t.pbf"), [(1, 101, 0, {})])
+
+
+def test_zlib_actually_on_disk(tmp_path):
+    """Payloads are zlib-compressed (field 3), not raw — a third-party
+    PBF reader expects exactly this."""
+    path = str(tmp_path / "t.pbf")
+    write_osm_pbf(path, _nodes(), block_size=1000)
+    _, off, size, _ = blob_index(path)[1]
+    with open(path, "rb") as f:
+        f.seek(off)
+        payload = f.read(size)
+    from engine.geo.osmpbf import _fields
+    fields = {fld: val for fld, _, val in _fields(payload)}
+    assert 3 in fields and 2 in fields
+    assert len(zlib.decompress(fields[3])) == fields[2]
+
+
+# ------------------------------------------------------------- Spark
+
+def test_spark_scan_matches_local_decode(spark, tmp_path):
+    path = str(tmp_path / "t.pbf")
+    nodes, ways = _nodes(), _ways()
+    write_osm_pbf(path, nodes, ways, block_size=32)
+    got = sorted(read_osm_nodes(spark, path).collect(),
+                 key=lambda r: r.id)
+    assert [(r.id, r.lat_nano, r.lon_nano, dict(r.tags)) for r in got] \
+        == sorted(nodes, key=lambda t: t[0])
+    gw = sorted(read_osm_ways(spark, path).collect(), key=lambda r: r.id)
+    assert [(r.id, list(r.refs), dict(r.tags)) for r in gw] \
+        == sorted(ways, key=lambda t: t[0])
+
+
+def test_multi_file_scan(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a.pbf"), str(tmp_path / "b.pbf")
+    write_osm_pbf(p1, _nodes(50), block_size=32)
+    write_osm_pbf(p2, [(n + 10 ** 6, la, lo, t)
+                       for n, la, lo, t in _nodes(50)], block_size=32)
+    df = read_osm_nodes(spark, p1, p2)
+    assert df.count() == 100
+    assert df.filter("id >= 1000000").count() == 50
+
+
+def test_assemble_ways_matches_python(spark, tmp_path):
+    path = str(tmp_path / "t.pbf")
+    nodes, ways = _nodes(), _ways()
+    write_osm_pbf(path, nodes, ways, block_size=32)
+    got = {r.way_id: (r.n_refs, r.first_ref, r.last_ref, r.len_l1_nano)
+           for r in assemble_ways(read_osm_ways(spark, path),
+                                  read_osm_nodes(spark, path)).collect()}
+    coord = {n: (la, lo) for n, la, lo, _ in nodes}
+    for wid, refs, _ in ways:
+        ln = sum(abs(coord[b][0] - coord[a][0])
+                 + abs(coord[b][1] - coord[a][1])
+                 for a, b in zip(refs, refs[1:]))
+        assert got[wid] == (len(refs), refs[0], refs[-1], ln)
+    assert len(got) == len(ways)
