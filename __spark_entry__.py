@@ -3643,6 +3643,95 @@ def q_osm_way_assembly(spark, sf):
                          read_osm_nodes(spark, path))
 
 
+# Deterministic OSM RELATION fixture (scan_osm_relations /
+# osm_multipolygon_rings), separate file so the node/way twins above
+# stay frozen.  Relation r describes an axis-aligned rectangle ring on
+# a millidegree grid — w x h = (4+4*(r%7)) x (4+4*(r%5)) millideg at
+# (x0,y0) = (-170000+(r*1237)%340000, -85000+(r*821)%170000) millideg
+# — whose OUTER boundary is split across TWO ways (the second stored
+# REVERSED for odd r, so stitching must flip it), plus a single
+# closed-way INNER ring inset by 1 millideg when r % 3 == 0.  The
+# DuckDB twins recompute members and ring stats from range() closed
+# forms (rectangle: L1 perim = 2(w+h), |shoelace 2A| = 2*w*h in q6),
+# so parity proves wire format AND endpoint-matching ring assembly.
+OSM_N_RELS = 240
+OSM_REL_PBF_PATH = "/tmp/spark_graft_osm_rel_fixture.pbf"
+
+
+def _osm_rel_fixture() -> str:
+    from engine.geo.osmpbf import MEMBER_WAY, write_osm_pbf
+    M = 10 ** 6
+    nodes, ways, rels = [], [], []
+    for r in range(OSM_N_RELS):
+        x0 = (-170_000 + (r * 1237) % 340_000) * M
+        y0 = (-85_000 + (r * 821) % 170_000) * M
+        w, h = (4 + 4 * (r % 7)) * M, (4 + 4 * (r % 5)) * M
+        p = [(y0, x0), (y0, x0 + w), (y0 + h, x0 + w), (y0 + h, x0)]
+        pid = [10 ** 7 + 4 * r + c for c in range(4)]
+        nodes += [(pid[c], la, lo, {}) for c, (la, lo) in enumerate(p)]
+        way_a = (3 * 10 ** 9 + 2 * r, [pid[0], pid[1], pid[2]], {})
+        arc_b = [pid[2], pid[3], pid[0]]
+        if r % 2 == 1:
+            arc_b = arc_b[::-1]
+        way_b = (3 * 10 ** 9 + 2 * r + 1, arc_b, {})
+        ways += [way_a, way_b]
+        members = [(MEMBER_WAY, way_a[0], "outer"),
+                   (MEMBER_WAY, way_b[0], "outer")]
+        if r % 3 == 0:
+            q = [(y0 + M, x0 + M), (y0 + M, x0 + w - M),
+                 (y0 + h - M, x0 + w - M), (y0 + h - M, x0 + M)]
+            qid = [2 * 10 ** 7 + 4 * r + c for c in range(4)]
+            nodes += [(qid[c], la, lo, {}) for c, (la, lo) in enumerate(q)]
+            ways.append((5 * 10 ** 9 + r, qid + [qid[0]], {}))
+            members.append((MEMBER_WAY, 5 * 10 ** 9 + r, "inner"))
+        rels.append((4 * 10 ** 9 + r, members, {"type": "multipolygon"}))
+    write_osm_pbf(OSM_REL_PBF_PATH, nodes, ways, rels, block_size=256)
+    return OSM_REL_PBF_PATH
+
+
+def q_scan_osm_relations(spark, sf):
+    """A-family (r5, post-window) — OSM relations, the third PBF
+    entity type (engine/geo/osmpbf.py::read_osm_relations): packed
+    roles_sid string-table indices, delta-coded memids, member-type
+    enums — decoded in the same blob-parallel mapInPandas stage as
+    nodes/ways.  Projection: member count, endpoint member ids, role
+    sequence, type tag; the DuckDB twin recomputes every row from the
+    fixture's range() arithmetic (comment above)."""
+    _prep(spark)
+    from engine.geo.osmpbf import read_osm_relations
+    return (read_osm_relations(spark, _osm_rel_fixture())
+            .select("id",
+                    F.size("member_ids").alias("n_members"),
+                    F.element_at("member_ids", 1).alias("first_member"),
+                    F.element_at("member_ids", -1).alias("last_member"),
+                    F.array_join("roles", ",").alias("roles"),
+                    F.col("tags")["type"].alias("rel_type")))
+
+
+def q_osm_multipolygon_rings(spark, sf):
+    """D-family (r5, post-window) — OSM multipolygon assembly
+    (engine/geo/osmpbf.py::assemble_multipolygons), the geometry-
+    construction step above way assembly in every OSM import pipeline:
+    relation way-members -> endpoint-matched chains (member ways run
+    in EITHER direction — odd-r fixture ways are stored reversed, so a
+    wrong stitcher cannot close them) -> closed rings with exact
+    integer stats (vertex count, L1 perimeter in nanodegrees,
+    |shoelace 2*area| on q6 coords).  Plan: two hash joins fan
+    members->ways->nodes, then ONE groupBy(rel_id) Arrow stitch —
+    per-relation state bounded by the relation's own vertex count.
+    The DuckDB twin recomputes every ring row from the rectangle
+    closed forms (perim 2(w+h), area2 2wh) — no stitching in SQL, so
+    the two engines share no geometry code at all."""
+    _prep(spark)
+    from engine.geo.osmpbf import (
+        assemble_multipolygons, read_osm_nodes, read_osm_relations,
+        read_osm_ways)
+    path = _osm_rel_fixture()
+    return assemble_multipolygons(read_osm_relations(spark, path),
+                                  read_osm_ways(spark, path),
+                                  read_osm_nodes(spark, path))
+
+
 def q_scan_geojson(spark, sf):
     """A-family (r5) — standard-interchange polygon source (VERDICT-r4
     missing #4): read the committed RFC 7946 FeatureCollection
@@ -4607,6 +4696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_geoparquet": q_scan_geoparquet,
         "scan_osm_pbf": q_scan_osm_pbf,
         "osm_way_assembly": q_osm_way_assembly,
+        "scan_osm_relations": q_scan_osm_relations,
+        "osm_multipolygon_rings": q_osm_multipolygon_rings,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5016,6 +5107,39 @@ def oracle_sql() -> dict[str, str]:
         "arg_min(ref, pos) AS first_ref, arg_max(ref, pos) AS last_ref, "
         "CAST(coalesce(SUM(step), 0) AS BIGINT) AS len_l1_nano "
         "FROM s GROUP BY way_id")
+
+    # scan_osm_relations / osm_multipolygon_rings: recomputed from the
+    # _osm_rel_fixture closed forms (rectangle ring: member layout by
+    # r % 3, L1 perimeter 2(w+h), |shoelace 2A| = 2*w*h in q6 units) —
+    # DuckDB performs NO stitching, so ring parity independently
+    # verifies the endpoint-matching assembly including the reversed
+    # odd-r ways.
+    osm_rels_sql = (
+        "SELECT CAST(4000000000 + r AS BIGINT) AS id, "
+        "CAST(CASE WHEN r % 3 = 0 THEN 3 ELSE 2 END AS INTEGER)"
+        " AS n_members, "
+        "CAST(3000000000 + 2 * r AS BIGINT) AS first_member, "
+        "CAST(CASE WHEN r % 3 = 0 THEN 5000000000 + r "
+        "ELSE 3000000001 + 2 * r END AS BIGINT) AS last_member, "
+        "CASE WHEN r % 3 = 0 THEN 'outer,outer,inner' "
+        "ELSE 'outer,outer' END AS roles, "
+        "'multipolygon' AS rel_type "
+        f"FROM (SELECT range AS r FROM range({OSM_N_RELS}))")
+
+    osm_rings_sql = (
+        "WITH g AS (SELECT range AS r, "
+        "(4 + 4 * (range % 7)) * 1000000 AS w, "
+        "(4 + 4 * (range % 5)) * 1000000 AS h "
+        f"FROM range({OSM_N_RELS})) "
+        "SELECT CAST(4000000000 + r AS BIGINT) AS rel_id, "
+        "'outer' AS role, 0 AS ring_idx, 4 AS n_pts, TRUE AS closed, "
+        "CAST(2 * (w + h) AS BIGINT) AS perim_l1_nano, "
+        "CAST(2 * (w // 1000) * (h // 1000) AS BIGINT) AS area2_q6 "
+        "FROM g UNION ALL "
+        "SELECT CAST(4000000000 + r AS BIGINT), 'inner', 0, 4, TRUE, "
+        "CAST(2 * (w + h - 4000000) AS BIGINT), "
+        "CAST(2 * ((w - 2000000) // 1000) * ((h - 2000000) // 1000)"
+        " AS BIGINT) FROM g WHERE r % 3 = 0")
 
     # poly_triangulate: the same inlined outer-ring vertices; the twin
     # recomputes the engine's two invariants independently — deduped
@@ -5878,6 +6002,8 @@ def oracle_sql() -> dict[str, str]:
         "scan_geoparquet": geojson_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
+        "scan_osm_relations": osm_rels_sql,
+        "osm_multipolygon_rings": osm_rings_sql,
         "poly_triangulate": triangulate_sql,
         "poly_validate": validate_sql,
         "text_topterms": (

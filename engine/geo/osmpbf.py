@@ -204,6 +204,33 @@ def _ways_block(ways: list[tuple[int, list[int], dict]]) -> bytes:
             + _f_bytes(2, b"".join(bodies)) + _f_varint(17, GRANULARITY))
 
 
+MEMBER_NODE, MEMBER_WAY, MEMBER_RELATION = 0, 1, 2
+
+
+def _relations_block(relations: list[tuple[int, list, dict]]) -> bytes:
+    """relations: (id, members, tags); members: (type, member_id, role)
+    with type in {MEMBER_NODE, MEMBER_WAY, MEMBER_RELATION}.  Per spec:
+    roles_sid = packed string-table indices (field 8), memids = packed
+    DELTA-coded sint64 (field 9), types = packed enum (field 10)."""
+    st = _Strings()
+    bodies = []
+    for rid, members, tags in relations:
+        body = _f_varint(1, rid)
+        if tags:
+            body += _f_packed(2, [st(k) for k in tags], signed=False)
+            body += _f_packed(3, [st(v) for v in tags.values()],
+                              signed=False)
+        if members:
+            mids = [m[1] for m in members]
+            delta = [mids[0]] + [b - a for a, b in zip(mids, mids[1:])]
+            body += _f_packed(8, [st(m[2]) for m in members], signed=False)
+            body += _f_packed(9, delta, signed=True)
+            body += _f_packed(10, [m[0] for m in members], signed=False)
+        bodies.append(_f_bytes(4, body))
+    return (_f_bytes(1, _string_table(st.table))
+            + _f_bytes(2, b"".join(bodies)) + _f_varint(17, GRANULARITY))
+
+
 def _blob(block: bytes, btype: bytes) -> bytes:
     z = zlib.compress(block, 6)
     blob = _f_varint(2, len(block)) + _f_bytes(3, z)
@@ -214,10 +241,13 @@ def _blob(block: bytes, btype: bytes) -> bytes:
 def write_osm_pbf(path: str,
                   nodes: list[tuple[int, int, int, dict]],
                   ways: list[tuple[int, list[int], dict]] = (),
+                  relations: list[tuple[int, list, dict]] = (),
                   block_size: int = 8000) -> None:
     """nodes: (id, lat_nanodeg, lon_nanodeg, tags); ways: (id, node
-    refs, tags).  Entities are chunked into `block_size` blobs so even
-    a small fixture exercises the blob-parallel read path."""
+    refs, tags); relations: (id, members, tags) with members
+    (type, member_id, role).  Entities are chunked into `block_size`
+    blobs so even a small fixture exercises the blob-parallel read
+    path."""
     header = (_f_bytes(4, b"OsmSchema-V0.6") + _f_bytes(4, b"DenseNodes")
               + _f_bytes(16, b"spark-graft-osmpbf"))
     with open(path, "wb") as f:
@@ -228,6 +258,10 @@ def write_osm_pbf(path: str,
         ways = list(ways)
         for i in range(0, len(ways), block_size):
             f.write(_blob(_ways_block(ways[i:i + block_size]), b"OSMData"))
+        relations = list(relations)
+        for i in range(0, len(relations), block_size):
+            f.write(_blob(_relations_block(relations[i:i + block_size]),
+                          b"OSMData"))
 
 
 # ----------------------------------------------------------- planning
@@ -367,11 +401,51 @@ def decode_ways(block: bytes) -> pd.DataFrame:
                          "tags": pd.Series(tags_col, dtype="object")})
 
 
+def decode_relations(block: bytes) -> pd.DataFrame:
+    strings, _, _, _, groups = _parse_block(block)
+    rids, types_col, mids_col, roles_col, tags_col = [], [], [], [], []
+    for g in groups:
+        for field, _, rbuf in _fields(g):
+            if field != 4:
+                continue
+            rid, keys, vals = 0, [], []
+            roles_sid, dmem, types = [], [], []
+            for f2, _, val in _fields(rbuf):
+                if f2 == 1:
+                    rid = val
+                elif f2 == 2:
+                    keys = _unpack_varints(val, signed=False)
+                elif f2 == 3:
+                    vals = _unpack_varints(val, signed=False)
+                elif f2 == 8:
+                    roles_sid = _unpack_varints(val, signed=False)
+                elif f2 == 9:
+                    dmem = _unpack_varints(val, signed=True)
+                elif f2 == 10:
+                    types = _unpack_varints(val, signed=False)
+            rids.append(rid)
+            types_col.append([int(t) for t in types])
+            mids_col.append(np.cumsum(np.array(dmem, np.int64)).tolist())
+            roles_col.append([strings[s].decode() for s in roles_sid])
+            tags_col.append({strings[k].decode(): strings[v].decode()
+                             for k, v in zip(keys, vals)})
+    # explicit dtypes: see decode_ways (node/way-only blobs yield zero
+    # relations and the empty frame must still Arrow-convert)
+    return pd.DataFrame({"id": pd.Series(rids, dtype="int64"),
+                         "member_types": pd.Series(types_col,
+                                                   dtype="object"),
+                         "member_ids": pd.Series(mids_col, dtype="object"),
+                         "roles": pd.Series(roles_col, dtype="object"),
+                         "tags": pd.Series(tags_col, dtype="object")})
+
+
 # -------------------------------------------------------- Spark scans
 
 NODE_SCHEMA = ("id long, lat_nano long, lon_nano long, "
                "tags map<string,string>")
 WAY_SCHEMA = "id long, refs array<long>, tags map<string,string>"
+REL_SCHEMA = ("id long, member_types array<int>, member_ids array<long>, "
+              "roles array<string>, tags map<string,string>")
 
 
 def _work_items(spark, paths: list[str]):
@@ -399,6 +473,15 @@ def read_osm_ways(spark, *paths: str):
                 yield decode_ways(_read_blob(p, int(off), int(size)))
 
     return _work_items(spark, list(paths)).mapInPandas(go, WAY_SCHEMA)
+
+
+def read_osm_relations(spark, *paths: str):
+    def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for p, off, size in zip(pdf["path"], pdf["off"], pdf["size"]):
+                yield decode_relations(_read_blob(p, int(off), int(size)))
+
+    return _work_items(spark, list(paths)).mapInPandas(go, REL_SCHEMA)
 
 
 # ----------------------------------------------------- way assembly
@@ -433,3 +516,109 @@ def assemble_ways(ways, nodes):
         F.min_by("ref", "pos").alias("first_ref"),
         F.max_by("ref", "pos").alias("last_ref"),
         F.coalesce(F.sum("step_l1"), F.lit(0)).alias("len_l1_nano")))
+
+
+# ------------------------------------------- multipolygon ring stitch
+
+RING_SCHEMA = ("rel_id long, role string, ring_idx int, n_pts int, "
+               "closed boolean, perim_l1_nano long, area2_q6 long")
+
+
+def _stitch_rings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One relation's way-member coordinate rows -> stitched rings.
+
+    Classical OSM multipolygon assembly: within each role group
+    ('outer'/'inner'), ways chain end-to-end — a member way may run in
+    either direction, so a segment whose TAIL matches the open end is
+    reversed before appending.  Chains start from the first unused
+    member in member order (deterministic), close when they return to
+    their start, and report closed=false if no member extends an open
+    end (broken geometry — OSM data QA surfaces exactly this).  Exact
+    integer stats per ring: vertex count (closing repeat excluded),
+    L1 perimeter in nanodegrees, |shoelace 2*area| on floor-micro
+    (q6) coordinates (orientation-invariant: chain direction depends
+    on which member seeds the ring)."""
+    rel_id = int(pdf["rel_id"].iloc[0])
+    rows = []
+    for role in sorted(pdf["role"].unique()):
+        sub = pdf[pdf["role"] == role]
+        segs = []
+        for pos, g in sub.groupby("pos"):
+            g = g.sort_values("seq")
+            segs.append((int(pos),
+                         list(zip((int(v) for v in g["lat_nano"]),
+                                  (int(v) for v in g["lon_nano"])))))
+        segs.sort()
+        used = [False] * len(segs)
+        ring_idx = 0
+        for i0 in range(len(segs)):
+            if used[i0]:
+                continue
+            used[i0] = True
+            pts = list(segs[i0][1])
+            while len(pts) > 1 and pts[0] != pts[-1]:
+                for j in range(len(segs)):
+                    if used[j]:
+                        continue
+                    seg = segs[j][1]
+                    if seg[0] == pts[-1]:
+                        pts.extend(seg[1:])
+                    elif seg[-1] == pts[-1]:
+                        pts.extend(seg[-2::-1])
+                    else:
+                        continue
+                    used[j] = True
+                    break
+                else:
+                    break
+            closed = len(pts) > 1 and pts[0] == pts[-1]
+            ring = pts[:-1] if closed else pts
+            n = len(ring)
+            perim = sum(abs(a2 - a1) + abs(b2 - b1)
+                        for (a1, b1), (a2, b2) in zip(pts, pts[1:]))
+            area2 = 0
+            if closed:
+                q = [(la // 1000, lo // 1000) for la, lo in ring]
+                area2 = abs(sum(
+                    q[i][1] * q[(i + 1) % n][0]
+                    - q[(i + 1) % n][1] * q[i][0] for i in range(n)))
+            rows.append((rel_id, role, ring_idx, n, closed, perim, area2))
+            ring_idx += 1
+    return pd.DataFrame(
+        rows, columns=["rel_id", "role", "ring_idx", "n_pts", "closed",
+                       "perim_l1_nano", "area2_q6"]).astype(
+        {"rel_id": "int64", "ring_idx": "int32", "n_pts": "int32",
+         "perim_l1_nano": "int64", "area2_q6": "int64"})
+
+
+def assemble_multipolygons(relations, ways, nodes):
+    """OSM multipolygon assembly (relation way-members -> closed
+    rings): the geometry-construction step above `assemble_ways` in
+    every OSM rendering/import pipeline.
+
+    Plan: member explode (fan-out = members) -> hash join to ways ->
+    ref posexplode -> partitioned hash join on node id (the
+    10^12-node-safe shape) -> ONE groupBy(rel_id) Arrow-batched
+    stitch.  Per-relation state is bounded by the relation's own
+    vertex count (multipolygons are thousands of points, never a
+    corpus-scale fraction), so the stitch stage distributes by
+    relation exactly like polygonize distributes by tile."""
+    from pyspark.sql import functions as F
+
+    members = (relations
+               .select(F.col("id").alias("rel_id"), "tags",
+                       F.posexplode(F.arrays_zip(
+                           "member_ids", "member_types", "roles"))
+                       .alias("pos", "m"))
+               .where(F.col("m.member_types") == MEMBER_WAY)
+               .select("rel_id", "pos",
+                       F.col("m.member_ids").alias("way_id"),
+                       F.col("m.roles").alias("role")))
+    way_pts = ways.select(F.col("id").alias("way_id"),
+                          F.posexplode("refs").alias("seq", "ref"))
+    j = (members.join(way_pts, "way_id")
+         .join(nodes.select(F.col("id").alias("ref"),
+                            "lat_nano", "lon_nano"), "ref"))
+    return (j.select("rel_id", "pos", "role", "seq",
+                     "lat_nano", "lon_nano")
+            .groupBy("rel_id").applyInPandas(_stitch_rings, RING_SCHEMA))

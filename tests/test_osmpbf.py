@@ -12,9 +12,10 @@ import pandas as pd
 import pytest
 
 from engine.geo.osmpbf import (
-    _read_blob, _unzig, _varint, _zig, assemble_ways, blob_index,
-    decode_nodes, decode_ways, read_osm_nodes, read_osm_ways,
-    write_osm_pbf,
+    MEMBER_NODE, MEMBER_RELATION, MEMBER_WAY, _read_blob, _stitch_rings,
+    _unzig, _varint, _zig, assemble_multipolygons, assemble_ways,
+    blob_index, decode_nodes, decode_relations, decode_ways,
+    read_osm_nodes, read_osm_relations, read_osm_ways, write_osm_pbf,
 )
 
 
@@ -173,6 +174,112 @@ def test_multi_file_scan(spark, tmp_path):
     df = read_osm_nodes(spark, p1, p2)
     assert df.count() == 100
     assert df.filter("id >= 1000000").count() == 50
+
+
+# ---------------------------------------------------------- relations
+
+def _relations():
+    """Mixed member types, descending memids (negative deltas through
+    zigzag), tagged and untagged."""
+    return [
+        (9001, [(MEMBER_WAY, 2 * 10 ** 9 + 3, "outer"),
+                (MEMBER_WAY, 2 * 10 ** 9 + 1, "outer"),
+                (MEMBER_NODE, 1007, "admin_centre"),
+                (MEMBER_RELATION, 9002, "subarea")],
+         {"type": "multipolygon", "name": "r1"}),
+        (9002, [(MEMBER_WAY, 2 * 10 ** 9, "inner")], {}),
+        (9003, [], {"type": "boundary"}),
+    ]
+
+
+def test_relations_roundtrip_exact(tmp_path):
+    path = str(tmp_path / "t.pbf")
+    rels = _relations()
+    write_osm_pbf(path, _nodes(10), _ways(4, 10), rels, block_size=32)
+    got = []
+    for p, off, size, btype in blob_index(path):
+        if btype == "OSMData":
+            got.append(decode_relations(_read_blob(p, off, size)))
+    gr = pd.concat(got, ignore_index=True)
+    assert [(r.id, list(zip(r.member_types, r.member_ids, r.roles)),
+             r.tags) for r in gr.itertuples()] == rels
+    # node/way decoders skip relation groups and vice versa
+    n, w = _decode_all(path)
+    assert len(n) == 10 and len(w) == 4
+
+
+def test_spark_relation_scan(spark, tmp_path):
+    path = str(tmp_path / "t.pbf")
+    rels = _relations()
+    write_osm_pbf(path, _nodes(10), _ways(4, 10), rels, block_size=2)
+    got = sorted(read_osm_relations(spark, path).collect(),
+                 key=lambda r: r.id)
+    assert [(r.id, list(zip(r.member_types, r.member_ids, r.roles)),
+             dict(r.tags)) for r in got] == rels
+
+
+# ------------------------------------------------------- ring stitching
+
+def _ring_fixture(tmp_path, members_shuffle=False):
+    """A 40x20-millidegree rectangle outer ring split across two ways
+    (the second stored REVERSED) + a single-closed-way inner ring."""
+    p = [(0, 0), (0, 40 * 10 ** 6), (20 * 10 ** 6, 40 * 10 ** 6),
+         (20 * 10 ** 6, 0)]
+    q = [(5 * 10 ** 6, 5 * 10 ** 6), (5 * 10 ** 6, 35 * 10 ** 6),
+         (15 * 10 ** 6, 35 * 10 ** 6), (15 * 10 ** 6, 5 * 10 ** 6)]
+    nodes = [(i + 1, la, lo, {}) for i, (la, lo) in enumerate(p + q)]
+    way_a = (100, [1, 2, 3], {})               # p0 -> p1 -> p2
+    way_b = (101, [1, 4, 3], {})               # REVERSED arc p2 -> p3 -> p0
+    way_in = (102, [5, 6, 7, 8, 5], {})        # closed inner ring
+    members = [(MEMBER_WAY, 100, "outer"), (MEMBER_WAY, 101, "outer"),
+               (MEMBER_WAY, 102, "inner")]
+    if members_shuffle:
+        members = members[::-1]
+    rels = [(500, members, {"type": "multipolygon"})]
+    path = str(tmp_path / "t.pbf")
+    write_osm_pbf(path, nodes, [way_a, way_b, way_in], rels,
+                  block_size=32)
+    return path
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_stitch_rectangle_with_reversed_way(spark, tmp_path, shuffle):
+    path = _ring_fixture(tmp_path, members_shuffle=shuffle)
+    rings = {(r.role, r.ring_idx): r for r in assemble_multipolygons(
+        read_osm_relations(spark, path), read_osm_ways(spark, path),
+        read_osm_nodes(spark, path)).collect()}
+    assert len(rings) == 2
+    outer, inner = rings[("outer", 0)], rings[("inner", 0)]
+    assert (outer.n_pts, outer.closed) == (4, True)
+    # rect 40 x 20 millideg: L1 perim 2*(w+h) nano, |2A| = 2*w*h in q6
+    assert outer.perim_l1_nano == 2 * (40 + 20) * 10 ** 6
+    assert outer.area2_q6 == 2 * 40000 * 20000
+    assert (inner.n_pts, inner.closed) == (4, True)
+    assert inner.perim_l1_nano == 2 * (30 + 10) * 10 ** 6
+    assert inner.area2_q6 == 2 * 30000 * 10000
+
+
+def test_stitch_unclosed_and_multi_ring():
+    """Pure-Python stitcher: two disjoint rings in one role group get
+    ring_idx 0/1; a broken chain reports closed=false."""
+    def rows(pos, role, pts):
+        return [{"rel_id": 7, "pos": pos, "role": role, "seq": s,
+                 "lat_nano": la, "lon_nano": lo}
+                for s, (la, lo) in enumerate(pts)]
+    m = 10 ** 6
+    sq1 = [(0, 0), (0, m), (m, m), (m, 0), (0, 0)]
+    sq2 = [(9 * m, 9 * m), (9 * m, 10 * m), (10 * m, 10 * m),
+           (9 * m, 9 * m)]
+    broken = [(0, 0), (5 * m, 5 * m)]
+    pdf = pd.DataFrame(rows(0, "outer", sq1) + rows(1, "outer", sq2)
+                       + rows(2, "inner", broken))
+    out = _stitch_rings(pdf).sort_values(["role", "ring_idx"])
+    recs = list(out.itertuples())
+    assert [(r.role, r.ring_idx, r.n_pts, r.closed) for r in recs] == [
+        ("inner", 0, 2, False), ("outer", 0, 4, True),
+        ("outer", 1, 3, True)]
+    assert recs[0].perim_l1_nano == 10 * m  # open path length still exact
+    assert recs[0].area2_q6 == 0
 
 
 def test_assemble_ways_matches_python(spark, tmp_path):
