@@ -3732,6 +3732,26 @@ def q_osm_multipolygon_rings(spark, sf):
                                   read_osm_nodes(spark, path))
 
 
+def q_geo_dist_ellipsoid(spark, sf):
+    """C8d (r5, post-window) — WGS84 ellipsoidal distance to a fixed
+    anchor (the Paris point the r1-green haversine key uses), via the
+    closed-form Andoyer-Lambert first-order-in-flattening formula
+    (engine/geo/dist.py::andoyer_np — no Vincenty iteration, so no
+    antipodal convergence failure; exact on the equator, ~50 m from
+    the quarter-meridian closed form, tests/test_ellipsoid.py).
+    Completes VERDICT-r4 missing #3 (geodesic measures): spherical
+    area landed in-window as geo_area_spherical; this is the
+    ellipsoidal-distance half.  Same parity strategy as haversine:
+    numpy libm on the Spark side (Arrow-batched, zero shuffle), the
+    IDENTICAL dialect-neutral expression text in the DuckDB twin,
+    rounded to 0.1 m."""
+    _prep(spark)
+    from engine.geo.dist import make_andoyer_udf
+    udf = make_andoyer_udf(2.3, 48.85)
+    return _points(spark, sf).select(
+        "id", F.round(udf(F.col("lon"), F.col("lat")), 1).alias("dist_m"))
+
+
 def q_scan_geojson(spark, sf):
     """A-family (r5) — standard-interchange polygon source (VERDICT-r4
     missing #4): read the committed RFC 7946 FeatureCollection
@@ -4698,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_way_assembly": q_osm_way_assembly,
         "scan_osm_relations": q_scan_osm_relations,
         "osm_multipolygon_rings": q_osm_multipolygon_rings,
+        "geo_dist_ellipsoid": q_geo_dist_ellipsoid,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4956,6 +4977,8 @@ _FUNNEL_ORACLE = (
 def oracle_sql() -> dict[str, str]:
     hav_to_paris = HAVERSINE_SQL_TMPL.format(
         lat1="lat", lon1="lon", lat2="48.85", lon2="2.3")
+    from engine.geo.dist import andoyer_sql
+    ell_to_paris = andoyer_sql("lon", "lat", "2.3", "48.85")
     knn_vals = ", ".join(f"(CAST({q} AS BIGINT), {la}, {lo})"
                          for q, la, lo in KNN_QUERIES)
     knn_hav = HAVERSINE_SQL_TMPL.format(
@@ -6004,6 +6027,12 @@ def oracle_sql() -> dict[str, str]:
         "osm_way_assembly": osm_ways_sql,
         "scan_osm_relations": osm_rels_sql,
         "osm_multipolygon_rings": osm_rings_sql,
+        # geo_dist_ellipsoid: the IDENTICAL Andoyer-Lambert expression
+        # text numpy runs on the Spark side (engine/geo/dist.py parity
+        # strategy, same as the r1-green haversine key).
+        "geo_dist_ellipsoid": (
+            f"WITH {PTS_SQL} SELECT id, round({ell_to_paris}, 1)"
+            " AS dist_m FROM pts"),
         "poly_triangulate": triangulate_sql,
         "poly_validate": validate_sql,
         "text_topterms": (

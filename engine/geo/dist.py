@@ -108,6 +108,90 @@ def crosstrack_sql(lon: str, lat: str, lon_a: str, lat_a: str,
             f"* {EARTH_RADIUS_M!r}")
 
 
+# --- C8d (r5): Andoyer-Lambert ellipsoidal distance -------------------
+# WGS84 geodesic distance to first order in the flattening f (classical
+# Andoyer 1932 / Lambert 1942 formula): reduced latitudes beta =
+# atan((1-f) tan(phi)), spherical central angle sigma between the
+# reduced points (stable haversine form), then the two first-order
+# correction folds
+#   X = (sig - sin sig) * (sinP cosQ)^2 / cos^2(sig/2)
+#   Y = (sig + sin sig) * (cosP sinQ)^2 / sin^2(sig/2)
+#   d = a * (sig - f/2 * (X + Y)),   P = (b1+b2)/2, Q = (b2-b1)/2.
+# Error is O(f^2 * a) ~ tens of metres on antipodal-scale arcs —
+# closed-form (no Vincenty iteration, so no antipodal convergence
+# failure), exact on the equator (d = a * dlon) by construction, and
+# verified against the quarter-meridian closed form in
+# tests/test_ellipsoid.py.  Same parity strategy as haversine
+# (r1 driver-green): numpy libm on the Spark side, the IDENTICAL
+# dialect-neutral expression text in the DuckDB twin
+# (operation-for-operation, so both engines run the same float ops),
+# output rounded to 0.1 m.
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_ONE_MINUS_F = 1.0 - WGS84_F
+_HALF_F = WGS84_F / 2.0
+
+
+def andoyer_np(lon1, lat1, lon2, lat2) -> np.ndarray:
+    b1 = np.arctan(_ONE_MINUS_F * np.tan(np.radians(lat1)))
+    b2 = np.arctan(_ONE_MINUS_F * np.tan(np.radians(lat2)))
+    dl = np.radians(lon2) - np.radians(lon1)
+    sq = np.sin((b2 - b1) / 2.0)
+    cq = np.cos((b2 - b1) / 2.0)
+    sp = np.sin((b1 + b2) / 2.0)
+    cp = np.cos((b1 + b2) / 2.0)
+    h = sq * sq + np.cos(b1) * np.cos(b2) \
+        * np.sin(dl / 2.0) * np.sin(dl / 2.0)
+    sig = 2.0 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+    spq = sp * cq
+    cps = cp * sq
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = (sig - np.sin(sig)) * (spq * spq) \
+            / (np.cos(sig / 2.0) * np.cos(sig / 2.0))
+        y = (sig + np.sin(sig)) * (cps * cps) \
+            / (np.sin(sig / 2.0) * np.sin(sig / 2.0))
+        d = WGS84_A * (sig - _HALF_F * (x + y))
+    return np.where(sig == 0.0, 0.0, d)
+
+
+def make_andoyer_udf(lon_b: float, lat_b: float):
+    """Arrow-batched WGS84 ellipsoidal distance to the fixed anchor B."""
+
+    @F.pandas_udf(DoubleType())
+    def andoyer_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(andoyer_np(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+            lon_b, lat_b))
+
+    return andoyer_udf
+
+
+def andoyer_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Dialect-neutral SQL text of andoyer_np, operation-for-operation
+    (sub-expressions are re-inlined — float recomputation is
+    deterministic, so the value is bit-identical to a reused one)."""
+    b1 = f"atan({_ONE_MINUS_F!r} * tan(radians({lat1})))"
+    b2 = f"atan({_ONE_MINUS_F!r} * tan(radians({lat2})))"
+    dl = f"radians({lon2}) - radians({lon1})"
+    sq = f"sin((({b2}) - ({b1})) / 2.0)"
+    cq = f"cos((({b2}) - ({b1})) / 2.0)"
+    sp = f"sin((({b1}) + ({b2})) / 2.0)"
+    cp = f"cos((({b1}) + ({b2})) / 2.0)"
+    h = (f"{sq} * {sq} + cos({b1}) * cos({b2}) "
+         f"* sin(({dl}) / 2.0) * sin(({dl}) / 2.0)")
+    sig = f"2.0 * asin(least(1.0, sqrt({h})))"
+    spq = f"({sp} * {cq})"
+    cps = f"({cp} * {sq})"
+    x = (f"(({sig}) - sin({sig})) * ({spq} * {spq}) "
+         f"/ (cos(({sig}) / 2.0) * cos(({sig}) / 2.0))")
+    y = (f"(({sig}) + sin({sig})) * ({cps} * {cps}) "
+         f"/ (sin(({sig}) / 2.0) * sin(({sig}) / 2.0))")
+    return (f"CASE WHEN ({sig}) = 0.0 THEN 0.0 "
+            f"ELSE {WGS84_A!r} * (({sig}) - {_HALF_F!r} * (({x}) + ({y})))"
+            " END")
+
+
 def make_bearing_udf(lon_a: float, lat_a: float):
     """Arrow-batched initial bearing (radians) from fixed anchor A to
     each point — C8c, the third navigation kernel beside haversine and
