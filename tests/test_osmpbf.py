@@ -12,10 +12,11 @@ import pandas as pd
 import pytest
 
 from engine.geo.osmpbf import (
-    MEMBER_NODE, MEMBER_RELATION, MEMBER_WAY, _read_blob, _stitch_rings,
-    _unzig, _varint, _zig, assemble_multipolygons, assemble_ways,
-    blob_index, decode_nodes, decode_relations, decode_ways,
-    read_osm_nodes, read_osm_relations, read_osm_ways, write_osm_pbf,
+    MEMBER_NODE, MEMBER_RELATION, MEMBER_WAY, _read_blob,
+    _stitch_role_groups, _unzig, _varint, _zig, assemble_multipolygons,
+    assemble_ways, blob_index, decode_nodes, decode_relations,
+    decode_ways, read_osm_nodes, read_osm_relations, read_osm_ways,
+    write_osm_pbf,
 )
 
 
@@ -260,26 +261,21 @@ def test_stitch_rectangle_with_reversed_way(spark, tmp_path, shuffle):
 
 
 def test_stitch_unclosed_and_multi_ring():
-    """Pure-Python stitcher: two disjoint rings in one role group get
-    ring_idx 0/1; a broken chain reports closed=false."""
-    def rows(pos, role, pts):
-        return [{"rel_id": 7, "pos": pos, "role": role, "seq": s,
-                 "lat_nano": la, "lon_nano": lo}
-                for s, (la, lo) in enumerate(pts)]
+    """Pure-Python stitcher core: two disjoint rings in one role group
+    get ring_idx 0/1; a broken chain reports closed=False."""
     m = 10 ** 6
     sq1 = [(0, 0), (0, m), (m, m), (m, 0), (0, 0)]
     sq2 = [(9 * m, 9 * m), (9 * m, 10 * m), (10 * m, 10 * m),
            (9 * m, 9 * m)]
     broken = [(0, 0), (5 * m, 5 * m)]
-    pdf = pd.DataFrame(rows(0, "outer", sq1) + rows(1, "outer", sq2)
-                       + rows(2, "inner", broken))
-    out = _stitch_rings(pdf).sort_values(["role", "ring_idx"])
-    recs = list(out.itertuples())
-    assert [(r.role, r.ring_idx, r.n_pts, r.closed) for r in recs] == [
+    rows = sorted(_stitch_role_groups(
+        {"outer": [sq1, sq2], "inner": [broken]}))
+    assert [(role, ri, n, cl) for role, ri, n, cl, _, _ in rows] == [
         ("inner", 0, 2, False), ("outer", 0, 4, True),
         ("outer", 1, 3, True)]
-    assert recs[0].perim_l1_nano == 10 * m  # open path length still exact
-    assert recs[0].area2_q6 == 0
+    _, _, _, _, perim, area2 = rows[0]
+    assert perim == 10 * m  # open path length still exact
+    assert area2 == 0
 
 
 def test_assemble_ways_matches_python(spark, tmp_path):
