@@ -1240,6 +1240,30 @@ def q_poly_dissolve(spark, sf):
     return compact_cells(cov, level=8, min_level=4, group_cols=("grp",))
 
 
+def q_poly_buffer(spark, sf):
+    """C-bf (r5, post-window) — polygon buffering in the covering-cell
+    domain: each polygon's level-8 covering dilated by a Chebyshev
+    disk of k=2 grid cells (engine/geo/cells.py::dilate_cells — native
+    Morton deinterleave/re-interleave, explode of a constant literal
+    sequence, one distinct shuffle on the skinny frame), then
+    compacted to the minimal mixed-level buffered covering
+    (compact_cells, min_level 4) — the covering-domain answer to
+    vector ST_Buffer, sharing ring semantics with the driver-green
+    cell_ring key (x wraps at the antimeridian, y drops at the poles).
+    The DuckDB twin re-derives the dilation independently: a 256-row
+    bit-spread lookup built by a plain Python shift loop (not the
+    numpy mask cascade) interleaves the SQL-dilated (x, y) back to
+    Morton, then the same per-level complete-quad recurrence as the
+    poly_dissolve twin."""
+    _prep(spark)
+    from engine.geo.cells import compact_cells, dilate_cells
+    from engine.geo.layer import PolygonLayer
+    cov = PolygonLayer.from_json().build_df(spark, 8).selectExpr(
+        "poly_id", "cell_p AS cell")
+    buf = dilate_cells(cov, level=8, k=2)
+    return compact_cells(buf, level=8, min_level=4)
+
+
 def q_snapshot_rollback(spark, sf):
     """A-family (r4 cont.) — snapshot rollback
     (engine/icelite.py::rollback, Iceberg rollback_to_snapshot
@@ -4719,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_osm_relations": q_scan_osm_relations,
         "osm_multipolygon_rings": q_osm_multipolygon_rings,
         "geo_dist_ellipsoid": q_geo_dist_ellipsoid,
+        "poly_buffer": q_poly_buffer,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5341,6 +5366,46 @@ def oracle_sql() -> dict[str, str]:
         "SELECT grp, CAST(4 AS INTEGER) AS level, cell FROM d4")
     dissolve_sql = ("WITH " + ", ".join(dissolve_ctes) + " "
                     + " UNION ALL ".join(dissolve_fins))
+
+    # poly_buffer: independent SQL dilation over the deinterleaved
+    # (poly_id, cx, cy) covering — Chebyshev disk k=2, x wraps mod 256,
+    # out-of-range y drops — re-interleaved to Morton through a 256-row
+    # bit-spread lookup built by a plain Python shift loop (NOT the
+    # numpy/codegen mask cascade the engine runs), then the identical
+    # per-level complete-quad compaction recurrence keyed on poly_id.
+    _bk = 2
+    _sp_vals = ", ".join(
+        f"({v}, {sum(((v >> i) & 1) << (2 * i) for i in range(8))})"
+        for v in range(256))
+    _dd_vals = ", ".join(f"({d})" for d in range(-_bk, _bk + 1))
+    buffer_ctes = [
+        f"covb(poly_id, cx, cy) AS (VALUES {_cov_xy})",
+        f"spb(v, s) AS (VALUES {_sp_vals})",
+        f"ddb(d) AS (VALUES {_dd_vals})",
+        "dilb AS (SELECT DISTINCT poly_id, "
+        "((cx + a.d) % 256 + 256) % 256 AS nx, cy + b.d AS ny "
+        "FROM covb, ddb a, ddb b WHERE cy + b.d BETWEEN 0 AND 255)",
+        "b8 AS (SELECT DISTINCT poly_id, "
+        "CAST(sx.s | (sy.s << 1) AS BIGINT) AS cell FROM dilb "
+        "JOIN spb sx ON sx.v = dilb.nx JOIN spb sy ON sy.v = dilb.ny)",
+    ]
+    buffer_fins = []
+    for _lv in range(8, 4, -1):
+        _src = "b8" if _lv == 8 else f"b{_lv}"
+        buffer_ctes.append(
+            f"fb{_lv} AS (SELECT poly_id, cell, cell // 4 AS parent, "
+            f"COUNT(*) OVER (PARTITION BY poly_id, cell // 4) AS n "
+            f"FROM {_src})")
+        buffer_fins.append(
+            f"SELECT poly_id, CAST({_lv} AS INTEGER) AS level, cell "
+            f"FROM fb{_lv} WHERE n < 4")
+        buffer_ctes.append(
+            f"b{_lv - 1} AS (SELECT poly_id, parent AS cell FROM fb{_lv} "
+            f"WHERE n = 4 AND cell % 4 = 0)")
+    buffer_fins.append(
+        "SELECT poly_id, CAST(4 AS INTEGER) AS level, cell FROM b4")
+    poly_buffer_sql = ("WITH " + ", ".join(buffer_ctes) + " "
+                       + " UNION ALL ".join(buffer_fins))
 
     # data_split: the full splitmix64 avalanche recomputed in SQL via
     # the verified HUGEINT split-multiply kernel; seed enters as the
@@ -7193,6 +7258,7 @@ def oracle_sql() -> dict[str, str]:
         # agg_cms — the identical deterministic CMS relationally.
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         "poly_dissolve": dissolve_sql,
+        "poly_buffer": poly_buffer_sql,
         "geo_nearest_poly": nearest_poly_sql,
         # feat_hash — same rolling-hash (list_reduce seeds with the
         # first element == Spark's 0-seed after one step), same

@@ -212,6 +212,45 @@ def make_disk_udf(level: int, k: int):
     return disk_udf
 
 
+def dilate_cells(df: DataFrame, level: int, k: int,
+                 cell_col: str = "cell",
+                 group_cols: tuple[str, ...] = ("poly_id",)) -> DataFrame:
+    """Morphological buffering of a cell covering at a fixed level
+    (C-bf): every cell within Chebyshev grid distance <= ``k`` of a
+    covering cell joins the covering — the covering-domain analog of
+    vector ST_Buffer, sharing ring semantics with ``ring_cells_np``
+    (x wraps across the antimeridian, out-of-range y rows drop at the
+    poles).  Output is the distinct dilated (group_cols..., cell)
+    frame at the same level; feed it to ``compact_cells`` for the
+    minimal mixed-level buffered covering.
+
+    Scale shape: deinterleave and re-interleave are the native Morton
+    bit cascades (whole-stage codegen, no Python worker), the
+    (2k+1)^2 fan-out is an explode of a constant literal sequence,
+    and the only shuffle is the terminal distinct on the skinny
+    (group, cell) frame.  Coverings are layer metadata — this never
+    touches the fact table.
+    """
+    assert k >= 0 and 0 < level <= LEVEL
+    n = 1 << level
+    gcols = [F.col(c) for c in group_cols]
+    d = F.sequence(F.lit(-k), F.lit(k))
+    return (
+        df.select(*group_cols, F.col(cell_col).alias("_c"))
+        .withColumn("_x", F.expr(compact1by1_sql("_c")))
+        .withColumn("_y", F.expr(compact1by1_sql("(_c >> 1)")))
+        .withColumn("_dx", F.explode(d))
+        .withColumn("_dy", F.explode(d))
+        .withColumn("_nx", F.pmod(F.col("_x") + F.col("_dx"), F.lit(n)))
+        .withColumn("_ny", F.col("_y") + F.col("_dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(*gcols, F.expr(
+            f"({part1by1_sql('_nx')} | ({part1by1_sql('_ny')} << 1))"
+        ).alias("cell"))
+        .distinct()
+    )
+
+
 def compact_cells(df: DataFrame, level: int, min_level: int,
                   cell_col: str = "cell",
                   group_cols: tuple[str, ...] = ("poly_id",)) -> DataFrame:

@@ -198,6 +198,27 @@ def bbox_cover_cells(
     )
 
 
+def dilate_cells_py(cells: list[int], level: int, k: int) -> list[int]:
+    """Sequential oracle for Chebyshev-disk covering dilation
+    (engine/geo/cells.py ``dilate_cells`` must match this exactly):
+    x wraps mod 2^level, out-of-range y drops — the ring semantics of
+    ``ring_cells_np``.  Returns the sorted distinct dilated cells."""
+    n = 1 << level
+    out: set[int] = set()
+    for c in cells:
+        x = y = 0
+        for i in range(level):
+            x |= ((c >> (2 * i)) & 1) << i
+            y |= ((c >> (2 * i + 1)) & 1) << i
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                ny = y + dy
+                if not 0 <= ny < n:
+                    continue
+                out.add(morton((x + dx) % n, ny, level))
+    return sorted(out)
+
+
 def compact_cells_py(
     cells: list[int], level: int, min_level: int
 ) -> list[tuple[int, int]]:
