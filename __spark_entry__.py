@@ -2987,6 +2987,27 @@ def q_raster_tpi(spark, sf):
     return tpi_index(pix)
 
 
+def q_raster_los(spark, sf):
+    """C-ls (r5, post-window) — per-row line-of-sight visibility
+    (engine/geo/raster.py::line_of_sight): observer west of each row
+    of the sparse 128x128 count raster at height 0, cell height = its
+    count, visible iff the elevation angle w/(gx+1) strictly exceeds
+    every earlier cell's in the row — the 1-D ray decomposition a
+    classical viewshed reduces to.  Angles ride as
+    floor(w * 2^20 / (gx+1)) BIGINTs; scale >= 128^2 makes the
+    integer order IDENTICAL to the exact rational order
+    (tests/test_los.py proves it with Fractions), and the DuckDB twin
+    never scales at all — it cross-multiplies a NOT-EXISTS over
+    earlier cells, so the two sides share no visibility arithmetic."""
+    _prep(spark)
+    from engine.geo.raster import line_of_sight
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return line_of_sight(pix)
+
+
 def q_raster_basins(spark, sf):
     """Watershed basins (r4 cont., engine/geo/raster.py::basin_labels):
     every occupied cell of the sparse 128x128 count raster labeled with
@@ -4744,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_multipolygon_rings": q_osm_multipolygon_rings,
         "geo_dist_ellipsoid": q_geo_dist_ellipsoid,
         "poly_buffer": q_poly_buffer,
+        "raster_los": q_raster_los,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6852,6 +6874,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e ON e.gx = w.ax AND e.gy = w.ay) "
             "SELECT ax AS gx, ay AS gy, "
             "CAST(COUNT(*) AS BIGINT) AS acc FROM walk GROUP BY 1, 2"),
+        # raster_los — INDEPENDENT visibility arithmetic: the engine
+        # compares floor-scaled BIGINT angles under a running window
+        # max; the twin cross-multiplies the exact rationals in a
+        # NOT-EXISTS over earlier cells of the row (no scaling, no
+        # window).  They agree by the order-preservation theorem
+        # (scale 2^20 >= 128^2; tests/test_los.py).
+        "raster_los": (
+            "WITH pix AS MATERIALIZED (SELECT "
+            "(c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2) "
+            "SELECT p.gx, p.gy, p.w, "
+            "CAST((p.w * 1048576) // (p.gx + 1) AS BIGINT) AS ang, "
+            "CAST(CASE WHEN EXISTS (SELECT 1 FROM pix q "
+            "WHERE q.gy = p.gy AND q.gx < p.gx "
+            "AND q.w * (p.gx + 1) >= p.w * (q.gx + 1)) "
+            "THEN 0 ELSE 1 END AS INTEGER) AS vis FROM pix p"),
         # raster_tpi — LEFT neighbor-join stencil, same integer
         # arithmetic, sign by CASE.
         "raster_tpi": (

@@ -819,6 +819,46 @@ def tpi_index(pixels: DataFrame, x: str = "gx", y: str = "gy",
             .withColumn("cls", F.signum("tpi8").cast("int")))
 
 
+def line_of_sight(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                  w: str = "w", scale: int = 1 << 20) -> DataFrame:
+    """Per-row line-of-sight visibility over a sparse COUNT raster
+    (C-ls, r5): an observer sits west of each grid row at x = -1 at
+    height 0, a cell's height is its count ``w`` (absent cells are
+    TRUE ZEROS on a count raster — horn_slope's convention — so they
+    never occlude), and a cell is VISIBLE iff its elevation angle
+    w / (gx + 1) STRICTLY exceeds every earlier occupied cell's angle
+    in the row (grazing rays are blocked).  This is the 1-D ray
+    decomposition every classical R2/R3 viewshed reduces to — the
+    grid rows are the rays.
+
+    Exactness: angles are carried as floor(w * scale / (gx + 1))
+    BIGINTs.  For grid width n and scale >= n^2, two DISTINCT
+    rational angles differ by at least 1/((x_i+1)(x_j+1)) >= 1/scale,
+    so floor-scaling preserves the exact order and equality — the
+    integer comparison IS the Fraction comparison (theorem exercised
+    in tests/test_los.py; the DuckDB twin never computes the scaled
+    angle's visibility, it cross-multiplies a NOT-EXISTS instead).
+
+    Scale shape: ONE window shuffle partitioned by row — rays are
+    independent, so executors sweep disjoint rays; a running max over
+    the ordered preceding frame decides visibility.  Integer codegen
+    end to end, zero Python; the frame is grid-bounded, never the
+    point count."""
+    from pyspark.sql import Window
+
+    assert scale >= 1
+    base = pixels.select(F.col(x).cast("long").alias("gx"),
+                         F.col(y).cast("long").alias("gy"),
+                         F.col(w).cast("long").alias("w"))
+    win = (Window.partitionBy("gy").orderBy("gx")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    return (base
+            .withColumn("ang", F.expr(f"(w * {scale}L) DIV (gx + 1)"))
+            .withColumn("vis", (F.col("ang") >
+                                F.coalesce(F.max("ang").over(win),
+                                           F.lit(-1))).cast("int")))
+
+
 def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
                      radius: int = 4) -> DataFrame:
     """C-family (r4 cont.) — bounded-radius proximity: for every
