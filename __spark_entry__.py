@@ -572,6 +572,22 @@ def q_img_sobel(spark, sf):
     return image_sobel(gen_images(spark, 240, seed=42))
 
 
+def q_img_harris(spark, sf):
+    """C-hr (r5, post-window) — per-image Harris corner response stats
+    (engine/image/harris.py): exact-integer structure tensor (3x3 box
+    window over the Sobel gradient field) and the 16x-scaled response
+    r16 = 16*det(M) - trace(M)^2 (k = 1/16, no division, no floats),
+    reduced per image to window count / max response / corner count /
+    edge-like count.  One mapInPandas pass, pixels never leave the
+    worker.  Golden-pinned like the other synthetic-image keys; the
+    independent oracle is pytest's brute per-window double-loop plus
+    the transpose-invariance theorem (tests/test_harris.py)."""
+    _prep(spark)
+    from engine.image.harris import image_harris
+    from engine.synth import gen_images
+    return image_harris(gen_images(spark, 240, seed=42))
+
+
 def q_scan_csv(spark, sf):
     """A10 (r4 cont.) — CSV source/sink parity: customer's exact-typed
     projection (cents money domain) round-tripped through a 4-file CSV
@@ -4766,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dist_ellipsoid": q_geo_dist_ellipsoid,
         "poly_buffer": q_poly_buffer,
         "raster_los": q_raster_los,
+        "img_harris": q_img_harris,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5975,7 +5992,8 @@ def oracle_sql() -> dict[str, str]:
                      "tile_vector_encode_mvt", "img_patches",
                      "img_moments", "bpe_tokenize", "img_histogram",
                      "img_sobel", "img_palette", "poly_sample",
-                     "img_otsu", "traj_frechet", "img_rle")},
+                     "img_otsu", "traj_frechet", "img_rle",
+                     "img_harris")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -90,7 +90,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_rle (r4 cont.): all-integer run-length stats;
                # independent check = brute double-loop run scan in
                # tests/test_rle.py.
-               "img_rle")
+               "img_rle",
+               # img_harris (r5): all-integer Harris corner response
+               # stats (16x-scaled, 3x3 box structure tensor);
+               # independent check = brute per-window double-loop +
+               # transpose-invariance theorem in tests/test_harris.py.
+               "img_harris")
 
 
 def main() -> None:
