@@ -1280,6 +1280,26 @@ def q_poly_buffer(spark, sf):
     return compact_cells(buf, level=8, min_level=4)
 
 
+def q_poly_erode(spark, sf):
+    """C-er (r5, post-window) — covering erosion, the dual of
+    poly_buffer (engine/geo/cells.py::erode_cells): a level-8 cell
+    survives iff its whole Chebyshev k=1 disk lies inside the
+    polygon's covering — interior extraction, the morphological
+    opening/closing building block (erode∘dilate ⊆ id ⊆ dilate∘erode
+    proven in tests/test_poly_buffer.py).  Inverted volunteer idiom:
+    each cell explodes its 9 support offsets toward the centers it
+    backs, ONE map-side-combined count agg, inner join keeps complete
+    support.  The DuckDB twin is an independent double-NOT-EXISTS
+    over the deinterleaved (poly_id, cx, cy) covering — no counting,
+    no interleave arithmetic shared with the engine's vote plan."""
+    _prep(spark)
+    from engine.geo.cells import erode_cells
+    from engine.geo.layer import PolygonLayer
+    cov = PolygonLayer.from_json().build_df(spark, 8).selectExpr(
+        "poly_id", "cell_p AS cell")
+    return erode_cells(cov, level=8, k=1)
+
+
 def q_snapshot_rollback(spark, sf):
     """A-family (r4 cont.) — snapshot rollback
     (engine/icelite.py::rollback, Iceberg rollback_to_snapshot
@@ -4783,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_buffer": q_poly_buffer,
         "raster_los": q_raster_los,
         "img_harris": q_img_harris,
+        "poly_erode": q_poly_erode,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5445,6 +5466,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT poly_id, CAST(4 AS INTEGER) AS level, cell FROM b4")
     poly_buffer_sql = ("WITH " + ", ".join(buffer_ctes) + " "
                        + " UNION ALL ".join(buffer_fins))
+
+    # poly_erode: independent double-NOT-EXISTS — a cell survives iff
+    # no disk offset is missing (out of y range, or its wrapped (x, y)
+    # absent from the covering); the surviving (cx, cy) interleave to
+    # Morton through the same independent 256-row spread lookup.  The
+    # engine's plan counts votes; the twin never counts anything.
+    _ek = 1
+    _ed_vals = ", ".join(f"({d})" for d in range(-_ek, _ek + 1))
+    poly_erode_sql = (
+        f"WITH covb(poly_id, cx, cy) AS (VALUES {_cov_xy}), "
+        f"spb(v, s) AS (VALUES {_sp_vals}), "
+        f"dde(d) AS (VALUES {_ed_vals}), "
+        "er AS (SELECT c.poly_id, c.cx, c.cy FROM covb c "
+        "WHERE NOT EXISTS (SELECT 1 FROM dde a, dde b "
+        "WHERE c.cy + b.d < 0 OR c.cy + b.d > 255 "
+        "OR NOT EXISTS (SELECT 1 FROM covb q "
+        "WHERE q.poly_id = c.poly_id "
+        "AND q.cx = ((c.cx + a.d) % 256 + 256) % 256 "
+        "AND q.cy = c.cy + b.d))) "
+        "SELECT er.poly_id, CAST(sx.s | (sy.s << 1) AS BIGINT) AS cell "
+        "FROM er JOIN spb sx ON sx.v = er.cx "
+        "JOIN spb sy ON sy.v = er.cy")
 
     # data_split: the full splitmix64 avalanche recomputed in SQL via
     # the verified HUGEINT split-multiply kernel; seed enters as the
@@ -7316,6 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cms": 'WITH cms AS (SELECT 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2 UNION ALL SELECT 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell, COUNT(*) AS n FROM events GROUP BY 1, 2), pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10), pc AS (SELECT user_id, 0 AS row, ((((user_id * 2654435761) % 2147483647) * 1103515245 + 12345) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 1 AS row, ((((user_id * 2654435761) % 2147483647) * 69069 + 362437) % 2147483647) % 1024 AS cell FROM pr UNION ALL SELECT user_id, 2 AS row, ((((user_id * 2654435761) % 2147483647) * 1664525 + 1013904223) % 2147483647) % 1024 AS cell FROM pr), e AS (SELECT pc.user_id, MIN(COALESCE(cms.n, 0)) AS est FROM pc LEFT JOIN cms ON pc.row = cms.row AND pc.cell = cms.cell GROUP BY 1), t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events WHERE user_id < 10 GROUP BY 1) SELECT t.user_id, t.true_n, CAST(e.est AS BIGINT) AS cms_est FROM t JOIN e ON t.user_id = e.user_id',
         "poly_dissolve": dissolve_sql,
         "poly_buffer": poly_buffer_sql,
+        "poly_erode": poly_erode_sql,
         "geo_nearest_poly": nearest_poly_sql,
         # feat_hash — same rolling-hash (list_reduce seeds with the
         # first element == Spark's 0-seed after one step), same

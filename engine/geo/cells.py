@@ -251,6 +251,53 @@ def dilate_cells(df: DataFrame, level: int, k: int,
     )
 
 
+def erode_cells(df: DataFrame, level: int, k: int,
+                cell_col: str = "cell",
+                group_cols: tuple[str, ...] = ("poly_id",)) -> DataFrame:
+    """Morphological erosion of a cell covering at a fixed level
+    (C-er): a cell survives iff its ENTIRE Chebyshev disk of radius
+    ``k`` lies inside the group's covering — the dual of
+    ``dilate_cells``, with the same edge semantics read as a closed
+    boundary: x wraps across the antimeridian, while a disk that
+    pokes past the y range has a missing neighbor and erodes (the
+    pole rows are treated as outside, exactly as dilation drops them).
+
+    Scale shape: the inverted volunteer idiom — every covering cell
+    explodes its (2k+1)^2 support offsets toward the CENTERS it
+    backs, support meets in ONE map-side-combined count agg, and an
+    inner join back to the covering keeps cells whose support is
+    complete ((2k+1)^2 voters).  Native Morton cascades end to end,
+    no Python, skinny (group, cell) frames only.
+    """
+    assert k >= 0 and 0 < level <= LEVEL
+    n = 1 << level
+    full = (2 * k + 1) ** 2
+    gcols = [F.col(c) for c in group_cols]
+    d = F.sequence(F.lit(-k), F.lit(k))
+    base = (df.select(*group_cols, F.col(cell_col).alias("cell"))
+            .distinct())
+    votes = (base
+             .withColumn("_x", F.expr(compact1by1_sql("cell")))
+             .withColumn("_y", F.expr(compact1by1_sql("(cell >> 1)")))
+             .withColumn("_dx", F.explode(d))
+             .withColumn("_dy", F.explode(d))
+             # the cell at (_x, _y) SUPPORTS the center displaced by
+             # (-dx, -dy); centers whose disk leaves the y range can
+             # never reach full support, so no clamping is needed
+             .withColumn("_nx", F.pmod(F.col("_x") + F.col("_dx"),
+                                       F.lit(n)))
+             .withColumn("_ny", F.col("_y") + F.col("_dy"))
+             .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+             .select(*gcols, F.expr(
+                 f"({part1by1_sql('_nx')} | ({part1by1_sql('_ny')} << 1))"
+             ).alias("cell"))
+             .groupBy(*group_cols, "cell")
+             .agg(F.count(F.lit(1)).alias("_sup")))
+    return (base.join(votes.filter(F.col("_sup") == full),
+                      [*group_cols, "cell"], "inner")
+            .select(*gcols, "cell"))
+
+
 def compact_cells(df: DataFrame, level: int, min_level: int,
                   cell_col: str = "cell",
                   group_cols: tuple[str, ...] = ("poly_id",)) -> DataFrame:

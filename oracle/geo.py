@@ -219,6 +219,39 @@ def dilate_cells_py(cells: list[int], level: int, k: int) -> list[int]:
     return sorted(out)
 
 
+def erode_cells_py(cells: list[int], level: int, k: int) -> list[int]:
+    """Sequential oracle for Chebyshev-disk covering erosion
+    (engine/geo/cells.py ``erode_cells`` must match this exactly):
+    a cell survives iff its whole (2k+1)^2 disk is inside the
+    covering — x wraps mod 2^level, a disk poking past the y range
+    has a missing member and erodes."""
+    n = 1 << level
+    have = set(cells)
+    xy = {}
+    for c in cells:
+        x = y = 0
+        for i in range(level):
+            x |= ((c >> (2 * i)) & 1) << i
+            y |= ((c >> (2 * i + 1)) & 1) << i
+        xy[c] = (x, y)
+    out = []
+    for c in cells:
+        x, y = xy[c]
+        ok = True
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                ny = y + dy
+                if not 0 <= ny < n or \
+                        morton((x + dx) % n, ny, level) not in have:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            out.append(c)
+    return sorted(out)
+
+
 def compact_cells_py(
     cells: list[int], level: int, min_level: int
 ) -> list[tuple[int, int]]:

@@ -9,9 +9,9 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from engine.geo.cells import compact_cells, dilate_cells
+from engine.geo.cells import compact_cells, dilate_cells, erode_cells
 from engine.geo.layer import PolygonLayer
-from oracle.geo import dilate_cells_py
+from oracle.geo import dilate_cells_py, erode_cells_py
 
 
 def _cov_df(spark, level=8):
@@ -90,6 +90,74 @@ def test_buffer_compact_leaf_identity(spark):
         got.setdefault(r.poly_id, []).append((r.level, r.cell))
     for pid, cells in _by_poly().items():
         assert _leafset(got[pid], 8) == set(dilate_cells_py(cells, 8, 2)), pid
+
+
+def test_erode_matches_python_oracle_on_layer(spark):
+    got = {}
+    for r in erode_cells(_cov_df(spark), level=8, k=1).collect():
+        got.setdefault(r.poly_id, []).append(r.cell)
+    exp = {pid: erode_cells_py(cells, 8, 1)
+           for pid, cells in _by_poly().items()}
+    # polygons fully eroded away drop out of the Spark result
+    exp = {pid: cells for pid, cells in exp.items() if cells}
+    assert set(got) == set(exp)
+    for pid in exp:
+        assert sorted(got[pid]) == exp[pid], pid
+
+
+def test_erode_k0_is_identity(spark):
+    got = {(r.poly_id, r.cell)
+           for r in erode_cells(_cov_df(spark), level=8, k=0).collect()}
+    exp = {(pid, c) for pid, cells in _by_poly().items() for c in cells}
+    assert got == exp
+
+
+def test_erode_randomized_and_duality(spark):
+    """Random level-4 coverings: erosion matches the sequential oracle,
+    and equals the complement of the dilation of the complement (the
+    morphological duality, with out-of-grid rows read as outside)."""
+    rng = np.random.default_rng(41)
+    n = 16
+    for seed in range(3):
+        cells = sorted(rng.choice(n * n, size=100 + 30 * seed,
+                                  replace=False).tolist())
+        df = spark.createDataFrame([("p", int(c)) for c in cells],
+                                   "poly_id string, cell long")
+        got = sorted(r.cell for r in
+                     erode_cells(df, level=4, k=1).collect())
+        exp = erode_cells_py(cells, 4, 1)
+        assert got == exp, seed
+        comp = sorted(set(range(n * n)) - set(cells))
+        dil_comp = set(dilate_cells_py(comp, 4, 1))
+        # duality: erode(X) == X \ dilate(complement X), EXCEPT that
+        # cells whose disk pokes past the y range erode regardless
+        # (outside rows are absent but not representable in comp)
+        dual = []
+        for c in cells:
+            y = (((c >> 1) & 1) | ((c >> 2) & 2) | ((c >> 3) & 4)
+                 | ((c >> 4) & 8))
+            if c in dil_comp or y == 0 or y == n - 1:
+                continue
+            dual.append(c)
+        assert got == sorted(dual), seed
+
+
+def test_open_close_sandwich_theorems(spark):
+    """dilate(erode(X)) ⊆ X ⊆ erode(dilate(X)) — opening shrinks,
+    closing grows, on every polygon of the real layer."""
+    cov = _cov_df(spark)
+    orig = {pid: set(cells) for pid, cells in _by_poly().items()}
+    opened = {}
+    for r in dilate_cells(erode_cells(cov, level=8, k=1),
+                          level=8, k=1).collect():
+        opened.setdefault(r.poly_id, set()).add(r.cell)
+    closed = {}
+    for r in erode_cells(dilate_cells(cov, level=8, k=1),
+                         level=8, k=1).collect():
+        closed.setdefault(r.poly_id, set()).add(r.cell)
+    for pid, cells in orig.items():
+        assert opened.get(pid, set()) <= cells, pid
+        assert cells <= closed[pid], pid
 
 
 def test_buffer_contains_original_and_is_bounded(spark):
