@@ -3833,6 +3833,26 @@ def q_geo_dist_ellipsoid(spark, sf):
         "id", F.round(udf(F.col("lon"), F.col("lat")), 1).alias("dist_m"))
 
 
+def q_geo_destination(spark, sf):
+    """C8e (r5, post-window) — the DIRECT geodesic problem
+    (engine/geo/dist.py::destination_np): each point moved 100 km
+    along its initial great-circle bearing toward the Paris anchor
+    (the r1-green haversine key's fixed point) — the inverse of the
+    haversine/bearing indirect kernels, and the navigation surface's
+    fourth member.  Sphere theorem (tests/test_destination.py): for
+    points farther than 100 km from the anchor, the move reduces the
+    haversine distance by EXACTLY 100 km.  Same parity strategy as
+    haversine/andoyer: numpy libm Spark-side, identical dialect-
+    neutral text in DuckDB, outputs rounded to 1e-7 deg (~1 cm)."""
+    _prep(spark)
+    from engine.geo.dist import make_destination_udf
+    udf = make_destination_udf(2.3, 48.85, 100_000.0)
+    return (_points(spark, sf)
+            .withColumn("_d", udf(F.col("lon"), F.col("lat")))
+            .select("id", F.round(F.col("_d.lat2"), 7).alias("lat2"),
+                    F.round(F.col("_d.lon2"), 7).alias("lon2")))
+
+
 def q_scan_geojson(spark, sf):
     """A-family (r5) — standard-interchange polygon source (VERDICT-r4
     missing #4): read the committed RFC 7946 FeatureCollection
@@ -4804,6 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_los": q_raster_los,
         "img_harris": q_img_harris,
         "poly_erode": q_poly_erode,
+        "geo_destination": q_geo_destination,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5062,8 +5083,10 @@ _FUNNEL_ORACLE = (
 def oracle_sql() -> dict[str, str]:
     hav_to_paris = HAVERSINE_SQL_TMPL.format(
         lat1="lat", lon1="lon", lat2="48.85", lon2="2.3")
-    from engine.geo.dist import andoyer_sql
+    from engine.geo.dist import andoyer_sql, destination_sql
     ell_to_paris = andoyer_sql("lon", "lat", "2.3", "48.85")
+    _dest_lat2, _dest_lon2 = destination_sql(
+        "lon", "lat", "2.3", "48.85", 100_000.0)
     knn_vals = ", ".join(f"(CAST({q} AS BIGINT), {la}, {lo})"
                          for q, la, lo in KNN_QUERIES)
     knn_hav = HAVERSINE_SQL_TMPL.format(
@@ -6181,6 +6204,14 @@ def oracle_sql() -> dict[str, str]:
         "geo_dist_ellipsoid": (
             f"WITH {PTS_SQL} SELECT id, round({ell_to_paris}, 1)"
             " AS dist_m FROM pts"),
+        # geo_destination: the IDENTICAL direct-geodesic expression
+        # text numpy runs Spark-side (engine/geo/dist.py parity
+        # strategy; d/R folded to a Python float literal, one CASE
+        # longitude fold — no dialect-divergent fmod).
+        "geo_destination": (
+            f"WITH {PTS_SQL} SELECT id, "
+            f"round({_dest_lat2}, 7) AS lat2, "
+            f"round({_dest_lon2}, 7) AS lon2 FROM pts"),
         "poly_triangulate": triangulate_sql,
         "poly_validate": validate_sql,
         "text_topterms": (

@@ -192,6 +192,77 @@ def andoyer_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
             " END")
 
 
+# --- C8e (r5): spherical destination (the DIRECT geodesic problem) ---
+# Given a start point, an initial bearing and a distance, the point
+# reached along the great circle — the inverse of haversine/bearing
+# (which solve the indirect problem).  Standard spherical forms:
+#   sin p2 = sin p1 cos d + cos p1 sin d cos B        (d = dist/R)
+#   l2     = l1 + atan2(sin B sin d cos p1, cos d - sin p1 sin p2)
+# Longitude folds once into [-180, 180] via a CASE (l2 - l1 lies in
+# (-pi, pi], so one fold suffices; no dialect-divergent fmod).  Same
+# parity strategy as haversine/andoyer: numpy libm on the Spark side,
+# the IDENTICAL dialect-neutral expression text in the DuckDB twin
+# (d/R is folded to a Python float literal so no division text rides
+# along), outputs rounded to 1e-7 degrees (~1 cm).
+
+def destination_np(lon1, lat1, brg, dist_m):
+    """Destination (lat2_deg, lon2_deg) after dist_m metres along the
+    initial bearing brg (radians) on the sphere."""
+    d = dist_m / EARTH_RADIUS_M
+    p1 = np.radians(lat1)
+    sp2 = np.sin(p1) * np.cos(d) + np.cos(p1) * np.sin(d) * np.cos(brg)
+    lat2 = np.degrees(np.arcsin(np.maximum(-1.0, np.minimum(1.0, sp2))))
+    l2 = np.radians(lon1) + np.arctan2(
+        np.sin(brg) * np.sin(d) * np.cos(p1),
+        np.cos(d) - np.sin(p1) * sp2)
+    lon2 = np.degrees(l2)
+    lon2 = np.where(lon2 > 180.0, lon2 - 360.0,
+                    np.where(lon2 < -180.0, lon2 + 360.0, lon2))
+    return lat2, lon2
+
+
+def make_destination_udf(lon_b: float, lat_b: float, dist_m: float):
+    """Arrow-batched destination after moving dist_m metres from each
+    point along its initial bearing TOWARD the fixed anchor B."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("lat2", DoubleType()),
+                         StructField("lon2", DoubleType())])
+
+    @F.pandas_udf(schema)
+    def destination_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        brg = bearing_np(lo, la, lon_b, lat_b)
+        lat2, lon2 = destination_np(lo, la, brg, dist_m)
+        return pd.DataFrame({"lat2": lat2, "lon2": lon2})
+
+    return destination_udf
+
+
+def destination_sql(lon: str, lat: str, lon_b: str, lat_b: str,
+                    dist_m: float) -> tuple[str, str]:
+    """Dialect-neutral SQL text of destination_np with the bearing
+    toward the fixed anchor inlined (BEARING_SQL_TMPL — the text the
+    crosstrack twin already rides), operation-for-operation;
+    sub-expressions re-inline (float recomputation is deterministic).
+    Returns (lat2_expr, lon2_expr)."""
+    d = dist_m / EARTH_RADIUS_M
+    b = BEARING_SQL_TMPL.format(lat1=lat, lon1=lon,
+                                lat2=lat_b, lon2=lon_b)
+    sp2 = (f"sin(radians({lat})) * cos({d!r}) "
+           f"+ cos(radians({lat})) * sin({d!r}) * cos({b})")
+    lat2 = f"degrees(asin(greatest(least({sp2}, 1.0), -1.0)))"
+    l2 = (f"radians({lon}) + atan2(sin({b}) * sin({d!r}) "
+          f"* cos(radians({lat})), "
+          f"cos({d!r}) - sin(radians({lat})) * ({sp2}))")
+    raw = f"degrees({l2})"
+    lon2 = (f"CASE WHEN ({raw}) > 180.0 THEN ({raw}) - 360.0 "
+            f"WHEN ({raw}) < -180.0 THEN ({raw}) + 360.0 "
+            f"ELSE ({raw}) END")
+    return lat2, lon2
+
+
 def make_bearing_udf(lon_a: float, lat_a: float):
     """Arrow-batched initial bearing (radians) from fixed anchor A to
     each point — C8c, the third navigation kernel beside haversine and

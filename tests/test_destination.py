@@ -1,0 +1,103 @@
+"""C8e — spherical destination (direct geodesic problem,
+engine/geo/dist.py::destination_np / destination_sql): closed-form
+anchors (due-north arc, equator eastward, zero distance), the
+exact-reduction theorem the driver key rides (moving d toward a target
+shortens the great-circle distance by exactly d), antimeridian fold,
+inverse-of-bearing consistency, and the numpy <-> DuckDB
+shared-expression-text parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from engine.geo.dist import (
+    bearing_np, destination_np, destination_sql, haversine_np,
+)
+from oracle.geo import EARTH_RADIUS_M
+
+
+def test_due_north_and_equator_closed_forms():
+    # due north from the equator: lat2 = degrees(d/R), lon unchanged
+    d = 111_000.0
+    lat2, lon2 = destination_np(10.0, 0.0, 0.0, d)
+    assert float(lat2) == pytest.approx(np.degrees(d / EARTH_RADIUS_M),
+                                        abs=1e-9)
+    assert float(lon2) == pytest.approx(10.0, abs=1e-9)
+    # due east along the equator: lon2 = lon1 + degrees(d/R), lat 0
+    lat2, lon2 = destination_np(10.0, 0.0, np.pi / 2.0, d)
+    assert float(lat2) == pytest.approx(0.0, abs=1e-9)
+    assert float(lon2) == pytest.approx(
+        10.0 + np.degrees(d / EARTH_RADIUS_M), abs=1e-9)
+
+
+def test_zero_distance_is_identity():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 50)
+    lat = rng.uniform(-85, 85, 50)
+    brg = rng.uniform(-np.pi, np.pi, 50)
+    lat2, lon2 = destination_np(lon, lat, brg, 0.0)
+    assert np.allclose(lat2, lat, atol=1e-12)
+    assert np.allclose(lon2, lon, atol=1e-12)
+
+
+def test_exact_reduction_toward_target():
+    """The sphere theorem the driver key rides: moving d along the
+    bearing toward B shortens the distance to B by exactly d (for
+    points farther than d from B)."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-85, 85, 300)
+    d0 = haversine_np(lon, lat, 2.3, 48.85)
+    keep = d0 > 150_000.0
+    lon, lat, d0 = lon[keep], lat[keep], d0[keep]
+    brg = bearing_np(lon, lat, 2.3, 48.85)
+    lat2, lon2 = destination_np(lon, lat, brg, 100_000.0)
+    d1 = haversine_np(lon2, lat2, 2.3, 48.85)
+    assert np.max(np.abs((d0 - d1) - 100_000.0)) < 1e-4
+
+
+def test_antimeridian_fold():
+    lat2, lon2 = destination_np(179.9, 0.0, np.pi / 2.0, 100_000.0)
+    assert float(lon2) < -179.0  # wrapped into [-180, 180]
+    assert float(lat2) == pytest.approx(0.0, abs=1e-9)
+    lat2, lon2 = destination_np(-179.9, 0.0, -np.pi / 2.0, 100_000.0)
+    assert float(lon2) > 179.0
+
+
+def test_inverse_consistency_with_bearing():
+    """Destination then re-derived bearing/distance reproduce the
+    inputs (direct o indirect = id) away from the poles."""
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-170, 170, 100)
+    lat = rng.uniform(-70, 70, 100)
+    brg = rng.uniform(-np.pi, np.pi, 100)
+    d = 250_000.0
+    lat2, lon2 = destination_np(lon, lat, brg, d)
+    back = haversine_np(lon, lat, lon2, lat2)
+    assert np.max(np.abs(back - d)) < 1e-4
+    b2 = bearing_np(lon, lat, lon2, lat2)
+    db = np.abs(np.angle(np.exp(1j * (b2 - brg))))
+    assert float(db.max()) < 1e-9
+
+
+def test_duckdb_text_parity():
+    """The driver-key contract: DuckDB running destination_sql on the
+    same doubles agrees with numpy far below the 1e-7-deg grain."""
+    rng = np.random.default_rng(3)
+    pts = [(float(lo), float(la)) for lo, la in
+           zip(rng.uniform(-180, 180, 64), rng.uniform(-85, 85, 64))]
+    pts += [(0.0, 0.0), (180.0, 10.0), (-179.95, -10.0), (2.3, 48.0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+    e_lat, e_lon = destination_sql("lon", "lat", "2.3", "48.85",
+                                   100_000.0)
+    got = con.execute(f"SELECT {e_lat}, {e_lon} FROM p").fetchall()
+    lo = np.array([p[0] for p in pts])
+    la = np.array([p[1] for p in pts])
+    brg = bearing_np(lo, la, 2.3, 48.85)
+    lat2, lon2 = destination_np(lo, la, brg, 100_000.0)
+    assert np.max(np.abs(np.array([g[0] for g in got]) - lat2)) < 1e-10
+    assert np.max(np.abs(np.array([g[1] for g in got]) - lon2)) < 1e-10
