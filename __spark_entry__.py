@@ -457,6 +457,30 @@ def q_traj_stats(spark, sf):
     return traj_stats(ev)
 
 
+def q_traj_simplify(spark, sf):
+    """C-ts (r5, post-window) — per-track OPEN-polyline Douglas-Peucker
+    (engine/geo/simplify.py::simplify_tracks): the trajectory companion
+    to the r3-green simplify_rings, same exact-integer contract
+    (FLOOR-q6 quantization, arbitrary-precision cross^2 vs tol^2*len^2,
+    lowest-index ties — bit-identical on any host) but endpoint anchors
+    instead of ring closure.  Tracks are the traj_stats GPS fixture
+    (positions hash-derived from event_id); plan is the multipolygon-
+    stitch idiom: JVM-side sorted collect_list -> ONE Arrow-batched
+    per-track DP, one shuffle total.  Golden-pinned (table-fed,
+    sf0.01); independent verification is tests/test_traj_simplify.py's
+    reference-DP parity + property suite."""
+    _prep(spark)
+    from engine.geo.simplify import simplify_tracks
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return simplify_tracks(ev, tol_deg=10.0)
+
+
 def q_traj_hausdorff(spark, sf):
     """D-family (r4 cont.) — discrete Hausdorff track similarity
     (engine/geo/traj.py::hausdorff_pairs): exact squared-integer
@@ -4825,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_harris": q_img_harris,
         "poly_erode": q_poly_erode,
         "geo_destination": q_geo_destination,
+        "traj_simplify": q_traj_simplify,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6059,7 +6084,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_moments", "bpe_tokenize", "img_histogram",
                      "img_sobel", "img_palette", "poly_sample",
                      "img_otsu", "traj_frechet", "img_rle",
-                     "img_harris")},
+                     "img_harris", "traj_simplify")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

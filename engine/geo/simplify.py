@@ -113,6 +113,103 @@ def simplify_summary_udf(tol_deg: float):
     return _simp
 
 
+def _dp_keep_open(xs: list[int], ys: list[int], tol_q6: int) -> list[int]:
+    """Kept vertex indices (sorted) of one OPEN polyline, exact-int DP
+    (C-ts, r5): anchors are the two endpoints — no ring closure, no
+    farthest-from-0 second anchor — otherwise the identical exact
+    integer predicate as _dp_keep (cross^2 > tol^2 * len^2 in
+    arbitrary-precision ints, farthest ties to the LOWEST index)."""
+    n = len(xs)
+    if n <= 2:
+        return list(range(n))
+    keep = {0, n - 1}
+    tol2 = tol_q6 * tol_q6
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        best, best_m = -1, -1
+        if len2 == 0:
+            thr = tol2
+            for k in range(i + 1, j):
+                m = (xs[k] - ax) ** 2 + (ys[k] - ay) ** 2
+                if m > best_m:
+                    best, best_m = k, m
+        else:
+            thr = tol2 * len2
+            for k in range(i + 1, j):
+                c = dx * (ys[k] - ay) - dy * (xs[k] - ax)
+                m = c * c
+                if m > best_m:
+                    best, best_m = k, m
+        if best >= 0 and best_m > thr:
+            keep.add(best)
+            stack.append((i, best))
+            stack.append((best, j))
+    return sorted(keep)
+
+
+def simplify_tracks(df: DataFrame, tol_deg: float = 0.5,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    seq_col: str = "event_id", lat: str = "lat",
+                    lon: str = "lon") -> DataFrame:
+    """Per-key OPEN-polyline Douglas-Peucker over GPS tracks (C-ts,
+    r5): the trajectory companion to simplify_rings, sharing the exact
+    integer contract (FLOOR-q6 quantization once, arbitrary-precision
+    cross^2 vs tol^2*len^2, lowest-index ties) so the output is
+    bit-identical on any host.  Output per key: n_in, n_out and the
+    exact int64 kept-coordinate sums (the golden-checkable
+    fingerprint).
+
+    Scale shape: the multipolygon-stitch idiom — a JVM-side SORTED
+    collect_list (total order (ts, seq)) packs each track, then ONE
+    Arrow-batched pass runs the per-track Python-int DP on thousands
+    of tracks per batch (~bounded vertices per key by contract); one
+    shuffle total, pixels-never-ride-a-shuffle equivalent for traces."""
+    tol_q6 = int(round(tol_deg * Q))
+    schema = StructType([
+        StructField("n_out", IntegerType()),
+        StructField("sx_q6", LongType()),
+        StructField("sy_q6", LongType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _simp(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x_arr, y_arr in zip(xs, ys):
+            x = [int(v) for v in x_arr]
+            y = [int(v) for v in y_arr]
+            keep = _dp_keep_open(x, y, tol_q6)
+            rows.append((len(keep),
+                         sum(x[i] for i in keep),
+                         sum(y[i] for i in keep)))
+        return pd.DataFrame(rows, columns=["n_out", "sx_q6", "sy_q6"])
+
+    packed = (df.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(seq_col).alias("s"),
+            F.expr(f"CAST(floor({lon} * {Q}.0) AS BIGINT)").alias("x"),
+            F.expr(f"CAST(floor({lat} * {Q}.0) AS BIGINT)").alias("y"))
+        .alias("p"))
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("p")).alias("arr")))
+    out = (packed
+           .withColumn("_xs", F.expr("transform(arr, a -> a.x)"))
+           .withColumn("_ys", F.expr("transform(arr, a -> a.y)"))
+           .withColumn("_r", _simp(F.col("_xs"), F.col("_ys"))))
+    return out.select(
+        F.col("k").alias(key_col),
+        F.expr("size(arr)").alias("n_in"),
+        F.col("_r.n_out").alias("n_out"),
+        F.col("_r.sx_q6").alias("sx_q6"),
+        F.col("_r.sy_q6").alias("sy_q6"))
+
+
 def quant_cols(verts: str = "verts") -> tuple[Column, Column]:
     """FLOOR-quantized q6 coordinate arrays (same kernel as measure.py)."""
     xs = F.expr(f"transform({verts}, v -> CAST(floor(v.lon * {Q}.0) AS BIGINT))")

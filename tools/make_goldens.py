@@ -95,7 +95,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # stats (16x-scaled, 3x3 box structure tensor);
                # independent check = brute per-window double-loop +
                # transpose-invariance theorem in tests/test_harris.py.
-               "img_harris")
+               "img_harris",
+               # traj_simplify (r5): table-fed, sf0.01-pinned — the
+               # open-polyline DP recursion is not SQL-expressible;
+               # independent check = reference-DP parity + property
+               # suite in tests/test_traj_simplify.py.
+               "traj_simplify")
 
 
 def main() -> None:
