@@ -612,6 +612,24 @@ def q_img_harris(spark, sf):
     return image_harris(gen_images(spark, 240, seed=42))
 
 
+def q_img_template(spark, sf):
+    """r5, post-window — integer self-template SSD matching
+    (engine/image/template.py): the 8x8 center luminance patch
+    searched at every valid offset, exactly — first zero-SSD offset
+    (periodic-texture detector: an earlier-than-center hit means the
+    patch recurs), exact-match count, and the SIFT-style
+    distinctiveness margin (min SSD over offsets Chebyshev >= 8 from
+    the anchor).  The 64-shift numpy accumulation loops over template
+    CELLS, never positions; one mapInPandas pass, five int64s per
+    image exit.  Golden-pinned; independent oracle = pytest brute
+    double-loop + planted-duplicate/flat/tiny closed forms
+    (tests/test_template.py)."""
+    _prep(spark)
+    from engine.image.template import image_template_ssd
+    from engine.synth import gen_images
+    return image_template_ssd(gen_images(spark, 240, seed=42))
+
+
 def q_scan_csv(spark, sf):
     """A10 (r4 cont.) — CSV source/sink parity: customer's exact-typed
     projection (cents money domain) round-tripped through a 4-file CSV
@@ -4850,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_erode": q_poly_erode,
         "geo_destination": q_geo_destination,
         "traj_simplify": q_traj_simplify,
+        "img_template": q_img_template,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6084,7 +6103,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_moments", "bpe_tokenize", "img_histogram",
                      "img_sobel", "img_palette", "poly_sample",
                      "img_otsu", "traj_frechet", "img_rle",
-                     "img_harris", "traj_simplify")},
+                     "img_harris", "traj_simplify", "img_template")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -100,7 +100,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # open-polyline DP recursion is not SQL-expressible;
                # independent check = reference-DP parity + property
                # suite in tests/test_traj_simplify.py.
-               "traj_simplify")
+               "traj_simplify",
+               # img_template (r5): all-integer self-template SSD
+               # match stats; independent check = brute double-loop +
+               # planted-duplicate closed forms in tests/test_template.py.
+               "img_template")
 
 
 def main() -> None:
