@@ -3696,6 +3696,27 @@ def q_scan_geoparquet(spark, sf):
     return _part_summary(read_geoparquet(spark, path))
 
 
+def q_scan_wkt(spark, sf):
+    """A-family (r5, post-window) — WKT interchange
+    (engine/geo/wkt.py): the GeoJSON fixture layer written as a TSV of
+    (poly_id, name, POLYGON/MULTIPOLYGON WKT) — the classic
+    attributes-plus-geometry-column GIS export — then scanned with the
+    SPARK-NATIVE reader (3-column TSV scan; the whole WKT parse is
+    native string ops: regexp_extract wrapper strip, three split()
+    levels, transform+CAST — no Python worker) and summarized with the
+    SAME exact-integer projection as scan_geojson.  The DuckDB twin
+    never sees WKT: it parses the GeoJSON fixture independently, so
+    every integer matching proves GeoJSON -> WKT text -> TSV -> native
+    parse is lossless end-to-end across two formats and two engines
+    (the scan_geoparquet twin strategy)."""
+    _prep(spark)
+    from engine.geo.geojson import layer_from_geojson
+    from engine.geo.wkt import read_wkt, write_wkt
+    path = "/tmp/spark_graft_layer12plus.wkt.tsv"
+    write_wkt(layer_from_geojson(GEOJSON_FIXTURE), path)
+    return _part_summary(read_wkt(spark, path))
+
+
 # Deterministic OSM fixture (scan_osm_pbf / osm_way_assembly): pure
 # int64 arithmetic in i — the DuckDB twins recompute every value from
 # range() with the SAME formulas, so parity proves the entire PBF
@@ -4869,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_destination": q_geo_destination,
         "traj_simplify": q_traj_simplify,
         "img_template": q_img_template,
+        "scan_wkt": q_scan_wkt,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6238,6 +6260,9 @@ def oracle_sql() -> dict[str, str]:
         # lossless (geoparquet.py docstring; part parity is exact by
         # the shared feature-grouping rule, tests/test_geoparquet.py).
         "scan_geoparquet": geojson_sql,
+        # scan_wkt: the same cross-format twin — DuckDB parses the
+        # GeoJSON fixture; Spark parses the WKT/TSV written from it.
+        "scan_wkt": geojson_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "scan_osm_relations": osm_rels_sql,
