@@ -630,6 +630,23 @@ def q_img_template(spark, sf):
     return image_template_ssd(gen_images(spark, 240, seed=42))
 
 
+def q_img_glcm(spark, sf):
+    """r5, post-window — per-image GLCM texture statistics
+    (engine/image/glcm.py): luminance quantized to 8 fixed-width
+    levels, symmetric co-occurrence counts over the two unit offsets,
+    and the Haralick measures kept exactly in the integer domain
+    (contrast / energy / lcm-scaled homogeneity numerators — dividing
+    by the constant n_pairs is left to the reader, so no floats).  One
+    np.bincount of 8*a+b pair codes per direction inside ONE
+    mapInPandas pass; seven int64s per image exit.  Golden-pinned;
+    independent oracle = pytest brute dict-loop + flat/checkerboard/
+    transpose closed forms (tests/test_glcm.py)."""
+    _prep(spark)
+    from engine.image.glcm import image_glcm
+    from engine.synth import gen_images
+    return image_glcm(gen_images(spark, 240, seed=42))
+
+
 def q_scan_csv(spark, sf):
     """A10 (r4 cont.) — CSV source/sink parity: customer's exact-typed
     projection (cents money domain) round-tripped through a 4-file CSV
@@ -4891,6 +4908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_simplify": q_traj_simplify,
         "img_template": q_img_template,
         "scan_wkt": q_scan_wkt,
+        "img_glcm": q_img_glcm,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6125,7 +6143,8 @@ def oracle_sql() -> dict[str, str]:
                      "img_moments", "bpe_tokenize", "img_histogram",
                      "img_sobel", "img_palette", "poly_sample",
                      "img_otsu", "traj_frechet", "img_rle",
-                     "img_harris", "traj_simplify", "img_template")},
+                     "img_harris", "traj_simplify", "img_template",
+                     "img_glcm")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

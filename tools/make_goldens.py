@@ -104,7 +104,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_template (r5): all-integer self-template SSD
                # match stats; independent check = brute double-loop +
                # planted-duplicate closed forms in tests/test_template.py.
-               "img_template")
+               "img_template",
+               # img_glcm (r5): all-integer co-occurrence texture
+               # stats; independent check = brute dict-loop +
+               # flat/checkerboard/transpose closed forms in
+               # tests/test_glcm.py.
+               "img_glcm")
 
 
 def main() -> None:
