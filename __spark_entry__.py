@@ -647,6 +647,24 @@ def q_img_glcm(spark, sf):
     return image_glcm(gen_images(spark, 240, seed=42))
 
 
+def q_img_lbp(spark, sf):
+    """r5, post-window — per-image local-binary-pattern statistics
+    (engine/image/lbp.py): 8-neighbor integer-luminance compares give
+    each interior pixel an 8-bit code (ties set the bit,
+    deterministically); the 256-bin histogram reduces to exact
+    integers — the Ojala uniform-pattern count (58 of 256 codes with
+    <= 2 circular transitions), the modal code (smallest on ties, the
+    np.argmax first-max guarantee) and the first-moment checksum.
+    Eight vectorized shifted compares + one np.bincount inside ONE
+    mapInPandas pass; six int64s per image exit.  Golden-pinned;
+    independent oracle = pytest brute double-loop + flat/gradient
+    closed forms (tests/test_lbp.py)."""
+    _prep(spark)
+    from engine.image.lbp import image_lbp
+    from engine.synth import gen_images
+    return image_lbp(gen_images(spark, 240, seed=42))
+
+
 def q_scan_csv(spark, sf):
     """A10 (r4 cont.) — CSV source/sink parity: customer's exact-typed
     projection (cents money domain) round-tripped through a 4-file CSV
@@ -4909,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_template": q_img_template,
         "scan_wkt": q_scan_wkt,
         "img_glcm": q_img_glcm,
+        "img_lbp": q_img_lbp,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6144,7 +6163,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_sobel", "img_palette", "poly_sample",
                      "img_otsu", "traj_frechet", "img_rle",
                      "img_harris", "traj_simplify", "img_template",
-                     "img_glcm")},
+                     "img_glcm", "img_lbp")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

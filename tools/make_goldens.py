@@ -109,7 +109,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # stats; independent check = brute dict-loop +
                # flat/checkerboard/transpose closed forms in
                # tests/test_glcm.py.
-               "img_glcm")
+               "img_glcm",
+               # img_lbp (r5): all-integer local-binary-pattern
+               # histogram stats; independent check = brute
+               # double-loop + flat/gradient closed forms in
+               # tests/test_lbp.py.
+               "img_lbp")
 
 
 def main() -> None:
