@@ -3822,6 +3822,30 @@ def q_osm_way_assembly(spark, sf):
                          read_osm_nodes(spark, path))
 
 
+def q_osm_extract_bbox(spark, sf):
+    """A/D-family (r5, post-window) — the reference's bounded extract
+    (engine/geo/osmpbf.py::extract_bbox): osmosis completeWays
+    semantics composed with an `osmium tags-filter`-style way-tag
+    predicate — keep highway-tagged ways with >= 1 node in the
+    half-open bbox lat [0, 45°), lon [-180°, -170°) (nanodegrees —
+    the node fixture's lon walk spans [-180°, -159.75°]), and
+    report the referential-completeness pull cost per way.  First
+    driver key through the WAY-tag string-table decode path
+    (osm_way_assembly projects no tags).  Plan: tag filter before the
+    ref explode, one partitioned hash join to the 0/1-flagged node
+    relation, one map-side-combined agg.  The DuckDB twin recomputes
+    ways, node coordinates, and both predicates from the shared
+    fixture arithmetic — it never reads the PBF file."""
+    _prep(spark)
+    from engine.geo.osmpbf import extract_bbox, read_osm_nodes, read_osm_ways
+    path = _osm_fixture()
+    return extract_bbox(read_osm_ways(spark, path),
+                        read_osm_nodes(spark, path),
+                        lat0=0, lat1=45 * 10 ** 9,
+                        lon0=-180 * 10 ** 9, lon1=-170 * 10 ** 9,
+                        tag_key="highway")
+
+
 # Deterministic OSM RELATION fixture (scan_osm_relations /
 # osm_multipolygon_rings), separate file so the node/way twins above
 # stay frozen.  Relation r describes an axis-aligned rectangle ring on
@@ -4915,6 +4939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_geoparquet": q_scan_geoparquet,
         "scan_osm_pbf": q_scan_osm_pbf,
         "osm_way_assembly": q_osm_way_assembly,
+        "osm_extract_bbox": q_osm_extract_bbox,
         "scan_osm_relations": q_scan_osm_relations,
         "osm_multipolygon_rings": q_osm_multipolygon_rings,
         "geo_dist_ellipsoid": q_geo_dist_ellipsoid,
@@ -5341,6 +5366,31 @@ def oracle_sql() -> dict[str, str]:
         "arg_min(ref, pos) AS first_ref, arg_max(ref, pos) AS last_ref, "
         "CAST(coalesce(SUM(step), 0) AS BIGINT) AS len_l1_nano "
         "FROM s GROUP BY way_id")
+
+    # osm_extract_bbox: same recompute-from-range() strategy — ways
+    # (even w carry the highway tag), node coordinates, the half-open
+    # bbox predicate, and the completeWays pull accounting are all
+    # re-derived in SQL; parity proves the way-TAG decode path (the
+    # string-table keys/vals fields osm_way_assembly never projects)
+    # plus the extract semantics.
+    osm_extract_sql = (
+        "WITH ws AS (SELECT w.range AS w, j.range AS j "
+        f"FROM range({OSM_N_WAYS}) w, range(6) j "
+        "WHERE j.range < 2 + w.range % 4 AND w.range % 2 = 0), "
+        "r AS (SELECT CAST(2000000000 + w AS BIGINT) AS way_id, "
+        f"(w * 13 + j * 11) % {OSM_N_NODES} AS i FROM ws), "
+        "n AS (SELECT way_id, "
+        "((i * 2654435761) % 1800000000 - 900000000) * 100 AS lat_nano, "
+        "((i * 40503) % 3600000000 - 1800000000) * 100 AS lon_nano "
+        "FROM r), "
+        "f AS (SELECT way_id, CASE WHEN lat_nano >= 0 "
+        "AND lat_nano < 45000000000 AND lon_nano >= -180000000000 "
+        "AND lon_nano < -170000000000 THEN 1 ELSE 0 END AS ins FROM n) "
+        "SELECT way_id, 'x' AS tag_val, "
+        "CAST(COUNT(*) AS INTEGER) AS n_refs, "
+        "CAST(SUM(ins) AS INTEGER) AS n_inside, "
+        "CAST(COUNT(*) - SUM(ins) AS INTEGER) AS n_pulled "
+        "FROM f GROUP BY way_id HAVING SUM(ins) >= 1")
 
     # scan_osm_relations / osm_multipolygon_rings: recomputed from the
     # _osm_rel_fixture closed forms (rectangle ring: member layout by
@@ -6303,6 +6353,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_wkt": geojson_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
+        "osm_extract_bbox": osm_extract_sql,
         "scan_osm_relations": osm_rels_sql,
         "osm_multipolygon_rings": osm_rings_sql,
         # geo_dist_ellipsoid: the IDENTICAL Andoyer-Lambert expression

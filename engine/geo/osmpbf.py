@@ -518,6 +518,55 @@ def assemble_ways(ways, nodes):
         F.coalesce(F.sum("step_l1"), F.lit(0)).alias("len_l1_nano")))
 
 
+# ------------------------------------------------------ bounded extract
+
+
+def extract_bbox(ways, nodes, lat0: int, lat1: int, lon0: int, lon1: int,
+                 tag_key: str | None = None):
+    """The reference's bounded extract (osmosis `--bounding-box
+    completeWays=yes` semantics, the ETL the north star names
+    "bbox-filtered extracts"): keep every way with >= 1 node inside
+    the half-open nanodegree bbox, optionally pre-filtered to ways
+    carrying `tag_key` (the `osmium tags-filter` composition), and
+    report the referential-completeness cost — how many of the kept
+    way's nodes lie OUTSIDE the bbox and must be pulled in so the
+    extract stays topologically complete.
+
+    Output per kept way: (way_id, tag_val, n_refs, n_inside,
+    n_pulled) with n_inside + n_pulled == n_refs, n_inside >= 1 —
+    all exact integers.
+
+    Plan: tag filter prunes the way side BEFORE the explode (predicate
+    ahead of fan-out); posexplode refs -> ONE partitioned hash join to
+    the node relation carrying a precomputed 0/1 inside flag -> ONE
+    map-side-combined groupBy(way_id).  No window, no second shuffle;
+    the HAVING-style n_inside >= 1 filter runs post-agg.  At planet
+    scale this is the 10^12-node-safe shape: the join partitions on
+    node id, the agg partitions on way id, and AQE coalesces the
+    post-filter output."""
+    from pyspark.sql import functions as F
+
+    w = ways
+    if tag_key is not None:
+        w = w.where(F.col("tags")[tag_key].isNotNull())
+    refs = w.select(F.col("id").alias("way_id"),
+                    (F.col("tags")[tag_key] if tag_key is not None
+                     else F.lit(None).cast("string")).alias("tag_val"),
+                    F.explode("refs").alias("ref"))
+    flagged = nodes.select(
+        F.col("id").alias("ref"),
+        ((F.col("lat_nano") >= lat0) & (F.col("lat_nano") < lat1)
+         & (F.col("lon_nano") >= lon0) & (F.col("lon_nano") < lon1))
+        .cast("int").alias("ins"))
+    agg = (refs.join(flagged, "ref")
+           .groupBy("way_id", "tag_val")
+           .agg(F.count("*").cast("int").alias("n_refs"),
+                F.sum("ins").cast("int").alias("n_inside"),
+                (F.count("*") - F.sum("ins")).cast("int")
+                .alias("n_pulled")))
+    return agg.where(F.col("n_inside") >= 1)
+
+
 # ------------------------------------------- multipolygon ring stitch
 
 RING_SCHEMA = ("rel_id long, role string, ring_idx int, n_pts int, "

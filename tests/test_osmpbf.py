@@ -292,3 +292,53 @@ def test_assemble_ways_matches_python(spark, tmp_path):
                  for a, b in zip(refs, refs[1:]))
         assert got[wid] == (len(refs), refs[0], refs[-1], ln)
     assert len(got) == len(ways)
+
+
+# ------------------------------------------------------ bounded extract
+
+def test_extract_bbox_matches_python(spark, tmp_path):
+    """extract_bbox == a brute-force Python recompute (completeWays
+    accounting, tag filter, half-open bbox), on the shared fixture."""
+    from engine.geo.osmpbf import extract_bbox
+    path = str(tmp_path / "e.pbf")
+    nodes, ways = _nodes(), _ways()
+    write_osm_pbf(path, nodes, ways, block_size=32)
+    lat0, lat1 = 0, 45 * 10 ** 9
+    lon0, lon1 = -180 * 10 ** 9, -170 * 10 ** 9
+    got = {r.way_id: (r.tag_val, r.n_refs, r.n_inside, r.n_pulled)
+           for r in extract_bbox(read_osm_ways(spark, path),
+                                 read_osm_nodes(spark, path),
+                                 lat0, lat1, lon0, lon1,
+                                 tag_key="highway").collect()}
+    coord = {n: (la, lo) for n, la, lo, _ in nodes}
+    want = {}
+    for wid, refs, tags in ways:
+        if "highway" not in tags:
+            continue
+        ins = sum(1 for rf in refs
+                  if lat0 <= coord[rf][0] < lat1
+                  and lon0 <= coord[rf][1] < lon1)
+        if ins >= 1:
+            want[wid] = (tags["highway"], len(refs), ins, len(refs) - ins)
+    assert got == want
+    assert want, "fixture must keep at least one way"
+    # the completeWays cost is real on this fixture: some kept way
+    # must pull outside-bbox nodes
+    assert any(p for _, _, _, p in got.values())
+    # accounting identity
+    assert all(n == i + p for _, n, i, p in got.values())
+
+
+def test_extract_bbox_edges(spark, tmp_path):
+    """Empty bbox -> empty extract; whole-world bbox + no tag filter ->
+    every way, n_pulled == 0 everywhere."""
+    from engine.geo.osmpbf import extract_bbox
+    path = str(tmp_path / "e2.pbf")
+    nodes, ways = _nodes(), _ways()
+    write_osm_pbf(path, nodes, ways, block_size=32)
+    w_df, n_df = read_osm_ways(spark, path), read_osm_nodes(spark, path)
+    assert extract_bbox(w_df, n_df, 5, 5, 5, 5).count() == 0
+    big = 10 ** 12
+    all_rows = extract_bbox(w_df, n_df, -big, big, -big, big).collect()
+    assert len(all_rows) == len(ways)
+    assert all(r.n_pulled == 0 and r.tag_val is None for r in all_rows)
