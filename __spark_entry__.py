@@ -3157,6 +3157,28 @@ def q_raster_slope(spark, sf):
     return horn_slope(pix)
 
 
+def q_raster_hillshade(spark, sf):
+    """Analytical hillshade (r5, post-window;
+    engine/geo/raster.py::hillshade): the rendering member of the
+    terrain family — the exact-integer Horn gradient of the customer-
+    derived 128x128 count raster feeds the standard cartographic
+    illumination (azimuth 315 deg, altitude 45 deg, Burrough &
+    McDonnell), clamped at the shadow line, scaled to [0, 255],
+    ROUND(.., 4).  The transcendental step is ONE shared expression
+    text (HILLSHADE_EXPR) evaluated verbatim by both engines over
+    exact-integer (gx8, gy8) — the OCTANT_CASE idiom — so parity
+    proves the full gradient + illumination chain with libm drift
+    absorbed four orders below the grain.  Plan adds zero shuffles
+    and zero Python over raster_slope."""
+    _prep(spark)
+    from engine.geo.raster import hillshade
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return hillshade(pix)
+
+
 def q_raster_flowacc(spark, sf):
     """D8 flow accumulation (r4 cont.,
     engine/geo/raster.py::flow_accumulation): per-cell count of
@@ -4858,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geary_c": q_geary_c,
         "raster_flowdir": q_raster_flowdir,
         "raster_slope": q_raster_slope,
+        "raster_hillshade": q_raster_hillshade,
         "raster_basins": q_raster_basins,
         "raster_tpi": q_raster_tpi,
         "raster_flowacc": q_raster_flowacc,
@@ -5031,6 +5054,31 @@ def _raster_slope_twin_sql() -> str:
         "SELECT gx, gy, w, gx8, gy8, "
         "CAST(gx8 * gx8 + gy8 * gy8 AS BIGINT) AS slope2, "
         f"CAST({OCTANT_CASE} AS INTEGER) AS octant FROM g")
+
+
+def _raster_hillshade_twin_sql() -> str:
+    """DuckDB twin of hillshade: the horn_slope gradient CTE (LEFT
+    neighbor join, absent = true zero) finished with the engine's
+    HILLSHADE_EXPR text verbatim — both engines run the identical
+    transcendental expression over identical exact integers."""
+    from engine.geo.raster import HILLSHADE_EXPR
+    return (
+        "WITH pix AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 128 AS gx, "
+        "(c_custkey * 40503 + 7) % 128 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "d(rx, ry, kx, ky) AS (VALUES "
+        "(-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1), "
+        "(0, -1, 0, -2), (0, 1, 0, 2), "
+        "(1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1)), "
+        "g AS (SELECT p.gx, p.gy, p.w, "
+        "CAST(COALESCE(SUM(d.kx * n.w), 0) AS BIGINT) AS gx8, "
+        "CAST(COALESCE(SUM(d.ky * n.w), 0) AS BIGINT) AS gy8 "
+        "FROM pix p CROSS JOIN d LEFT JOIN pix n "
+        "ON n.gx = p.gx + d.rx AND n.gy = p.gy + d.ry "
+        "GROUP BY 1, 2, 3) "
+        "SELECT gx, gy, w, gx8, gy8, "
+        f"{HILLSHADE_EXPR} AS hillshade FROM g")
 
 
 def _hll_oracle_sql(table: str, col: str) -> str:
@@ -7726,6 +7774,7 @@ def oracle_sql() -> dict[str, str]:
         # text verbatim (pure integer comparisons, so sharing the text
         # shares the semantics — the _OHLC_ORACLE_SQL idiom).
         "raster_slope": _raster_slope_twin_sql(),
+        "raster_hillshade": _raster_hillshade_twin_sql(),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

@@ -783,6 +783,45 @@ def horn_slope(pixels: DataFrame, x: str = "gx", y: str = "gy",
             .withColumn("octant", F.expr(OCTANT_CASE).cast("int")))
 
 
+# Hillshade from the 8x-scaled Horn gradient (Burrough & McDonnell's
+# formula, the ESRI/GDAL default illumination: altitude 45 deg ->
+# zenith 45 deg; azimuth 315 deg -> math-convention 135 deg).  The
+# aspect enters only through cos(azimuth - aspect), which is even and
+# 2pi-periodic, so no branchy [0, 2pi) normalization is needed; flat
+# cells hit atan2(0, -0) = pi in BOTH engines (C99), multiplied away by
+# sin(slope) = 0.  SAME text verbatim on Spark and DuckDB (the
+# OCTANT_CASE sharing idiom); ROUND(.., 4) absorbs last-ulp libm drift
+# (~1e-13 relative) between the two engines' sin/cos/atan.
+HILLSHADE_EXPR = (
+    "ROUND(255.0 * GREATEST("
+    "COS(RADIANS(45.0)) * COS(ATAN(SQRT("
+    "(gx8 / 8.0) * (gx8 / 8.0) + (gy8 / 8.0) * (gy8 / 8.0)))) "
+    "+ SIN(RADIANS(45.0)) * SIN(ATAN(SQRT("
+    "(gx8 / 8.0) * (gx8 / 8.0) + (gy8 / 8.0) * (gy8 / 8.0)))) "
+    "* COS(RADIANS(135.0) - ATAN2(gy8 / 8.0, -(gx8 / 8.0))), "
+    "0.0), 4)")
+
+
+def hillshade(pixels: DataFrame, x: str = "gx", y: str = "gy",
+              w: str = "w") -> DataFrame:
+    """Analytical hillshade per occupied cell of a sparse COUNT raster
+    (r5) — the rendering companion to `horn_slope`, treating counts as
+    elevation exactly as the rest of the terrain family does: the
+    exact-integer Horn gradient (gx8, gy8) feeds the standard
+    cartographic illumination model (sun azimuth 315 deg, altitude
+    45 deg), clamped at the shadow line and scaled to [0, 255].
+
+    Output: (x, y, w, gx8, gy8, hillshade) where hillshade is DOUBLE
+    rounded to 4 decimals via HILLSHADE_EXPR — the only non-integer
+    column, by necessity transcendental; everything upstream of the
+    final expression is the exact-integer horn_slope plan (volunteer
+    explode + ONE map-side-combined agg + LEFT join back), so the plan
+    adds zero shuffles and zero Python over the slope operator."""
+    return (horn_slope(pixels, x=x, y=y, w=w)
+            .withColumn("hillshade", F.expr(HILLSHADE_EXPR))
+            .drop("slope2", "octant"))
+
+
 def tpi_index(pixels: DataFrame, x: str = "gx", y: str = "gy",
               w: str = "w") -> DataFrame:
     """Topographic Position Index (Weiss) per occupied cell of a sparse
