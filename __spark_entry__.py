@@ -2835,6 +2835,32 @@ def q_hull_diameter(spark, sf):
     return hull_diameter(pts, ["gx", "gy"], x="xi", y="yi")
 
 
+def q_hull_min_rect(spark, sf):
+    """Per-group minimum-area oriented bounding rectangle (r5,
+    post-window; engine/geo/hull.py::min_rect_per_group): rotating-
+    calipers edge theorem over the exact-integer hull — all
+    projections int64, the ONLY float step the final W*H/L per edge
+    and the min across edges, IEEE-determined from identical integers
+    so no rounding grain is needed.  Plus the axis-aligned bbox area
+    (exact int64) — mrr_area <= bbox_area is the bounding-rectangle
+    theorem, asserted in pytest.  Plan: hull -> one sorted collect ->
+    ONE native HOF over O(h) edges x O(h) vertices, zero extra
+    Python.  Twin derives hull edges INDEPENDENTLY (the O(n^2)
+    all-points-left characterization) and projects over ALL group
+    points — extremes agree with hull-vertex extremes by convexity,
+    so parity also proves the octagon prune lost nothing."""
+    _prep(spark)
+    from engine.geo.cells import merc_xy_sql
+    from engine.geo.hull import min_rect_per_group
+    xi, yi = merc_xy_sql("lon", "lat")
+    pts = _points(spark, sf).select(
+        F.expr(xi).alias("xi"), F.expr(yi).alias("yi"))
+    pts = pts.select(
+        F.expr("CAST(xi >> 27 AS BIGINT)").alias("gx"),
+        F.expr("CAST(yi >> 27 AS BIGINT)").alias("gy"), "xi", "yi")
+    return min_rect_per_group(pts, ["gx", "gy"], x="xi", y="yi")
+
+
 def q_cell_hilbert(spark, sf):
     """Hilbert-curve cell id (late r4) at level 16 over the exact
     integer grid (engine/geo/hilbert.py): single native aggregate-HOF
@@ -4864,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "hull_per_group": q_hull_per_group,
         "hull_diameter": q_hull_diameter,
+        "hull_min_rect": q_hull_min_rect,
         "cell_hilbert": q_cell_hilbert,
         "tile_integral": q_tile_integral,
         "img_moments": q_img_moments,
@@ -6878,6 +6905,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT gx, gy, CAST(d2 AS BIGINT) AS d2, ax, ay, bx, by "
             "FROM pr QUALIFY row_number() OVER (PARTITION BY gx, gy "
             "ORDER BY d2 DESC, ax, ay, bx, by) = 1"),
+        # hull_min_rect: hull edges re-derived INDEPENDENTLY (the same
+        # O(n^2) all-points-left characterization the hull twin uses),
+        # projection spreads taken over ALL group points (== hull-vertex
+        # spreads by convexity), then the identical IEEE
+        # convert/multiply/divide/min — doubles bit-match with no grain.
+        "hull_min_rect": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "p AS (SELECT DISTINCT CAST(xi >> 27 AS BIGINT) AS gx, "
+            "CAST(yi >> 27 AS BIGINT) AS gy, xi AS x, yi AS y FROM xy), "
+            "e AS (SELECT a.gx, a.gy, a.x AS ax, a.y AS ay, "
+            "b.x - a.x AS dx, b.y - a.y AS dy "
+            "FROM p a JOIN p b ON a.gx = b.gx AND a.gy = b.gy "
+            "AND (a.x <> b.x OR a.y <> b.y) "
+            "WHERE NOT EXISTS (SELECT 1 FROM p c "
+            "WHERE c.gx = a.gx AND c.gy = a.gy "
+            "AND (c.x <> a.x OR c.y <> a.y) "
+            "AND (c.x <> b.x OR c.y <> b.y) "
+            "AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0 "
+            "OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0 "
+            "AND NOT (c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x) "
+            "AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)))))), "
+            "pr AS (SELECT e.gx, e.gy, e.ax, e.ay, e.dx, e.dy, "
+            "e.dx * (p.x - e.ax) + e.dy * (p.y - e.ay) AS s, "
+            "e.dx * (p.y - e.ay) - e.dy * (p.x - e.ax) AS t "
+            "FROM e JOIN p ON p.gx = e.gx AND p.gy = e.gy), "
+            "ag AS (SELECT gx, gy, ax, ay, dx, dy, "
+            "MAX(s) - MIN(s) AS w, MAX(t) - MIN(t) AS h "
+            "FROM pr GROUP BY 1, 2, 3, 4, 5, 6), "
+            "mn AS (SELECT gx, gy, MIN(CAST(w AS DOUBLE) * CAST(h AS DOUBLE) "
+            "/ CAST(dx * dx + dy * dy AS DOUBLE)) AS mrr "
+            "FROM ag GROUP BY 1, 2), "
+            "nh AS (SELECT gx, gy, "
+            "CAST(COUNT(DISTINCT (ax, ay)) AS INTEGER) AS n "
+            "FROM e GROUP BY 1, 2), "
+            "bb AS (SELECT gx, gy, CAST(COUNT(*) AS INTEGER) AS np, "
+            "CAST((MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS BIGINT) "
+            "AS bbox_area FROM p GROUP BY 1, 2) "
+            "SELECT bb.gx, bb.gy, "
+            "CAST(COALESCE(nh.n, bb.np) AS INTEGER) AS n_hull, "
+            "bb.bbox_area, COALESCE(mn.mrr, 0.0) AS mrr_area "
+            "FROM bb LEFT JOIN nh ON nh.gx = bb.gx AND nh.gy = bb.gy "
+            "LEFT JOIN mn ON mn.gx = bb.gx AND mn.gy = bb.gy"),
         # cell_hilbert: same reflect+swap state machine, unrolled to one
         # CTE per bit (engine/geo/hilbert.py::hilbert_duck_sql); the
         # XOR digit is arithmetic on both sides so no operator

@@ -143,6 +143,81 @@ def hull_per_group(pts: DataFrame, group_cols: Sequence[str],
     return surv.groupBy(*g).applyInPandas(_hull, schema=out_schema)
 
 
+def min_rect_py(pts: Sequence[tuple[int, int]]) -> tuple[int, int, float]:
+    """Pure-Python reference for min_rect_per_group: (n_hull,
+    bbox_area, mrr_area).  Rotating-calipers theorem: the min-area
+    bounding rectangle has a side collinear with some hull edge, so
+    enumerate hull edges, take exact-int projection spreads, and pick
+    the min W*H/L ratio IN DOUBLE with the same operation order the
+    engine uses (convert, multiply, divide, min)."""
+    hull = chain_hull_py(pts)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    bbox = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    n = len(hull)
+    if n < 2:
+        return n, bbox, 0.0
+    best = None
+    for i in range(n):
+        ux, uy = hull[i]
+        vx, vy = hull[(i + 1) % n]
+        dx, dy = vx - ux, vy - uy
+        ss = [dx * (px - ux) + dy * (py - uy) for px, py in hull]
+        ts = [dx * (py - uy) - dy * (px - ux) for px, py in hull]
+        area = (float(max(ss) - min(ss)) * float(max(ts) - min(ts))
+                / float(dx * dx + dy * dy))
+        if best is None or area < best:
+            best = area
+    return n, bbox, best
+
+
+def min_rect_per_group(pts: DataFrame, group_cols: Sequence[str],
+                       x: str = "xi", y: str = "yi") -> DataFrame:
+    """Per-group minimum-area ORIENTED bounding rectangle (r5) via the
+    rotating-calipers edge theorem, plus the axis-aligned bbox area:
+    (group_cols..., n_hull int, bbox_area long, mrr_area double).
+
+    Exactness contract: every projection is int64 (|coords| < 2^30 =>
+    |spread| < 2^62, |edge length^2| < 2^61 — no overflow); the ONLY
+    float step is the final W*H/L per edge and the min across edges,
+    both IEEE-determined from identical integers, so the double is
+    bit-identical across hosts and engines (no rounding grain needed —
+    the DuckDB twin performs the same convert/multiply/divide/min from
+    an independently derived hull edge set).
+
+    Plan: hull_per_group (octagon prune -> grouped-map chain) -> ONE
+    map-side-combined sorted collect per group -> a single native HOF
+    expression enumerating the O(h) cyclic edges x O(h) vertices —
+    h is hull size (tiny), all in whole-stage codegen, zero extra
+    Python.  bbox_area rides the same aggregate.  Degenerate groups:
+    1 point -> 0.0; collinear (hull size 2) -> both cyclic edges give
+    zero perpendicular spread -> 0.0."""
+    g = list(group_cols)
+    h = hull_per_group(pts, g, x=x, y=y)
+    grouped = (h.groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.struct("hull_idx", "hx", "hy")))
+        .alias("h"),
+        F.max("hull_size").cast("int").alias("n_hull"),
+        ((F.max("hx") - F.min("hx")) * (F.max("hy") - F.min("hy")))
+        .alias("hull_bbox")))
+    # NOTE hull bbox == point-set bbox (hull contains the extremes), so
+    # bbox_area is computable from hull vertices alone.
+    u = "h[CAST(i AS INT)]"
+    v = "h[CAST((i + 1) % size(h) AS INT)]"
+    dx, dy = f"({v}.hx - {u}.hx)", f"({v}.hy - {u}.hy)"
+    s = f"transform(h, p -> {dx} * (p.hx - {u}.hx) + {dy} * (p.hy - {u}.hy))"
+    t = f"transform(h, p -> {dx} * (p.hy - {u}.hy) - {dy} * (p.hx - {u}.hx))"
+    area = (f"CAST(array_max({s}) - array_min({s}) AS DOUBLE) "
+            f"* CAST(array_max({t}) - array_min({t}) AS DOUBLE) "
+            f"/ CAST({dx} * {dx} + {dy} * {dy} AS DOUBLE)")
+    mrr = ("CASE WHEN size(h) < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
+           f"array_min(transform(sequence(0, size(h) - 1), i -> {area})) "
+           "END")
+    return grouped.select(
+        *g, "n_hull", F.col("hull_bbox").alias("bbox_area"),
+        F.expr(mrr).alias("mrr_area"))
+
+
 def hull_diameter(pts: DataFrame, group_cols: Sequence[str],
                   x: str = "xi", y: str = "yi") -> DataFrame:
     """Per-group farthest pair (set diameter) in the exact integer

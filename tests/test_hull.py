@@ -128,3 +128,87 @@ def test_hull_per_group_plan_broadcasts_octagon(spark):
     plan = hull_per_group(df, ["gid"])._jdf.queryExecution().executedPlan() \
         .toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- min-area rectangle
+
+def _brute_mrr(pts):
+    """Independent O(h^2) recompute straight from min_rect_py's
+    docstring theorem, but via Fractions for the comparison so the
+    winning edge is chosen EXACTLY (guards the engine's double-min
+    against a wrong-edge pick, not just against drift)."""
+    from fractions import Fraction
+
+    from engine.geo.hull import chain_hull_py
+    hull = chain_hull_py(pts)
+    if len(hull) < 2:
+        return Fraction(0)
+    best = None
+    for i in range(len(hull)):
+        ux, uy = hull[i]
+        vx, vy = hull[(i + 1) % len(hull)]
+        dx, dy = vx - ux, vy - uy
+        ss = [dx * (px - ux) + dy * (py - uy) for px, py in hull]
+        ts = [dx * (py - uy) - dy * (px - ux) for px, py in hull]
+        a = Fraction((max(ss) - min(ss)) * (max(ts) - min(ts)),
+                     dx * dx + dy * dy)
+        if best is None or a < best:
+            best = a
+    return best
+
+
+def test_min_rect_matches_python(spark):
+    import numpy as np
+
+    from engine.geo.hull import min_rect_per_group, min_rect_py
+    r = np.random.default_rng(11)
+    rows = []
+    for gid in range(8):
+        n = int(r.integers(1, 60))
+        for p in r.integers(0, 2 ** 30, (n, 2)):
+            rows.append((gid, int(p[0]), int(p[1])))
+    rows.append((8, 5, 5))                    # single point
+    rows += [(9, i * 3, i * 7) for i in range(6)]   # collinear
+    df = spark.createDataFrame(rows, "gid long, xi long, yi long")
+    got = {row.gid: (row.n_hull, row.bbox_area, row.mrr_area)
+           for row in min_rect_per_group(df, ["gid"], "xi", "yi").collect()}
+    by_gid = {}
+    for gid, x, y in rows:
+        by_gid.setdefault(gid, []).append((x, y))
+    assert set(got) == set(by_gid)
+    for gid, pts in by_gid.items():
+        n_hull, bbox, mrr = min_rect_py(pts)
+        assert got[gid][0] == n_hull and got[gid][1] == bbox, gid
+        # engine double == reference double (same IEEE op order)
+        assert got[gid][2] == mrr, gid
+        # and the double pick agrees with the exact-Fraction minimum
+        # to float precision (wrong-edge picks would differ wildly)
+        exact = float(_brute_mrr(pts))
+        assert abs(got[gid][2] - exact) <= 1e-9 * max(exact, 1.0), gid
+        # bounding-rectangle theorem: oriented min <= axis-aligned box
+        assert got[gid][2] <= float(bbox) * (1 + 1e-12), gid
+    assert got[8] == (1, 0, 0.0)
+    assert got[9][0] == 2 and got[9][2] == 0.0
+
+
+def test_min_rect_square_closed_form(spark):
+    """An axis-aligned a x a square of points has mrr_area == a^2
+    (the rectangle snaps to the square itself)."""
+    from engine.geo.hull import min_rect_per_group
+    a = 1000
+    rows = [(0, x, y) for x in (0, a) for y in (0, a)]
+    rows += [(0, 417, 293), (0, 500, 999)]  # interior noise
+    df = spark.createDataFrame(rows, "gid long, xi long, yi long")
+    row = min_rect_per_group(df, ["gid"], "xi", "yi").collect()[0]
+    assert (row.n_hull, row.bbox_area, row.mrr_area) == (4, a * a,
+                                                         float(a * a))
+
+
+def test_min_rect_rotation_beats_bbox(spark):
+    """A thin diagonal strip: the oriented rectangle is far smaller
+    than the axis-aligned bbox (the operator's reason to exist)."""
+    from engine.geo.hull import min_rect_per_group
+    rows = [(0, i * 100, i * 100 + (i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "gid long, xi long, yi long")
+    row = min_rect_per_group(df, ["gid"], "xi", "yi").collect()[0]
+    assert row.mrr_area < 0.01 * row.bbox_area
