@@ -481,6 +481,33 @@ def q_traj_simplify(spark, sf):
     return simplify_tracks(ev, tol_deg=10.0)
 
 
+def q_traj_densify(spark, sf):
+    """D35 (r5, post-window) — great-circle track densification
+    (engine/geo/traj.py::densify_tracks): every GPS step longer than
+    2^28 level-30 grid-L1 units splits into n equal fractions (n
+    exact-integer: 1 + step DIV 2^28, capped at 16 in-plan) and the
+    n-1 interior points are emitted ON the great circle via slerp
+    (engine/geo/dist.py::slerp_np) — the navigation surface's fifth
+    member (haversine/crosstrack/ellipsoid/destination/slerp), and
+    the standard pre-processing step before map-matching or corridor
+    joins on sparse tracks.  Control flow (which steps split, into
+    how many) is all exact BIGINT; floats touch only the emitted
+    coordinates, numpy libm Spark-side with character-identical
+    DuckDB text (slerp_sql), rounded to 1e-7 deg.  One shuffle; the
+    sphere theorems (on-circle residual, symmetry, distance
+    additivity) are tests/test_densify.py."""
+    _prep(spark)
+    from engine.geo.traj import densify_tracks
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return densify_tracks(ev, thresh_l1=1 << 28, max_pieces=16)
+
+
 def q_traj_hausdorff(spark, sf):
     """D-family (r4 cont.) — discrete Hausdorff track similarity
     (engine/geo/traj.py::hausdorff_pairs): exact squared-integer
@@ -5003,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_wkt": q_scan_wkt,
         "img_glcm": q_img_glcm,
         "img_lbp": q_img_lbp,
+        "traj_densify": q_traj_densify,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5776,6 +5804,11 @@ def oracle_sql() -> dict[str, str]:
     from engine.geo.dist import crosstrack_sql as _xtsql
     _crosstrack_twin = _xtsql("lon", "lat", "2.3", "48.85", "-74.0", "40.7",
                               HAVERSINE_SQL_TMPL)
+    from engine.geo.dist import slerp_sql as _slsql
+    _dens_lat, _dens_lon = _slsql(
+        "plon", "plat", "lon", "lat",
+        "(CAST(k AS DOUBLE) / CAST(n_pieces AS DOUBLE))",
+        HAVERSINE_SQL_TMPL)
     from engine.geo.hexbin import nearest_center_sql as _ncsql
     _hex_fine_x, _hex_fine_y = _hbsql("lon", "lat", 8)
     _hex_coarse_x, _hex_coarse_y = _ncsql("hx", "hy", 24)
@@ -6798,6 +6831,36 @@ def oracle_sql() -> dict[str, str]:
             "- epoch_us(MAX(CASE WHEN rn_a = 1 THEN ts END)) AS BIGINT) "
             "AS duration_us "
             "FROM s GROUP BY user_id"),
+        # traj_densify — the traj_stats epts/exy CTE text (green r4)
+        # feeds an exact-integer piece count (wrap-aware L1 step //
+        # 2^28, least 16 — DuckDB // floors, Spark DIV truncates:
+        # equal on the nonnegative step), then the IDENTICAL slerp
+        # expression text numpy runs Spark-side (slerp_sql; central
+        # angle rides HAVERSINE_SQL_TMPL, the r1-green text).
+        "traj_densify": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "exy AS (SELECT user_id, ts, event_id, lon, lat, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) AS xi, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) AS yi "
+            "FROM epts), "
+            "o AS (SELECT *, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, "
+            "lag(xi) OVER w AS pxi, lag(yi) OVER w AS pyi "
+            "FROM exy WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, event_id, plon, plat, lon, lat, "
+            "least(16, 1 + (least(abs(xi - pxi), 1073741824 - abs(xi - pxi)) "
+            "+ abs(yi - pyi)) // 268435456) AS n_pieces "
+            "FROM o WHERE pxi IS NOT NULL), "
+            "e AS (SELECT user_id, event_id, plon, plat, lon, lat, n_pieces, "
+            "unnest(range(1, n_pieces)) AS k FROM s WHERE n_pieces >= 2) "
+            "SELECT user_id, event_id, CAST(k AS BIGINT) AS k, "
+            "CAST(n_pieces AS BIGINT) AS n_pieces, "
+            f"round({_dens_lat}, 7) AS lat_k, "
+            f"round({_dens_lon}, 7) AS lon_k FROM e"),
         # raster_contour: the polygonize_rings identity twin per
         # iso-level over the weighted super-level sets, UNION ALL'd.
         "raster_contour": " UNION ALL ".join(

@@ -263,6 +263,77 @@ def destination_sql(lon: str, lat: str, lon_b: str, lat_b: str,
     return lat2, lon2
 
 
+# --- C8f (r5): great-circle interpolation (slerp) --------------------
+# The fractional point at f in [0, 1] along the great circle P1 -> P2:
+# standard spherical linear interpolation on unit vectors,
+#   A = sin((1-f)d)/sin d,  B = sin(f d)/sin d,   d = central angle
+#   (x,y,z) = A*P1 + B*P2;  lat = atan2(z, hypot(x,y)); lon = atan2(y,x)
+# Parity strategy: numpy libm Spark-side, IDENTICAL operation order in
+# the DuckDB twin (slerp_sql), outputs rounded to 1e-7 deg.  d is
+# derived as haversine_np metres / R so the twin can reuse the green
+# HAVERSINE_SQL_TMPL text for the same two roundings.
+
+def slerp_np(lon1, lat1, lon2, lat2, f):
+    """(lat_deg, lon_deg) at fraction f along the great circle; caller
+    guarantees d > 0 (f only ever comes from segments split because
+    they were LONGER than a positive step)."""
+    dlt = haversine_np(lon1, lat1, lon2, lat2) / EARTH_RADIUS_M
+    sd = np.sin(dlt)
+    a = np.sin((1.0 - f) * dlt) / sd
+    b = np.sin(f * dlt) / sd
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    l1, l2 = np.radians(lon1), np.radians(lon2)
+    x = a * np.cos(p1) * np.cos(l1) + b * np.cos(p2) * np.cos(l2)
+    y = a * np.cos(p1) * np.sin(l1) + b * np.cos(p2) * np.sin(l2)
+    z = a * np.sin(p1) + b * np.sin(p2)
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
+def slerp_sql(lon1: str, lat1: str, lon2: str, lat2: str, f: str,
+              hav_tmpl: str) -> tuple[str, str]:
+    """Dialect-neutral SQL of slerp_np, operation-for-operation
+    (hav_tmpl = the engine's HAVERSINE_SQL_TMPL so the central angle
+    rides the exact text the r1-green haversine key proved identical).
+    Returns (lat_expr, lon_expr)."""
+    dlt = ("(" + hav_tmpl.format(lat1=lat1, lon1=lon1,
+                                 lat2=lat2, lon2=lon2)
+           + f") / {EARTH_RADIUS_M!r}")
+    sd = f"sin({dlt})"
+    a = f"(sin((1.0 - {f}) * ({dlt})) / {sd})"
+    b = f"(sin(({f}) * ({dlt})) / {sd})"
+    x = (f"({a} * cos(radians({lat1})) * cos(radians({lon1})) "
+         f"+ {b} * cos(radians({lat2})) * cos(radians({lon2})))")
+    y = (f"({a} * cos(radians({lat1})) * sin(radians({lon1})) "
+         f"+ {b} * cos(radians({lat2})) * sin(radians({lon2})))")
+    z = f"({a} * sin(radians({lat1})) + {b} * sin(radians({lat2})))"
+    lat = f"degrees(atan2({z}, sqrt({x} * {x} + {y} * {y})))"
+    lon = f"degrees(atan2({y}, {x}))"
+    return lat, lon
+
+
+def make_slerp_udf():
+    """Arrow-batched slerp_np over five columns (lon1, lat1, lon2,
+    lat2, f) -> struct(lat2, lon2) — the interpolation kernel behind
+    traj_densify."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("lat2", DoubleType()),
+                         StructField("lon2", DoubleType())])
+
+    @F.pandas_udf(schema)
+    def slerp_udf(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series,
+                  lat2: pd.Series, f: pd.Series) -> pd.DataFrame:
+        la, lo = slerp_np(
+            lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+            lon2.to_numpy(np.float64), lat2.to_numpy(np.float64),
+            f.to_numpy(np.float64))
+        return pd.DataFrame({"lat2": la, "lon2": lo})
+
+    return slerp_udf
+
+
 def make_bearing_udf(lon_a: float, lat_a: float):
     """Arrow-batched initial bearing (radians) from fixed anchor A to
     each point — C8c, the third navigation kernel beside haversine and

@@ -370,3 +370,67 @@ def frechet_pairs(points: DataFrame, pairs: DataFrame,
 
     schema = "key_a long, key_b long, n_a int, n_b int, f2 long"
     return j.mapInPandas(_dp, schema=schema)
+
+
+def densify_tracks(df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", seq_col: str = "event_id",
+                   lat: str = "lat", lon: str = "lon",
+                   thresh_l1: int = 1 << 28,
+                   max_pieces: int = 16) -> DataFrame:
+    """D35 (r5) — great-circle track densification: every step longer
+    than `thresh_l1` (level-30 grid L1 units — the EXACT integer
+    length measure traj_stats rides) is split into n equal-fraction
+    pieces and the n-1 INTERIOR points are emitted on the great circle
+    through the step's endpoints (slerp, engine/geo/dist.py::slerp_np).
+    -> (key, seq of the step's END point, k, n_pieces, lat_k, lon_k),
+    coordinates rounded to 1e-7 deg (~1 cm, the geo_destination
+    rounding contract).
+
+    Control flow is ALL exact integers (wrap-aware L1 step, DIV,
+    least) so the piece count — the only branch — is bit-identical on
+    any engine; floats touch only the emitted coordinates, through
+    numpy libm with a character-identical DuckDB twin (slerp_sql).
+    `max_pieces` bounds the fan-out in-plan (the vectile-cap
+    philosophy: a teleporting key cannot explode the output).
+
+    Scale shape: ONE shuffle (the lag window's hash partitioning);
+    the explode is narrow and bounded; the interpolation kernel is a
+    single Arrow-batched pandas UDF over the exploded frame — no
+    per-row Python, no collect."""
+    from engine.geo.dist import make_slerp_udf
+
+    xi, yi = merc_xy_sql(lon, lat)
+    pts = df.select(
+        F.col(key_col), F.col(ts_col), F.col(seq_col),
+        F.col(lat).alias("_lat"), F.col(lon).alias("_lon"),
+        F.expr(xi).alias("_xi"), F.expr(yi).alias("_yi"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    seg = (
+        pts.withColumn("_plat", F.lag("_lat").over(w))
+        .withColumn("_plon", F.lag("_lon").over(w))
+        .withColumn("_pxi", F.lag("_xi").over(w))
+        .withColumn("_pyi", F.lag("_yi").over(w))
+        .filter(F.col("_pxi").isNotNull())
+        .withColumn(
+            "_step",
+            _wrap_dx(F.col("_xi") - F.col("_pxi"))
+            + F.abs(F.col("_yi") - F.col("_pyi")))
+        .withColumn(
+            "n_pieces",
+            F.least(F.lit(int(max_pieces)).cast("long"),
+                    F.lit(1) + F.expr(f"_step DIV {int(thresh_l1)}")))
+        .filter(F.col("n_pieces") >= 2)
+    )
+    ex = seg.select(
+        key_col, seq_col, "_plon", "_plat", "_lon", "_lat", "n_pieces",
+        F.explode(F.expr("sequence(1L, n_pieces - 1L)")).alias("k"))
+    udf = make_slerp_udf()
+    out = ex.withColumn(
+        "_p", udf(F.col("_plon"), F.col("_plat"),
+                  F.col("_lon"), F.col("_lat"),
+                  F.col("k").cast("double") / F.col("n_pieces").cast("double")))
+    return out.select(
+        key_col, seq_col, F.col("k").cast("long").alias("k"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.round(F.col("_p.lat2"), 7).alias("lat_k"),
+        F.round(F.col("_p.lon2"), 7).alias("lon_k"))
