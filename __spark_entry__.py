@@ -3232,6 +3232,71 @@ def q_raster_hillshade(spark, sf):
     return hillshade(pix)
 
 
+def q_raster_curvature(spark, sf):
+    """Zevenbergen-Thorne curvature (r5, post-window;
+    engine/geo/raster.py::zt_curvature): the second-derivative member
+    of the terrain family over the customer-derived 128x128 count
+    raster — the five scaled Z-T partials (d2, e2, f4, g2, h2), the
+    exact Laplacian (laplace2 = d2 + e2), and the plan/profile
+    curvatures as exact RATIONALS (plan_num, prof_num over the shared
+    curv_den = 2*(g2^2 + h2^2)) — the operator never divides, so
+    every output column is BIGINT and the oracle match is hash-exact
+    with zero float tolerance.  Plan: the horn_slope volunteer shape
+    (8-offset explode with 5-coefficient structs, ONE map-side-
+    combined hash agg, LEFT join back adds the center's -2w terms) —
+    integer codegen end to end, zero Python."""
+    _prep(spark)
+    from engine.geo.raster import zt_curvature
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return zt_curvature(pix)
+
+
+def q_raster_tri(spark, sf):
+    """Riley Terrain Ruggedness Index (r5, post-window;
+    engine/geo/raster.py::tri_index): per occupied cell of the same
+    128x128 count raster, the exact-integer L1 and squared-L2 local
+    relief signatures tri = sum |z5 - z_n|, tri2 = sum (z5 - z_n)^2
+    over the 8-neighborhood (absent neighbors TRUE ZEROS).  The abs
+    is nonlinear, so unlike tpi the neighbor VALUES meet the center
+    row in ONE hash equi-join before the per-cell fold; absent terms
+    enter in closed form as (8 - n_present) * w.  Integer codegen,
+    zero Python, grid-bounded."""
+    _prep(spark)
+    from engine.geo.raster import tri_index
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return tri_index(pix)
+
+
+def q_raster_variogram(spark, sf):
+    """Empirical semivariogram (r5, post-window;
+    engine/geo/raster.py::variogram): per canonical lag vector
+    (Chebyshev radius <= 3 half-plane, 24 lags) over the
+    customer-derived 128x128 count raster, the exact-BIGINT Matheron
+    components — n_pairs (closed form (W-|dx|)(H-|dy|)), n_both
+    (both-occupied pair count), gamma2_num = sum (z1-z2)^2 over ALL
+    in-bounds grid pairs with absent cells TRUE ZEROS — so
+    gamma(h) = gamma2_num / (2 n_pairs) is an exact rational and the
+    oracle match is hash-exact with zero float.  The engine NEVER
+    materializes the dense grid: gamma2_num decomposes as
+    S_a + S_b - 2 S_12 over occupied cells only (one lag-explode
+    map-side agg + ONE hash equi-join); the DuckDB twin literally
+    sums the DENSE grid's pairs — agreement proves the sparse
+    decomposition identity."""
+    _prep(spark)
+    from engine.geo.raster import variogram
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return variogram(pix, 128, 128)
+
+
 def q_raster_flowacc(spark, sf):
     """D8 flow accumulation (r4 cont.,
     engine/geo/raster.py::flow_accumulation): per-cell count of
@@ -5031,6 +5096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_glcm": q_img_glcm,
         "img_lbp": q_img_lbp,
         "traj_densify": q_traj_densify,
+        "raster_curvature": q_raster_curvature,
+        "raster_tri": q_raster_tri,
+        "raster_variogram": q_raster_variogram,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5134,6 +5202,93 @@ def _raster_hillshade_twin_sql() -> str:
         "GROUP BY 1, 2, 3) "
         "SELECT gx, gy, w, gx8, gy8, "
         f"{HILLSHADE_EXPR} AS hillshade FROM g")
+
+
+def _raster_curvature_twin_sql() -> str:
+    """DuckDB twin of zt_curvature: the five scaled Z-T partials
+    gathered by a LEFT neighbor join (absent = true zero; the center's
+    -2w terms added after the fold), then the exact-rational curvature
+    numerators/denominator re-derived in SQL — every column BIGINT, so
+    the parity check is hash-exact with no float anywhere."""
+    return (
+        "WITH pix AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 128 AS gx, "
+        "(c_custkey * 40503 + 7) % 128 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "d(rx, ry, cd2, ce2, cf4, cg2, ch2) AS (VALUES "
+        "(-1, -1, 0, 0, 1, 0, 0), (-1, 0, 1, 0, 0, -1, 0), "
+        "(-1, 1, 0, 0, -1, 0, 0), (0, -1, 0, 1, 0, 0, -1), "
+        "(0, 1, 0, 1, 0, 0, 1), (1, -1, 0, 0, -1, 0, 0), "
+        "(1, 0, 1, 0, 0, 1, 0), (1, 1, 0, 0, 1, 0, 0)), "
+        "g AS (SELECT p.gx, p.gy, p.w, "
+        "CAST(COALESCE(SUM(d.cd2 * n.w), 0) - 2 * p.w AS BIGINT) AS d2, "
+        "CAST(COALESCE(SUM(d.ce2 * n.w), 0) - 2 * p.w AS BIGINT) AS e2, "
+        "CAST(COALESCE(SUM(d.cf4 * n.w), 0) AS BIGINT) AS f4, "
+        "CAST(COALESCE(SUM(d.cg2 * n.w), 0) AS BIGINT) AS g2, "
+        "CAST(COALESCE(SUM(d.ch2 * n.w), 0) AS BIGINT) AS h2 "
+        "FROM pix p CROSS JOIN d LEFT JOIN pix n "
+        "ON n.gx = p.gx + d.rx AND n.gy = p.gy + d.ry "
+        "GROUP BY 1, 2, 3) "
+        "SELECT gx, gy, w, d2, e2, f4, g2, h2, "
+        "CAST(d2 + e2 AS BIGINT) AS laplace2, "
+        "CAST(2 * d2 * h2 * h2 + 2 * e2 * g2 * g2 - f4 * g2 * h2 "
+        "AS BIGINT) AS plan_num, "
+        "CAST(-(2 * d2 * g2 * g2 + 2 * e2 * h2 * h2 + f4 * g2 * h2) "
+        "AS BIGINT) AS prof_num, "
+        "CAST(2 * (g2 * g2 + h2 * h2) AS BIGINT) AS curv_den FROM g")
+
+
+def _raster_tri_twin_sql() -> str:
+    """DuckDB twin of tri_index: the 8-offset LEFT neighbor join with
+    COALESCE(n.w, 0) — the absent-neighbor-as-zero reading folded
+    directly into per-pair |dz| / dz^2 sums, no closed-form split
+    (the engine derives missing terms as (8 - n_present) * w; the twin
+    sums all 8 pairs literally — agreement proves the identity)."""
+    return (
+        "WITH pix AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 128 AS gx, "
+        "(c_custkey * 40503 + 7) % 128 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "d(rx, ry) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), "
+        "(0, 1), (1, -1), (1, 0), (1, 1)) "
+        "SELECT p.gx, p.gy, p.w, "
+        "CAST(SUM(ABS(p.w - COALESCE(n.w, 0))) AS BIGINT) AS tri, "
+        "CAST(SUM((p.w - COALESCE(n.w, 0)) * (p.w - COALESCE(n.w, 0))) "
+        "AS BIGINT) AS tri2 "
+        "FROM pix p CROSS JOIN d LEFT JOIN pix n "
+        "ON n.gx = p.gx + d.rx AND n.gy = p.gy + d.ry "
+        "GROUP BY 1, 2, 3")
+
+
+def _raster_variogram_twin_sql() -> str:
+    """DuckDB twin of variogram: the MAXIMALLY INDEPENDENT form — it
+    materializes the dense 128x128 grid (absent = zero), joins every
+    in-bounds pair per lag LITERALLY, and counts/sums over the pairs,
+    sharing none of the engine's closed-form n_pairs or the
+    S_a + S_b - 2*S_12 sparse decomposition.  Agreement proves both
+    identities at once; every column BIGINT, parity hash-exact."""
+    lags = ", ".join(
+        f"({dx}, {dy})" for dy in range(0, 4) for dx in range(-3, 4)
+        if (dy > 0) or (dy == 0 and dx > 0))
+    return (
+        "WITH pix AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 128 AS gx, "
+        "(c_custkey * 40503 + 7) % 128 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "grid AS (SELECT a.range AS gx, b.range AS gy "
+        "FROM range(0, 128) a, range(0, 128) b), "
+        "z AS MATERIALIZED (SELECT g.gx, g.gy, COALESCE(p.w, 0) AS w, "
+        "p.w IS NOT NULL AS occ FROM grid g LEFT JOIN pix p "
+        "ON p.gx = g.gx AND p.gy = g.gy), "
+        f"d(dx, dy) AS (VALUES {lags}) "
+        "SELECT CAST(d.dx AS BIGINT) AS dx, CAST(d.dy AS BIGINT) AS dy, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(CASE WHEN a.occ AND b.occ THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_both, "
+        "CAST(SUM((a.w - b.w) * (a.w - b.w)) AS BIGINT) AS gamma2_num "
+        "FROM z a CROSS JOIN d JOIN z b "
+        "ON b.gx = a.gx + d.dx AND b.gy = a.gy + d.dy "
+        "GROUP BY 1, 2")
 
 
 def _hll_oracle_sql(table: str, col: str) -> str:
@@ -7907,6 +8062,9 @@ def oracle_sql() -> dict[str, str]:
         # shares the semantics — the _OHLC_ORACLE_SQL idiom).
         "raster_slope": _raster_slope_twin_sql(),
         "raster_hillshade": _raster_hillshade_twin_sql(),
+        "raster_curvature": _raster_curvature_twin_sql(),
+        "raster_tri": _raster_tri_twin_sql(),
+        "raster_variogram": _raster_variogram_twin_sql(),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

@@ -932,3 +932,233 @@ def raster_proximity(pixels: DataFrame, x: str = "gx", y: str = "gy",
             .select(F.col("cx").alias(x), F.col("cy").alias(y),
                     F.coalesce("_nn", F.lit(2 * R + 1)).cast("long")
                     .alias("nn_l1")))
+
+
+def zt_curvature(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                 w: str = "w") -> DataFrame:
+    """Zevenbergen-Thorne curvature per occupied cell of a sparse
+    COUNT raster, exact integer domain (r5, post-window) — the
+    second-derivative member of the terrain family (horn_slope /
+    hillshade / tpi / flow).  Counts are elevation, absent cells are
+    TRUE ZEROS (horn_slope's convention), cell size L = 1.
+
+    The five Z-T partials are carried SCALED so everything stays
+    BIGINT (z2=N, z4=W, z6=E, z8=S, corners z1=NW z3=NE z7=SW z9=SE):
+
+        d2 = zW + zE - 2*z5   (= 2D = z_xx)
+        e2 = zN + zS - 2*z5   (= 2E = z_yy)
+        f4 = -zNW + zNE + zSW - zSE   (= 4F = 2*z_xy... scaled z_xy)
+        g2 = zE - zW          (= 2G = 2*z_x... scaled -z_x sign per Z-T)
+        h2 = zN - zS          (= 2H)
+
+    laplace2 = d2 + e2 equals the exact Laplacian z_xx + z_yy.  The
+    plan and profile curvatures are exact RATIONALS in these integers:
+
+        plan    =  (2*d2*h2^2 + 2*e2*g2^2 - f4*g2*h2) / (2*(g2^2+h2^2))
+        profile = -(2*d2*g2^2 + 2*e2*h2^2 + f4*g2*h2) / (2*(g2^2+h2^2))
+
+    so the operator emits the numerators and the shared denominator
+    as exact BIGINTs (plan_num, prof_num, curv_den) and NEVER divides
+    — flat cells (g2 = h2 = 0) get 0/0/0, division-by-zero cannot
+    happen downstream without the caller choosing a convention.
+    Overflow contract: |plan_num| <= 80*W^3 for per-cell counts
+    <= W, exact through W ~ 4.8e5; beyond that pre-scale the raster.
+
+    Scale shape: identical to horn_slope — each occupied cell explodes
+    its 8 (offset, 5-coefficient) structs toward the centers it
+    influences, ONE map-side-combined hash agg on cell coords, LEFT
+    join back to the occupied set adds the center's own -2w terms.
+    Integer codegen end to end, zero Python, cell table bounded by
+    the grid."""
+    coeffs = []
+    for rx in (-1, 0, 1):
+        for ry in (-1, 0, 1):
+            if rx == 0 and ry == 0:
+                continue
+            cd2 = 1 if ry == 0 else 0            # W, E
+            ce2 = 1 if rx == 0 else 0            # N, S
+            cf4 = rx * ry                        # NE,SW +1; NW,SE -1
+            cg2 = rx if ry == 0 else 0           # E +1, W -1
+            ch2 = ry if rx == 0 else 0           # N +1, S -1
+            coeffs.append((rx, ry, cd2, ce2, cf4, cg2, ch2))
+    offs = F.array(*[
+        F.struct(F.lit(rx).alias("rx"), F.lit(ry).alias("ry"),
+                 F.lit(cd2).cast("long").alias("cd2"),
+                 F.lit(ce2).cast("long").alias("ce2"),
+                 F.lit(cf4).cast("long").alias("cf4"),
+                 F.lit(cg2).cast("long").alias("cg2"),
+                 F.lit(ch2).cast("long").alias("ch2"))
+        for rx, ry, cd2, ce2, cf4, cg2, ch2 in coeffs])
+    base = pixels.select(F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"),
+                         F.col(w).cast("long").alias("cw"))
+    give = (base.select("cx", "cy", "cw", F.explode(offs).alias("o"))
+            .select((F.col("cx") - F.col("o.rx")).alias("tx"),
+                    (F.col("cy") - F.col("o.ry")).alias("ty"),
+                    (F.col("o.cd2") * F.col("cw")).alias("vd2"),
+                    (F.col("o.ce2") * F.col("cw")).alias("ve2"),
+                    (F.col("o.cf4") * F.col("cw")).alias("vf4"),
+                    (F.col("o.cg2") * F.col("cw")).alias("vg2"),
+                    (F.col("o.ch2") * F.col("cw")).alias("vh2")))
+    part = (give.groupBy("tx", "ty")
+            .agg(F.sum("vd2").alias("sd2"), F.sum("ve2").alias("se2"),
+                 F.sum("vf4").alias("sf4"), F.sum("vg2").alias("sg2"),
+                 F.sum("vh2").alias("sh2")))
+    j = (base.join(part, (base.cx == part.tx) & (base.cy == part.ty),
+                   "left")
+         .select(F.col("cx").alias(x), F.col("cy").alias(y),
+                 F.col("cw").alias("w"),
+                 (F.coalesce("sd2", F.lit(0))
+                  - F.lit(2) * F.col("cw")).alias("d2"),
+                 (F.coalesce("se2", F.lit(0))
+                  - F.lit(2) * F.col("cw")).alias("e2"),
+                 F.coalesce("sf4", F.lit(0)).alias("f4"),
+                 F.coalesce("sg2", F.lit(0)).alias("g2"),
+                 F.coalesce("sh2", F.lit(0)).alias("h2")))
+    return (j.withColumn("laplace2", F.col("d2") + F.col("e2"))
+            .withColumn(
+                "plan_num",
+                F.lit(2) * F.col("d2") * F.col("h2") * F.col("h2")
+                + F.lit(2) * F.col("e2") * F.col("g2") * F.col("g2")
+                - F.col("f4") * F.col("g2") * F.col("h2"))
+            .withColumn(
+                "prof_num",
+                -(F.lit(2) * F.col("d2") * F.col("g2") * F.col("g2")
+                  + F.lit(2) * F.col("e2") * F.col("h2") * F.col("h2")
+                  + F.col("f4") * F.col("g2") * F.col("h2")))
+            .withColumn(
+                "curv_den",
+                F.lit(2) * (F.col("g2") * F.col("g2")
+                            + F.col("h2") * F.col("h2"))))
+
+
+def tri_index(pixels: DataFrame, x: str = "gx", y: str = "gy",
+              w: str = "w") -> DataFrame:
+    """Riley Terrain Ruggedness Index per occupied cell of a sparse
+    COUNT raster, exact integer domain (r5, post-window): the sum of
+    |z5 - z_n| over the 8-neighborhood (Riley et al. 1999 report the
+    square root of squared differences; the L1 and L2^2 forms carried
+    here are the exact-integer signatures both variants derive from:
+    tri = sum |dz|, tri2 = sum dz^2).  Absent neighbors are TRUE
+    ZEROS (horn_slope's convention), so an isolated cell reports
+    tri = 8w — maximal local relief, the honest reading on a count
+    raster.  -> (gx, gy, w, tri, tri2).
+
+    Scale shape: |center - neighbor| is NONLINEAR, so the tpi
+    agg-then-join trick is unavailable; instead each occupied cell
+    volunteers its value to its 8 neighbor positions (native explode),
+    contributions meet the center row in ONE hash equi-join on cell
+    coords, and per-cell sums fold in the same exchange's hash agg
+    (AQE coalesces the co-partitioned join+agg pair); absent-neighbor
+    terms enter in closed form as (8 - n_present) * w.  Integer
+    codegen end to end, zero Python, grid-bounded."""
+    offs = F.array(*[
+        F.struct(F.lit(rx).alias("rx"), F.lit(ry).alias("ry"))
+        for rx in (-1, 0, 1) for ry in (-1, 0, 1)
+        if not (rx == 0 and ry == 0)])
+    base = pixels.select(F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"),
+                         F.col(w).cast("long").alias("cw"))
+    give = (base.select("cx", "cy", "cw", F.explode(offs).alias("o"))
+            .select((F.col("cx") - F.col("o.rx")).alias("tx"),
+                    (F.col("cy") - F.col("o.ry")).alias("ty"),
+                    F.col("cw").alias("nw")))
+    met = (base.join(give, (base.cx == give.tx) & (base.cy == give.ty))
+           .groupBy("cx", "cy")
+           .agg(F.count("*").alias("_n"),
+                F.sum(F.abs(F.col("cw") - F.col("nw"))).alias("_sa"),
+                F.sum((F.col("cw") - F.col("nw"))
+                      * (F.col("cw") - F.col("nw"))).alias("_sq")))
+    return (base.join(met, ["cx", "cy"], "left")
+            .select(
+                F.col("cx").alias(x), F.col("cy").alias(y),
+                F.col("cw").alias("w"),
+                (F.coalesce("_sa", F.lit(0))
+                 + (F.lit(8) - F.coalesce("_n", F.lit(0)))
+                 * F.col("cw")).cast("long").alias("tri"),
+                (F.coalesce("_sq", F.lit(0))
+                 + (F.lit(8) - F.coalesce("_n", F.lit(0)))
+                 * F.col("cw") * F.col("cw")).cast("long").alias("tri2")))
+
+
+def variogram(pixels: DataFrame, width: int, height: int,
+              lags: list[tuple[int, int]] | None = None,
+              x: str = "gx", y: str = "gy", w: str = "w") -> DataFrame:
+    """Empirical semivariogram per lag vector over a sparse COUNT
+    raster on a width x height grid, exact integer domain (r5,
+    post-window) — the geostatistics member of the terrain family
+    (Matheron's 2*gamma(h) = mean (z(s) - z(s+h))^2; absent cells are
+    TRUE ZEROS, horn_slope's convention, so the pair population is the
+    FULL in-bounds grid, not just occupied cells).
+
+    Per canonical lag (dx, dy) the operator emits exact BIGINTs:
+
+        n_pairs    = (width - |dx|) * (height - |dy|)   [closed form]
+        n_both     = pairs with BOTH endpoints occupied
+        gamma2_num = sum over all in-bounds pairs of (z1 - z2)^2
+
+    so gamma(h) = gamma2_num / (2 * n_pairs) is an exact rational the
+    caller divides at the precision it wants.  The full-grid pair sum
+    NEVER materializes the dense grid: it decomposes as
+
+        gamma2_num = S_a + S_b - 2 * S_12
+        S_a  = sum z(s)^2 over occupied s with s+h in bounds
+        S_b  = sum z(t)^2 over occupied t with t-h in bounds
+        S_12 = sum z1 * z2 over both-occupied pairs
+
+    (zero cells vanish from every term — the identity the DuckDB twin
+    proves by literally summing the DENSE grid's pairs).
+
+    Scale shape: S_a / S_b are ONE pass over occupied cells (explode
+    the constant lag list, closed-form bounds filter, map-side-combined
+    agg on the lag); S_12 is ONE hash equi-join of the lag-shifted
+    occupied set against the occupied set — never a theta-join; all
+    frames are bounded by occupied_cells * n_lags.  Integer codegen
+    end to end, zero Python."""
+    if lags is None:
+        # canonical half-plane, Chebyshev radius <= 3: dy > 0, or
+        # dy = 0 and dx > 0 — every unordered pair counted once.
+        lags = [(dx, dy) for dy in range(0, 4) for dx in range(-3, 4)
+                if (dy > 0) or (dy == 0 and dx > 0)]
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx, dy in lags])
+    W, H = int(width), int(height)
+    base = pixels.select(F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"),
+                         F.col(w).cast("long").alias("cw"))
+    ex = (base.select("cx", "cy", "cw", F.explode(offs).alias("o"))
+          .select("cx", "cy", "cw",
+                  F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy")))
+    in_fwd = ((F.col("cx") + F.col("dx") >= 0)
+              & (F.col("cx") + F.col("dx") < W)
+              & (F.col("cy") + F.col("dy") >= 0)
+              & (F.col("cy") + F.col("dy") < H))
+    in_bwd = ((F.col("cx") - F.col("dx") >= 0)
+              & (F.col("cx") - F.col("dx") < W)
+              & (F.col("cy") - F.col("dy") >= 0)
+              & (F.col("cy") - F.col("dy") < H))
+    sides = (ex.groupBy("dx", "dy").agg(
+        F.sum(F.when(in_fwd, F.col("cw") * F.col("cw"))
+              .otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(in_bwd, F.col("cw") * F.col("cw"))
+              .otherwise(F.lit(0))).alias("s_b")))
+    shifted = ex.select((F.col("cx") + F.col("dx")).alias("tx"),
+                        (F.col("cy") + F.col("dy")).alias("ty"),
+                        "dx", "dy", F.col("cw").alias("w1"))
+    tgt = base.select(F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+                      F.col("cw").alias("w2"))
+    both = (shifted.join(tgt, ["tx", "ty"])
+            .groupBy("dx", "dy")
+            .agg(F.count("*").alias("n_both"),
+                 F.sum(F.col("w1") * F.col("w2")).alias("s_12")))
+    return (sides.join(both, ["dx", "dy"], "left")
+            .select(
+                "dx", "dy",
+                ((F.lit(W) - F.abs("dx"))
+                 * (F.lit(H) - F.abs("dy"))).cast("long").alias("n_pairs"),
+                F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+                (F.col("s_a") + F.col("s_b")
+                 - F.lit(2) * F.coalesce("s_12", F.lit(0)))
+                .cast("long").alias("gamma2_num")))
