@@ -457,6 +457,28 @@ def q_traj_stats(spark, sf):
     return traj_stats(ev)
 
 
+def q_traj_trips(spark, sf):
+    """D36 (r5, post-window) — gap-based trip segmentation
+    (engine/geo/traj.py::segment_trips): the traj_stats GPS fixture
+    split into trips at 12 h time gaps (exact integer microseconds),
+    then the exact grid-L1 descriptors PER TRIP — n_points, start_us,
+    duration_us, path_l1, max_step_l1, net_l1 — with the gap step
+    belonging to NO trip.  ONE shuffle: the lag window, the running
+    SUM(is_new) trip counter, and the per-(user, trip) agg all ride
+    the same HashPartitioning(user_id).  Everything BIGINT, so the
+    oracle match is hash-exact."""
+    _prep(spark)
+    from engine.geo.traj import segment_trips
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return segment_trips(ev)
+
+
 def q_traj_simplify(spark, sf):
     """C-ts (r5, post-window) — per-track OPEN-polyline Douglas-Peucker
     (engine/geo/simplify.py::simplify_tracks): the trajectory companion
@@ -5099,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_curvature": q_raster_curvature,
         "raster_tri": q_raster_tri,
         "raster_variogram": q_raster_variogram,
+        "traj_trips": q_traj_trips,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6986,6 +7009,49 @@ def oracle_sql() -> dict[str, str]:
             "- epoch_us(MAX(CASE WHEN rn_a = 1 THEN ts END)) AS BIGINT) "
             "AS duration_us "
             "FROM s GROUP BY user_id"),
+        # traj_trips — the traj_stats epts/exy CTE text + a running
+        # SUM(is_new) trip counter; per-trip first/last via rn_a/rn_d
+        # row_numbers WITHIN (user_id, trip_id); gap steps NULL so they
+        # join no trip's path sum.  All-BIGINT outputs.
+        "traj_trips": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "exy AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) AS xi, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) AS yi "
+            "FROM epts), "
+            "o AS (SELECT *, lag(us) OVER w AS pus, lag(xi) OVER w AS pxi, "
+            "lag(yi) OVER w AS pyi "
+            "FROM exy WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "f AS (SELECT *, CASE WHEN pus IS NULL "
+            "OR us - pus > 43200000000 THEN 1 ELSE 0 END AS is_new FROM o), "
+            "t AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS trip_id, "
+            "CASE WHEN is_new = 0 THEN "
+            "least(abs(xi - pxi), 1073741824 - abs(xi - pxi)) + abs(yi - pyi) "
+            "END AS step FROM f), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trip_id "
+            "ORDER BY ts, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY user_id, trip_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn_d FROM t) "
+            "SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_points, "
+            "CAST(MAX(CASE WHEN rn_a = 1 THEN us END) AS BIGINT) AS start_us, "
+            "CAST(MAX(CASE WHEN rn_d = 1 THEN us END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN us END) AS BIGINT) AS duration_us, "
+            "CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_l1, "
+            "CAST(COALESCE(MAX(step), 0) AS BIGINT) AS max_step_l1, "
+            "CAST(least(abs(MAX(CASE WHEN rn_d = 1 THEN xi END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN xi END)), "
+            "1073741824 - abs(MAX(CASE WHEN rn_d = 1 THEN xi END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN xi END))) "
+            "+ abs(MAX(CASE WHEN rn_d = 1 THEN yi END) "
+            "- MAX(CASE WHEN rn_a = 1 THEN yi END)) AS BIGINT) AS net_l1 "
+            "FROM r GROUP BY user_id, trip_id"),
         # traj_densify — the traj_stats epts/exy CTE text (green r4)
         # feeds an exact-integer piece count (wrap-aware L1 step //
         # 2^28, least 16 — DuckDB // floors, Spark DIV truncates:

@@ -434,3 +434,70 @@ def densify_tracks(df: DataFrame, key_col: str = "user_id",
         F.col("n_pieces").cast("long").alias("n_pieces"),
         F.round(F.col("_p.lat2"), 7).alias("lat_k"),
         F.round(F.col("_p.lon2"), 7).alias("lon_k"))
+
+
+def segment_trips(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", seq_col: str = "event_id",
+                  lat: str = "lat", lon: str = "lon",
+                  gap_us: int = 43_200_000_000) -> DataFrame:
+    """Gap-based trip segmentation (SURVEY.md §2.D36, r5 post-window):
+    split each key's time-ordered point stream into TRIPS wherever the
+    step's time gap exceeds `gap_us` (exact integer microseconds; the
+    first point of a key always opens trip 1), then report traj_stats'
+    exact-integer descriptors PER TRIP:
+
+      (key, trip_id, n_points, start_us, duration_us,
+       path_l1, max_step_l1, net_l1)
+
+    path/net/max are grid-L1 on the level-30 mercator ints (x
+    wrap-aware) and the GAP step itself belongs to NO trip — the new
+    trip's distances start at its own first point, so per-trip path
+    sums never smear across the gap.  Timestamps leave as exact
+    unix_micros BIGINTs (start_us), keeping the whole row
+    integer-hashable.
+
+    Scale shape: ONE shuffle total — the lag window hash-partitions by
+    key, the running SUM(is_new) trip counter rides the SAME window
+    partitioning, and the per-(key, trip_id) aggregation's clustering
+    requirement is satisfied by the existing HashPartitioning(key)
+    (grouping on a superset of the partition key adds no Exchange).
+    Native codegen end to end; zero Python."""
+    xi, yi = merc_xy_sql(lon, lat)
+    pts = df.select(
+        F.col(key_col), F.col(ts_col), F.col(seq_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.expr(xi).alias("_xi"), F.expr(yi).alias("_yi"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = (
+        pts.withColumn("_pus", F.lag("_us").over(w))
+        .withColumn("_pxi", F.lag("_xi").over(w))
+        .withColumn("_pyi", F.lag("_yi").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_pus").isNull()
+             | ((F.col("_us") - F.col("_pus")) > F.lit(int(gap_us))))
+            .cast("long"))
+        .withColumn("trip_id", F.sum("_new").over(run))
+        .withColumn(
+            "_step",
+            F.when(F.col("_new") == 0,
+                   _wrap_dx(F.col("_xi") - F.col("_pxi"))
+                   + F.abs(F.col("_yi") - F.col("_pyi")))))
+    first_p = F.min(F.struct(ts_col, seq_col, "_us", "_xi", "_yi")).alias("_f")
+    last_p = F.max(F.struct(ts_col, seq_col, "_us", "_xi", "_yi")).alias("_l")
+    agg = stepped.groupBy(key_col, "trip_id").agg(
+        F.count("*").alias("n_points"),
+        F.coalesce(F.sum("_step"), F.lit(0)).alias("path_l1"),
+        F.coalesce(F.max("_step"), F.lit(0)).alias("max_step_l1"),
+        first_p, last_p)
+    return agg.select(
+        key_col, F.col("trip_id").cast("long").alias("trip_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("_f._us").alias("start_us"),
+        (F.col("_l._us") - F.col("_f._us")).alias("duration_us"),
+        F.col("path_l1").cast("long").alias("path_l1"),
+        F.col("max_step_l1").cast("long").alias("max_step_l1"),
+        (_wrap_dx(F.col("_l._xi") - F.col("_f._xi"))
+         + F.abs(F.col("_l._yi") - F.col("_f._yi")))
+        .cast("long").alias("net_l1"))
