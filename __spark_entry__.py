@@ -479,6 +479,27 @@ def q_traj_trips(spark, sf):
     return segment_trips(ev)
 
 
+def q_traj_od(spark, sf):
+    """D37 (r5, post-window) — origin-destination flow matrix
+    (engine/geo/traj.py::od_matrix): the traj_trips segmentation (12 h
+    gaps) reduced to one flow per trip — first-point tile -> last-point
+    tile at zoom 2 (pure bit-shift coarsening of the level-30 ints) —
+    rolled up to (o_tx, o_ty, d_tx, d_ty, n_trips, n_keys) with the
+    exact distinct-user count guarding against single-commuter
+    corridors.  Two shuffles: the user-hash window/endpoint exchange,
+    then ONE map-side-combined rollup on the OD key.  All BIGINT."""
+    _prep(spark)
+    from engine.geo.traj import od_matrix
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return od_matrix(ev, zoom=2)
+
+
 def q_traj_simplify(spark, sf):
     """C-ts (r5, post-window) — per-track OPEN-polyline Douglas-Peucker
     (engine/geo/simplify.py::simplify_tracks): the trajectory companion
@@ -5122,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tri": q_raster_tri,
         "raster_variogram": q_raster_variogram,
         "traj_trips": q_traj_trips,
+        "traj_od": q_traj_od,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7052,6 +7074,43 @@ def oracle_sql() -> dict[str, str]:
             "+ abs(MAX(CASE WHEN rn_d = 1 THEN yi END) "
             "- MAX(CASE WHEN rn_a = 1 THEN yi END)) AS BIGINT) AS net_l1 "
             "FROM r GROUP BY user_id, trip_id"),
+        # traj_od — the traj_trips window algebra up to trip ids, then
+        # rn_a/rn_d per-trip endpoints, zoom-2 tiles by bit shift
+        # (xi >> 28), and the OD rollup with exact COUNT(DISTINCT).
+        "traj_od": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "exy AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) AS xi, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) AS yi "
+            "FROM epts), "
+            "o AS (SELECT *, lag(us) OVER w AS pus "
+            "FROM exy WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "t AS (SELECT *, SUM(CASE WHEN pus IS NULL "
+            "OR us - pus > 43200000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS trip_id FROM o), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trip_id "
+            "ORDER BY ts, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY user_id, trip_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn_d FROM t), "
+            "e AS (SELECT user_id, trip_id, "
+            "MAX(CASE WHEN rn_a = 1 THEN xi END) >> 28 AS o_tx, "
+            "MAX(CASE WHEN rn_a = 1 THEN yi END) >> 28 AS o_ty, "
+            "MAX(CASE WHEN rn_d = 1 THEN xi END) >> 28 AS d_tx, "
+            "MAX(CASE WHEN rn_d = 1 THEN yi END) >> 28 AS d_ty "
+            "FROM r GROUP BY user_id, trip_id) "
+            "SELECT CAST(o_tx AS BIGINT) AS o_tx, "
+            "CAST(o_ty AS BIGINT) AS o_ty, "
+            "CAST(d_tx AS BIGINT) AS d_tx, "
+            "CAST(d_ty AS BIGINT) AS d_ty, "
+            "CAST(COUNT(*) AS BIGINT) AS n_trips, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys "
+            "FROM e GROUP BY 1, 2, 3, 4"),
         # traj_densify — the traj_stats epts/exy CTE text (green r4)
         # feeds an exact-integer piece count (wrap-aware L1 step //
         # 2^28, least 16 — DuckDB // floors, Spark DIV truncates:

@@ -501,3 +501,58 @@ def segment_trips(df: DataFrame, key_col: str = "user_id",
         (_wrap_dx(F.col("_l._xi") - F.col("_f._xi"))
          + F.abs(F.col("_l._yi") - F.col("_f._yi")))
         .cast("long").alias("net_l1"))
+
+
+def od_matrix(df: DataFrame, zoom: int, key_col: str = "user_id",
+              ts_col: str = "ts", seq_col: str = "event_id",
+              lat: str = "lat", lon: str = "lon",
+              gap_us: int = 43_200_000_000) -> DataFrame:
+    """Origin-destination flow matrix (SURVEY.md §2.D37, r5
+    post-window): trips segmented exactly as segment_trips (same
+    gap_us, strict >), each trip contributing ONE flow from the tile
+    of its first point to the tile of its last point at `zoom`
+    (tx = xi >> (30 - zoom), the slippy-grid coarsening of the
+    level-30 ints — pure bit shifts, no re-projection), rolled up to
+
+      (o_tx, o_ty, d_tx, d_ty, n_trips, n_keys)
+
+    with n_keys = exact COUNT(DISTINCT key) so a single commuter
+    looping all day cannot masquerade as a popular corridor.
+    Single-point trips legitimately report o = d (stationary flows on
+    the diagonal — callers filter if unwanted).
+
+    Scale shape: the window + per-trip endpoint reduction reuse ONE
+    HashPartitioning(key) exchange (segment_trips' shape), then the
+    OD rollup is ONE map-side-combined shuffle on the 4-int OD key —
+    distinct keys per OD cell ride Spark's two-phase distinct agg.
+    Native codegen; zero Python."""
+    shift = LEVEL - int(zoom)
+    if shift < 0 or shift >= LEVEL:
+        raise ValueError(f"zoom must be in [1, {LEVEL}], got {zoom}")
+    xi, yi = merc_xy_sql(lon, lat)
+    pts = df.select(
+        F.col(key_col), F.col(ts_col), F.col(seq_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.expr(xi).alias("_xi"), F.expr(yi).alias("_yi"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tripped = (
+        pts.withColumn("_pus", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_pus").isNull()
+             | ((F.col("_us") - F.col("_pus")) > F.lit(int(gap_us))))
+            .cast("long"))
+        .withColumn("trip_id", F.sum("_new").over(run)))
+    ends = (tripped.groupBy(key_col, "trip_id").agg(
+        F.min(F.struct(ts_col, seq_col, "_xi", "_yi")).alias("_f"),
+        F.max(F.struct(ts_col, seq_col, "_xi", "_yi")).alias("_l")))
+    return (ends.select(
+                F.col(key_col),
+                F.shiftrightunsigned("_f._xi", shift).alias("o_tx"),
+                F.shiftrightunsigned("_f._yi", shift).alias("o_ty"),
+                F.shiftrightunsigned("_l._xi", shift).alias("d_tx"),
+                F.shiftrightunsigned("_l._yi", shift).alias("d_ty"))
+            .groupBy("o_tx", "o_ty", "d_tx", "d_ty")
+            .agg(F.count("*").cast("long").alias("n_trips"),
+                 F.countDistinct(key_col).cast("long").alias("n_keys")))
