@@ -500,6 +500,29 @@ def q_traj_od(spark, sf):
     return od_matrix(ev, zoom=2)
 
 
+def q_traj_companions(spark, sf):
+    """D38 (r5, post-window) — co-movement companion detection
+    (engine/geo/traj.py::companions): unordered user pairs co-present
+    in >= 3 distinct spatio-temporal buckets (zoom-5 tile x 6 h window,
+    both pure integer arithmetic on the level-30 ints / epoch micros)
+    over the traj_stats GPS fixture.  Candidates come from ONE hash
+    self-equi-join of the DEDUPLICATED presence relation on the bucket
+    key — never an all-pairs product over users; the quadratic risk
+    lives in per-bucket key counts (max 5 here; the
+    max_keys_per_bucket guard handles crowded buckets at scale).
+    All-BIGINT output, hash-exact."""
+    _prep(spark)
+    from engine.geo.traj import companions
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return companions(ev, zoom=5, bucket_us=21_600_000_000, min_co=3)
+
+
 def q_traj_simplify(spark, sf):
     """C-ts (r5, post-window) — per-track OPEN-polyline Douglas-Peucker
     (engine/geo/simplify.py::simplify_tracks): the trajectory companion
@@ -5144,6 +5167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_variogram": q_raster_variogram,
         "traj_trips": q_traj_trips,
         "traj_od": q_traj_od,
+        "traj_companions": q_traj_companions,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7111,6 +7135,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_trips, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys "
             "FROM e GROUP BY 1, 2, 3, 4"),
+        # traj_companions — deduplicated presence relation (DISTINCT
+        # over zoom-5 tile x 6 h bucket), self-join on the bucket key
+        # with key_a < key_b, distinct-co-bucket count >= 3.
+        "traj_companions": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "p AS (SELECT DISTINCT user_id, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) >> 25 AS tx, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) >> 25 AS ty, "
+            "epoch_us(ts) // 21600000000 AS tb FROM epts) "
+            "SELECT a.user_id AS key_a, b.user_id AS key_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cobuckets "
+            "FROM p a JOIN p b ON a.tx = b.tx AND a.ty = b.ty "
+            "AND a.tb = b.tb AND a.user_id < b.user_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 3"),
         # traj_densify — the traj_stats epts/exy CTE text (green r4)
         # feeds an exact-integer piece count (wrap-aware L1 step //
         # 2^28, least 16 — DuckDB // floors, Spark DIV truncates:

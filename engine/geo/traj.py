@@ -556,3 +556,57 @@ def od_matrix(df: DataFrame, zoom: int, key_col: str = "user_id",
             .groupBy("o_tx", "o_ty", "d_tx", "d_ty")
             .agg(F.count("*").cast("long").alias("n_trips"),
                  F.countDistinct(key_col).cast("long").alias("n_keys")))
+
+
+def companions(df: DataFrame, zoom: int, bucket_us: int,
+               key_col: str = "user_id", ts_col: str = "ts",
+               lat: str = "lat", lon: str = "lon",
+               min_co: int = 2,
+               max_keys_per_bucket: int | None = None) -> DataFrame:
+    """Co-movement companion detection (SURVEY.md §2.D38, r5
+    post-window): unordered key pairs repeatedly co-present in the
+    same spatio-temporal bucket — tile at `zoom` (bit-shift coarsening
+    of the level-30 ints) x time bucket of `bucket_us` exact integer
+    microseconds (floor division, epoch-anchored) — reported as
+
+        (key_a, key_b, n_cobuckets)    key_a < key_b
+
+    where n_cobuckets counts DISTINCT buckets both keys appear in
+    (per-bucket presence is deduplicated first, so a chatty key
+    pinging 50x in one bucket still contributes 1), filtered to
+    n_cobuckets >= min_co.
+
+    Scale shape: candidates come from ONE hash self-equi-join of the
+    deduplicated presence relation on the bucket key — NEVER an
+    all-pairs product over keys; the quadratic risk lives entirely in
+    per-bucket key counts, so `max_keys_per_bucket` (the dedup
+    family's degenerate-bucket guard) EXCLUDES buckets busier than
+    the cap before the join — a crowded stadium bucket proves nothing
+    about companionship and would dominate the pair frame at scale.
+    Presence dedupe is one map-side-combined groupBy; the final pair
+    count is one more.  Native codegen; zero Python."""
+    shift = LEVEL - int(zoom)
+    if shift < 0 or shift >= LEVEL:
+        raise ValueError(f"zoom must be in [1, {LEVEL}], got {zoom}")
+    xi, yi = merc_xy_sql(lon, lat)
+    presence = (df.select(
+        F.col(key_col).alias("_k"),
+        F.shiftrightunsigned(F.expr(xi), shift).alias("_tx"),
+        F.shiftrightunsigned(F.expr(yi), shift).alias("_ty"),
+        # DIV truncates, DuckDB // floors — equal on the nonnegative
+        # post-1970 fixture domain (the traj_densify precedent).
+        F.expr(f"unix_micros({ts_col}) DIV {int(bucket_us)}L").alias("_tb"))
+        .distinct())
+    if max_keys_per_bucket is not None:
+        sizes = (presence.groupBy("_tx", "_ty", "_tb")
+                 .agg(F.count("*").alias("_nk"))
+                 .filter(F.col("_nk") <= int(max_keys_per_bucket))
+                 .drop("_nk"))
+        presence = presence.join(sizes, ["_tx", "_ty", "_tb"], "left_semi")
+    a = presence.select(F.col("_k").alias("key_a"), "_tx", "_ty", "_tb")
+    b = presence.select(F.col("_k").alias("key_b"), "_tx", "_ty", "_tb")
+    pairs = a.join(b, ["_tx", "_ty", "_tb"]).filter(
+        F.col("key_a") < F.col("key_b"))
+    return (pairs.groupBy("key_a", "key_b")
+            .agg(F.count("*").cast("long").alias("n_cobuckets"))
+            .filter(F.col("n_cobuckets") >= int(min_co)))
