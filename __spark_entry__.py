@@ -3363,6 +3363,52 @@ def q_raster_variogram(spark, sf):
     return variogram(pix, 128, 128)
 
 
+def q_raster_algebra(spark, sf):
+    """C-la (r5, post-window) — local two-raster map algebra
+    (engine/geo/raster.py::raster_algebra): the customer- and
+    orders-derived 128x128 count rasters aligned cell-by-cell (absent
+    = TRUE ZERO) with exact-BIGINT pointwise sum/diff/prod/min/max
+    and 0/1 presence flags, over the UNION of occupied cells.  ONE
+    full-outer hash equi-join on cell coords — frames stay
+    occupied-cells-sized, never dense; integer codegen, zero
+    Python."""
+    _prep(spark)
+    from engine.geo.raster import raster_algebra
+    ra = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    rb = (_t(spark, sf, "orders").selectExpr(
+        "(o_orderkey * 2654435761) % 128 AS gx",
+        "(o_orderkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return raster_algebra(ra, rb)
+
+
+def q_raster_bilinear(spark, sf):
+    """C-bl (r5, post-window) — exact-rational bilinear sampling
+    (engine/geo/raster.py::sample_bilinear): orders-derived query
+    points QUANTIZED at scale 16 (qx_q in [0, 2048)) sample the
+    customer-derived 128x128 count raster; the classical bilinear
+    value leaves as the exact BIGINT pair (val_num, val_den = 256)
+    with absent corners TRUE ZEROS and n_corners distinguishing an
+    exact 0 from a hole.  One native 4-corner explode + ONE hash
+    equi-join on cell coords + a map-side-combined per-query fold;
+    LEFT join preserves queries over empty neighborhoods.  All
+    integer, hash-exact."""
+    _prep(spark)
+    from engine.geo.raster import sample_bilinear
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    q = _t(spark, sf, "orders").selectExpr(
+        "o_orderkey AS qid",
+        "(o_orderkey * 7919 + 3) % 2048 AS qx_q",
+        "(o_orderkey * 104729 + 11) % 2048 AS qy_q")
+    return sample_bilinear(pix, q, scale=16)
+
+
 def q_raster_flowacc(spark, sf):
     """D8 flow accumulation (r4 cont.,
     engine/geo/raster.py::flow_accumulation): per-cell count of
@@ -5168,6 +5214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_trips": q_traj_trips,
         "traj_od": q_traj_od,
         "traj_companions": q_traj_companions,
+        "raster_algebra": q_raster_algebra,
+        "raster_bilinear": q_raster_bilinear,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8233,6 +8281,56 @@ def oracle_sql() -> dict[str, str]:
         "raster_curvature": _raster_curvature_twin_sql(),
         "raster_tri": _raster_tri_twin_sql(),
         "raster_variogram": _raster_variogram_twin_sql(),
+        # raster_algebra — the same FULL OUTER cell-align in SQL.
+        "raster_algebra": (
+            "WITH ra AS (SELECT (c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS wa FROM customer GROUP BY 1, 2), "
+            "rb AS (SELECT (o_orderkey * 2654435761) % 128 AS gx, "
+            "(o_orderkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS wb FROM orders GROUP BY 1, 2) "
+            "SELECT COALESCE(ra.gx, rb.gx) AS gx, "
+            "COALESCE(ra.gy, rb.gy) AS gy, "
+            "CAST(COALESCE(wa, 0) AS BIGINT) AS wa, "
+            "CAST(COALESCE(wb, 0) AS BIGINT) AS wb, "
+            "CAST(COALESCE(wa, 0) + COALESCE(wb, 0) AS BIGINT) AS w_sum, "
+            "CAST(COALESCE(wa, 0) - COALESCE(wb, 0) AS BIGINT) AS w_diff, "
+            "CAST(COALESCE(wa, 0) * COALESCE(wb, 0) AS BIGINT) AS w_prod, "
+            "CAST(least(COALESCE(wa, 0), COALESCE(wb, 0)) AS BIGINT) "
+            "AS w_min, "
+            "CAST(greatest(COALESCE(wa, 0), COALESCE(wb, 0)) AS BIGINT) "
+            "AS w_max, "
+            "CAST(wa IS NOT NULL AS BIGINT) AS in_a, "
+            "CAST(wb IS NOT NULL AS BIGINT) AS in_b "
+            "FROM ra FULL OUTER JOIN rb "
+            "ON ra.gx = rb.gx AND ra.gy = rb.gy"),
+        # raster_bilinear — 4-corner weights re-derived in SQL over the
+        # same quantized query points; absent corners vanish from the
+        # inner join exactly as zeros would.
+        "raster_bilinear": (
+            "WITH pix AS MATERIALIZED (SELECT "
+            "(c_custkey * 2654435761) % 128 AS gx, "
+            "(c_custkey * 40503 + 7) % 128 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "q AS (SELECT o_orderkey AS qid, "
+            "(o_orderkey * 7919 + 3) % 2048 AS qx_q, "
+            "(o_orderkey * 104729 + 11) % 2048 AS qy_q FROM orders), "
+            "e AS (SELECT qid, qx_q, qy_q, qx_q // 16 AS cx, "
+            "qy_q // 16 AS cy, qx_q % 16 AS fx, qy_q % 16 AS fy FROM q), "
+            "d(i, j) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)), "
+            "h AS (SELECT e.qid, "
+            "SUM((CASE WHEN d.i = 0 THEN 16 - e.fx ELSE e.fx END) "
+            "* (CASE WHEN d.j = 0 THEN 16 - e.fy ELSE e.fy END) "
+            "* p.w) AS num, COUNT(*) AS nc "
+            "FROM e CROSS JOIN d JOIN pix p "
+            "ON p.gx = e.cx + d.i AND p.gy = e.cy + d.j "
+            "GROUP BY 1) "
+            "SELECT q.qid, CAST(q.qx_q AS BIGINT) AS qx_q, "
+            "CAST(q.qy_q AS BIGINT) AS qy_q, "
+            "CAST(COALESCE(h.num, 0) AS BIGINT) AS val_num, "
+            "CAST(256 AS BIGINT) AS val_den, "
+            "CAST(COALESCE(h.nc, 0) AS BIGINT) AS n_corners "
+            "FROM q LEFT JOIN h ON h.qid = q.qid"),
         # join_interval — the plain theta-join the bucket-blocked
         # engine plan must reproduce exactly.
         "join_interval": (

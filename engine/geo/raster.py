@@ -1162,3 +1162,110 @@ def variogram(pixels: DataFrame, width: int, height: int,
                 (F.col("s_a") + F.col("s_b")
                  - F.lit(2) * F.coalesce("s_12", F.lit(0)))
                 .cast("long").alias("gamma2_num")))
+
+
+def raster_algebra(a: DataFrame, b: DataFrame, x: str = "gx",
+                   y: str = "gy", w: str = "w") -> DataFrame:
+    """Local (cell-by-cell) two-raster map algebra (r5, post-window):
+    the LOCAL member of the raster-op taxonomy beside focal
+    (tile_focal/morph), zonal (zonal_stats) and global (moran/geary)
+    — aligns two sparse COUNT rasters on cell coords with absent
+    cells as TRUE ZEROS and emits the exact-BIGINT pointwise
+    combinations:
+
+        (gx, gy, wa, wb, w_sum, w_diff, w_prod, w_min, w_max,
+         in_a, in_b)
+
+    over the UNION of occupied cells (w_prod is 0 wherever either
+    side is absent — the true-zero convention makes that exact, not
+    a convention).  in_a/in_b are 0/1 BIGINT presence flags so
+    callers recover intersection/difference semantics by filter.
+
+    Scale shape: ONE full-outer hash equi-join on cell coords — the
+    frames stay occupied-cells-sized, never dense; integer codegen,
+    zero Python."""
+    aa = a.select(F.col(x).cast("long").alias("ax"),
+                  F.col(y).cast("long").alias("ay"),
+                  F.col(w).cast("long").alias("wa"))
+    bb = b.select(F.col(x).cast("long").alias("bx"),
+                  F.col(y).cast("long").alias("by"),
+                  F.col(w).cast("long").alias("wb"))
+    j = aa.join(bb, (aa.ax == bb.bx) & (aa.ay == bb.by), "full_outer")
+    wa = F.coalesce("wa", F.lit(0))
+    wb = F.coalesce("wb", F.lit(0))
+    return j.select(
+        F.coalesce("ax", "bx").alias(x), F.coalesce("ay", "by").alias(y),
+        wa.alias("wa"), wb.alias("wb"),
+        (wa + wb).alias("w_sum"), (wa - wb).alias("w_diff"),
+        (wa * wb).alias("w_prod"),
+        F.least(wa, wb).alias("w_min"), F.greatest(wa, wb).alias("w_max"),
+        F.col("ax").isNotNull().cast("long").alias("in_a"),
+        F.col("bx").isNotNull().cast("long").alias("in_b"))
+
+
+def sample_bilinear(pixels: DataFrame, queries: DataFrame, scale: int,
+                    x: str = "gx", y: str = "gy", w: str = "w",
+                    qid: str = "qid", qx: str = "qx_q",
+                    qy: str = "qy_q") -> DataFrame:
+    """Exact-rational bilinear sampling of a sparse COUNT raster at
+    sub-cell query points (r5, post-window) — the raster->vector
+    interface: queries carry QUANTIZED coordinates (qx_q, qy_q) =
+    floor(position * scale), so the fractional offsets fx = qx_q mod
+    scale, fy = qy_q mod scale are exact integers and the classical
+    bilinear value
+
+        z = [ z00 (s-fx)(s-fy) + z10 fx (s-fy)
+            + z01 (s-fx) fy    + z11 fx fy ] / s^2,   s = scale
+
+    is emitted as the exact BIGINT pair (val_num, val_den = s^2) —
+    never divided, absent corners TRUE ZEROS (horn_slope's
+    convention).  n_corners counts occupied corners so callers can
+    distinguish an exact 0 from sampling a hole.
+
+    Scale shape: each query explodes to its 4 (corner, weight) rows
+    (native explode, weights computed in-plan), contributions meet
+    the raster in ONE hash equi-join on cell coords, and per-query
+    sums fold in a map-side-combined agg; a LEFT join from the query
+    set preserves queries over empty neighborhoods.  Integer codegen,
+    zero Python; overflow contract |val_num| <= 4 s^2 W for cell
+    counts <= W (exact through s^2 W ~ 2.3e18/4)."""
+    s = int(scale)
+    if s <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    base = queries.select(
+        F.col(qid).alias("_qid"),
+        F.col(qx).cast("long").alias("_qx"),
+        F.col(qy).cast("long").alias("_qy"))
+    corners = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+        for i in (0, 1) for j in (0, 1)])
+    ex = (base
+          .withColumn("_cx", F.expr(f"_qx DIV {s}L"))
+          .withColumn("_cy", F.expr(f"_qy DIV {s}L"))
+          .withColumn("_fx", F.col("_qx") - F.col("_cx") * s)
+          .withColumn("_fy", F.col("_qy") - F.col("_cy") * s)
+          .select("_qid", "_cx", "_cy", "_fx", "_fy",
+                  F.explode(corners).alias("c"))
+          .select(
+              "_qid",
+              (F.col("_cx") + F.col("c.i")).alias("_px"),
+              (F.col("_cy") + F.col("c.j")).alias("_py"),
+              (F.when(F.col("c.i") == 0, F.lit(s) - F.col("_fx"))
+               .otherwise(F.col("_fx"))
+               * F.when(F.col("c.j") == 0, F.lit(s) - F.col("_fy"))
+               .otherwise(F.col("_fy"))).alias("_wt")))
+    pix = pixels.select(F.col(x).cast("long").alias("_px"),
+                        F.col(y).cast("long").alias("_py"),
+                        F.col(w).cast("long").alias("_z"))
+    hit = (ex.join(pix, ["_px", "_py"])
+           .groupBy(F.col("_qid").alias("_hqid"))
+           .agg(F.sum(F.col("_wt") * F.col("_z")).alias("_num"),
+                F.count("*").alias("_nc")))
+    return (base.join(hit, F.col("_qid") == F.col("_hqid"), "left")
+            .select(F.col("_qid").alias(qid),
+                    F.col("_qx").alias(qx), F.col("_qy").alias(qy),
+                    F.coalesce("_num", F.lit(0)).cast("long")
+                    .alias("val_num"),
+                    F.lit(s * s).cast("long").alias("val_den"),
+                    F.coalesce("_nc", F.lit(0)).cast("long")
+                    .alias("n_corners")))
