@@ -619,6 +619,30 @@ def q_traj_frechet(spark, sf):
     return frechet_pairs(pts, pairs)
 
 
+def q_traj_dtw(spark, sf):
+    """D39 (r5, post-window) — dynamic-time-warping track similarity
+    (engine/geo/traj.py::dtw_pairs): the SUM-cost member of the
+    similarity triple (Hausdorff max-of-min, Frechet min-of-max, DTW
+    min-of-sum), exact squared-integer total alignment cost over all
+    pairs of the 24 lowest-user_id tracks — the same bounded-candidate
+    contract and integer 2^20 grid derivation as traj_frechet.  DTW is
+    a DP, not relational, so the oracle is the sf0.01-pinned golden;
+    independent verification is pytest's memoized recursive reference
+    + the dtw2 >= f2 domination theorem + the endpoint lower bound
+    (tests/test_dtw.py)."""
+    _prep(spark)
+    from engine.geo.traj import dtw_pairs
+    pts = _t(spark, sf, "events").filter("user_id < 24").selectExpr(
+        "user_id AS key", "event_id AS pid",
+        "(event_id * 2654435761) % 1048576 AS xi",
+        "(event_id * 40503 + 7) % 1048576 AS yi")
+    keys = pts.select(F.col("key").alias("key_a")).distinct()
+    pairs = keys.join(
+        keys.select(F.col("key_a").alias("key_b")),
+        F.col("key_a") < F.col("key_b"))
+    return dtw_pairs(pts, pairs)
+
+
 def q_traj_polyline(spark, sf):
     """D22 (r4 cont.) — encoded-polyline trajectory serialization
     (engine/geo/polyline.py): each user's time-ordered GPS trace
@@ -874,6 +898,23 @@ def q_graph_jaccard(spark, sf):
         "(c_custkey * 2654435761) % 512 AS src",
         "((c_custkey * 40503 + 7) DIV 512) % 512 AS dst")
     return jaccard_links(ed, min_common=2)
+
+
+def q_graph_clustering(spark, sf):
+    """N7 (r5, post-window) — per-node local clustering coefficient
+    (engine/graph.py::clustering_coeff): over the same hash-derived
+    edge set as graph_triangles, the exact-rational Watts-Strogatz
+    form (node, degree, n_triangles, cc_num = 2T, cc_den = d(d-1)) —
+    never divided, degree-1 nodes explicitly 0/0.  Degrees are one
+    map-side agg; triangles ride the degree-ordered orientation's
+    O(m^1.5) wedge bound; one LEFT join aligns them.  All BIGINT,
+    hash-exact."""
+    _prep(spark)
+    from engine.graph import clustering_coeff
+    ed = _t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 512 AS src",
+        "((c_custkey * 40503 + 7) DIV 512) % 512 AS dst")
+    return clustering_coeff(ed)
 
 
 def q_win_range(spark, sf):
@@ -1528,6 +1569,24 @@ def q_raster_proximity(spark, sf):
         "(c_custkey * 40503 + 7) % 128 AS gy")
         .groupBy("gx", "gy").agg(F.count("*").alias("w")))
     return raster_proximity(pix, radius=4)
+
+
+def q_raster_costdist(spark, sf):
+    """C-cd (r5, post-window) — cost-distance surface
+    (engine/geo/raster.py::cost_distance) over a dense 48x48
+    sparse friction raster: minimal accumulated (w_u + w_v) * {5,7}
+    traversal cost from the west seed wall (gx < 4) through occupied
+    cells only, 6 Bellman-Ford rounds via the composed sssp_int
+    engine.  The twin re-derives the adjacency in SQL and unrolls the
+    identical min-plus rounds as chained CTEs (the pagerank twin
+    form) — exact because min over integer path sums is order-free."""
+    _prep(spark)
+    from engine.geo.raster import cost_distance
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 48 AS gx",
+        "((c_custkey * 2654435761) DIV 48) % 48 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return cost_distance(pix, grid=48, source_pred="gx < 4", max_hops=6)
 
 
 def q_stream_mv(spark, sf):
@@ -5216,6 +5275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_companions": q_traj_companions,
         "raster_algebra": q_raster_algebra,
         "raster_bilinear": q_raster_bilinear,
+        "graph_clustering": q_graph_clustering,
+        "traj_dtw": q_traj_dtw,
+        "raster_costdist": q_raster_costdist,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5597,6 +5659,31 @@ def oracle_sql() -> dict[str, str]:
     quadkey10 = " || ".join(
         f"CAST(((tx >> {i}) & 1) | (((ty >> {i}) & 1) << 1) AS VARCHAR)"
         for i in range(9, -1, -1))
+    # raster_costdist — the same adjacency re-derived in SQL, then the
+    # identical min-plus Bellman-Ford rounds unrolled as chained CTEs
+    # (the pagerank twin form; exact: min over integer path sums is
+    # order-free).
+    costdist_rounds = "".join(
+        f", r{k} AS (SELECT node, MIN(dist) AS dist FROM ("
+        f"SELECT node, dist FROM r{k-1} UNION ALL "
+        f"SELECT e.v AS node, r{k-1}.dist + e.w AS dist "
+        f"FROM r{k-1} JOIN e ON r{k-1}.node = e.u) GROUP BY node)"
+        for k in range(1, 7))
+    costdist_sql = (
+        "WITH pix AS (SELECT (c_custkey * 2654435761) % 48 AS gx, "
+        "((c_custkey * 2654435761) // 48) % 48 AS gy, COUNT(*) AS w "
+        "FROM customer GROUP BY 1, 2), "
+        "n AS (SELECT gx * 48 + gy AS node, gx, gy, w FROM pix), "
+        "offs(dx, dy, fac) AS (VALUES (1,0,5),(-1,0,5),(0,1,5),(0,-1,5),"
+        "(1,1,7),(1,-1,7),(-1,1,7),(-1,-1,7)), "
+        "e AS (SELECT a.node AS u, b.node AS v, (a.w + b.w) * o.fac AS w "
+        "FROM n a CROSS JOIN offs o "
+        "JOIN n b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy), "
+        "r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n WHERE gx < 4)"
+        f"{costdist_rounds} "
+        "SELECT CAST(node // 48 AS BIGINT) AS gx, "
+        "CAST(node % 48 AS BIGINT) AS gy, "
+        "CAST(dist AS BIGINT) AS cost FROM r6")
     vf = ("length(regexp_replace(lower(replace(text,' ','')), '[^aeiou]', '', 'g'))"
           " * 1.0 / length(replace(text,' ',''))")
     stops = ", ".join(f"'{w}'" for w in
@@ -6593,7 +6680,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_sobel", "img_palette", "poly_sample",
                      "img_otsu", "traj_frechet", "img_rle",
                      "img_harris", "traj_simplify", "img_template",
-                     "img_glcm", "img_lbp")},
+                     "img_glcm", "img_lbp", "traj_dtw")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the
@@ -7913,6 +8000,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN deg da ON da.u = c.a "
             "JOIN deg db ON db.u = c.b "
             "LEFT JOIN e e2 ON e2.u = c.a AND e2.v = c.b"),
+        # graph_clustering — per-node degree from the symmetric
+        # adjacency + the brute triple-self-join triangle count
+        # (graph_triangles' twin), LEFT-joined; the rational pair
+        # (cc_num, cc_den) = (2T, d(d-1)) is never divided, so the
+        # twin is hash-exact in pure BIGINT.
+        "graph_clustering": (
+            "WITH ed AS (SELECT DISTINCT "
+            "least((c_custkey * 2654435761) % 512, "
+            "((c_custkey * 40503 + 7) // 512) % 512) AS u, "
+            "greatest((c_custkey * 2654435761) % 512, "
+            "((c_custkey * 40503 + 7) // 512) % 512) AS v FROM customer), "
+            "e AS (SELECT u, v FROM ed WHERE u <> v), "
+            "sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+            "FROM sym GROUP BY 1), "
+            "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri) GROUP BY node) "
+            "SELECT deg.node, deg.degree, "
+            "COALESCE(tc.n_triangles, 0) AS n_triangles, "
+            "CAST(2 * COALESCE(tc.n_triangles, 0) AS BIGINT) AS cc_num, "
+            "CAST(deg.degree * (deg.degree - 1) AS BIGINT) AS cc_den "
+            "FROM deg LEFT JOIN tc ON deg.node = tc.node"),
+        "raster_costdist": costdist_sql,
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.

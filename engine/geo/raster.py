@@ -1269,3 +1269,65 @@ def sample_bilinear(pixels: DataFrame, queries: DataFrame, scale: int,
                     F.lit(s * s).cast("long").alias("val_den"),
                     F.coalesce("_nc", F.lit(0)).cast("long")
                     .alias("n_corners")))
+
+
+def cost_distance(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                  w: str = "w", grid: int = 128,
+                  source_pred: str = "gx < 4", max_hops: int = 8,
+                  ortho_num: int = 5, diag_num: int = 7,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Cost-distance surface over a sparse friction raster (C-cd, r5,
+    post-window): minimal accumulated traversal cost from ANY source
+    cell to each reachable cell, moving through the 8-neighborhood of
+    OCCUPIED cells only (absent cells on a sparse raster are
+    impassable barriers — the friction-surface-with-barriers contract,
+    the dual of horn_slope's true-zero convention which applies to
+    VALUES, not passability).  -> (gx, gy, cost).
+
+    Step cost is the classical midpoint rule kept exact-integer: a
+    move u -> v costs (w_u + w_v) * fac with fac = `ortho_num` for
+    orthogonal and `diag_num` for diagonal steps (5/7 quantizes the
+    1/sqrt(2) anisotropy at <1% error; both the 2x scale and the
+    quantization are part of the operator contract, so the result is
+    a pure integer function of the input set).  Paths are bounded to
+    `max_hops` steps — the graph family's hop-bounded Bellman-Ford
+    contract (engine/graph.py::sssp_int, which this operator composes
+    rather than reimplements): set max_hops >= |occupied|-1 for the
+    true fixpoint.
+
+    Scale shape: the adjacency is ONE 8-offset volunteer explode +
+    ONE hash equi-join against the occupied set (never a theta-join);
+    node ids pack as gx*grid+gy (caller asserts coords < grid); then
+    sssp_int's per-round skinny (node, dist) relaxation over the
+    once-checkpointed edge frame.  Integer codegen end to end, zero
+    Python."""
+    from engine.graph import sssp_int
+
+    base = (pixels.select(F.col(x).cast("long").alias("gx"),
+                          F.col(y).cast("long").alias("gy"),
+                          F.col(w).cast("long").alias("w")))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(ortho_num if dx == 0 or dy == 0 else diag_num)
+                 .cast("long").alias("fac"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)])
+    give = (base.select("gx", "gy", "w", F.explode(offs).alias("o"))
+            .select((F.col("gx") * grid + F.col("gy")).alias("u"),
+                    (F.col("gx") + F.col("o.dx")).alias("tx"),
+                    (F.col("gy") + F.col("o.dy")).alias("ty"),
+                    F.col("w").alias("wu"), F.col("o.fac").alias("fac")))
+    nbr = base.select((F.col("gx") * grid + F.col("gy")).alias("v"),
+                      F.col("gx").alias("tx"), F.col("gy").alias("ty"),
+                      F.col("w").alias("wv"))
+    edges = (give.join(nbr, ["tx", "ty"])
+             .select("u", "v",
+                     ((F.col("wu") + F.col("wv")) * F.col("fac"))
+                     .alias("w")))
+    srcs = (base.filter(F.expr(source_pred))
+            .select((F.col("gx") * grid + F.col("gy")).alias("node")))
+    d = sssp_int(edges, srcs, src="u", dst="v", max_hops=max_hops,
+                 checkpoint_dir=checkpoint_dir)
+    return d.select(F.expr(f"node DIV {grid}L").alias("gx"),
+                    (F.col("node") % grid).alias("gy"),
+                    F.col("dist").alias("cost"))

@@ -372,6 +372,86 @@ def frechet_pairs(points: DataFrame, pairs: DataFrame,
     return j.mapInPandas(_dp, schema=schema)
 
 
+def dtw_py(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> int:
+    """Sequential DTW reference: total squared alignment cost via the
+    classical DP  c(i,j) = d2(i,j) + min(c(i-1,j), c(i,j-1),
+    c(i-1,j-1))  in exact Python ints (rolling row)."""
+    n, m = len(a), len(b)
+    prev: list[int] = []
+    for i in range(n):
+        cur = [0] * m
+        for j in range(m):
+            d = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                c = d
+            elif i == 0:
+                c = cur[j - 1] + d
+            elif j == 0:
+                c = prev[j] + d
+            else:
+                c = min(prev[j], cur[j - 1], prev[j - 1]) + d
+            cur[j] = c
+        prev = cur
+    return prev[m - 1]
+
+
+def dtw_pairs(points: DataFrame, pairs: DataFrame,
+              key: str = "key", pid: str = "pid",
+              x: str = "xi", y: str = "yi") -> DataFrame:
+    """Dynamic-time-warping distance between track pairs, exact
+    squared-integer domain (r5, post-window) -> (key_a, key_b, n_a,
+    n_b, dtw2).
+
+    The SUM-cost member of the similarity triple: Hausdorff is
+    unordered max-of-min, Frechet is order-aware min-of-MAX, DTW is
+    order-aware min-of-SUM — the total squared alignment cost over
+    monotone couplings, the classic elastic measure for tracks sampled
+    at different rates.  Like Frechet it is a DP, not relational, so
+    the driver oracle is an sf-pinned golden; independent verification
+    is pytest's memoized recursive reference plus two theorems: (a)
+    dtw2 >= f2 (the DTW-optimal path is itself a coupling, so its max
+    step >= the Frechet min-max) and (b) dtw2 >= d2(first) + d2(last)
+    whenever the DP has >= 2 cells (both endpoint pairs are always
+    matched).
+
+    Contract and plan mirror frechet_pairs exactly: `pairs` is the
+    BOUNDED candidate set (blocking stages produce it), each track
+    fits one aggregation buffer, ONE map-side-combined shuffle builds
+    ordered track arrays, two joins fan arrays onto pairs, and one
+    Arrow-batched DP pass does O(|A|·|B|) exact-int work per pair.
+    int64 bound: |trk|·max_d2 — 2^20-grid coords give d2 <= 2^41, safe
+    to ~4 M-point couplings."""
+    import pandas as pd
+
+    trk = (points.groupBy(key)
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col(pid).cast("long").alias("pid"),
+                        F.col(x).cast("long").alias("x"),
+                        F.col(y).cast("long").alias("y")))).alias("trk")))
+    j = (pairs
+         .join(trk.select(F.col(key).alias("key_a"),
+                          F.col("trk").alias("ta")), "key_a")
+         .join(trk.select(F.col(key).alias("key_b"),
+                          F.col("trk").alias("tb")), "key_b"))
+
+    def _dp(batches):
+        for pdf in batches:
+            out = {"key_a": [], "key_b": [], "n_a": [], "n_b": [],
+                   "dtw2": []}
+            for r in pdf.itertuples(index=False):
+                a = [(int(v["x"]), int(v["y"])) for v in r.ta]
+                b = [(int(v["x"]), int(v["y"])) for v in r.tb]
+                out["key_a"].append(r.key_a)
+                out["key_b"].append(r.key_b)
+                out["n_a"].append(len(a))
+                out["n_b"].append(len(b))
+                out["dtw2"].append(dtw_py(a, b))
+            yield pd.DataFrame(out)
+
+    schema = "key_a long, key_b long, n_a int, n_b int, dtw2 long"
+    return j.mapInPandas(_dp, schema=schema)
+
+
 def densify_tracks(df: DataFrame, key_col: str = "user_id",
                    ts_col: str = "ts", seq_col: str = "event_id",
                    lat: str = "lat", lon: str = "lon",

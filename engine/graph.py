@@ -336,3 +336,41 @@ def jaccard_links(edges: DataFrame, src: str = "src", dst: str = "dst",
     return out.select("a", "b", "n_common", "deg_a", "deg_b",
                       F.coalesce(F.col("_e"), F.lit(0)).cast("int")
                       .alias("is_edge"))
+
+
+def clustering_coeff(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient (SURVEY.md §2.N7, r5
+    post-window), the exact-rational form: for every node of the
+    undirected simple graph (self-loops dropped, duplicates collapsed)
+
+        (node, degree, n_triangles, cc_num, cc_den)
+
+    with cc = cc_num / cc_den = 2*T(v) / (d(v)*(d(v)-1)) — the share
+    of the node's neighbor pairs that are themselves connected
+    (Watts-Strogatz).  The operator NEVER divides: degree-1 nodes get
+    0/0, so the undefined case is explicit rather than a NaN
+    convention.  Every node with degree >= 1 appears (triangle-free
+    nodes report n_triangles = 0 through the LEFT join).
+
+    Scale shape: degrees are one map-side-combined agg over the
+    symmetric adjacency; triangle counts ride triangle_count's
+    degree-ordered orientation (Sigma outdeg^2 <= O(m^1.5) wedge
+    bound — never the naive hub-exploding join); one LEFT join
+    aligns them.  Integer codegen; the only Python is plan
+    construction."""
+    und = _undirect(edges, src, dst)
+    bi = und.unionByName(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    deg = (bi.groupBy(F.col("u").alias("node"))
+           .agg(F.count("*").cast("long").alias("degree")))
+    tri = triangle_count(edges, src, dst)
+    d = F.col("degree")
+    return (deg.join(tri, "node", "left")
+            .select(
+                "node", "degree",
+                F.coalesce("n_triangles", F.lit(0)).cast("long")
+                .alias("n_triangles"),
+                (F.lit(2) * F.coalesce("n_triangles", F.lit(0)))
+                .cast("long").alias("cc_num"),
+                (d * (d - F.lit(1))).cast("long").alias("cc_den")))

@@ -22,7 +22,8 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
 # tools/check_contract.py (sf0.01 default) and dedicated tests (e.g.
 # tests/test_raster_merge.py pins tile_raster at sf0.01 explicitly).
 SF_PINNED = {"tile_raster", "tile_vector_encode", "tile_vector_encode_mvt",
-             "bpe_tokenize", "bpe_train", "traj_frechet", "traj_simplify"}
+             "bpe_tokenize", "bpe_train", "traj_frechet", "traj_simplify",
+             "traj_dtw"}
 PINNED_SF_DIR = "/root/testdata/sf0.01"
 
 

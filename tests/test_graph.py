@@ -252,3 +252,68 @@ def test_jaccard_duplicate_reversed_selfloop_edges_collapse(spark):
     a = sorted(map(tuple, jaccard_links(_edf(spark, base)).collect()))
     b = sorted(map(tuple, jaccard_links(_edf(spark, noisy, 7)).collect()))
     assert a == b
+
+
+# ---- local clustering coefficient -----------------------------------
+
+def _clustering_py(edges):
+    """Brute reference: neighbor sets, count connected neighbor pairs."""
+    from itertools import combinations
+    und = {tuple(sorted((u, v))) for u, v in edges if u != v}
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    out = {}
+    for n, s in nbr.items():
+        t = sum(1 for a, b in combinations(sorted(s), 2)
+                if (min(a, b), max(a, b)) in und)
+        d = len(s)
+        out[n] = (d, t, 2 * t, d * (d - 1))
+    return out
+
+
+def test_clustering_matches_brute_random(spark):
+    from engine.graph import clustering_coeff
+    rng = random.Random(17)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(140)]
+    got = {r.node: (r.degree, r.n_triangles, r.cc_num, r.cc_den)
+           for r in clustering_coeff(_edf(spark, edges)).collect()}
+    assert got == _clustering_py(edges)
+
+
+def test_clustering_closed_forms(spark):
+    from engine.graph import clustering_coeff
+    # K4: every node has degree 3, sits in C(3,2)=3 triangles, cc = 1.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.node: (r.degree, r.n_triangles, r.cc_num, r.cc_den)
+           for r in clustering_coeff(_edf(spark, k4)).collect()}
+    assert got == {n: (3, 3, 6, 6) for n in range(4)}
+    # Star K1,4: hub degree 4 with no closed wedge (cc 0/12); leaves
+    # are degree-1 so the undefined case is the explicit 0/0 pair.
+    star = [(0, i) for i in range(1, 5)]
+    got = {r.node: (r.degree, r.n_triangles, r.cc_num, r.cc_den)
+           for r in clustering_coeff(_edf(spark, star)).collect()}
+    assert got == {0: (4, 0, 0, 12), **{i: (1, 0, 0, 0)
+                                        for i in range(1, 5)}}
+
+
+def test_clustering_triangle_with_pendant(spark):
+    from engine.graph import clustering_coeff
+    # Triangle 0-1-2 plus pendant 2-3: node 2's neighbor pairs are
+    # {0,1},{0,3},{1,3} of which only {0,1} closes -> 2/6.
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = {r.node: (r.degree, r.n_triangles, r.cc_num, r.cc_den)
+           for r in clustering_coeff(_edf(spark, edges)).collect()}
+    assert got == {0: (2, 1, 2, 2), 1: (2, 1, 2, 2),
+                   2: (3, 1, 2, 6), 3: (1, 0, 0, 0)}
+
+
+def test_clustering_duplicate_reversed_selfloop_edges_collapse(spark):
+    from engine.graph import clustering_coeff
+    base = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    noisy = base + [(1, 0), (0, 1), (3, 3), (2, 1)]
+    a = sorted(map(tuple, clustering_coeff(_edf(spark, base)).collect()))
+    b = sorted(map(tuple,
+                   clustering_coeff(_edf(spark, noisy, 7)).collect()))
+    assert a == b

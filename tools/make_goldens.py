@@ -87,6 +87,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # independent check = memoized recursive reference +
                # the f2 >= h2 domination theorem in tests/test_frechet.py.
                "traj_frechet",
+               # traj_dtw (r5, post-window): table-fed, sf0.01-pinned —
+               # the DTW min-of-sum DP is not SQL-expressible;
+               # independent check = sequential rolling-row reference +
+               # the dtw2 >= f2 domination theorem + endpoint lower
+               # bound in tests/test_dtw.py.
+               "traj_dtw",
                # img_rle (r4 cont.): all-integer run-length stats;
                # independent check = brute double-loop run scan in
                # tests/test_rle.py.
