@@ -4773,6 +4773,21 @@ def q_tile_focal(spark, sf):
     return focal_sum(_points(spark, sf), z=6, radius=1)
 
 
+def q_tile_median(spark, sf):
+    """C-fm (r5, post-window) — focal MEDIAN over the z6 per-tile count
+    raster (engine/geo/raster.py::focal_median): for each occupied
+    tile the exact median of its 3x3 window (absent / beyond-pole
+    neighbors are TRUE ZEROS, x cyclic mod 2^z) — the rank-statistic
+    denoise beside tile_focal's sum.  The engine never materializes
+    zeros (closed-form index into the sorted PRESENT values); the twin
+    materializes all 9 window slots per tile via offs CROSS JOIN +
+    LEFT join and picks row_number 5 — agreement proves the index
+    arithmetic."""
+    _prep(spark)
+    from engine.geo.raster import focal_median
+    return focal_median(_points(spark, sf), z=6)
+
+
 def _media_df(spark):
     from engine.multimodal import MEDIA_SCHEMA, gen_media_local
     return spark.createDataFrame(gen_media_local(60), schema=MEDIA_SCHEMA)
@@ -5278,6 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "traj_dtw": q_traj_dtw,
         "raster_costdist": q_raster_costdist,
+        "tile_median": q_tile_median,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7049,6 +7065,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(6 AS INTEGER) AS tile_z, b.tile_x, b.tile_y, b.n, "
             "s.focal_n FROM base b JOIN s USING (tile_x, tile_y)"
         ),
+        # tile_median — same z6 tile CTE; the twin MATERIALIZES all 9
+        # window slots per occupied tile (offs CROSS JOIN + LEFT join,
+        # beyond-pole/absent slots = 0) and picks row_number 5 of the
+        # value-ordered slots — the engine's sorted-present-index
+        # closed form must agree exactly.
+        "tile_median": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "base AS (SELECT xi >> 24 AS tile_x, yi >> 24 AS tile_y, "
+            "COUNT(*) AS n FROM xy GROUP BY 1, 2), "
+            "offs AS (SELECT t1.dx, t2.dy FROM generate_series(-1, 1) t1(dx) "
+            "CROSS JOIN generate_series(-1, 1) t2(dy)), "
+            "win AS (SELECT b.tile_x, b.tile_y, "
+            "COALESCE(nb.n, 0) AS v, "
+            "CASE WHEN nb.n IS NULL THEN 0 ELSE 1 END AS pres "
+            "FROM base b CROSS JOIN offs o "
+            "LEFT JOIN base nb ON nb.tile_x = "
+            "((b.tile_x + o.dx) % 64 + 64) % 64 "
+            "AND nb.tile_y = b.tile_y + o.dy), "
+            "r AS (SELECT tile_x, tile_y, v, "
+            "CAST(SUM(pres) OVER (PARTITION BY tile_x, tile_y) AS INTEGER) "
+            "AS n_present, "
+            "row_number() OVER (PARTITION BY tile_x, tile_y ORDER BY v) "
+            "AS rn FROM win) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, b.tile_x, b.tile_y, b.n, "
+            "r.n_present, CAST(r.v AS BIGINT) AS median_n "
+            "FROM base b JOIN r ON r.tile_x = b.tile_x "
+            "AND r.tile_y = b.tile_y AND r.rn = 5"),
         # tile_edges — same z6 tile CTE; 4-neighbor occupancy counted by
         # the symmetric contribution trick, LEFT join keeps isolated
         # tiles (occ_nbrs 0).  Integer end to end.

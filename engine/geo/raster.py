@@ -1331,3 +1331,60 @@ def cost_distance(pixels: DataFrame, x: str = "gx", y: str = "gy",
     return d.select(F.expr(f"node DIV {grid}L").alias("gx"),
                     (F.col("node") % grid).alias("gy"),
                     F.col("dist").alias("cost"))
+
+
+def focal_median(df: DataFrame, z: int = 6,
+                 lat: str = "lat", lon: str = "lon",
+                 checkpoint: bool = True) -> DataFrame:
+    """Focal MEDIAN over the per-tile count raster (C-fm, r5,
+    post-window) — the rank-statistic member of the map-algebra family
+    (focal_sum, morph_tiles): for every occupied tile, the exact
+    median of the 9 values in its 3x3 window, where absent in-range
+    neighbors and beyond-the-pole neighbors are TRUE ZEROS (the count-
+    raster convention) and x is cyclic mod 2^z.  The classic
+    salt-and-pepper denoise: a lone hot tile's median stays 0 while a
+    dense region's median tracks its plateau.
+
+    Exactness without materializing zeros: the window multiset is 9
+    values of which 9 - n_present are zeros, so the median (5th
+    smallest) is 0 when n_present <= 4, else the (5 - (9 -
+    n_present))-th smallest PRESENT value — a closed-form index into
+    the sorted present list.  Counts are integers; no interpolation
+    ever happens.
+
+    Scale shape (the focal_sum skeleton): full table touched once by
+    the map-side-combined tile_counts agg; the sparse raster (<= 4^z
+    rows, checkpointed) explodes 9 native offset structs; one skinny
+    regroup collects each window's PRESENT values (<= 9 longs — the
+    collect_list is window-bounded, not data-bounded); the sorted-
+    index arithmetic is native; one inner join back keeps the output
+    domain = occupied tiles.  Zero Python.
+
+    Output: (tile_z, tile_x, tile_y, n, n_present, median_n)."""
+    n_tiles = 1 << z
+    base = tile_counts(df, z, lat, lon)
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    contrib = (
+        base.select("tile_x", "tile_y", "n", F.explode(offs).alias("o"))
+        .select(F.pmod(F.col("tile_x") + F.col("o.dx"),
+                       F.lit(n_tiles)).alias("tile_x"),
+                (F.col("tile_y") + F.col("o.dy")).alias("tile_y"), "n")
+        .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n_tiles))
+    )
+    med = (contrib.groupBy("tile_x", "tile_y")
+           .agg(F.sort_array(F.collect_list("n")).alias("vals"))
+           .select("tile_x", "tile_y",
+                   F.size("vals").cast("int").alias("n_present"),
+                   F.when(F.size("vals") <= 4, F.lit(0).cast("long"))
+                   .otherwise(F.element_at("vals", F.size("vals") - 4))
+                   .alias("median_n")))
+    return (
+        base.join(med, ["tile_x", "tile_y"], "inner")
+        .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
+                "n", "n_present", "median_n")
+    )

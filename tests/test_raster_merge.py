@@ -268,3 +268,56 @@ def test_morph_tiles_pole_row_never_erodes(spark):
     out = morph_tiles(df, z=2, radius=1).collect()
     top = [r for r in out if r.tile_y == 0 and r.occupied == 1]
     assert top and all(r.is_eroded == 0 for r in top)
+
+
+# -------------------------------------------------------- focal median
+
+def _focal_median_numpy(pts_pdf, z):
+    """Dense reference for focal_median: rasterize, then per occupied
+    cell the exact median of the 9-window (cyclic x, zeros past the
+    poles)."""
+    from oracle.geo import lonlat_to_xy
+    n = 1 << z
+    xy = [lonlat_to_xy(lo, la, level=z)
+          for lo, la in zip(pts_pdf["lon"], pts_pdf["lat"])]
+    tx = np.array([p[0] for p in xy], np.int64)
+    ty = np.array([p[1] for p in xy], np.int64)
+    grid = np.zeros((n, n), np.int64)
+    np.add.at(grid, (tx, ty), 1)
+    out = {}
+    for x, y in zip(tx, ty):
+        vals, pres = [], 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = (x + dx) % n, y + dy
+                if 0 <= ny < n:
+                    v = int(grid[nx, ny])
+                    vals.append(v)
+                    pres += 1 if v > 0 else 0
+                else:
+                    vals.append(0)
+        vals.sort()
+        out[(int(x), int(y))] = (int(grid[x, y]), pres, vals[4])
+    return out
+
+
+def test_focal_median_matches_dense_numpy(spark, pts):
+    from engine.geo.raster import focal_median
+    pdf = pts.toPandas()
+    want = _focal_median_numpy(pdf, z=5)
+    got = {(r.tile_x, r.tile_y): (r.n, r.n_present, r.median_n)
+           for r in focal_median(pts, z=5).collect()}
+    assert got == want and len(got) > 100
+
+
+def test_focal_median_lone_hot_tile_denoises_to_zero(spark):
+    from engine.geo.raster import focal_median
+    # many points in ONE tile, nothing around it: n_present=1 of 9,
+    # median 0 — the salt-and-pepper property.
+    df = spark.createDataFrame([(10.0 + i * 1e-6, 10.0) for i in range(50)],
+                               "lon double, lat double") \
+        .selectExpr("lat", "lon")
+    rows = focal_median(df, z=6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.n_present, r.median_n) == (50, 1, 0)
