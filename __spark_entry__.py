@@ -4718,6 +4718,22 @@ def q_zonal_stats(spark, sf):
     return out.withColumn("sum_v", F.col("sum_v").cast("long"))
 
 
+def q_zonal_majority(spark, sf):
+    """Zonal majority (r5, post-window) — the categorical companion to
+    zonal_stats (engine/geo/join.py::zonal_majority): per polygon zone
+    the modal class (id % 7) with the deterministic (max count, min
+    class) tie-break, via the thrice-green containment predicate and
+    two map-side-combined aggs; the modal pick is the house
+    min(struct(-cnt, cls)) argmax, never a per-zone window sort.  The
+    twin runs the same relational definition with a QUALIFY
+    row_number."""
+    _prep(spark)
+    from engine.geo.join import zonal_majority
+    pts = _points(spark, sf).withColumn("cls", F.expr("id % 7"))
+    return zonal_majority(pts, _rect_layer(), level=7,
+                          class_col="cls", mode="broadcast")
+
+
 def q_img_augment(spark, sf):
     """Training-data op (r3): deterministic geometric augmentation
     (hflip / vflip / rot90 / center-crop) over the synthetic image
@@ -5294,6 +5310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_dtw": q_traj_dtw,
         "raster_costdist": q_raster_costdist,
         "tile_median": q_tile_median,
+        "zonal_majority": q_zonal_majority,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7033,6 +7050,24 @@ def oracle_sql() -> dict[str, str]:
             "p.lon >= r.minlon AND p.lon < r.maxlon "
             "AND p.lat >= r.minlat AND p.lat < r.maxlat "
             "GROUP BY r.poly_id"),
+        # zonal_majority — same containment predicate; per-(zone,class)
+        # counts then QUALIFY row_number (count DESC, class ASC) — the
+        # engine's min(struct(-cnt, cls)) argmax must agree exactly.
+        "zonal_majority": (
+            f"WITH {PTS_SQL}, {RECTS_SQL}, "
+            "pc AS (SELECT r.poly_id, p.id % 7 AS cls, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM pts p JOIN rects r ON "
+            "p.lon >= r.minlon AND p.lon < r.maxlon "
+            "AND p.lat >= r.minlat AND p.lat < r.maxlat "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT poly_id, CAST(SUM(cnt) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS n_classes FROM pc GROUP BY 1), "
+            "top AS (SELECT poly_id, cls AS maj_class, cnt AS maj_n "
+            "FROM pc QUALIFY row_number() OVER (PARTITION BY poly_id "
+            "ORDER BY cnt DESC, cls ASC) = 1) "
+            "SELECT t.poly_id, top.maj_class, top.maj_n, t.n_classes, "
+            "t.n FROM tot t JOIN top ON top.poly_id = t.poly_id"),
         # poly_overlap — all-pairs brute force over the same inlined
         # integer-degree bounds the engine's covering join refines; the
         # engine must reproduce exhaustive search exactly.

@@ -225,6 +225,49 @@ def zonal_stats(
                  F.max(v).alias("max_v")))
 
 
+def zonal_majority(
+    points: DataFrame,
+    layer: PolygonLayer,
+    level: int,
+    class_col: str,
+    mode: str = "broadcast",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    **join_kwargs,
+) -> DataFrame:
+    """Zonal MAJORITY (r5, post-window) — the categorical companion to
+    zonal_stats: per polygon zone the modal value of a CLASS column,
+    deterministic tie-break (highest count, then LOWEST class — the
+    house min(struct) argmax, never a window sort over the zone).
+    -> (poly_id, maj_class, maj_n, n_classes, n).
+
+    The classic landcover question ("which class dominates each
+    parcel"); zone membership is the same exact containment join as
+    zonal_stats.
+
+    Scale shape: the containment join's shape, then TWO map-side-
+    combined hash aggs — (zone, class) counts first, so a hot zone
+    ships one partial row per class per task, then the zone-level
+    argmax folds |classes| rows per zone; the modal pick is
+    min(struct(-cnt, class)), one agg expression, no per-zone window
+    sort.  Only (poly_id, class) survive the join projection."""
+    joined = spatial_join(points, layer, level=level, mode=mode,
+                          lat_col=lat_col, lon_col=lon_col, **join_kwargs)
+    per = (joined.select("poly_id", F.col(class_col).cast("long")
+                         .alias("cls"))
+           .groupBy("poly_id", "cls")
+           .agg(F.count("*").alias("cnt")))
+    return (per.groupBy("poly_id")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                F.col("cls").alias("cls"))).alias("top"),
+                 F.sum("cnt").alias("n"),
+                 F.count("*").cast("long").alias("n_classes"))
+            .select("poly_id",
+                    F.col("top.cls").alias("maj_class"),
+                    (-F.col("top.neg")).cast("long").alias("maj_n"),
+                    "n_classes", F.col("n").cast("long").alias("n")))
+
+
 def bbox_range_join(points: DataFrame, rects: DataFrame,
                     lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """D7 — non-equi bbox-overlap theta join (BNLJ).

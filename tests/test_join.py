@@ -211,3 +211,47 @@ def test_nearest_polygon_brute(spark):
         want[i] = (min(cands)[1], min(cands)[0]) if cands else (None, 5)
     assert got == want
     assert got[3] == (None, 5)          # sentinel beyond the bound
+
+
+# ---------------------------------------------------- zonal majority
+
+def test_zonal_majority_matches_brute_force(spark):
+    from engine.geo.join import zonal_majority
+    from engine.geo.layer import PolygonLayer, rect_polygon
+    rects = [("Z0", -60.0, -30.0, 20.0, 30.0),
+             ("Z1", 0.0, 0.0, 90.0, 60.0)]
+    layer = PolygonLayer([rect_polygon(*r) for r in rects])
+    pts = spark.createDataFrame(
+        [(i, float((i * 37) % 240 - 120), float((i * 53) % 120 - 60), i % 5)
+         for i in range(400)],
+        "id long, lon double, lat double, cls long")
+    got = {r.poly_id: (r.maj_class, r.maj_n, r.n_classes, r.n)
+           for r in zonal_majority(pts, layer, level=6,
+                                   class_col="cls").collect()}
+    counts = {}
+    for i in range(400):
+        lon, lat, c = (i * 37) % 240 - 120, (i * 53) % 120 - 60, i % 5
+        for pid, x0, y0, x1, y1 in rects:
+            if x0 <= lon < x1 and y0 <= lat < y1:
+                counts.setdefault(pid, {})
+                counts[pid][c] = counts[pid].get(c, 0) + 1
+    exp = {}
+    for pid, cc in counts.items():
+        # tie-break: max count, then LOWEST class
+        maj = min(cc, key=lambda c: (-cc[c], c))
+        exp[pid] = (maj, cc[maj], len(cc), sum(cc.values()))
+    assert got == exp and len(exp) == 2
+
+
+def test_zonal_majority_tie_breaks_to_lowest_class(spark):
+    from engine.geo.join import zonal_majority
+    from engine.geo.layer import PolygonLayer, rect_polygon
+    layer = PolygonLayer([rect_polygon("Z", -10.0, -10.0, 10.0, 10.0)])
+    # classes 3 and 1 tie at 2 points each: majority must be 1
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0, 3), (1, 2.0, 2.0, 3),
+         (2, 3.0, 3.0, 1), (3, 4.0, 4.0, 1)],
+        "id long, lon double, lat double, cls long")
+    r = zonal_majority(pts, layer, level=6, class_col="cls").collect()[0]
+    assert (r.poly_id, r.maj_class, r.maj_n, r.n_classes, r.n) \
+        == ("Z", 1, 2, 2, 4)
