@@ -917,6 +917,23 @@ def q_graph_clustering(spark, sf):
     return clustering_coeff(ed)
 
 
+def q_graph_lpa(spark, sf):
+    """N8 (r5, post-window) — deterministic synchronous label
+    propagation (engine/graph.py::label_propagation) over the same
+    hash-derived 512-node edge set as graph_triangles: 3 fixed rounds
+    of most-frequent-neighbor-label voting with the (max count, min
+    label) tie-break.  Fixed rounds + total tie order make the
+    trajectory a pure function of the edge set, so the twin — the
+    identical mode/tie-break unrolled per round as chained CTEs — is
+    hash-exact."""
+    _prep(spark)
+    from engine.graph import label_propagation
+    ed = _t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 512 AS src",
+        "((c_custkey * 40503 + 7) DIV 512) % 512 AS dst")
+    return label_propagation(ed, rounds=3)
+
+
 def q_win_range(spark, sf):
     """F8 (r4 cont.) — RANGE-frame window (value-based bounds, the
     frame family rows-frames can't express): per-user running cents sum
@@ -5311,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_costdist": q_raster_costdist,
         "tile_median": q_tile_median,
         "zonal_majority": q_zonal_majority,
+        "graph_lpa": q_graph_lpa,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5702,6 +5720,28 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT e.v AS node, r{k-1}.dist + e.w AS dist "
         f"FROM r{k-1} JOIN e ON r{k-1}.node = e.u) GROUP BY node)"
         for k in range(1, 7))
+    # graph_lpa — the identical synchronous neighbor-vote recurrence
+    # unrolled per round (mode + lowest-label tie-break via QUALIFY
+    # row_number); exact because fixed rounds + a total tie order make
+    # the trajectory a pure function of the edge set.
+    lpa_rounds = "".join(
+        f", l{k} AS (SELECT node, label FROM ("
+        f"SELECT bi.u AS node, l{k-1}.label, COUNT(*) AS cnt "
+        f"FROM bi JOIN l{k-1} ON bi.v = l{k-1}.node GROUP BY 1, 2) q "
+        "QUALIFY row_number() OVER (PARTITION BY node "
+        "ORDER BY cnt DESC, label ASC) = 1)"
+        for k in range(1, 4))
+    lpa_sql = (
+        "WITH ed AS (SELECT DISTINCT "
+        "least((c_custkey * 2654435761) % 512, "
+        "((c_custkey * 40503 + 7) // 512) % 512) AS u, "
+        "greatest((c_custkey * 2654435761) % 512, "
+        "((c_custkey * 40503 + 7) // 512) % 512) AS v FROM customer), "
+        "e AS (SELECT u, v FROM ed WHERE u <> v), "
+        "bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi)"
+        f"{lpa_rounds} "
+        "SELECT node, CAST(label AS BIGINT) AS label FROM l3")
     costdist_sql = (
         "WITH pix AS (SELECT (c_custkey * 2654435761) % 48 AS gx, "
         "((c_custkey * 2654435761) // 48) % 48 AS gy, COUNT(*) AS w "
@@ -8105,6 +8145,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(deg.degree * (deg.degree - 1) AS BIGINT) AS cc_den "
             "FROM deg LEFT JOIN tc ON deg.node = tc.node"),
         "raster_costdist": costdist_sql,
+        "graph_lpa": lpa_sql,
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.

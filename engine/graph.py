@@ -374,3 +374,69 @@ def clustering_coeff(edges: DataFrame, src: str = "src",
                 (F.lit(2) * F.coalesce("n_triangles", F.lit(0)))
                 .cast("long").alias("cc_num"),
                 (d * (d - F.lit(1))).cast("long").alias("cc_den")))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 3,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Synchronous label propagation (SURVEY.md §2.N8, r5 post-window)
+    — the community-detection classic, made DETERMINISTIC the pagerank
+    way: over the undirected simple graph every node starts with label
+    = its own id, and each of exactly `rounds` synchronous steps
+    replaces every node's label with the most frequent label among its
+    NEIGHBORS (pure neighbor vote, own label excluded), ties broken to
+    the LOWEST label.  Fixed rounds + total tie order make the
+    trajectory a pure function of the edge set — bit-identical under
+    repartition or engine, which is what lets a DuckDB twin (the same
+    mode/tie-break unrolled per round) be an EXACT oracle; classical
+    LPA's random update order could never be twinned.  Synchronous LPA
+    may 2-cycle on bipartite structure; the fixed-round contract makes
+    that a documented, deterministic outcome rather than
+    non-termination.  -> (node, label).
+
+    Scale shape: the symmetric adjacency is hash-partitioned once and
+    checkpointed; per round ONE equi-join fans neighbor labels, then
+    TWO map-side-combined aggs — (node, label) vote counts (hot nodes
+    ship per-label partials) and the min(struct(-cnt, label)) argmax
+    fold (the house idiom, never a per-node window sort) — with the
+    skinny (node, label) frame materialized per round to keep lineage
+    flat.  Integer codegen; the only Python is plan construction."""
+    und = _undirect(edges, src, dst)
+    bi = und.unionByName(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    bi = materialize(bi.repartition("u"), eager=True,
+                     checkpoint_dir=checkpoint_dir)
+    lab = (bi.select(F.col("u").alias("node")).distinct()
+           .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        votes = (bi.join(lab, bi["v"] == lab["node"])
+                 .select(bi["u"].alias("node"), "label"))
+        cnt = (votes.groupBy("node", "label")
+               .agg(F.count("*").alias("cnt")))
+        lab = (cnt.groupBy("node")
+               .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                   F.col("label").alias("lab")))
+                    .alias("t"))
+               .select("node", F.col("t.lab").cast("long").alias("label")))
+        lab = materialize(lab, eager=False,
+                          checkpoint_dir=checkpoint_dir)
+    return lab
+
+
+def lpa_py(edge_list, rounds: int = 3) -> dict:
+    """Sequential reference of the identical synchronous recurrence."""
+    und = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    nbr: dict = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    lab = {n: n for n in nbr}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in nbr.items():
+            cc: dict = {}
+            for m in ns:
+                cc[lab[m]] = cc.get(lab[m], 0) + 1
+            nxt[n] = min(cc, key=lambda L: (-cc[L], L))
+        lab = nxt
+    return lab

@@ -317,3 +317,58 @@ def test_clustering_duplicate_reversed_selfloop_edges_collapse(spark):
     b = sorted(map(tuple,
                    clustering_coeff(_edf(spark, noisy, 7)).collect()))
     assert a == b
+
+
+# ---- synchronous label propagation ----------------------------------
+
+def test_lpa_matches_reference_random(spark):
+    from engine.graph import label_propagation, lpa_py
+    rng = random.Random(29)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    got = {r.node: r.label
+           for r in label_propagation(_edf(spark, edges),
+                                      rounds=3).collect()}
+    assert got == lpa_py(edges, rounds=3)
+
+
+def test_lpa_two_cliques_converge_to_min_ids(spark):
+    from engine.graph import label_propagation
+    # two disjoint 4-cliques: every neighbor vote inside a clique is a
+    # tie among the others' labels, so round 1 sends everyone to the
+    # clique's lowest-or-second-lowest id and the min label floods.
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    got = {r.node: r.label
+           for r in label_propagation(_edf(spark, k4a + k4b),
+                                      rounds=4).collect()}
+    from engine.graph import lpa_py
+    assert got == lpa_py(k4a + k4b, rounds=4)
+    # communities never bleed across components
+    assert {got[n] for n in range(4)}.isdisjoint(
+        {got[n + 10] for n in range(4)})
+
+
+def test_lpa_bipartite_two_cycle_is_deterministic(spark):
+    from engine.graph import label_propagation
+    # a single edge 0-1 oscillates: after odd rounds labels swap,
+    # after even rounds they return — the documented fixed-round
+    # contract, exact either way.
+    got1 = {r.node: r.label
+            for r in label_propagation(_edf(spark, [(0, 1)]),
+                                       rounds=1).collect()}
+    got2 = {r.node: r.label
+            for r in label_propagation(_edf(spark, [(0, 1)]),
+                                       rounds=2).collect()}
+    assert got1 == {0: 1, 1: 0}
+    assert got2 == {0: 0, 1: 1}
+
+
+def test_lpa_partitioning_invariance(spark):
+    from engine.graph import label_propagation
+    rng = random.Random(37)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    a = sorted(map(tuple,
+                   label_propagation(_edf(spark, edges)).collect()))
+    b = sorted(map(tuple,
+                   label_propagation(_edf(spark, edges, 7)).collect()))
+    assert a == b
