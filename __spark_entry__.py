@@ -917,6 +917,24 @@ def q_graph_clustering(spark, sf):
     return clustering_coeff(ed)
 
 
+def q_ml_kmeans(spark, sf):
+    """M36 (r5, post-window) — deterministic floored-Lloyd k-means
+    (engine/ml/kmeans.py::kmeans_int): k=8, 3 rounds over a 1024^2
+    integer scatter of customer keys; lexicographic-lowest seeding,
+    min(struct(d2, cid)) assignment over the k-bounded centroid array,
+    floored-mean (sum DIV n) centroid update.  Every step is a pure
+    integer function of the input set, so the twin — seeding + the
+    identical assignment/update rounds unrolled as chained CTEs — is
+    hash-exact (classical float k-means could never be twinned)."""
+    _prep(spark)
+    from engine.ml.kmeans import kmeans_int
+    pts = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 2654435761) % 1024 AS x",
+        "((c_custkey * 2654435761) DIV 1024) % 1024 AS y")
+    return kmeans_int(pts, k=8, rounds=3)
+
+
 def q_graph_lpa(spark, sf):
     """N8 (r5, post-window) — deterministic synchronous label
     propagation (engine/graph.py::label_propagation) over the same
@@ -5329,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_median": q_tile_median,
         "zonal_majority": q_zonal_majority,
         "graph_lpa": q_graph_lpa,
+        "ml_kmeans": q_ml_kmeans,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5720,6 +5739,37 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT e.v AS node, r{k-1}.dist + e.w AS dist "
         f"FROM r{k-1} JOIN e ON r{k-1}.node = e.u) GROUP BY node)"
         for k in range(1, 7))
+    # ml_kmeans — seeding + the identical floored-Lloyd rounds unrolled
+    # as chained CTEs: assignment is a pts x centroids cross join with
+    # QUALIFY argmin (d2 ASC, cid ASC — the engine's struct-min tie
+    # order), update is the floored mean with empty clusters holding
+    # their previous centroid via LEFT JOIN + COALESCE.
+    km_d2 = ("(p.px - c.cx) * (p.px - c.cx) + "
+             "(p.py - c.cy) * (p.py - c.cy)")
+    km_rounds = "".join(
+        f", a{r} AS (SELECT p.id, p.px, p.py, c.cid "
+        f"FROM pts p CROSS JOIN c{r-1} c "
+        f"QUALIFY row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {km_d2} ASC, c.cid ASC) = 1), "
+        f"u{r} AS (SELECT cid, SUM(px) AS sx, SUM(py) AS sy, "
+        f"COUNT(*) AS n FROM a{r} GROUP BY cid), "
+        f"c{r} AS (SELECT c.cid, COALESCE(u.sx // u.n, c.cx) AS cx, "
+        f"COALESCE(u.sy // u.n, c.cy) AS cy "
+        f"FROM c{r-1} c LEFT JOIN u{r} u USING (cid))"
+        for r in range(1, 4))
+    kmeans_sql = (
+        "WITH pts AS (SELECT c_custkey AS id, "
+        "(c_custkey * 2654435761) % 1024 AS px, "
+        "((c_custkey * 2654435761) // 1024) % 1024 AS py FROM customer), "
+        "c0 AS (SELECT row_number() OVER (ORDER BY px, py, id) - 1 "
+        "AS cid, px AS cx, py AS cy FROM pts "
+        "QUALIFY row_number() OVER (ORDER BY px, py, id) <= 8)"
+        f"{km_rounds} "
+        "SELECT p.id, p.px AS x, p.py AS y, "
+        "CAST(c.cid AS BIGINT) AS cluster "
+        "FROM pts p CROSS JOIN c3 c "
+        f"QUALIFY row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {km_d2} ASC, c.cid ASC) = 1")
     # graph_lpa — the identical synchronous neighbor-vote recurrence
     # unrolled per round (mode + lowest-label tie-break via QUALIFY
     # row_number); exact because fixed rounds + a total tie order make
@@ -8146,6 +8196,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tc ON deg.node = tc.node"),
         "raster_costdist": costdist_sql,
         "graph_lpa": lpa_sql,
+        "ml_kmeans": kmeans_sql,
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.

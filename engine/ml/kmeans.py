@@ -1,0 +1,101 @@
+"""Deterministic Lloyd k-means in the exact integer domain (SURVEY.md
+§2.M36, r5 post-window).
+
+Classical k-means is float and seed-dependent — untwinnable.  This
+operator makes every step a pure integer function of the input set:
+
+* **Seeding**: the k lowest points in (x, y) lexicographic order (a
+  bounded sorted-limit, not a random draw).
+* **Assignment**: argmin over squared L2 to the k centroids, ties to
+  the lowest centroid id — the min(struct(d2, cid)) house idiom over a
+  k-bounded explode (k is a small constant; the "join" is a broadcast
+  of k rows, never a shuffle).
+* **Update**: centroids move to the FLOORED mean (sum DIV n) — the
+  quantized-centroid contract.  Floor keeps every centroid an exact
+  int64 pair, so round r+1's assignment is again exact; the float
+  fixpoint differs by < 1 grid unit per axis, a documented quantization.
+* **Rounds**: exactly `rounds` Lloyd steps (the pagerank fixed-round
+  contract); empty clusters keep their previous centroid.
+
+Scale shape: per round ONE map-side-combined agg over the points frame
+(sum/count per cluster, k rows out) + a driver-free broadcast of the
+k-row centroid frame back into the assignment expression; the points
+frame is scanned once per round with zero shuffles of the big side.
+Integer codegen end to end; the only Python is plan construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.ckpt import materialize
+
+
+def kmeans_int(points: DataFrame, k: int = 8, rounds: int = 3,
+               x: str = "x", y: str = "y",
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """-> (id, x, y, cluster) after `rounds` deterministic Lloyd steps.
+
+    `points` must carry a unique integer `id` plus integer coords; the
+    caller bounds coordinates so (dx^2 + dy^2) fits int64 (|coord| <
+    2^30 is safe)."""
+    pts = points.select(F.col("id").cast("long").alias("id"),
+                        F.col(x).cast("long").alias("px"),
+                        F.col(y).cast("long").alias("py"))
+    pts = materialize(pts, eager=True, checkpoint_dir=checkpoint_dir)
+
+    # seeding: k lexicographically-lowest points (bounded sorted limit)
+    seeds = (pts.orderBy("px", "py", "id").limit(k)
+             .orderBy("px", "py", "id").collect())
+    cents = [(i, r.px, r.py) for i, r in enumerate(seeds)]
+
+    def assign(frame, cs):
+        carr = F.array(*[
+            F.struct(
+                ((F.col("px") - F.lit(cx)) * (F.col("px") - F.lit(cx))
+                 + (F.col("py") - F.lit(cy)) * (F.col("py") - F.lit(cy))
+                 ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"))
+            for cid, cx, cy in cs])
+        return frame.withColumn("cluster",
+                                F.array_min(carr).getField("cid"))
+
+    for _ in range(rounds):
+        sums = (assign(pts, cents)
+                .groupBy("cluster")
+                .agg(F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+                     F.count("*").alias("n"))
+                .collect())
+        by_id = {r.cluster: r for r in sums}
+        cents = [(cid,
+                  by_id[cid].sx // by_id[cid].n if cid in by_id else cx,
+                  by_id[cid].sy // by_id[cid].n if cid in by_id else cy)
+                 for cid, cx, cy in cents]
+
+    return (assign(pts, cents)
+            .select("id", F.col("px").alias(x), F.col("py").alias(y),
+                    "cluster"))
+
+
+def kmeans_py(pt_list, k: int = 8, rounds: int = 3):
+    """Sequential reference of the identical floored-Lloyd recurrence.
+    pt_list: [(id, x, y)].  -> {id: cluster}."""
+    pts = sorted(pt_list, key=lambda p: (p[1], p[2], p[0]))
+    cents = [(i, p[1], p[2]) for i, p in enumerate(pts[:k])]
+
+    def assign(px, py):
+        return min(((px - cx) ** 2 + (py - cy) ** 2, cid)
+                   for cid, cx, cy in cents)[1]
+
+    for _ in range(rounds):
+        acc = {}
+        for pid, px, py in pt_list:
+            c = assign(px, py)
+            sx, sy, n = acc.get(c, (0, 0, 0))
+            acc[c] = (sx + px, sy + py, n + 1)
+        cents = [(cid,
+                  acc[cid][0] // acc[cid][2] if cid in acc else cx,
+                  acc[cid][1] // acc[cid][2] if cid in acc else cy)
+                 for cid, cx, cy in cents]
+    return {pid: assign(px, py) for pid, px, py in pt_list}

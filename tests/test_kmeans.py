@@ -1,0 +1,70 @@
+"""M36 — deterministic floored-Lloyd k-means (engine/ml/kmeans.py) vs
+the sequential reference, plus the structural properties the integer
+contract guarantees."""
+
+from __future__ import annotations
+
+import random
+
+from engine.ml.kmeans import kmeans_int, kmeans_py
+
+
+def _pts_df(spark, pts):
+    return spark.createDataFrame(pts, "id long, x long, y long")
+
+
+def test_kmeans_matches_reference_random(spark):
+    rng = random.Random(13)
+    pts = [(i, rng.randrange(1 << 10), rng.randrange(1 << 10))
+           for i in range(300)]
+    got = {r.id: r.cluster
+           for r in kmeans_int(_pts_df(spark, pts), k=6,
+                               rounds=3).collect()}
+    assert got == kmeans_py(pts, k=6, rounds=3)
+
+
+def test_kmeans_separated_blobs(spark):
+    # four tight blobs far apart.  Deterministic lexicographic seeding
+    # puts all k seeds in the lowest-x blob, so exact blob recovery is
+    # NOT guaranteed in bounded rounds (k-means is seeding-sensitive —
+    # that sensitivity is part of what the determinism contract pins);
+    # what IS guaranteed: exact parity with the sequential recurrence,
+    # and each blob maps into few clusters (blob diameter << blob
+    # separation keeps assignments locally consistent).
+    rng = random.Random(5)
+    blobs = [(100, 100), (100, 900), (900, 100), (900, 900)]
+    pts = []
+    for b, (bx, by) in enumerate(blobs):
+        for j in range(40):
+            pts.append((b * 40 + j, bx + rng.randrange(-20, 21),
+                        by + rng.randrange(-20, 21)))
+    got = {r.id: r.cluster
+           for r in kmeans_int(_pts_df(spark, pts), k=4,
+                               rounds=2).collect()}
+    want = kmeans_py(pts, k=4, rounds=2)
+    assert got == want
+    for b in range(4):
+        labels = {got[b * 40 + j] for j in range(40)}
+        assert len(labels) <= 2
+
+
+def test_kmeans_partitioning_invariance(spark):
+    rng = random.Random(23)
+    pts = [(i, rng.randrange(512), rng.randrange(512))
+           for i in range(200)]
+    a = sorted(map(tuple, kmeans_int(_pts_df(spark, pts),
+                                     k=5, rounds=3).collect()))
+    b = sorted(map(tuple, kmeans_int(_pts_df(spark, pts).repartition(7),
+                                     k=5, rounds=3).collect()))
+    assert a == b
+
+
+def test_kmeans_fewer_points_than_k(spark):
+    # n < k: the first n seeds are the points themselves; every point
+    # is its own cluster, the surplus centroids stay empty.
+    pts = [(0, 10, 10), (1, 20, 20), (2, 30, 30)]
+    got = {r.id: r.cluster
+           for r in kmeans_int(_pts_df(spark, pts), k=8,
+                               rounds=2).collect()}
+    assert got == kmeans_py(pts, k=8, rounds=2)
+    assert len(set(got.values())) == 3
