@@ -1417,6 +1417,25 @@ def q_eval_auc(spark, sf):
     return auc_components(scored, label="y", score="score")
 
 
+def q_ts_decompose(spark, sf):
+    """F12 (r5, post-window) — exact-rational seasonal-trend
+    decomposition (engine/relops.py::ts_decompose): per event_type the
+    5-minute-bucketed cents series split into centered-moving-average
+    trend (window 5, FULL windows only — the STL edge convention that
+    also fixes the denominator), per-slot (bucket mod 12) seasonal,
+    and residual — every division replaced by a carried denominator,
+    so all columns are exact BIGINTs and the ANSI twin (same RANGE
+    frame + aggs) is hash-exact."""
+    _prep(spark)
+    from engine.relops import ts_decompose
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        _cents("value").alias("cents"))
+    return ts_decompose(ev, "event_type", "us", "cents",
+                        bucket_us=300_000_000, period=12, half=2)
+
+
 def q_ts_ohlc(spark, sf):
     """F-family (r4 cont.) — OHLC candlestick bars
     (engine/relops.py::ohlc_bars): per (event_type, 5-minute bucket)
@@ -5348,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "graph_lpa": q_graph_lpa,
         "ml_kmeans": q_ml_kmeans,
+        "ts_decompose": q_ts_decompose,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8425,6 +8445,34 @@ def oracle_sql() -> dict[str, str]:
         # floor bucket.  The streaming key equals the batch bars by
         # the partial-merge law (tests/test_ohlc_merge.py), so both
         # share this twin verbatim.
+        # ts_decompose — the identical RANGE-frame trend, full-window
+        # gate, per-slot seasonal fold, and cross-multiplied residual
+        # in ANSI SQL; all-BIGINT carried-denominator arithmetic makes
+        # it hash-exact.
+        "ts_decompose": (
+            "WITH e AS (SELECT event_type AS key, "
+            "epoch_us(ts) // 300000000 AS bucket, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "s AS (SELECT key, bucket, CAST(SUM(v) AS BIGINT) "
+            "AS v_cents FROM e GROUP BY 1, 2), "
+            "t AS (SELECT key, bucket, v_cents, bucket % 12 AS slot, "
+            "CAST(SUM(v_cents) OVER w AS BIGINT) AS tsum, "
+            "COUNT(v_cents) OVER w AS tn FROM s WINDOW w AS "
+            "(PARTITION BY key ORDER BY bucket "
+            "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)), "
+            "t2 AS (SELECT key, bucket, slot, v_cents, "
+            "CASE WHEN tn = 5 THEN tsum END AS trend_sum, "
+            "CASE WHEN tn = 5 THEN v_cents * 5 - tsum END AS sdev_num "
+            "FROM t), "
+            "seas AS (SELECT key, slot, "
+            "CAST(SUM(sdev_num) AS BIGINT) AS seas_num, "
+            "CAST(COUNT(*) * 5 AS BIGINT) AS seas_den FROM t2 "
+            "WHERE sdev_num IS NOT NULL GROUP BY 1, 2) "
+            "SELECT t2.key, t2.bucket, t2.slot, t2.v_cents, "
+            "t2.trend_sum, t2.sdev_num, seas.seas_num, seas.seas_den, "
+            "t2.sdev_num * seas.seas_den - seas.seas_num * 5 "
+            "AS resid_num "
+            "FROM t2 LEFT JOIN seas USING (key, slot)"),
         "ts_ohlc": _OHLC_ORACLE_SQL,
         "stream_ohlc": _OHLC_ORACLE_SQL,
         # snapshot_rollback — the first two chronological thirds.

@@ -566,3 +566,62 @@ def ohlc_merge(parts: DataFrame) -> DataFrame:
                  .getField("close_c").alias("close_c"),
                  F.sum("n").cast("long").alias("n"),
                  F.sum("volume_c").cast("long").alias("volume_c")))
+
+
+def ts_decompose(df: DataFrame, key_col: str, us_col: str,
+                 val_col: str, bucket_us: int, period: int,
+                 half: int) -> DataFrame:
+    """Additive seasonal-trend decomposition of a bucketed integer
+    series, EXACT-RATIONAL end to end (F12, r5 post-window) ->
+    (key, bucket, slot, v_cents, trend_sum, sdev_num, seas_num,
+    seas_den, resid_num).
+
+    The classical moving-average decomposition v = trend + seasonal +
+    residual, with every division replaced by a carried denominator:
+
+    * bucket value v = SUM of the series' cents in the bucket (one
+      map-side-combined agg);
+    * trend = centered moving average over the 2*half+1 bucket RANGE
+      window, reported as trend_sum with implied denominator
+      W = 2*half+1 — defined ONLY where the window is FULL (all W
+      buckets present; edges and gap-adjacent buckets yield NULL, the
+      standard STL edge convention, which is also what keeps the
+      denominator fixed);
+    * scaled deviation sdev_num = v*W - trend_sum (implied /W);
+    * seasonal per (key, slot = bucket mod period): seas_num =
+      SUM(sdev_num) over the slot's full-window buckets with
+      seas_den = n_slot * W (implied: seasonal = seas_num/seas_den);
+    * residual resid_num = sdev_num * seas_den - seas_num * W
+      (implied denominator W * seas_den).
+
+    Everything is BIGINT arithmetic on the bucket frame — the raw
+    series is touched once.  Plan: ONE map-side-combined (key, bucket)
+    agg, ONE RANGE-window shuffle partitioned by key, ONE skinny
+    (key, slot) agg broadcast-joined back.  Zero Python."""
+    w_full = 2 * half + 1
+    b = df.select(F.col(key_col).alias("key"),
+                  F.expr(f"{us_col} DIV {bucket_us}").alias("bucket"),
+                  F.col(val_col).cast("long").alias("_v"))
+    s = b.groupBy("key", "bucket").agg(F.sum("_v").alias("v_cents"))
+    win = (Window.partitionBy("key").orderBy("bucket")
+           .rangeBetween(-half, half))
+    t = (s.withColumn("_tsum", F.sum("v_cents").over(win))
+         .withColumn("_tn", F.count("v_cents").over(win))
+         .withColumn("trend_sum",
+                     F.when(F.col("_tn") == w_full, F.col("_tsum")))
+         .withColumn("sdev_num",
+                     F.when(F.col("_tn") == w_full,
+                            F.col("v_cents") * w_full - F.col("_tsum")))
+         .withColumn("slot", F.pmod(F.col("bucket"), F.lit(period))
+                     .cast("long"))
+         .drop("_tsum", "_tn"))
+    seas = (t.filter(F.col("sdev_num").isNotNull())
+            .groupBy("key", "slot")
+            .agg(F.sum("sdev_num").alias("seas_num"),
+                 (F.count("*") * w_full).cast("long").alias("seas_den")))
+    out = t.join(F.broadcast(seas), ["key", "slot"], "left")
+    return out.select(
+        "key", "bucket", "slot", "v_cents", "trend_sum", "sdev_num",
+        "seas_num", "seas_den",
+        (F.col("sdev_num") * F.col("seas_den")
+         - F.col("seas_num") * w_full).alias("resid_num"))
