@@ -1417,6 +1417,21 @@ def q_eval_auc(spark, sf):
     return auc_components(scored, label="y", score="score")
 
 
+def q_agg_bitmap(spark, sf):
+    """E17 (r5, post-window) — exact presence bitmap
+    (engine/sketch.py::presence_bitmap): per o_orderpriority the
+    packed 64-bit-word bitmap of o_custkey % 1024 — one map-side-
+    combined bit_or agg whose partials collapse duplicates before the
+    shuffle; SUM(pop) per group is the exact distinct count.  The twin
+    packs the identical words with DuckDB's bit ops (the fn_bitwise
+    parity surface) — two's-complement int64 on both engines."""
+    _prep(spark)
+    from engine.sketch import presence_bitmap
+    od = _t(spark, sf, "orders").selectExpr(
+        "o_orderpriority", "o_custkey % 1024 AS v")
+    return presence_bitmap(od, "o_orderpriority", "v", domain=1024)
+
+
 def q_ts_decompose(spark, sf):
     """F12 (r5, post-window) — exact-rational seasonal-trend
     decomposition (engine/relops.py::ts_decompose): per event_type the
@@ -5368,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_graph_lpa,
         "ml_kmeans": q_ml_kmeans,
         "ts_decompose": q_ts_decompose,
+        "agg_bitmap": q_agg_bitmap,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8445,6 +8461,19 @@ def oracle_sql() -> dict[str, str]:
         # floor bucket.  The streaming key equals the batch bars by
         # the partial-merge law (tests/test_ohlc_merge.py), so both
         # share this twin verbatim.
+        # agg_bitmap — identical word/bit packing with DuckDB bit ops;
+        # bit_or over BIGINT is two's-complement on both engines, so
+        # the bitmap words and popcounts are hash-exact.
+        "agg_bitmap": (
+            "WITH b AS (SELECT o_orderpriority AS grp, "
+            "(o_custkey % 1024) // 64 AS word, "
+            "CASE WHEN (o_custkey % 1024) % 64 = 63 "
+            "THEN CAST(-9223372036854775808 AS BIGINT) "
+            "ELSE (CAST(1 AS BIGINT) << CAST((o_custkey % 1024) % 64 "
+            "AS INTEGER)) END AS m FROM orders) "
+            "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
+            "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
+            "FROM b GROUP BY grp, word"),
         # ts_decompose — the identical RANGE-frame trend, full-window
         # gate, per-slot seasonal fold, and cross-multiplied residual
         # in ANSI SQL; all-BIGINT carried-denominator arithmetic makes

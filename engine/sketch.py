@@ -222,3 +222,42 @@ def bloom_probe(probe: DataFrame, key_col: str, bits: DataFrame,
             .crossJoin(F.broadcast(arr))
             .filter(F.expr("forall(_pos, p -> array_contains(_bits, p))"))
             .drop("_pos", "_bits"))
+
+
+def presence_bitmap(df: DataFrame, grp_col: str, val_col: str,
+                    domain: int = 1024) -> DataFrame:
+    """Exact presence bitmap per group (E17, r5 post-window) — the
+    bitmap-index primitive OLAP engines build distinct-count rollups
+    on: values in the bounded integer domain [0, `domain`) are packed
+    into 64-bit words, one output row per NON-EMPTY (group, word) ->
+    (grp, word, bits, pop).
+
+    bits is the exact two's-complement int64 whose bit (v mod 64) is
+    set iff value v with v DIV 64 = word occurs in the group; pop =
+    bit_count(bits), so SUM(pop) per group IS the exact distinct
+    count.  bit_or is commutative/associative/idempotent — the bitmap
+    is a pure function of the value SET (duplicate- and order-blind),
+    which is both why it merges across partitions/snapshots for free
+    (OR of bitmaps = bitmap of union, the merge law pytest proves)
+    and why a DuckDB twin over the same packing is hash-exact.
+
+    Scale shape: ONE map-side-combined groupBy(grp, word) bit_or — the
+    partial aggregation collapses every duplicate value inside a task
+    before the shuffle, so a group ships at most domain/64 skinny rows
+    per task regardless of row count.  Values outside the domain are a
+    contract violation and raise in-plan (the vectile-cap philosophy:
+    loud, not silent).  Native integer codegen, zero Python."""
+    v = F.col(val_col).cast("long")
+    guard = F.when((v < 0) | (v >= domain),
+                   F.raise_error(F.concat(
+                       F.lit("presence_bitmap: value out of domain: "),
+                       v.cast("string")))).otherwise(v)
+    base = df.select(F.col(grp_col).alias("grp"), guard.alias("v"))
+    return (base
+            .select("grp", F.expr("v DIV 64").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(v % 64 AS INT))").alias("m"))
+            .groupBy("grp", "word")
+            .agg(F.expr("bit_or(m)").alias("bits"))
+            .select("grp", "word", "bits",
+                    F.expr("bit_count(bits)").cast("long").alias("pop")))
