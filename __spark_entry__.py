@@ -4132,6 +4132,28 @@ def q_scan_wkt(spark, sf):
     return _part_summary(read_wkt(spark, path))
 
 
+def q_scan_shapefile(spark, sf):
+    """A-family (r5, post-window) — ESRI Shapefile interchange
+    (engine/geo/shapefile.py): the GeoJSON fixture layer written as a
+    real .shp/.shx/.dbf triple (type-5 Polygon records, the format's
+    OPPOSITE ring convention — outer CW, holes CCW — plus a dBASE III
+    attribute table), then scanned with the DISTRIBUTED reader: the
+    driver touches only the 8-bytes-per-record .shx index and the
+    .dbf header arithmetic; executors seek-read-parse record ranges in
+    ONE Arrow-batched mapInPandas stage (the osmpbf scale shape —
+    geometry bytes never ride a shuffle or pass the driver).  Same
+    exact-integer summary and the same DuckDB twin as scan_geojson:
+    the twin parses the GeoJSON independently, so parity proves
+    GeoJSON -> binary shapefile -> distributed parse lossless across
+    two formats, two ring conventions, and two engines."""
+    _prep(spark)
+    from engine.geo.geojson import layer_from_geojson
+    from engine.geo.shapefile import read_shapefile, write_shapefile
+    base = "/tmp/spark_graft_layer12plus_shp"
+    write_shapefile(layer_from_geojson(GEOJSON_FIXTURE), base)
+    return _part_summary(read_shapefile(spark, base))
+
+
 # Deterministic OSM fixture (scan_osm_pbf / osm_way_assembly): pure
 # int64 arithmetic in i — the DuckDB twins recompute every value from
 # range() with the SAME formulas, so parity proves the entire PBF
@@ -5384,6 +5406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_kmeans": q_ml_kmeans,
         "ts_decompose": q_ts_decompose,
         "agg_bitmap": q_agg_bitmap,
+        "scan_shapefile": q_scan_shapefile,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6977,6 +7000,7 @@ def oracle_sql() -> dict[str, str]:
         # scan_wkt: the same cross-format twin — DuckDB parses the
         # GeoJSON fixture; Spark parses the WKT/TSV written from it.
         "scan_wkt": geojson_sql,
+        "scan_shapefile": geojson_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,
