@@ -2007,6 +2007,46 @@ def q_stream_hll(spark, sf):
     return hll_estimate(regs).crossJoin(truth)
 
 
+def q_stream_bitmap(spark, sf):
+    """J16 (r5, post-window) — streaming exact presence bitmap: per
+    micro-batch the bounded word table (engine/sketch.py::
+    presence_bitmap over event user_id % 1024) commits to icelite and
+    bit_or-merges at read time — EXACTLY the batch bitmap by the OR
+    merge law (idempotent ∨ commutative ∨ associative, proved in
+    tests/test_bitmap.py), so this key shares the agg-side packing
+    arithmetic with agg_bitmap.  Each batch ships <= 16 rows per
+    event_type, never raw events; SUM(pop) is the exact streaming
+    distinct count, where stream_hll's is the approximation."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.sketch import presence_bitmap
+    root = tempfile.mkdtemp(prefix="stream-bm-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+
+    from engine.icelite import IceliteTable
+    table = IceliteTable(f"{root}/tbl")
+
+    def _sink(batch_df, batch_id):
+        part = presence_bitmap(
+            batch_df.selectExpr("event_type", "user_id % 1024 AS v"),
+            "event_type", "v", domain=1024)
+        if part.isEmpty():
+            return
+        table.commit_append(part.drop("pop"), stage=f"batch-{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    return (table.scan(spark).groupBy("grp", "word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+            .select("grp", "word", "bits",
+                    F.expr("bit_count(bits)").cast("long").alias("pop")))
+
+
 def q_cohort_retention(spark, sf):
     """F9 (r4 cont.) — cohort retention matrix over the events table:
     users are cohorted by their first active 7-day bucket (integer
@@ -5407,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_decompose": q_ts_decompose,
         "agg_bitmap": q_agg_bitmap,
         "scan_shapefile": q_scan_shapefile,
+        "stream_bitmap": q_stream_bitmap,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8495,6 +8536,19 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(-9223372036854775808 AS BIGINT) "
             "ELSE (CAST(1 AS BIGINT) << CAST((o_custkey % 1024) % 64 "
             "AS INTEGER)) END AS m FROM orders) "
+            "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
+            "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
+            "FROM b GROUP BY grp, word"),
+        # stream_bitmap — the OR merge law makes the streaming commits
+        # equal the one-shot batch packing; same twin arithmetic over
+        # events.
+        "stream_bitmap": (
+            "WITH b AS (SELECT event_type AS grp, "
+            "(user_id % 1024) // 64 AS word, "
+            "CASE WHEN (user_id % 1024) % 64 = 63 "
+            "THEN CAST(-9223372036854775808 AS BIGINT) "
+            "ELSE (CAST(1 AS BIGINT) << CAST((user_id % 1024) % 64 "
+            "AS INTEGER)) END AS m FROM events) "
             "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
             "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
             "FROM b GROUP BY grp, word"),

@@ -72,3 +72,17 @@ def test_bitmap_domain_guard_raises(spark):
     with pytest.raises(Exception, match="out of domain"):
         presence_bitmap(_df(spark, [("g", 1024)]), "grp", "v",
                         domain=1024).collect()
+
+
+def test_stream_bitmap_equals_batch(spark):
+    # the streaming key's foreachBatch commits must OR-merge to the
+    # one-shot batch bitmap (the merge law, end to end through icelite)
+    import __spark_entry__ as m
+    sf = "/root/testdata/sf0.001"
+    got = {(r.grp, r.word): (r.bits, r.pop)
+           for r in m.queries()["stream_bitmap"](spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "event_type", "user_id % 1024 AS v")
+    want = {(r.grp, r.word): (r.bits, r.pop)
+            for r in presence_bitmap(ev, "event_type", "v").collect()}
+    assert got == want and len(got) > 0
