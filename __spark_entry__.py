@@ -3714,6 +3714,23 @@ def q_ann_cosine_topk(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"), QVEC, 10, id_col="vec_id")
 
 
+def q_ann_batch_topk(spark, sf):
+    """M37 (r5, post-window) — batch exact cosine top-k
+    (engine/ml/ann.py::batch_cosine_topk): the 8 lowest-vec_id
+    embeddings as the query batch against the whole corpus, top-5
+    each.  The serving shape: broadcast query frame, corpus scanned
+    once and fanned by the broadcast nested-loop, ONE shuffle (the
+    per-query top-k window keyed by qid); round-6 + (cos DESC, id ASC)
+    tie discipline shared with the whole ANN family.  The twin is the
+    same cross join + QUALIFY in DuckDB list arithmetic."""
+    _prep(spark)
+    from engine.ml.ann import batch_cosine_topk
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return batch_cosine_topk(emb, qs, k=5)
+
+
 def q_emb_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs.  The driver key runs the EXACT
     all-pairs form so parity with the brute-force DuckDB twin holds at
@@ -5448,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bitmap": q_agg_bitmap,
         "scan_shapefile": q_scan_shapefile,
         "stream_bitmap": q_stream_bitmap,
+        "ann_batch_topk": q_ann_batch_topk,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6765,6 +6783,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": (
             f"WITH s AS (SELECT vec_id, {cos_sql} AS cos_sim FROM embeddings) "
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+        # ann_batch_topk — same cross join + QUALIFY row_number in
+        # DuckDB list arithmetic; round-6 + (cos DESC, id ASC) ties.
+        "ann_batch_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS va "
+            "FROM embeddings WHERE vec_id < 8), "
+            "c AS (SELECT vec_id, embedding AS vb FROM embeddings), "
+            f"s AS (SELECT q.qid, c.vec_id, {pair_cos} AS cos_sim "
+            "FROM q CROSS JOIN c) "
+            "SELECT qid, vec_id, cos_sim, "
+            "CAST(row_number() OVER w AS INTEGER) AS rank FROM s "
+            "WINDOW w AS (PARTITION BY qid ORDER BY cos_sim DESC, "
+            "vec_id ASC) QUALIFY row_number() OVER w <= 5"),
         # ann_lsh_topk / ann_ivf_topk (r3): EXACT brute-force top-k over
         # embeddings + ten planted exact copies of the query vector — the
         # ANN paths must reproduce it (recall-1-by-theorem construction,

@@ -334,3 +334,38 @@ def pq_topk(df: DataFrame, query_vec: list[float], k: int,
                 .limit(rerank).select(id_col))
     cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def batch_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "qid") -> DataFrame:
+    """Batch exact cosine top-k (M37, r5 post-window) — the SERVING
+    shape: EVERY query row against the corpus in one plan, where
+    cosine_topk takes a single literal vector.  -> (qid, vec_id,
+    cos_sim, rank), rank 1..k per query, ties broken (cos DESC, id
+    ASC) on the same round-6 discipline as the whole ANN family.
+
+    Scale shape: the query frame is BROADCAST (queries are the small
+    side by contract — the serving batch, not the corpus); the corpus
+    is scanned ONCE and fanned |Q|-fold by the broadcast nested-loop
+    (no shuffle of corpus rows to build candidates); the only shuffle
+    is the per-query top-k window keyed by qid.  This is the exact
+    brute-force VERIFIER of the family — the candidate-bounded fans
+    (lsh_topk / ivf_topk / pq_topk) are the 100 TB path, and they are
+    tested against exactly this output."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    dot = (f"aggregate(zip_with({vec_col}, _qv, "
+           "(x, y) -> cast(x as double) * cast(y as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    cos = F.expr(dot) / (F.expr(_norm_expr(vec_col))
+                         * F.expr(_norm_expr("_qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"),
+                                          F.asc(id_col))
+    return (c.crossJoin(F.broadcast(q))
+            .select("qid", id_col, F.round(cos, 6).alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

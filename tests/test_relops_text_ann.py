@@ -399,3 +399,41 @@ def test_length_buckets_is_broadcast_join(spark, sf_dir):
     plan = length_buckets(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- batch cosine top-k
+
+def test_batch_topk_matches_per_query_topk(spark):
+    # the batch operator must reproduce cosine_topk run one query at a
+    # time (same rounding and tie discipline)
+    import numpy as np
+    from engine.ml.ann import batch_cosine_topk, cosine_topk
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 4").selectExpr("vec_id AS qid",
+                                             "embedding")
+    got = {}
+    for r in batch_cosine_topk(emb, qs, k=3).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, r.cos_sim))
+    for qid, qvec in [(i, v) for i, v in rows[:4]]:
+        want = [(j + 1, r.vec_id, r.cos_sim) for j, r in
+                enumerate(cosine_topk(emb, qvec, 3).collect())]
+        assert sorted(got[qid]) == want
+
+
+def test_batch_topk_self_match_ranks_first(spark):
+    import numpy as np
+    from engine.ml.ann import batch_cosine_topk
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=6)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id AS qid",
+                                             "embedding")
+    top1 = {r.qid: r.vec_id
+            for r in batch_cosine_topk(emb, qs, k=1).collect()}
+    assert top1 == {i: i for i in range(5)}
