@@ -1658,6 +1658,24 @@ def q_raster_costdist(spark, sf):
     return cost_distance(pix, grid=48, source_pred="gx < 4", max_hops=6)
 
 
+def q_raster_mode_pyramid(spark, sf):
+    """C-mp (r5, post-window) — categorical raster pyramid
+    (engine/geo/raster.py::mode_pyramid): 3 levels of 2x2 modal
+    downsampling over the dense 48x48 count raster (value = the
+    cell's count), (max count, min value) tie-break.  Mode is NOT
+    associative — the mode of modes is not the mode — so unlike
+    tile_pyramid's one-shot explode-ancestors SUM rollup this halves
+    LEVEL BY LEVEL (geometric-series total work <= 4/3 the base); the
+    twin unrolls the identical per-level argmax as chained CTEs."""
+    _prep(spark)
+    from engine.geo.raster import mode_pyramid
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 48 AS gx",
+        "((c_custkey * 2654435761) DIV 48) % 48 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return mode_pyramid(pix, levels=3)
+
+
 def q_stream_mv(spark, sf):
     """J14 (r4 cont.) — STREAMING incremental view maintenance: the
     event stream lands in an icelite fact table via foreachBatch and
@@ -5466,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_shapefile": q_scan_shapefile,
         "stream_bitmap": q_stream_bitmap,
         "ann_batch_topk": q_ann_batch_topk,
+        "raster_mode_pyramid": q_raster_mode_pyramid,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5888,6 +5907,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM pts p CROSS JOIN c3 c "
         f"QUALIFY row_number() OVER (PARTITION BY p.id "
         f"ORDER BY {km_d2} ASC, c.cid ASC) = 1")
+    # raster_mode_pyramid — the identical per-level 2x2 argmax unrolled
+    # as chained CTEs (mode is non-associative, so each level derives
+    # from the previous level's MODES, exactly like the engine).
+    mp_levels = "".join(
+        f", p{k} AS (SELECT gx // 2 AS gx, gy // 2 AS gy, v, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM c{k-1} GROUP BY 1, 2, 3), "
+        f"l{k} AS (SELECT gx, gy, v AS mode_v, cnt AS mode_n, tot "
+        f"AS n_children FROM (SELECT *, CAST(SUM(cnt) OVER "
+        f"(PARTITION BY gx, gy) AS BIGINT) AS tot, row_number() OVER "
+        f"(PARTITION BY gx, gy ORDER BY cnt DESC, v ASC) AS rn "
+        f"FROM p{k}) q WHERE rn = 1), "
+        f"c{k} AS (SELECT gx, gy, mode_v AS v FROM l{k})"
+        for k in range(1, 4))
+    mode_pyr_sql = (
+        "WITH pix AS (SELECT (c_custkey * 2654435761) % 48 AS gx, "
+        "((c_custkey * 2654435761) // 48) % 48 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "c0 AS (SELECT gx, gy, w AS v FROM pix)"
+        f"{mp_levels} "
+        + " UNION ALL ".join(
+            ["SELECT CAST(0 AS INTEGER) AS level, gx, gy, w AS mode_v, "
+             "CAST(1 AS BIGINT) AS mode_n, CAST(1 AS BIGINT) "
+             "AS n_children FROM pix"]
+            + [f"SELECT CAST({k} AS INTEGER), gx, gy, mode_v, mode_n, "
+               f"n_children FROM l{k}" for k in range(1, 4)]))
     # graph_lpa — the identical synchronous neighbor-vote recurrence
     # unrolled per round (mode + lowest-label tie-break via QUALIFY
     # row_number); exact because fixed rounds + a total tie order make
@@ -8328,6 +8372,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_costdist": costdist_sql,
         "graph_lpa": lpa_sql,
         "ml_kmeans": kmeans_sql,
+        "raster_mode_pyramid": mode_pyr_sql,
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.

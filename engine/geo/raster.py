@@ -1388,3 +1388,52 @@ def focal_median(df: DataFrame, z: int = 6,
         .select(F.lit(z).cast("int").alias("tile_z"), "tile_x", "tile_y",
                 "n", "n_present", "median_n")
     )
+
+
+def mode_pyramid(cells: DataFrame, levels: int,
+                 x: str = "gx", y: str = "gy",
+                 v: str = "w") -> DataFrame:
+    """Categorical raster pyramid (C-mp, r5, post-window): repeated
+    2x2 modal downsampling of a sparse CLASS raster -> one row per
+    occupied cell per level, (level, gx, gy, mode_v, mode_n,
+    n_children), level 0 = the input (mode_v = its own value, mode_n
+    = n_children = 1), level L+1 = per 2x2 block of level L the modal
+    child value with the deterministic (max count, min value)
+    tie-break.
+
+    The doctrinal point vs tile_pyramid: SUM is associative, so the
+    count pyramid rolls every ancestor up in ONE explode-ancestors
+    agg; MODE IS NOT (the mode of modes is not the mode), so a
+    categorical pyramid must halve LEVEL BY LEVEL — `levels`
+    sequential map-side-combined aggs over geometrically-shrinking
+    frames (total work <= 4/3 the base, the geometric-series bound).
+    Each level is two skinny aggs: (block, value) counts, then the
+    min(struct(-cnt, value)) argmax fold — the zonal_majority idiom on
+    grid keys.  Integer codegen, zero Python."""
+    base = (cells.select(F.col(x).cast("long").alias("gx"),
+                         F.col(y).cast("long").alias("gy"),
+                         F.col(v).cast("long").alias("v"))
+            .withColumn("level", F.lit(0).cast("int"))
+            .withColumn("mode_n", F.lit(1).cast("long"))
+            .withColumn("n_children", F.lit(1).cast("long")))
+    out = base.select("level", "gx", "gy",
+                      F.col("v").alias("mode_v"), "mode_n",
+                      "n_children")
+    cur = base.select("gx", "gy", "v")
+    for lvl in range(1, levels + 1):
+        per = (cur.groupBy(F.expr("gx DIV 2").alias("gx"),
+                           F.expr("gy DIV 2").alias("gy"), "v")
+               .agg(F.count("*").alias("cnt")))
+        nxt = (per.groupBy("gx", "gy")
+               .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                   F.col("v").alias("v"))).alias("top"),
+                    F.sum("cnt").cast("long").alias("n_children"))
+               .select("gx", "gy", F.col("top.v").alias("v"),
+                       (-F.col("top.neg")).cast("long").alias("mode_n"),
+                       "n_children"))
+        out = out.unionByName(
+            nxt.select(F.lit(lvl).cast("int").alias("level"),
+                       "gx", "gy", F.col("v").alias("mode_v"),
+                       "mode_n", "n_children"))
+        cur = nxt.select("gx", "gy", "v")
+    return out

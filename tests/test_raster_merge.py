@@ -321,3 +321,65 @@ def test_focal_median_lone_hot_tile_denoises_to_zero(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n, r.n_present, r.median_n) == (50, 1, 0)
+
+
+# -------------------------------------------------- mode pyramid
+
+def _mode_pyr_ref(cells, levels):
+    out = {}
+    cur = dict(cells)  # {(gx,gy): v}
+    for (x, y), v in cur.items():
+        out[(0, x, y)] = (v, 1, 1)
+    for lvl in range(1, levels + 1):
+        blocks = {}
+        for (x, y), v in cur.items():
+            blocks.setdefault((x // 2, y // 2), []).append(v)
+        nxt = {}
+        for b, vs in blocks.items():
+            cc = {}
+            for v in vs:
+                cc[v] = cc.get(v, 0) + 1
+            m = min(cc, key=lambda v: (-cc[v], v))
+            out[(lvl, b[0], b[1])] = (m, cc[m], len(vs))
+            nxt[b] = m
+        cur = nxt
+    return out
+
+
+def test_mode_pyramid_matches_reference(spark):
+    import random
+    from engine.geo.raster import mode_pyramid
+    rng = random.Random(3)
+    cells = {(rng.randrange(16), rng.randrange(16)): rng.randrange(1, 5)
+             for _ in range(120)}
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in sorted(cells.items())],
+        "gx long, gy long, w long")
+    got = {(r.level, r.gx, r.gy): (r.mode_v, r.mode_n, r.n_children)
+           for r in mode_pyramid(df, levels=3).collect()}
+    assert got == _mode_pyr_ref(cells, 3)
+
+
+def test_mode_of_modes_is_not_the_mode(spark):
+    # the non-associativity witness that forces level-by-level rollup:
+    # three occupied level-1 blocks whose modes are {7, 9, 8} (tie in
+    # the first block breaks to 7), so the level-2 mode-of-modes is 7 —
+    # while the mode of the 10 RAW values is 8 (count 5).  A one-shot
+    # explode-ancestors "pyramid" would emit 8 at the root; the
+    # level-by-level engine must emit 7.
+    from engine.geo.raster import mode_pyramid
+    cells = {(0, 0): 7, (0, 1): 7, (1, 0): 8, (1, 1): 8,   # block (0,0)
+             (2, 0): 8, (2, 1): 9, (3, 0): 9,              # block (1,0)
+             (0, 2): 8, (1, 2): 8, (0, 3): 9}              # block (0,1)
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in sorted(cells.items())],
+        "gx long, gy long, w long")
+    got = {(r.level, r.gx, r.gy): r.mode_v
+           for r in mode_pyramid(df, levels=2).collect()}
+    # level-2 root from level-1 modes {7, 9, 8} -> 7
+    assert got[(2, 0, 0)] == 7
+    # raw mode of the 10 values is 8 (x5) - proving mode-of-modes != mode
+    from collections import Counter
+    raw_mode = min(Counter(cells.values()).items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+    assert raw_mode == 8 != got[(2, 0, 0)]
