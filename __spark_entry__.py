@@ -643,6 +643,27 @@ def q_traj_dtw(spark, sf):
     return dtw_pairs(pts, pairs)
 
 
+def q_traj_locate(spark, sf):
+    """D41 (r5, post-window) — point at fraction 1/2 along each track
+    (engine/geo/traj.py::locate_tracks, ST_LineInterpolatePoint
+    parity in the exact wrap-aware grid-L1 measure).  The containing
+    step and the in-step rational (f_num, f_den) are pure integer
+    functions of the input; only the final slerp coordinates are
+    float, through the densify parity strategy (numpy libm Spark-side,
+    character-identical slerp_sql text in the twin), rounded 1e-7.
+    Degenerate tracks fall back to their first point with f = 0/1."""
+    _prep(spark)
+    from engine.geo.traj import locate_tracks
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    )
+    return locate_tracks(ev, p=1, q=2)
+
+
 def q_traj_polyline(spark, sf):
     """D22 (r4 cont.) — encoded-polyline trajectory serialization
     (engine/geo/polyline.py): each user's time-ordered GPS trace
@@ -5485,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bitmap": q_stream_bitmap,
         "ann_batch_topk": q_ann_batch_topk,
         "raster_mode_pyramid": q_raster_mode_pyramid,
+        "traj_locate": q_traj_locate,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6452,6 +6474,10 @@ def oracle_sql() -> dict[str, str]:
     _dens_lat, _dens_lon = _slsql(
         "plon", "plat", "lon", "lat",
         "(CAST(k AS DOUBLE) / CAST(n_pieces AS DOUBLE))",
+        HAVERSINE_SQL_TMPL)
+    _loc_lat, _loc_lon = _slsql(
+        "plon", "plat", "lon", "lat",
+        "(CAST(f_num AS DOUBLE) / CAST(f_den AS DOUBLE))",
         HAVERSINE_SQL_TMPL)
     from engine.geo.hexbin import nearest_center_sql as _ncsql
     _hex_fine_x, _hex_fine_y = _hbsql("lon", "lat", 8)
@@ -7662,6 +7688,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_pieces AS BIGINT) AS n_pieces, "
             f"round({_dens_lat}, 7) AS lat_k, "
             f"round({_dens_lon}, 7) AS lon_k FROM e"),
+        # traj_locate — identical step/cumsum/containment integer
+        # control flow, then the slerp text on the exact rational f;
+        # degenerate tracks (no pickable step) union the first point.
+        "traj_locate": (
+            "WITH epts AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 AS lat "
+            "FROM events), "
+            "exy AS (SELECT user_id, ts, event_id, lon, lat, "
+            "CAST(least(floor(((lon + 180.0)/360.0) * 1073741824.0), "
+            "1073741823) AS BIGINT) AS xi, "
+            "CAST(least(floor(((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0))"
+            "/pi())/2.0) * 1073741824.0), 1073741823) AS BIGINT) AS yi "
+            "FROM epts), "
+            "o AS (SELECT *, lag(lon) OVER w AS plon, "
+            "lag(lat) OVER w AS plat, lag(xi) OVER w AS pxi, "
+            "lag(yi) OVER w AS pyi FROM exy WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "st AS (SELECT user_id, ts, event_id, plon, plat, lon, lat, "
+            "least(abs(xi - pxi), 1073741824 - abs(xi - pxi)) "
+            "+ abs(yi - pyi) AS step FROM o WHERE pxi IS NOT NULL), "
+            "cs AS (SELECT *, SUM(step) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS cum, "
+            "SUM(step) OVER (PARTITION BY user_id) AS tot FROM st), "
+            "sel AS (SELECT user_id, CAST(tot AS BIGINT) AS total_l1, "
+            "event_id AS step_seq, "
+            "CAST(tot - (cum - step) * 2 AS BIGINT) AS f_num, "
+            "CAST(step * 2 AS BIGINT) AS f_den, plon, plat, lon, lat "
+            "FROM cs WHERE (cum - step) * 2 <= tot AND tot < cum * 2) "
+            "SELECT user_id AS key, total_l1, step_seq, f_num, f_den, "
+            f"round({_loc_lat}, 7) AS lat_i, "
+            f"round({_loc_lon}, 7) AS lon_i FROM sel "
+            "UNION ALL "
+            "SELECT user_id, CAST(0 AS BIGINT), event_id, "
+            "CAST(0 AS BIGINT), CAST(1 AS BIGINT), "
+            "round(lat, 7), round(lon, 7) FROM ("
+            "SELECT user_id, event_id, lat, lon, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM epts WHERE user_id NOT IN "
+            "(SELECT user_id FROM cs WHERE (cum - step) * 2 <= tot "
+            "AND tot < cum * 2)) q WHERE rn = 1"),
         # raster_contour: the polygonize_rings identity twin per
         # iso-level over the weighted super-level sets, UNION ALL'd.
         "raster_contour": " UNION ALL ".join(

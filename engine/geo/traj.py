@@ -690,3 +690,77 @@ def companions(df: DataFrame, zoom: int, bucket_us: int,
     return (pairs.groupBy("key_a", "key_b")
             .agg(F.count("*").cast("long").alias("n_cobuckets"))
             .filter(F.col("n_cobuckets") >= int(min_co)))
+
+
+def locate_tracks(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", seq_col: str = "event_id",
+                  lat: str = "lat", lon: str = "lon",
+                  p: int = 1, q: int = 2) -> DataFrame:
+    """D41 (r5, post-window) — the point at fraction p/q along each
+    key's track (ST_LineInterpolatePoint parity, fraction measured in
+    the EXACT wrap-aware level-30 grid L1 length traj_stats rides) ->
+    (key, total_l1, step_seq, f_num, f_den, lat_i, lon_i).
+
+    Control flow is ALL exact integers: the containing step is the
+    unique one with cum_prev*q <= p*total < cum*q (zero-length steps
+    have empty intervals and can never be picked; boundary hits go to
+    the following step), and the in-step fraction is the exact
+    rational (f_num, f_den) = (p*total - cum_prev*q, step*q).  Only
+    the final coordinates are float: the great-circle slerp kernel
+    (engine/geo/dist.py::slerp_np, numpy libm) with a character-
+    identical DuckDB twin (slerp_sql) — the densify parity strategy —
+    rounded to 1e-7 deg.  Degenerate tracks (single point or zero
+    total length) fall back to their first point with f = 0/1.
+
+    Scale shape: ONE shuffle (the lag window's hash partitioning,
+    reused by the running-sum and total windows); the picked frame is
+    one row per key; the slerp kernel is one Arrow-batched pandas UDF
+    over it.  No collect, no per-row Python."""
+    assert 0 <= p < q
+    from engine.geo.dist import make_slerp_udf
+
+    xi, yi = merc_xy_sql(lon, lat)
+    pts = df.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("_ts"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(lat).alias("_lat"), F.col(lon).alias("_lon"),
+        F.expr(xi).alias("_xi"), F.expr(yi).alias("_yi"))
+    w = Window.partitionBy("key").orderBy(F.asc("_ts"), F.asc("_seq"))
+    seg = (pts
+           .withColumn("_plat", F.lag("_lat").over(w))
+           .withColumn("_plon", F.lag("_lon").over(w))
+           .withColumn("_pxi", F.lag("_xi").over(w))
+           .withColumn("_pyi", F.lag("_yi").over(w)))
+    steps = (seg.filter(F.col("_pxi").isNotNull())
+             .withColumn("_step",
+                         _wrap_dx(F.col("_xi") - F.col("_pxi"))
+                         + F.abs(F.col("_yi") - F.col("_pyi"))))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("key")
+    st = (steps.withColumn("_cum", F.sum("_step").over(wcum))
+          .withColumn("_tot", F.sum("_step").over(wtot)))
+    target = F.lit(int(p)) * F.col("_tot")
+    prev_q = (F.col("_cum") - F.col("_step")) * q
+    sel = (st.filter((prev_q <= target) & (target < F.col("_cum") * q))
+           .withColumn("f_num", (target - prev_q).cast("long"))
+           .withColumn("f_den", (F.col("_step") * q).cast("long")))
+    slerp = make_slerp_udf()
+    f = F.col("f_num").cast("double") / F.col("f_den")
+    picked = (sel.withColumn("_ip", slerp(F.col("_plon"), F.col("_plat"),
+                                          F.col("_lon"), F.col("_lat"),
+                                          f))
+              .select("key", F.col("_tot").cast("long").alias("total_l1"),
+                      F.col("_seq").alias("step_seq"), "f_num", "f_den",
+                      F.round(F.col("_ip.lat2"), 7).alias("lat_i"),
+                      F.round(F.col("_ip.lon2"), 7).alias("lon_i")))
+    first = (pts.groupBy("key")
+             .agg(F.min(F.struct("_ts", "_seq", "_lat", "_lon"))
+                  .alias("_f")))
+    fb = (first.join(picked.select("key"), "key", "left_anti")
+          .select("key", F.lit(0).cast("long").alias("total_l1"),
+                  F.col("_f._seq").alias("step_seq"),
+                  F.lit(0).cast("long").alias("f_num"),
+                  F.lit(1).cast("long").alias("f_den"),
+                  F.round(F.col("_f._lat"), 7).alias("lat_i"),
+                  F.round(F.col("_f._lon"), 7).alias("lon_i")))
+    return picked.unionByName(fb)
