@@ -1453,6 +1453,23 @@ def q_agg_bitmap(spark, sf):
     return presence_bitmap(od, "o_orderpriority", "v", domain=1024)
 
 
+def q_ts_changepoint(spark, sf):
+    """F13 (r5, post-window) — exact CUSUM changepoint
+    (engine/relops.py::cusum_changepoint): per event_type the index
+    maximizing |n*S_k - k*S_n| over the (ts, event_id)-ordered cents
+    series — the mean-shift split statistic kept in pure BIGINT (the
+    contract fixes the unnormalized form; ties to lowest k).  One
+    window shuffle + one min(struct) argmax fold; the twin runs the
+    identical prefix arithmetic in ANSI windows."""
+    _prep(spark)
+    from engine.relops import cusum_changepoint
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id"), _cents("value").alias("cents"))
+    return cusum_changepoint(ev, "event_type", "us", "event_id", "cents")
+
+
 def q_ts_decompose(spark, sf):
     """F12 (r5, post-window) — exact-rational seasonal-trend
     decomposition (engine/relops.py::ts_decompose): per event_type the
@@ -5507,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "raster_mode_pyramid": q_raster_mode_pyramid,
         "traj_locate": q_traj_locate,
+        "ts_changepoint": q_ts_changepoint,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8694,6 +8712,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
             "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
             "FROM b GROUP BY grp, word"),
+        # ts_changepoint — identical prefix arithmetic in ANSI windows;
+        # argmax via QUALIFY row_number (g DESC, k ASC).  n >= 2 keys
+        # only (the events fixture always has them); the n<2 branch is
+        # pytest-covered.
+        "ts_changepoint": (
+            "WITH e AS (SELECT event_type AS key, epoch_us(ts) AS us, "
+            "event_id AS seq, CAST(round(value * 100) AS BIGINT) AS v "
+            "FROM events), "
+            "t AS (SELECT key, seq, v, "
+            "CAST(row_number() OVER w AS BIGINT) AS k, "
+            "CAST(SUM(v) OVER w AS BIGINT) AS sk, "
+            "CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n, "
+            "CAST(SUM(v) OVER (PARTITION BY key) AS BIGINT) AS s "
+            "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, seq "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT key, n, s AS total, k AS cp_idx, seq AS cp_seq, "
+            "abs(n * sk - k * s) AS g_max, sk AS prefix_at_cp FROM t "
+            "WHERE k < n QUALIFY row_number() OVER (PARTITION BY key "
+            "ORDER BY abs(n * sk - k * s) DESC, k ASC) = 1"),
         # ts_decompose — the identical RANGE-frame trend, full-window
         # gate, per-slot seasonal fold, and cross-multiplied residual
         # in ANSI SQL; all-BIGINT carried-denominator arithmetic makes

@@ -625,3 +625,68 @@ def ts_decompose(df: DataFrame, key_col: str, us_col: str,
         "seas_num", "seas_den",
         (F.col("sdev_num") * F.col("seas_den")
          - F.col("seas_num") * w_full).alias("resid_num"))
+
+
+def cusum_changepoint(df: DataFrame, key_col: str, ts_col: str,
+                      seq_col: str, val_col: str) -> DataFrame:
+    """Exact CUSUM changepoint per key (F13, r5 post-window) ->
+    (key, n, total, cp_idx, cp_seq, g_max, prefix_at_cp).
+
+    The classical single-changepoint statistic: over the time-ordered
+    integer series v_1..v_n with prefix sums S_k, the maximal absolute
+    deviation of the prefix path from the straight line to (n, S_n),
+
+        G_k = | n * S_k - k * S_n |,   k = 1..n-1,
+
+    i.e. the unnormalized CUSUM path statistic scaled by n so it stays
+    an exact BIGINT.  (The variance-normalized textbook form divides
+    by k(n-k); that reweighting can move the argmax, so which form you
+    maximize is part of the operator CONTRACT — this one fixes the
+    unnormalized form precisely because it is a pure integer function
+    of the series.)  Argmax ties break to the LOWEST k; series with
+    n < 2 report cp_idx 0 / g_max 0 explicitly.
+
+    Overflow: |G| <= n * |S| — cents series of a billion rows with
+    billion-cent sums overflow int64; callers at that scale pre-
+    aggregate to buckets first (the ts_decompose front door).
+
+    Scale shape: ONE shuffle — the per-key ordered window computes
+    row index and prefix sum, the total rides the same partition
+    window, and the argmax is one map-side-combined min(struct) fold.
+    Zero Python."""
+    b = df.select(F.col(key_col).alias("key"), F.col(ts_col).alias("_ts"),
+                  F.col(seq_col).cast("long").alias("_seq"),
+                  F.col(val_col).cast("long").alias("_v"))
+    w = Window.partitionBy("key").orderBy(F.asc("_ts"), F.asc("_seq"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("key")
+    t = (b.withColumn("_k", F.row_number().over(w).cast("long"))
+         .withColumn("_sk", F.sum("_v").over(wcum))
+         .withColumn("_n", F.count("*").over(wall))
+         .withColumn("_s", F.sum("_v").over(wall)))
+    cand = (t.filter(F.col("_k") < F.col("_n"))
+            .withColumn("_g", F.abs(F.col("_n") * F.col("_sk")
+                                    - F.col("_k") * F.col("_s"))))
+    picked = (cand.groupBy("key")
+              .agg(F.min(F.struct((-F.col("_g")).alias("neg"),
+                                  F.col("_k").alias("k"),
+                                  F.col("_seq").alias("seq"),
+                                  F.col("_sk").alias("sk"))).alias("t"),
+                   F.max("_n").alias("n"), F.max("_s").alias("total"))
+              .select("key", F.col("n").cast("long").alias("n"),
+                      F.col("total").cast("long").alias("total"),
+                      F.col("t.k").alias("cp_idx"),
+                      F.col("t.seq").alias("cp_seq"),
+                      (-F.col("t.neg")).cast("long").alias("g_max"),
+                      F.col("t.sk").alias("prefix_at_cp")))
+    singles = (b.groupBy("key")
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.sum("_v").cast("long").alias("total"),
+                    F.min("_seq").alias("_mseq"))
+               .filter(F.col("n") < 2)
+               .select("key", "n", "total",
+                       F.lit(0).cast("long").alias("cp_idx"),
+                       F.col("_mseq").alias("cp_seq"),
+                       F.lit(0).cast("long").alias("g_max"),
+                       F.lit(0).cast("long").alias("prefix_at_cp")))
+    return picked.unionByName(singles)

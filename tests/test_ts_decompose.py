@@ -106,3 +106,46 @@ def test_decompose_edges_are_null(spark):
         assert got[b] is None
     for b in range(2, 8):
         assert got[b] == 50
+
+
+# ------------------------------------------------- CUSUM changepoint
+
+def test_changepoint_matches_reference_and_finds_planted_shift(spark):
+    import random
+    from engine.relops import cusum_changepoint
+    rng = random.Random(5)
+    # planted mean shift at index 30 of 50: 10 +/- 2 then 100 +/- 2
+    vals = [10 + rng.randrange(-2, 3) for _ in range(30)] \
+        + [100 + rng.randrange(-2, 3) for _ in range(20)]
+    rows = [("k", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows,
+                               "key string, us long, seq long, v long")
+    r = cusum_changepoint(df, "key", "us", "seq", "v").collect()[0]
+    n, s = len(vals), sum(vals)
+    pre, best = 0, None
+    for k in range(1, n):
+        pre += vals[k - 1]
+        g = abs(n * pre - k * s)
+        if best is None or g > best[1]:
+            best = (k, g, pre)
+    assert (r.cp_idx, r.g_max, r.prefix_at_cp) == best
+    assert r.cp_idx == 30  # the planted shift is found exactly
+
+
+def test_changepoint_singleton_reports_zero(spark):
+    from engine.relops import cusum_changepoint
+    df = spark.createDataFrame([("a", 0, 7, 42)],
+                               "key string, us long, seq long, v long")
+    r = cusum_changepoint(df, "key", "us", "seq", "v").collect()[0]
+    assert (r.n, r.total, r.cp_idx, r.cp_seq, r.g_max) \
+        == (1, 42, 0, 7, 0)
+
+
+def test_changepoint_constant_series_ties_to_lowest_k(spark):
+    from engine.relops import cusum_changepoint
+    rows = [("k", i, i, 5) for i in range(10)]
+    df = spark.createDataFrame(rows,
+                               "key string, us long, seq long, v long")
+    r = cusum_changepoint(df, "key", "us", "seq", "v").collect()[0]
+    # every G_k = |10*5k - k*50| = 0: tie -> k = 1
+    assert (r.cp_idx, r.g_max) == (1, 0)
