@@ -4245,6 +4245,28 @@ def q_scan_wkt(spark, sf):
     return _part_summary(read_wkt(spark, path))
 
 
+def q_osm_route(spark, sf):
+    """N/D composite (r5, post-window) — routing over OSM data: the
+    highway-tagged ways of the PBF fixture become a bidirectional
+    road graph (engine/geo/osmpbf.py::way_graph_edges — consecutive
+    ref pairs weighted by exact planar L1 nanodegree distance), then
+    hop-bounded multi-source shortest paths from every 100th node via the
+    composed sssp_int engine (6 Bellman-Ford rounds).  The twin
+    recomputes the ENTIRE graph from the fixture's range() arithmetic
+    (ways, refs, node coordinates — DuckDB never reads the PBF) and
+    unrolls the identical min-plus rounds — parity proves wire-format
+    decode, graph construction, and relaxation in one theorem."""
+    _prep(spark)
+    from engine.geo.osmpbf import (read_osm_nodes, read_osm_ways,
+                                   way_graph_edges)
+    from engine.graph import sssp_int
+    path = _osm_fixture()
+    edges = way_graph_edges(read_osm_ways(spark, path),
+                            read_osm_nodes(spark, path))
+    srcs = spark.range(0, 5000, 100).selectExpr("1000 + 7 * id AS node")
+    return sssp_int(edges, srcs, src="u", dst="v", max_hops=6)
+
+
 def q_scan_shapefile(spark, sf):
     """A-family (r5, post-window) — ESRI Shapefile interchange
     (engine/geo/shapefile.py): the GeoJSON fixture layer written as a
@@ -5525,6 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_mode_pyramid": q_raster_mode_pyramid,
         "traj_locate": q_traj_locate,
         "ts_changepoint": q_ts_changepoint,
+        "osm_route": q_osm_route,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5994,6 +6017,35 @@ def oracle_sql() -> dict[str, str]:
         "l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi)"
         f"{lpa_rounds} "
         "SELECT node, CAST(label AS BIGINT) AS label FROM l3")
+    # osm_route — the whole road graph recomputed from the fixture's
+    # range() arithmetic (ways, consecutive refs, node coords; DuckDB
+    # never reads the PBF), then the identical min-plus rounds.
+    osm_route_rounds = "".join(
+        f", r{k} AS (SELECT node, MIN(dist) AS dist FROM ("
+        f"SELECT node, dist FROM r{k-1} UNION ALL "
+        f"SELECT e.v AS node, r{k-1}.dist + e.w AS dist "
+        f"FROM r{k-1} JOIN e ON r{k-1}.node = e.u) GROUP BY node)"
+        for k in range(1, 7))
+    osm_route_sql = (
+        "WITH ws AS (SELECT w FROM range(0, 600) t(w) WHERE w % 2 = 0), "
+        "jj AS (SELECT ws.w, CAST(j AS BIGINT) AS j FROM ws, "
+        "unnest(generate_series(0, ws.w % 4)) AS t(j)), "
+        "e0 AS (SELECT 1000 + 7 * ((w * 13 + j * 11) % 5000) AS a, "
+        "1000 + 7 * ((w * 13 + (j + 1) * 11) % 5000) AS b FROM jj), "
+        "nd AS (SELECT 1000 + 7 * i AS id, "
+        "((i * 2654435761) % 1800000000 - 900000000) * 100 AS lat, "
+        "((i * 40503) % 3600000000 - 1800000000) * 100 AS lon "
+        "FROM range(0, 5000) t(i)), "
+        "e1 AS (SELECT e0.a AS u, e0.b AS v, "
+        "abs(na.lat - nb.lat) + abs(na.lon - nb.lon) AS w "
+        "FROM e0 JOIN nd na ON na.id = e0.a "
+        "JOIN nd nb ON nb.id = e0.b WHERE e0.a <> e0.b), "
+        "e AS (SELECT u, v, w FROM e1 "
+        "UNION ALL SELECT v, u, w FROM e1), "
+        "r0 AS (SELECT CAST(1000 + 7 * i AS BIGINT) AS node, "
+        "CAST(0 AS BIGINT) AS dist FROM range(0, 5000, 100) t(i))"
+        f"{osm_route_rounds} "
+        "SELECT node, CAST(dist AS BIGINT) AS dist FROM r6")
     costdist_sql = (
         "WITH pix AS (SELECT (c_custkey * 2654435761) % 48 AS gx, "
         "((c_custkey * 2654435761) // 48) % 48 AS gy, COUNT(*) AS w "
@@ -8455,6 +8507,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(deg.degree * (deg.degree - 1) AS BIGINT) AS cc_den "
             "FROM deg LEFT JOIN tc ON deg.node = tc.node"),
         "raster_costdist": costdist_sql,
+        "osm_route": osm_route_sql,
         "graph_lpa": lpa_sql,
         "ml_kmeans": kmeans_sql,
         "raster_mode_pyramid": mode_pyr_sql,

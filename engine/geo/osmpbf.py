@@ -711,3 +711,41 @@ def assemble_multipolygons(relations, ways, nodes):
                        F.expr("transform(s, x -> x.lon_nano)")
                        .alias("lons")))
     return grouped.mapInPandas(_stitch_batch, RING_SCHEMA)
+
+
+def way_graph_edges(ways, nodes, tag_key: str = "highway"):
+    """Road-graph edge relation from OSM ways (r5, post-window): every
+    consecutive ref pair of ways carrying `tag_key` becomes a
+    bidirectional edge weighted by the exact planar L1 node distance
+    in nanodegrees -> (u, v, w), self-loop refs dropped.  The routing
+    front door: feed the result to engine/graph.py::sssp_int.
+
+    Scale shape: ONE posexplode of the filtered way relation, a lag
+    window keyed by way id (consecutive pairs), then TWO partitioned
+    hash joins against the skinny (id, lat, lon) node projection —
+    the assemble_ways join shape, 10^12-node safe; the symmetric
+    union doubles the edge frame without a shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hw = ways.filter(F.col("tags").getItem(tag_key).isNotNull())
+    ref = (hw.select(F.col("id").alias("way_id"),
+                     F.posexplode("refs").alias("pos", "ref")))
+    w = Window.partitionBy("way_id").orderBy("pos")
+    pairs = (ref.withColumn("prev", F.lag("ref").over(w))
+             .filter(F.col("prev").isNotNull()
+                     & (F.col("prev") != F.col("ref")))
+             .select(F.col("prev").alias("a"), F.col("ref").alias("b")))
+    nd = nodes.select(F.col("id"), F.col("lat_nano"), F.col("lon_nano"))
+    e = (pairs
+         .join(nd.select(F.col("id").alias("a"),
+                         F.col("lat_nano").alias("la"),
+                         F.col("lon_nano").alias("lo")), "a")
+         .join(nd.select(F.col("id").alias("b"),
+                         F.col("lat_nano").alias("lb"),
+                         F.col("lon_nano").alias("lb2")), "b")
+         .select(F.col("a").alias("u"), F.col("b").alias("v"),
+                 (F.abs(F.col("la") - F.col("lb"))
+                  + F.abs(F.col("lo") - F.col("lb2"))).alias("w")))
+    return e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v"), "w"))

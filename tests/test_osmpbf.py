@@ -342,3 +342,34 @@ def test_extract_bbox_edges(spark, tmp_path):
     all_rows = extract_bbox(w_df, n_df, -big, big, -big, big).collect()
     assert len(all_rows) == len(ways)
     assert all(r.n_pulled == 0 and r.tag_val is None for r in all_rows)
+
+
+# ------------------------------------------------------ way graph / routing
+
+def test_way_graph_edges_and_route(spark, tmp_path):
+    from engine.geo.osmpbf import (read_osm_nodes, read_osm_ways,
+                                   way_graph_edges, write_osm_pbf)
+    from engine.graph import sssp_int, sssp_py
+    # a 4-node path 1-2-3-4 on a highway way, a spur 2-5 on a
+    # non-highway way (must be EXCLUDED), and a duplicate-ref segment
+    # 3-3 (must be dropped)
+    nodes = [(i, i * 1000, i * 2000, {}) for i in range(1, 6)]
+    ways = [(100, [1, 2, 3, 3, 4], {"highway": "yes"}),
+            (101, [2, 5], {})]
+    p = str(tmp_path / "g.pbf")
+    write_osm_pbf(p, nodes, ways, block_size=2048)
+    edges = way_graph_edges(read_osm_ways(spark, p),
+                            read_osm_nodes(spark, p))
+    got = sorted((r.u, r.v, r.w) for r in edges.collect())
+    # L1 weight of step i->i+1 is 1000 + 2000 = 3000, both directions
+    want = sorted([(1, 2, 3000), (2, 1, 3000), (2, 3, 3000),
+                   (3, 2, 3000), (3, 4, 3000), (4, 3, 3000)])
+    assert got == want
+    srcs = spark.createDataFrame([(1,)], "node long")
+    dist = {r.node: r.dist
+            for r in sssp_int(edges, srcs, src="u", dst="v",
+                              max_hops=4).collect()}
+    assert dist == sssp_py([(u, v, w) for u, v, w in want], [1],
+                           max_hops=4)
+    assert dist == {1: 0, 2: 3000, 3: 6000, 4: 9000}
+    assert 5 not in dist  # the non-highway spur never joined the graph
