@@ -3295,6 +3295,21 @@ def q_tile_integral(spark, sf):
     return integral_image(_points(spark, sf), z=6, grid_bits=4)
 
 
+def q_raster_adaptive_threshold(spark, sf):
+    """C-at (r5, post-window) — adaptive local-mean thresholding
+    (engine/geo/raster.py::adaptive_threshold) over the z6/16x16 tile
+    grids, radius 2: an occupied pixel is foreground iff
+    v * n_box > box_sum, exact integers, clipped windows, true-zero
+    absent pixels.  The engine computes box sums as a SEPARABLE
+    two-pass RANGE-window filter over the densified grid; the twin
+    recomputes each occupied pixel's box by brute-force bounded
+    self-join — every densify/window mistake would surface."""
+    _prep(spark)
+    from engine.geo.raster import adaptive_threshold
+    return adaptive_threshold(_points(spark, sf), z=6, grid_bits=4,
+                              radius=2)
+
+
 def q_text_chunks(spark, sf):
     """Fixed-size overlapping chunking (late r4) — RAG/context-window
     prep (engine/text/ops.py::chunk_docs): size=96 overlap=16 char
@@ -5548,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_locate": q_traj_locate,
         "ts_changepoint": q_ts_changepoint,
         "osm_route": q_osm_route,
+        "raster_adaptive_threshold": q_raster_adaptive_threshold,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7967,6 +7983,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT SUM(b.w) FROM px b "
             "WHERE b.tile_x = a.tile_x AND b.tile_y = a.tile_y "
             "AND b.px <= a.px AND b.py <= a.py) AS BIGINT) AS sat "
+            "FROM px a"),
+        # raster_adaptive_threshold — per occupied pixel the brute
+        # bounded box self-join (an independent formulation of the
+        # separable two-window filter) + the closed-form clipped n_box.
+        "raster_adaptive_threshold": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "px AS (SELECT xi >> 24 AS tile_x, yi >> 24 AS tile_y, "
+            "CAST((xi >> 20) & 15 AS INTEGER) AS px, "
+            "CAST((yi >> 20) & 15 AS INTEGER) AS py, "
+            "CAST(COUNT(*) AS BIGINT) AS w "
+            "FROM xy GROUP BY 1, 2, 3, 4) "
+            "SELECT CAST(6 AS INTEGER) AS tile_z, a.tile_x, a.tile_y, "
+            "a.px, a.py, a.w, "
+            "CAST(COALESCE((SELECT SUM(b.w) FROM px b "
+            "WHERE b.tile_x = a.tile_x AND b.tile_y = a.tile_y "
+            "AND abs(b.px - a.px) <= 2 AND abs(b.py - a.py) <= 2), 0) "
+            "AS BIGINT) AS box_sum, "
+            "CAST((least(a.px + 2, 15) - greatest(a.px - 2, 0) + 1) * "
+            "(least(a.py + 2, 15) - greatest(a.py - 2, 0) + 1) "
+            "AS BIGINT) AS n_box, "
+            "CAST(a.w * ((least(a.px + 2, 15) - greatest(a.px - 2, 0) "
+            "+ 1) * (least(a.py + 2, 15) - greatest(a.py - 2, 0) + 1)) "
+            "> COALESCE((SELECT SUM(b.w) FROM px b "
+            "WHERE b.tile_x = a.tile_x AND b.tile_y = a.tile_y "
+            "AND abs(b.px - a.px) <= 2 AND abs(b.py - a.py) <= 2), 0) "
+            "AS INTEGER) AS above "
             "FROM px a"),
         # seg_intersect_join: brute-force ALL-PAIRS with the identical
         # predicate text — verifies the tile blocking misses nothing.

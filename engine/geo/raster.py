@@ -1437,3 +1437,62 @@ def mode_pyramid(cells: DataFrame, levels: int,
                        "mode_n", "n_children"))
         cur = nxt.select("gx", "gy", "v")
     return out
+
+
+def adaptive_threshold(df: DataFrame, z: int = 6, grid_bits: int = 4,
+                       radius: int = 2,
+                       lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Adaptive (local-mean) thresholding over each tile's occupancy
+    grid (C-at, r5, post-window) — the LOCAL companion to img_otsu's
+    global threshold: an occupied pixel is foreground iff its value
+    strictly exceeds the mean of its (2r+1)^2 box window (clipped at
+    tile borders, absent in-tile pixels TRUE ZEROS).  The comparison
+    is exact — v * n_box > box_sum, never divided; n_box is the
+    closed-form clipped window size.  -> (tile_z, tile_x, tile_y, px,
+    py, w, box_sum, n_box, above:int).
+
+    Scale shape: the integral_image skeleton — ONE map-side-combined
+    pixel agg, densify to grid^2 rows per OCCUPIED tile (bounded by
+    4^z * grid^2, independent of input rows), then the box sum as a
+    SEPARABLE filter: two RANGE-window passes (along px within rows,
+    along py within columns of the row sums) — O(1) per pixel, no
+    4-corner SAT join; inner join back keeps the output sparse.
+    Integer codegen end to end, zero Python."""
+    from pyspark.sql import Window
+
+    grid = 1 << grid_bits
+    pix = (_pixel_counts(df, z, grid_bits, lat, lon)
+           .select("tile_x", "tile_y",
+                   F.pmod("pix", F.lit(grid)).cast("int").alias("px"),
+                   (F.col("pix") / grid).cast("int").alias("py"),
+                   "w"))
+    dense = (pix.select("tile_x", "tile_y").distinct()
+             .select("tile_x", "tile_y",
+                     F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+                     .alias("py"))
+             .select("tile_x", "tile_y", "py",
+                     F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+                     .alias("px"))
+             .join(pix, ["tile_x", "tile_y", "px", "py"], "left")
+             .select("tile_x", "tile_y", "px", "py",
+                     F.coalesce("w", F.lit(0)).alias("w")))
+    row_w = (Window.partitionBy("tile_x", "tile_y", "py")
+             .orderBy("px").rangeBetween(-radius, radius))
+    col_w = (Window.partitionBy("tile_x", "tile_y", "px")
+             .orderBy("py").rangeBetween(-radius, radius))
+    g1 = F.lit(grid - 1)
+    nx = (F.least(F.col("px") + radius, g1)
+          - F.greatest(F.col("px") - radius, F.lit(0)) + 1)
+    ny = (F.least(F.col("py") + radius, g1)
+          - F.greatest(F.col("py") - radius, F.lit(0)) + 1)
+    boxed = (dense.withColumn("_rs", F.sum("w").over(row_w))
+             .withColumn("box_sum", F.sum("_rs").over(col_w))
+             .withColumn("n_box", (nx * ny).cast("long")))
+    return (boxed.join(pix.select("tile_x", "tile_y", "px", "py"),
+                       ["tile_x", "tile_y", "px", "py"], "inner")
+            .select(F.lit(z).cast("int").alias("tile_z"),
+                    "tile_x", "tile_y", "px", "py", "w",
+                    F.col("box_sum").cast("long").alias("box_sum"),
+                    "n_box",
+                    (F.col("w") * F.col("n_box")
+                     > F.col("box_sum")).cast("int").alias("above")))

@@ -70,3 +70,45 @@ def test_integral_plan_is_native(spark):
     plan = integral_image(df, z=Z, grid_bits=GB) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------- adaptive threshold
+
+def test_adaptive_threshold_matches_brute(spark):
+    import numpy as np
+    import pandas as pd
+    from engine.geo.raster import adaptive_threshold
+    from oracle.geo import lonlat_to_xy
+    z, gb, r = 5, 3, 1
+    grid = 1 << gb
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"lon": rng.uniform(-179, 179, 3000),
+                        "lat": rng.uniform(-80, 80, 3000)})
+    pts = spark.createDataFrame(pdf)
+    cells = {}
+    for lo, la in zip(pdf["lon"], pdf["lat"]):
+        xi, yi = lonlat_to_xy(lo, la, level=z + gb)
+        tx, ty, px, py = xi >> gb, yi >> gb, xi & (grid - 1), yi & (grid - 1)
+        cells[(tx, ty, px, py)] = cells.get((tx, ty, px, py), 0) + 1
+    got = {(q.tile_x, q.tile_y, q.px, q.py):
+           (q.w, q.box_sum, q.n_box, q.above)
+           for q in adaptive_threshold(pts, z=z, grid_bits=gb,
+                                       radius=r).collect()}
+    assert len(got) == len(cells)
+    for (tx, ty, px, py), w in cells.items():
+        bs = sum(v for (tx2, ty2, px2, py2), v in cells.items()
+                 if tx2 == tx and ty2 == ty
+                 and abs(px2 - px) <= r and abs(py2 - py) <= r)
+        nb = ((min(px + r, grid - 1) - max(px - r, 0) + 1)
+              * (min(py + r, grid - 1) - max(py - r, 0) + 1))
+        assert got[(tx, ty, px, py)] == (w, bs, nb, int(w * nb > bs))
+
+
+def test_adaptive_threshold_lone_pixel_is_above(spark):
+    from engine.geo.raster import adaptive_threshold
+    # a single hot pixel: box_sum == w, n_box > 1 => w*n_box > box_sum
+    df = spark.createDataFrame([(10.0, 10.0)] * 9, "lon double, lat double") \
+        .selectExpr("lat", "lon")
+    rows = adaptive_threshold(df, z=6, grid_bits=4, radius=2).collect()
+    assert len(rows) == 1 and rows[0].above == 1
+    assert rows[0].box_sum == rows[0].w == 9
