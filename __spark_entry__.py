@@ -4527,6 +4527,20 @@ def q_geo_destination(spark, sf):
                     F.round(F.col("_d.lon2"), 7).alias("lon2")))
 
 
+def q_geo_perimeter_ellipsoid(spark, sf):
+    """B10 (r5, post-window) — WGS84 ellipsoidal ring perimeter
+    (engine/geo/measure.py::perimeter_ellipsoid) over the GeoJSON
+    fixture parts: per-edge Andoyer-Lambert lengths (numpy libm with
+    character-identical DuckDB text — the geo_dist_ellipsoid parity
+    class) FLOOR-quantized to integer millimetres per edge, so the
+    per-part sum is an associative integer sum and the twin is
+    hash-exact where a raw double sum would be order-dependent."""
+    _prep(spark)
+    from engine.geo.geojson import read_geojson
+    from engine.geo.measure import perimeter_ellipsoid
+    return perimeter_ellipsoid(read_geojson(spark, GEOJSON_FIXTURE))
+
+
 def q_scan_geojson(spark, sf):
     """A-family (r5) — standard-interchange polygon source (VERDICT-r4
     missing #4): read the committed RFC 7946 FeatureCollection
@@ -5564,6 +5578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_changepoint": q_ts_changepoint,
         "osm_route": q_osm_route,
         "raster_adaptive_threshold": q_raster_adaptive_threshold,
+        "geo_perimeter_ellipsoid": q_geo_perimeter_ellipsoid,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6185,6 +6200,42 @@ def oracle_sql() -> dict[str, str]:
         "CAST(list_sum(list_transform(generate_series(1, len(xs)), "
         "i -> xs[i] * ys[i % len(xs) + 1] - xs[i % len(xs) + 1] * ys[i])) "
         "AS BIGINT) AS area2_q6 FROM q")
+
+    # geo_perimeter_ellipsoid — the geojson_sql ring extraction, then
+    # the IDENTICAL Andoyer text per wrap-joined edge, floor-mm
+    # quantized before the (integer, order-free) sum.
+    from engine.geo.dist import andoyer_sql as _andsql
+    _per_edge = _andsql("x", "y", "nx", "ny")
+    perim_sql = (
+        "WITH fl AS (SELECT unnest(features) AS f FROM read_json_auto("
+        f"'{GEOJSON_FIXTURE}', maximum_object_size=134217728)), "
+        "g AS (SELECT f.properties.poly_id AS poly_id, "
+        "CASE WHEN f.geometry.type = 'Polygon' "
+        "THEN [json_transform(f.geometry.coordinates, '[[[\"DOUBLE\"]]]')] "
+        "ELSE json_transform(f.geometry.coordinates, '[[[[\"DOUBLE\"]]]]') "
+        "END AS parts FROM fl), "
+        "p AS (SELECT poly_id, "
+        "CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS part_idx, "
+        "unnest(parts) AS rings FROM g), "
+        "r AS (SELECT poly_id, part_idx, "
+        "CASE WHEN len(rings[1]) > 1 AND rings[1][1] = rings[1][-1] "
+        "THEN rings[1][:-2] ELSE rings[1] END AS outer_ring FROM p), "
+        "vx AS (SELECT poly_id, part_idx, "
+        "CAST(generate_subscripts(outer_ring, 1) AS INTEGER) AS i, "
+        "unnest(outer_ring) AS v FROM r), "
+        "vv AS (SELECT poly_id, part_idx, i, "
+        "CAST(v[1] AS DOUBLE) AS x, CAST(v[2] AS DOUBLE) AS y FROM vx), "
+        "nn AS (SELECT poly_id, part_idx, "
+        "CAST(COUNT(*) AS INTEGER) AS n FROM vv GROUP BY 1, 2), "
+        "ee AS (SELECT a.poly_id, a.part_idx, a.x, a.y, "
+        "b.x AS nx, b.y AS ny "
+        "FROM vv a JOIN nn ON nn.poly_id = a.poly_id "
+        "AND nn.part_idx = a.part_idx "
+        "JOIN vv b ON b.poly_id = a.poly_id "
+        "AND b.part_idx = a.part_idx AND b.i = a.i % nn.n + 1) "
+        "SELECT poly_id, part_idx, CAST(COUNT(*) AS INTEGER) AS n_edges, "
+        f"CAST(SUM(CAST(floor(({_per_edge}) * 1000.0) AS BIGINT)) "
+        "AS BIGINT) AS perimeter_mm FROM ee GROUP BY 1, 2")
 
     # scan_osm_pbf / osm_way_assembly: DuckDB never reads the PBF file —
     # it recomputes every row from range() with the fixture's shared
@@ -7228,6 +7279,7 @@ def oracle_sql() -> dict[str, str]:
         # GeoJSON fixture; Spark parses the WKT/TSV written from it.
         "scan_wkt": geojson_sql,
         "scan_shapefile": geojson_sql,
+        "geo_perimeter_ellipsoid": perim_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

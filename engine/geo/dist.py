@@ -346,3 +346,19 @@ def make_bearing_udf(lon_a: float, lat_a: float):
             lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
 
     return bearing_udf
+
+
+def make_andoyer_pair_udf():
+    """Arrow-batched pairwise WGS84 ellipsoidal distance over four
+    columns (lon1, lat1, lon2, lat2) — the edge-length kernel behind
+    geo_perimeter_ellipsoid; same numpy-libm / identical-SQL-text
+    parity strategy as the anchored form."""
+
+    @F.pandas_udf(DoubleType())
+    def andoyer_pair_udf(lon1: pd.Series, lat1: pd.Series,
+                         lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        return pd.Series(andoyer_np(
+            lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+            lon2.to_numpy(np.float64), lat2.to_numpy(np.float64)))
+
+    return andoyer_pair_udf

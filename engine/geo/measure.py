@@ -140,3 +140,51 @@ def spherical_area(rings: DataFrame) -> DataFrame:
         F.expr("size(verts)").alias("n_vertices"),
         F.expr(f"round(-({fold}) * {r2}, -3)").alias("area_m2"),
     )
+
+
+def perimeter_ellipsoid(parts: DataFrame) -> DataFrame:
+    """WGS84 ellipsoidal ring perimeter (B10, r5 post-window) over the
+    interchange part frame (poly_id, name, part_idx, ring_xy, ...) ->
+    (poly_id, part_idx, n_edges, perimeter_mm).
+
+    Completes the geodesic family (haversine / cross-track / Andoyer
+    distance / destination / spherical area) with the PERIMETER
+    measure a GIS user asks for right after area.  Exactness strategy:
+    each closed-ring edge's Andoyer-Lambert length is computed by the
+    proven numpy-libm kernel (identical expression text in the DuckDB
+    twin — the geo_dist_ellipsoid parity class, bit-identical
+    doubles), then FLOOR-quantized to integer millimetres PER EDGE —
+    so the per-part sum is an integer sum, associative and order-free,
+    where a raw double sum would be addition-order-dependent and
+    unhashable.  The <=1 mm/edge quantization is the documented
+    contract (survey-grade, far below Andoyer's own ~meters-level
+    model error vs Karney).
+
+    Scale shape: ONE posexplode of the bounded part frame + a lead
+    window keyed by part (wrap edge via the full-partition first
+    value) + one Arrow-batched pairwise kernel + one map-side-combined
+    sum.  Parts are O(layer), never the fact table."""
+    from pyspark.sql import Window
+
+    from engine.geo.dist import make_andoyer_pair_udf
+
+    v = (parts.select("poly_id", "part_idx",
+                      F.posexplode("ring_xy").alias("i", "v"))
+         .select("poly_id", "part_idx", "i",
+                 F.col("v")[0].alias("x"), F.col("v")[1].alias("y")))
+    w = Window.partitionBy("poly_id", "part_idx").orderBy("i")
+    wall = (Window.partitionBy("poly_id", "part_idx").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    e = (v.withColumn("nx", F.coalesce(F.lead("x").over(w),
+                                       F.first("x").over(wall)))
+         .withColumn("ny", F.coalesce(F.lead("y").over(w),
+                                      F.first("y").over(wall))))
+    dist = make_andoyer_pair_udf()
+    mm = F.expr("CAST(floor(_d * 1000.0) AS BIGINT)")
+    return (e.withColumn("_d", dist(F.col("x"), F.col("y"),
+                                    F.col("nx"), F.col("ny")))
+            .withColumn("_mm", mm)
+            .groupBy("poly_id", "part_idx")
+            .agg(F.count("*").cast("int").alias("n_edges"),
+                 F.sum("_mm").cast("long").alias("perimeter_mm")))

@@ -85,3 +85,37 @@ def test_duckdb_text_parity():
     want = andoyer_np(np.array([p[0] for p in pts]),
                       np.array([p[1] for p in pts]), 2.3, 48.85)
     assert np.max(np.abs(got - want)) < 1e-6
+
+
+# -------------------------------------------- ellipsoidal perimeter
+
+def _parts_df(spark, rings):
+    rows = [(f"P{j}", f"p{j}", 0, ring, [])
+            for j, ring in enumerate(rings)]
+    return spark.createDataFrame(
+        rows, "poly_id string, name string, part_idx int, "
+              "ring_xy array<array<double>>, "
+              "holes_xy array<array<array<double>>>")
+
+
+def test_perimeter_sums_floor_mm_edges(spark):
+    import math
+    from engine.geo.dist import andoyer_np
+    from engine.geo.measure import perimeter_ellipsoid
+    ring = [[10.0, 40.0], [10.5, 40.0], [10.5, 40.4], [10.0, 40.4]]
+    r = perimeter_ellipsoid(_parts_df(spark, [ring])).collect()[0]
+    edges = list(zip(ring, ring[1:] + ring[:1]))
+    want = sum(int(math.floor(float(andoyer_np(a[0], a[1], b[0], b[1]))
+                              * 1000.0)) for a, b in edges)
+    assert (r.n_edges, r.perimeter_mm) == (4, want)
+    # sanity: a ~42 km x ~44 km quadrilateral, perimeter ~ 174 km
+    assert 150_000_000 < r.perimeter_mm < 200_000_000
+
+
+def test_perimeter_rotation_invariance(spark):
+    from engine.geo.measure import perimeter_ellipsoid
+    ring = [[0.0, 0.0], [1.0, 0.2], [1.3, 1.1], [0.4, 1.4], [-0.2, 0.7]]
+    rot = ring[2:] + ring[:2]
+    a = perimeter_ellipsoid(_parts_df(spark, [ring])).collect()[0]
+    b = perimeter_ellipsoid(_parts_df(spark, [rot])).collect()[0]
+    assert a.perimeter_mm == b.perimeter_mm and a.n_edges == 5
