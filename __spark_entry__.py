@@ -4600,6 +4600,25 @@ def q_poly_validate(spark, sf):
     return validate_rings(rings)
 
 
+def q_poly_point_on_surface(spark, sf):
+    """B11 (r5, post-window) — guaranteed-interior representative
+    point per outer ring (engine/geo/triangulate.py::point_on_surface,
+    ST_PointOnSurface contract): the exact-rational centroid
+    (pos_x3, pos_y3, /3) of the largest ear-clip triangle, ties to
+    lowest tri_idx.  The decomposition is Python-side (ear clipping is
+    not SQL-expressible), so the oracle is the sf-independent pinned
+    table of the fixed 12-ring layer — the scan_polygons oracle
+    class; the independent verification is the exact-Fraction
+    strict-PIP pytest (tests/test_triangulate.py)."""
+    _prep(spark)
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    from engine.geo.triangulate import point_on_surface
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    return point_on_surface(rings)
+
+
 def q_poly_triangulate(spark, sf):
     """B-family (r4 cont.) — ear-clipping triangulation of the outer
     rings (engine/geo/triangulate.py): deterministic lowest-position
@@ -5579,6 +5598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_route": q_osm_route,
         "raster_adaptive_threshold": q_raster_adaptive_threshold,
         "geo_perimeter_ellipsoid": q_geo_perimeter_ellipsoid,
+        "poly_point_on_surface": q_poly_point_on_surface,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7161,6 +7181,14 @@ def oracle_sql() -> dict[str, str]:
             "('P08', 'concave_L', 645), ('P09', 'concave_notch', 956), "
             "('P10', 'antimeridian_rect', 406), ('P11', 'hot_cell_cover', 9)) "
             "t(poly_id, name, n_cells)"),
+        # poly_point_on_surface — pinned expected table: the layer is
+        # sf-independent (the scan_polygons oracle class) and the ear
+        # decomposition is Python-only; any drift in dedup, ear order,
+        # or the argmax pick turns the key red.  Independent per-ring
+        # verification = the exact-Fraction strict-interior PIP pytest.
+        "poly_point_on_surface": (
+            "SELECT * FROM (VALUES ('P00', 'P00:0:outer', CAST(0 AS INTEGER), CAST(107100000000000 AS BIGINT), CAST(40500000 AS BIGINT), CAST(131100000 AS BIGINT)), ('P01', 'P01:0:outer', CAST(0 AS INTEGER), CAST(109675000000000 AS BIGINT), CAST(-171250000 AS BIGINT), CAST(-81700000 AS BIGINT)), ('P02', 'P02:0:outer', CAST(0 AS INTEGER), CAST(116630000000000 AS BIGINT), CAST(311050000 AS BIGINT), CAST(26150000 AS BIGINT)), ('P03', 'P03:0:outer', CAST(0 AS INTEGER), CAST(87720000000000 AS BIGINT), CAST(-21000000 AS BIGINT), CAST(162500000 AS BIGINT)), ('P04', 'P04:0:outer', CAST(0 AS INTEGER), CAST(95000000000000 AS BIGINT), CAST(105000000 AS BIGINT), CAST(17000000 AS BIGINT)), ('P05', 'P05:0:outer', CAST(1 AS INTEGER), CAST(62000000000000 AS BIGINT), CAST(197000000 AS BIGINT), CAST(76000000 AS BIGINT)), ('P06', 'P06:0:outer', CAST(1 AS INTEGER), CAST(68000000000000 AS BIGINT), CAST(-341000000 AS BIGINT), CAST(110000000 AS BIGINT)), ('P07', 'P07:0:outer', CAST(0 AS INTEGER), CAST(100000000000000 AS BIGINT), CAST(400000000 AS BIGINT), CAST(-110000000 AS BIGINT)), ('P08', 'P08:0:outer', CAST(0 AS INTEGER), CAST(50000000000000 AS BIGINT), CAST(-220000000 AS BIGINT), CAST(-25000000 AS BIGINT)), ('P09', 'P09:0:outer', CAST(0 AS INTEGER), CAST(50000000000000 AS BIGINT), CAST(148000000 AS BIGINT), CAST(-175000000 AS BIGINT)), ('P10', 'P10:0:outer', CAST(0 AS INTEGER), CAST(18000000000000 AS BIGINT), CAST(536400000 AS BIGINT), CAST(-6500000 AS BIGINT)), ('P10', 'P10:1:outer', CAST(0 AS INTEGER), CAST(27000000000000 AS BIGINT), CAST(-537300000 AS BIGINT), CAST(-6500000 AS BIGINT)), ('P11', 'P11:0:outer', CAST(0 AS INTEGER), CAST(300000000000 AS BIGINT), CAST(6600000 AS BIGINT), CAST(146300000 AS BIGINT))) "
+            "t(poly_id, ring_id, tri_idx, area2, pos_x3, pos_y3)"),
         "metrics_table": (
             "SELECT * FROM (VALUES ('images', CAST(300 AS BIGINT)), "
             "('extract', CAST(300 AS BIGINT)), ('joined', CAST(36 AS BIGINT)), "

@@ -230,3 +230,35 @@ def sample_polygons(rings: DataFrame, k: int = 8,
         (F.col("ay") * wmid + F.col("by") * F.col("u")
          + F.col("cy") * F.col("v")).alias("py_num"),
         q.cast("long").alias("q"))
+
+
+def point_on_surface(rings: DataFrame,
+                     q_scale: int = 1_000_000) -> DataFrame:
+    """Guaranteed-interior representative point per outer ring (B11,
+    r5 post-window) — the ST_PointOnSurface contract the centroid
+    cannot give (a concave or holed polygon's centroid may fall
+    outside): the centroid of the LARGEST ear-clip triangle (ties to
+    the lowest tri_idx), carried as the EXACT rational
+    (pos_x3, pos_y3, /3) on the floor-q6 grid — never divided, and
+    strictly interior whenever the ring has positive area (the
+    centroid of a positive-area triangle of the decomposition lies in
+    the triangle's open interior, which the ear cover keeps inside
+    the ring; the exact-Fraction PIP pytest proves it per fixture
+    ring).  -> (poly_id, ring_id, tri_idx, area2, pos_x3, pos_y3).
+
+    Scale shape: triangulate_rings' one Arrow batch per partition +
+    ONE map-side-combined min(struct) argmax per ring — the pick
+    never sorts triangles."""
+    tri = triangulate_rings(rings, q_scale=q_scale)
+    return (tri.groupBy("poly_id", "ring_id")
+            .agg(F.min(F.struct((-F.col("area2")).alias("neg"),
+                                F.col("tri_idx").alias("ti"),
+                                (F.col("ax") + F.col("bx")
+                                 + F.col("cx")).alias("x3"),
+                                (F.col("ay") + F.col("by")
+                                 + F.col("cy")).alias("y3"))).alias("t"))
+            .select("poly_id", "ring_id",
+                    F.col("t.ti").cast("int").alias("tri_idx"),
+                    (-F.col("t.neg")).cast("long").alias("area2"),
+                    F.col("t.x3").cast("long").alias("pos_x3"),
+                    F.col("t.y3").cast("long").alias("pos_y3")))

@@ -219,3 +219,73 @@ def test_sampling_partitioning_and_seed(spark):
     assert a != c                     # the seed actually moves points
     # same slots/triangles either way (the seed only moves barycentrics)
     assert [r[:4] for r in a] == [r[:4] for r in c]
+
+
+# ------------------------------------------- point on surface
+
+def _strictly_inside(px, py, ring):
+    """Exact integer strict-interior test of (px, py) vs the CLOSED
+    integer ring (scaled so all operands are ints): boundary hits
+    return False; interior decided by ray crossing."""
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        if cross == 0 and min(ax, bx) <= px <= max(ax, bx) \
+                and min(ay, by) <= py <= max(ay, by):
+            return False  # on the boundary
+    inside = False
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if (ay > py) != (by > py):
+            # exact crossing comparison: px < ax + (py-ay)*(bx-ax)/(by-ay)
+            lhs = (px - ax) * (by - ay)
+            rhs = (py - ay) * (bx - ax)
+            if (by - ay) > 0:
+                if lhs < rhs:
+                    inside = not inside
+            else:
+                if lhs > rhs:
+                    inside = not inside
+    return inside
+
+
+def test_point_on_surface_is_strictly_interior_every_fixture_ring(spark):
+    import math
+    from engine.geo.layer import PolygonLayer
+    from engine.geo.measure import rings_df
+    from engine.geo.triangulate import point_on_surface
+    rings = rings_df(PolygonLayer.from_json(), spark) \
+        .filter("kind = 'outer'")
+    verts = {r.ring_id: [(int(math.floor(v.lon * 1e6)),
+                          int(math.floor(v.lat * 1e6)))
+                         for v in r.verts]
+             for r in rings.collect()}
+    out = point_on_surface(rings).collect()
+    assert len(out) == len(verts)
+    for r in out:
+        ring3 = [(3 * x, 3 * y) for x, y in verts[r.ring_id]]
+        # the rational point (pos_x3/3, pos_y3/3) scaled by 3 is exact
+        assert _strictly_inside(r.pos_x3, r.pos_y3, ring3), r.ring_id
+        assert r.area2 > 0
+
+
+def test_point_on_surface_concave_centroid_would_fail(spark):
+    # an L-shape whose PLAIN centroid falls outside the polygon: the
+    # operator's point must still be strictly interior.
+    import math
+    rows = [("L", "L:0:outer", "outer",
+             [{"lon": 0.0, "lat": 0.0}, {"lon": 4.0, "lat": 0.0},
+              {"lon": 4.0, "lat": 1.0}, {"lon": 1.0, "lat": 1.0},
+              {"lon": 1.0, "lat": 4.0}, {"lon": 0.0, "lat": 4.0}])]
+    from engine.geo.triangulate import point_on_surface
+    rings = spark.createDataFrame(
+        rows, "poly_id string, ring_id string, kind string, "
+              "verts array<struct<lon double, lat double>>")
+    r = point_on_surface(rings).collect()[0]
+    ring3 = [(3 * int(math.floor(v["lon"] * 1e6)),
+              3 * int(math.floor(v["lat"] * 1e6)))
+             for v in rows[0][3]]
+    assert _strictly_inside(r.pos_x3, r.pos_y3, ring3)
