@@ -938,6 +938,26 @@ def q_graph_clustering(spark, sf):
     return clustering_coeff(ed)
 
 
+def q_ml_perceptron(spark, sf):
+    """M38 (r5, post-window) — deterministic integer batch perceptron
+    (engine/ml/perceptron.py::perceptron_train): 4 full-batch rounds,
+    floored lr 1/4, from w = 0, over a 256^2 integer scatter of
+    customer keys with the linearly-separable label
+    y = [2*x1 + 3*x2 > 10].  Every round is ONE map-side-combined
+    3-integer gradient agg + a floored weight update, so the unrolled
+    chained-CTE twin is hash-exact — float SGD could never be
+    twinned.  Output scores every row under the final weights."""
+    _prep(spark)
+    from engine.ml.perceptron import perceptron_train
+    pts = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 2654435761) % 256 - 128 AS x1",
+        "((c_custkey * 2654435761) DIV 256) % 256 - 128 AS x2") \
+        .selectExpr("id", "x1", "x2",
+                    "CAST(2 * x1 + 3 * x2 > 10 AS LONG) AS y")
+    return perceptron_train(pts, rounds=4, lr_num=1, lr_den=4)
+
+
 def q_ml_kmeans(spark, sf):
     """M36 (r5, post-window) — deterministic floored-Lloyd k-means
     (engine/ml/kmeans.py::kmeans_int): k=8, 3 rounds over a 1024^2
@@ -5599,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_adaptive_threshold": q_raster_adaptive_threshold,
         "geo_perimeter_ellipsoid": q_geo_perimeter_ellipsoid,
         "poly_point_on_surface": q_poly_point_on_surface,
+        "ml_perceptron": q_ml_perceptron,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6046,6 +6067,39 @@ def oracle_sql() -> dict[str, str]:
              "AS n_children FROM pix"]
             + [f"SELECT CAST({k} AS INTEGER), gx, gy, mode_v, mode_n, "
                f"n_children FROM l{k}" for k in range(1, 4)]))
+    # ml_perceptron — the identical full-batch rounds unrolled: each
+    # round one gradient agg (cross-joined against the 1-row weight
+    # CTE) + the floored update; // floors on both engines.
+    perc_rounds = "".join(
+        f"g{k} AS (SELECT "
+        f"SUM(y - CASE WHEN w.w0 + w.w1 * x1 + w.w2 * x2 > 0 "
+        f"THEN 1 ELSE 0 END) AS g0, "
+        f"SUM((y - CASE WHEN w.w0 + w.w1 * x1 + w.w2 * x2 > 0 "
+        f"THEN 1 ELSE 0 END) * x1) AS g1, "
+        f"SUM((y - CASE WHEN w.w0 + w.w1 * x1 + w.w2 * x2 > 0 "
+        f"THEN 1 ELSE 0 END) * x2) AS g2 "
+        f"FROM pts, w{k-1} w), "
+        f"w{k} AS (SELECT "
+        f"CAST(w.w0 + (1 * COALESCE(g.g0, 0)) // 4 AS BIGINT) AS w0, "
+        f"CAST(w.w1 + (1 * COALESCE(g.g1, 0)) // 4 AS BIGINT) AS w1, "
+        f"CAST(w.w2 + (1 * COALESCE(g.g2, 0)) // 4 AS BIGINT) AS w2 "
+        f"FROM w{k-1} w, g{k} g), "
+        for k in range(1, 5))
+    perceptron_sql = (
+        "WITH pts AS (SELECT c_custkey AS id, "
+        "(c_custkey * 2654435761) % 256 - 128 AS x1, "
+        "((c_custkey * 2654435761) // 256) % 256 - 128 AS x2, "
+        "CAST(2 * ((c_custkey * 2654435761) % 256 - 128) "
+        "+ 3 * (((c_custkey * 2654435761) // 256) % 256 - 128) > 10 "
+        "AS BIGINT) AS y FROM customer), "
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) "
+        "AS w1, CAST(0 AS BIGINT) AS w2), "
+        f"{perc_rounds}"
+        "fin AS (SELECT * FROM w4) "
+        "SELECT p.id, p.x1, p.x2, p.y, "
+        "CAST(w.w0 + w.w1 * p.x1 + w.w2 * p.x2 AS BIGINT) AS score, "
+        "CAST(w.w0 + w.w1 * p.x1 + w.w2 * p.x2 > 0 AS INTEGER) AS pred "
+        "FROM pts p CROSS JOIN fin w")
     # graph_lpa — the identical synchronous neighbor-vote recurrence
     # unrolled per round (mode + lowest-label tie-break via QUALIFY
     # row_number); exact because fixed rounds + a total tie order make
@@ -8633,6 +8687,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa": lpa_sql,
         "ml_kmeans": kmeans_sql,
         "raster_mode_pyramid": mode_pyr_sql,
+        "ml_perceptron": perceptron_sql,
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.

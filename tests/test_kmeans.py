@@ -68,3 +68,38 @@ def test_kmeans_fewer_points_than_k(spark):
                                rounds=2).collect()}
     assert got == kmeans_py(pts, k=8, rounds=2)
     assert len(set(got.values())) == 3
+
+
+# ------------------------------------------------ batch perceptron
+
+def test_perceptron_matches_reference_random(spark):
+    import random
+    from engine.ml.perceptron import perceptron_py, perceptron_train
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(-50, 51), rng.randrange(-50, 51))
+            for i in range(300)]
+    rows = [(i, a, b, 1 if 3 * a - 2 * b + 7 > 0 else 0)
+            for i, a, b in rows]
+    df = spark.createDataFrame(rows, "id long, x1 long, x2 long, y long")
+    got = {r.id: (r.score, r.pred)
+           for r in perceptron_train(df, rounds=5).collect()}
+    want, _ = perceptron_py(rows, rounds=5)
+    assert got == want
+
+
+def test_perceptron_learns_separable_labels(spark):
+    from engine.ml.perceptron import perceptron_train
+    # a clean margin: y = [x1 > 0] over x1 in {-60..-20, 20..60}
+    rows = [(i, v, 0, 1 if v > 0 else 0)
+            for i, v in enumerate(list(range(-60, -19, 5))
+                                  + list(range(20, 61, 5)))]
+    df = spark.createDataFrame(rows, "id long, x1 long, x2 long, y long")
+    out = perceptron_train(df, rounds=8, lr_num=1, lr_den=1).collect()
+    acc = sum(1 for r in out if r.pred == r.y) / len(out)
+    assert acc == 1.0  # the batch perceptron separates a clean margin
+
+
+def test_perceptron_truncating_division_contract():
+    from engine.ml.perceptron import _tdiv
+    assert _tdiv(-7, 4) == -1 and _tdiv(7, 4) == 1
+    assert _tdiv(-8, 4) == -2 and _tdiv(8, -4) == -2
