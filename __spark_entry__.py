@@ -1664,6 +1664,42 @@ def q_snapshot_rollback(spark, sf):
                     F.col("ts").cast("timestamp").alias("ts")))
 
 
+def q_snapshot_tag(spark, sf):
+    """A-family (r5, post-window) — immutable named refs
+    (engine/icelite.py::create_tag / scan_tag, Iceberg tag parity):
+    three chronological event chunks committed, the SECOND snapshot
+    tagged 'v1', a third chunk appended AFTER tagging — the tagged
+    read must still equal the first two chunks while the main head
+    sees all three (asserted in-query), and re-creating the tag
+    raises (immutability, asserted in-query).  Pure metadata under
+    the commit lock; the twin is the chronological two-thirds
+    relation."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="tag-")
+    t = IceliteTable(f"{root}/tbl")
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    sids = []
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        sids.append(t.commit_append(
+            ev.filter((F.col("event_id") >= lo)
+                      & (F.col("event_id") < hi)),
+            stage=f"chunk-{i}", sort_within=["event_id"]))
+    t.create_tag("v1", sids[1])
+    try:
+        t.create_tag("v1", sids[2])
+        raise AssertionError("snapshot_tag: re-create must raise")
+    except KeyError:
+        pass
+    assert t.scan(spark).count() == n, "main head must see all chunks"
+    assert t.tags() == {"v1": sids[1]}
+    return (t.scan_tag(spark, "v1")
+            .select("event_id", "user_id", "event_type",
+                    F.col("ts").cast("timestamp").alias("ts")))
+
+
 def q_text_pii_scrub(spark, sf):
     """M30 (r4 cont.) — PII scrubbing (engine/text/ops.py::pii_scrub):
     the documents corpus with deterministic injected PII (an email and
@@ -5620,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_perimeter_ellipsoid": q_geo_perimeter_ellipsoid,
         "poly_point_on_surface": q_poly_point_on_surface,
         "ml_perceptron": q_ml_perceptron,
+        "snapshot_tag": q_snapshot_tag,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8993,6 +9030,13 @@ def oracle_sql() -> dict[str, str]:
         "stream_ohlc": _OHLC_ORACLE_SQL,
         # snapshot_rollback — the first two chronological thirds.
         "snapshot_rollback": (
+            "WITH n AS (SELECT COUNT(*) AS c FROM events) "
+            "SELECT event_id, user_id, event_type, ts FROM events, n "
+            "WHERE event_id < (2 * n.c) // 3"),
+        # snapshot_tag — the tagged read pins the second commit: the
+        # same chronological two-thirds relation (the rollback twin),
+        # reached through an immutable ref instead of a moved branch.
+        "snapshot_tag": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events) "
             "SELECT event_id, user_id, event_type, ts FROM events, n "
             "WHERE event_id < (2 * n.c) // 3"),

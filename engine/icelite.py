@@ -55,7 +55,7 @@ class IceliteTable:
 
     def _state(self) -> dict[str, Any]:
         if not self.exists():
-            return {"snapshots": [], "refs": {}}
+            return {"snapshots": [], "refs": {}, "tags": {}}
         with open(self.snap_path) as f:
             st = json.load(f)
         # back-compat: pre-branch tables have no refs map — the main
@@ -63,6 +63,7 @@ class IceliteTable:
         if "refs" not in st:
             st["refs"] = (
                 {"main": st["snapshots"][-1]["sid"]} if st["snapshots"] else {})
+        st.setdefault("tags", {})
         return st
 
     def snapshots(self) -> list[dict[str, Any]]:
@@ -191,10 +192,13 @@ class IceliteTable:
             self._write_state(snaps, refs)
             return sid
 
-    def _write_state(self, snaps: list[dict], refs: dict[str, int]) -> None:
+    def _write_state(self, snaps: list[dict], refs: dict[str, int],
+                     tags: dict[str, int] | None = None) -> None:
+        if tags is None:  # callers that predate tags carry them forward
+            tags = self._state()["tags"]
         tmp = self.snap_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"snapshots": snaps, "refs": refs}, f)
+            json.dump({"snapshots": snaps, "refs": refs, "tags": tags}, f)
         os.replace(tmp, self.snap_path)
 
     # -------------------------------------------------- branches / WAP
@@ -267,6 +271,52 @@ class IceliteTable:
             refs[to_branch] = src
             self._write_state(snaps, refs)
             return src
+
+    # ------------------------------------------------------------ tags
+    #
+    # Iceberg tag parity: a tag is an IMMUTABLE named ref to a
+    # snapshot ("create_tag('v1')" after a release commit; readers use
+    # scan_tag('v1') forever after).  Unlike a branch it can never be
+    # advanced — re-creating an existing tag raises; the only mutation
+    # is drop_tag.  Tags, like branch refs, are pure metadata under
+    # the commit lock.
+
+    def tags(self) -> dict[str, int]:
+        """Tag name -> snapshot id."""
+        return self._state()["tags"]
+
+    def create_tag(self, name: str, sid: int | None = None) -> int:
+        """Tag `sid` (default: current main head).  Immutable — an
+        existing name raises."""
+        with self._commit_locked():
+            st = self._state()
+            snaps, refs, tags = st["snapshots"], st["refs"], st["tags"]
+            if name in tags:
+                raise KeyError(f"icelite: tag {name!r} already exists "
+                               "(tags are immutable — drop_tag first)")
+            if sid is None:
+                sid = refs.get("main")
+            if sid is None or all(sn["sid"] != sid for sn in snaps):
+                raise ValueError(f"icelite: unknown snapshot {sid!r}")
+            tags[name] = sid
+            self._write_state(snaps, refs, tags)
+            return sid
+
+    def drop_tag(self, name: str) -> None:
+        with self._commit_locked():
+            st = self._state()
+            tags = st["tags"]
+            if name not in tags:
+                raise KeyError(f"icelite: unknown tag {name!r}")
+            del tags[name]
+            self._write_state(st["snapshots"], st["refs"], tags)
+
+    def scan_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the table as of the tagged snapshot."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"icelite: unknown tag {name!r}")
+        return self.scan(spark, snapshot_id=tags[name])
 
     def rollback(self, to_sid: int, branch: str = "main") -> int:
         """Iceberg `rollback_to_snapshot`: move the branch ref back to

@@ -319,3 +319,51 @@ def test_rollback_rejects_non_ancestor(spark, tmp_path):
                          stage="b", branch="audit")
     with _pytest.raises(ValueError):
         t.rollback(sb)           # audit head is not a main ancestor
+
+
+# ------------------------------------------------------------ tags
+
+def test_tags_pin_immutably_and_survive_commits(spark, tmp_path):
+    from engine.icelite import IceliteTable
+    import pytest
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.commit_append(spark.range(0, 5).selectExpr("id AS v"),
+                         stage="a")
+    t.create_tag("v1")
+    s2 = t.commit_append(spark.range(5, 9).selectExpr("id AS v"),
+                         stage="b")
+    assert t.tags() == {"v1": s1}
+    assert t.scan_tag(spark, "v1").count() == 5
+    assert t.scan(spark).count() == 9
+    with pytest.raises(KeyError, match="immutable"):
+        t.create_tag("v1", s2)
+    t.drop_tag("v1")
+    assert t.tags() == {}
+    with pytest.raises(KeyError, match="unknown tag"):
+        t.scan_tag(spark, "v1")
+    # after drop the name is reusable (now pinning the new head)
+    t.create_tag("v1")
+    assert t.tags() == {"v1": s2}
+
+
+def test_tag_unknown_snapshot_raises(spark, tmp_path):
+    from engine.icelite import IceliteTable
+    import pytest
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(spark.range(3).selectExpr("id AS v"), stage="a")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.create_tag("bad", 123456)
+
+
+def test_tags_survive_unrelated_metadata_ops(spark, tmp_path):
+    # rollback/branch ops rewrite state; tags must be carried forward
+    from engine.icelite import IceliteTable
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.commit_append(spark.range(4).selectExpr("id AS v"), stage="a")
+    t.create_tag("rel", s1)
+    s2 = t.commit_append(spark.range(4, 6).selectExpr("id AS v"),
+                         stage="b")
+    t.create_branch("audit")
+    t.rollback(s1)
+    assert t.tags() == {"rel": s1}
+    assert t.scan_tag(spark, "rel").count() == 4
