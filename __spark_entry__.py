@@ -4135,6 +4135,30 @@ def q_ann_ivf_topk(spark, sf):
     return ivf_topk(emb, QVEC, 10, cents, n_probe=4, id_col="vec_id")
 
 
+def q_ann_ivf_batch(spark, sf):
+    """M39 (r5, post-window) — BATCH IVF search
+    (engine/ml/ann.py::ivf_batch_topk): the 8 lowest-vec_id
+    embeddings as the serving batch, 3 exact planted copies EACH
+    (ids 100000 + qid*10 + i), top-4 per query through the probed-cell
+    equi-join path.  Recall-1 theorem per query: the query row and its
+    copies share its vector, assign to its own cell (the first probe)
+    and rank 1-4 at cos 1.0 with the (cos DESC, id ASC) ties, so the
+    IVF output EQUALS the exact brute-force twin (margin to natural
+    rank-5 asserted in tests/test_relops_text_ann.py)."""
+    _prep(spark)
+    from engine.ml.ann import ivf_batch_topk, ivf_train
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    copies = (qs.crossJoin(spark.range(0, 3).select(
+        F.col("id").alias("_i")))
+        .select((F.lit(100000) + F.col("qid") * 10 + F.col("_i"))
+                .alias("vec_id"), "embedding"))
+    corpus = emb.unionByName(copies)
+    cents = ivf_train(corpus, 16, dim=len(QVEC))
+    return ivf_batch_topk(corpus, qs, k=4, centroids=cents, n_probe=4)
+
+
 def q_ann_pq_topk(spark, sf):
     """M28 — product-quantization ANN (FAISS-PQ shape): per-subvector
     k-means codebooks from the bounded deterministic train sample, one
@@ -5657,6 +5681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_point_on_surface": q_poly_point_on_surface,
         "ml_perceptron": q_ml_perceptron,
         "snapshot_tag": q_snapshot_tag,
+        "ann_ivf_batch": q_ann_ivf_batch,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7113,6 +7138,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER w AS INTEGER) AS rank FROM s "
             "WINDOW w AS (PARTITION BY qid ORDER BY cos_sim DESC, "
             "vec_id ASC) QUALIFY row_number() OVER w <= 5"),
+        # ann_ivf_batch — exact brute-force top-4 per query over the
+        # planted union (recall-1 theorem: the IVF path must equal it).
+        "ann_ivf_batch": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS va "
+            "FROM embeddings WHERE vec_id < 8), "
+            "e AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT 100000 + q.qid * 10 + i, q.va "
+            "FROM q, generate_series(0, 2) t(i)), "
+            "c AS (SELECT vec_id, embedding AS vb FROM e), "
+            f"s AS (SELECT q.qid, c.vec_id, {pair_cos} AS cos_sim "
+            "FROM q CROSS JOIN c) "
+            "SELECT qid, vec_id, cos_sim, "
+            "CAST(row_number() OVER w AS INTEGER) AS rank FROM s "
+            "WINDOW w AS (PARTITION BY qid ORDER BY cos_sim DESC, "
+            "vec_id ASC) QUALIFY row_number() OVER w <= 4"),
         # ann_lsh_topk / ann_ivf_topk (r3): EXACT brute-force top-k over
         # embeddings + ten planted exact copies of the query vector — the
         # ANN paths must reproduce it (recall-1-by-theorem construction,

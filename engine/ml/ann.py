@@ -369,3 +369,51 @@ def batch_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("qid", id_col, F.round(cos, 6).alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                   centroids: np.ndarray, n_probe: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "qid") -> DataFrame:
+    """Batch IVF search (M39, r5 post-window) — the SCALE path of the
+    serving shape: where batch_cosine_topk fans the whole corpus
+    |Q|-fold, this probes each query's n_probe nearest cells and fans
+    only the PROBED rows, through one hash EQUI-join on the cell id
+    (partition-prunable when the table is bucketed by cell; expected
+    scan fraction ~ n_probe / n_centroids per query).  -> (qid,
+    vec_id, cos_sim, rank) — same round-6 + (cos DESC, id ASC) tie
+    discipline, same output shape as the exact verifier.
+
+    The query batch is bounded by contract (the serving request, not
+    the corpus): one bounded collect derives the per-query probe
+    lists driver-side (the ivf_train class of bounded jobs), and the
+    (qid, cell) probe frame plus the query vectors are broadcast."""
+    from pyspark.sql import Window
+
+    cents = np.asarray(centroids, np.float64)
+    qrows = queries.select(F.col(qid_col).alias("qid"),
+                           F.col(vec_col).alias("_qv")).collect()
+    probes = []
+    for r in qrows:
+        q = np.asarray(r._qv, np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        for c in np.argsort(-(cents @ q))[:n_probe].tolist():
+            probes.append((r.qid, int(c)))
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes, "qid long, ivf_cell long")
+    qdf = queries.select(F.col(qid_col).alias("qid"),
+                         F.col(vec_col).alias("_qv"))
+    assigned = corpus.withColumn(
+        "ivf_cell", make_ivf_assign_udf(cents)(F.col(vec_col)))
+    cand = (assigned.join(F.broadcast(probe_df), "ivf_cell")
+            .join(F.broadcast(qdf), "qid"))
+    dot = (f"aggregate(zip_with({vec_col}, _qv, "
+           "(x, y) -> cast(x as double) * cast(y as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    cos = F.expr(dot) / (F.expr(_norm_expr(vec_col))
+                         * F.expr(_norm_expr("_qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"),
+                                          F.asc(id_col))
+    return (cand.select("qid", id_col, F.round(cos, 6).alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -437,3 +437,35 @@ def test_batch_topk_self_match_ranks_first(spark):
     top1 = {r.qid: r.vec_id
             for r in batch_cosine_topk(emb, qs, k=1).collect()}
     assert top1 == {i: i for i in range(5)}
+
+
+def test_ivf_batch_recall1_and_margin(spark):
+    # the recall-1 theorem behind ann_ivf_batch at sf0.001: per query
+    # the top-4 are exactly {query row, 3 planted copies} at cos 1.0
+    # and the natural rank-5 sits below the round-6 tie boundary
+    import numpy as np
+    from pyspark.sql import functions as F
+    from engine.ml.ann import ivf_batch_topk, ivf_train
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    copies = (qs.crossJoin(spark.range(0, 3).select(F.col("id").alias("_i")))
+              .select((F.lit(100000) + F.col("qid") * 10 + F.col("_i"))
+                      .alias("vec_id"), "embedding"))
+    corpus = emb.unionByName(copies)
+    dim = len(emb.first().embedding)
+    cents = ivf_train(corpus, 8, dim=dim)
+    out = ivf_batch_topk(corpus, qs, k=5, centroids=cents,
+                         n_probe=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        top_ids = {r.vec_id for r in rows[:4]}
+        assert top_ids == {qid} | {100000 + qid * 10 + i
+                                   for i in range(3)}
+        assert all(r.cos_sim == 1.0 for r in rows[:4])
+        if len(rows) > 4:  # natural rank-5 strictly below the tie
+            assert rows[4].cos_sim < 1.0
