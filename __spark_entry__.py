@@ -1473,6 +1473,25 @@ def q_agg_bitmap(spark, sf):
     return presence_bitmap(od, "o_orderpriority", "v", domain=1024)
 
 
+def q_ts_autocorr(spark, sf):
+    """F14 (r5, post-window) — exact autocorrelation components
+    (engine/relops.py::autocorr_components): per event_type and lag
+    1..3 the integer sufficient statistics (n, Σv, Σv², n_pairs,
+    Σ v_t·v_{t+lag}) of the (ts, event_id)-ordered cents series —
+    never divided; the Pearson r_k is a trivial driver-side epilogue
+    while the statistics stay associative and hash-exact.  One window
+    shuffle computes all leads; the lag dimension is a bounded in-plan
+    explode."""
+    _prep(spark)
+    from engine.relops import autocorr_components
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id"), _cents("value").alias("cents"))
+    return autocorr_components(ev, "event_type", "us", "event_id",
+                               "cents", max_lag=3)
+
+
 def q_ts_changepoint(spark, sf):
     """F13 (r5, post-window) — exact CUSUM changepoint
     (engine/relops.py::cusum_changepoint): per event_type the index
@@ -5682,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_perceptron": q_ml_perceptron,
         "snapshot_tag": q_snapshot_tag,
         "ann_ivf_batch": q_ann_ivf_batch,
+        "ts_autocorr": q_ts_autocorr,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9019,6 +9039,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
             "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
             "FROM b GROUP BY grp, word"),
+        # ts_autocorr — the same leads in ANSI windows, one SELECT per
+        # lag UNION ALL'd (an independent, non-exploded formulation).
+        "ts_autocorr": " UNION ALL ".join(
+            "SELECT key, CAST({k} AS INTEGER) AS lag, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(v) AS BIGINT) AS sum_c, "
+            "CAST(SUM(v * v) AS BIGINT) AS sumsq_c, "
+            "CAST(COUNT(l{k}) AS BIGINT) AS n_pairs, "
+            "CAST(COALESCE(SUM(v * l{k}), 0) AS BIGINT) AS lag_dot "
+            "FROM (SELECT event_type AS key, "
+            "CAST(round(value * 100) AS BIGINT) AS v, "
+            "lead(CAST(round(value * 100) AS BIGINT), {k}) OVER "
+            "(PARTITION BY event_type ORDER BY epoch_us(ts), event_id) "
+            "AS l{k} FROM events) t GROUP BY key".format(k=k)
+            for k in (1, 2, 3)),
         # ts_changepoint — identical prefix arithmetic in ANSI windows;
         # argmax via QUALIFY row_number (g DESC, k ASC).  n >= 2 keys
         # only (the events fixture always has them); the n<2 branch is

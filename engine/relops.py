@@ -690,3 +690,52 @@ def cusum_changepoint(df: DataFrame, key_col: str, ts_col: str,
                        F.lit(0).cast("long").alias("g_max"),
                        F.lit(0).cast("long").alias("prefix_at_cp")))
     return picked.unionByName(singles)
+
+
+def autocorr_components(df: DataFrame, key_col: str, ts_col: str,
+                        seq_col: str, val_col: str,
+                        max_lag: int = 3) -> DataFrame:
+    """Exact autocorrelation components per key and lag (F14, r5
+    post-window) -> (key, lag, n, sum_c, sumsq_c, n_pairs, lag_dot)
+    for lag = 1..max_lag over the (ts, seq)-ordered integer series.
+
+    The operator carries the EXACT integer sufficient statistics and
+    never divides: lag_dot = Sigma v_t * v_{t+lag} (n_pairs terms),
+    with the per-key n / Sigma v / Sigma v^2 alongside, is everything
+    the Pearson autocorrelation r_k needs — the float division is a
+    trivial driver-side epilogue, while the statistics themselves stay
+    associative, order-free, and hash-exact.  (The same components
+    double as the lag-k autocovariance and the Durbin-Watson
+    numerator.)  Overflow: |lag_dot| <= n * max|v|^2 — cents series
+    pre-bucket through ts_decompose's front door at extreme scale.
+
+    Scale shape: ONE shuffle — the per-key ordered window computes all
+    max_lag leads in a single pass, and the per-(key) aggregation
+    reuses the window's hash partitioning; the lag dimension is a
+    bounded in-plan explode of the aggregated row, not a re-shuffle."""
+    b = df.select(F.col(key_col).alias("key"), F.col(ts_col).alias("_ts"),
+                  F.col(seq_col).cast("long").alias("_seq"),
+                  F.col(val_col).cast("long").alias("_v"))
+    w = Window.partitionBy("key").orderBy(F.asc("_ts"), F.asc("_seq"))
+    t = b
+    for k in range(1, max_lag + 1):
+        t = t.withColumn(f"_l{k}", F.lead("_v", k).over(w))
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("_v").cast("long").alias("sum_c"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long")
+            .alias("sumsq_c")]
+    for k in range(1, max_lag + 1):
+        aggs += [F.count(f"_l{k}").cast("long").alias(f"_np{k}"),
+                 F.sum(F.col("_v") * F.col(f"_l{k}")).cast("long")
+                 .alias(f"_d{k}")]
+    g = t.groupBy("key").agg(*aggs)
+    lags = F.array(*[
+        F.struct(F.lit(k).cast("int").alias("lag"),
+                 F.col(f"_np{k}").alias("n_pairs"),
+                 F.coalesce(F.col(f"_d{k}"), F.lit(0)).alias("lag_dot"))
+        for k in range(1, max_lag + 1)])
+    return (g.select("key", "n", "sum_c", "sumsq_c",
+                     F.explode(lags).alias("L"))
+            .select("key", F.col("L.lag").alias("lag"), "n", "sum_c",
+                    "sumsq_c", F.col("L.n_pairs").alias("n_pairs"),
+                    F.col("L.lag_dot").alias("lag_dot")))

@@ -149,3 +149,41 @@ def test_changepoint_constant_series_ties_to_lowest_k(spark):
     r = cusum_changepoint(df, "key", "us", "seq", "v").collect()[0]
     # every G_k = |10*5k - k*50| = 0: tie -> k = 1
     assert (r.cp_idx, r.g_max) == (1, 0)
+
+
+# --------------------------------------------- autocorrelation
+
+def test_autocorr_matches_reference(spark):
+    import random
+    from engine.relops import autocorr_components
+    rng = random.Random(13)
+    series = {"a": [rng.randrange(-20, 80) for _ in range(40)],
+              "b": [rng.randrange(0, 10) for _ in range(3)]}
+    rows = [(k, i, i, v) for k, vs in series.items()
+            for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows,
+                               "key string, us long, seq long, v long")
+    got = {(r.key, r.lag): (r.n, r.sum_c, r.sumsq_c, r.n_pairs,
+                            r.lag_dot)
+           for r in autocorr_components(df, "key", "us", "seq", "v",
+                                        max_lag=3).collect()}
+    for k, vs in series.items():
+        n = len(vs)
+        for lag in (1, 2, 3):
+            pairs = list(zip(vs, vs[lag:]))
+            assert got[(k, lag)] == (
+                n, sum(vs), sum(v * v for v in vs), len(pairs),
+                sum(a * b for a, b in pairs))
+
+
+def test_autocorr_perfect_period_two(spark):
+    # alternating +1/-1: lag-1 dot = -(n-1), lag-2 dot = +(n-2) —
+    # the textbook oscillation signature, exact.
+    from engine.relops import autocorr_components
+    vs = [1 if i % 2 == 0 else -1 for i in range(10)]
+    df = spark.createDataFrame([("k", i, i, v) for i, v in enumerate(vs)],
+                               "key string, us long, seq long, v long")
+    got = {r.lag: r.lag_dot
+           for r in autocorr_components(df, "key", "us", "seq",
+                                        "v").collect()}
+    assert got[1] == -9 and got[2] == 8 and got[3] == -7
