@@ -3385,6 +3385,19 @@ def q_raster_adaptive_threshold(spark, sf):
                               radius=2)
 
 
+def q_text_sentences(spark, sf):
+    """M40 (r5, post-window) — sentence segmentation statistics
+    (engine/text/ops.py::sentence_stats): the deterministic-regex
+    split contract ([.!?]+ runs followed by whitespace,
+    abbreviation-blind BY DESIGN — the rule being part of the contract
+    is what makes two engines agree exactly), trimmed fragments,
+    trailing terminators stripped.  All-native string HOFs, zero
+    shuffle; the twin runs the identical rule in DuckDB list ops."""
+    _prep(spark)
+    from engine.text.ops import sentence_stats
+    return sentence_stats(_t(spark, sf, "documents"))
+
+
 def q_text_chunks(spark, sf):
     """Fixed-size overlapping chunking (late r4) — RAG/context-window
     prep (engine/text/ops.py::chunk_docs): size=96 overlap=16 char
@@ -5702,6 +5715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_tag": q_snapshot_tag,
         "ann_ivf_batch": q_ann_ivf_batch,
         "ts_autocorr": q_ts_autocorr,
+        "text_sentences": q_text_sentences,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8076,6 +8090,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS chunk_len, "
             "substr(text, CAST(i * 80 + 1 AS INTEGER), 96) AS chunk_text "
             "FROM d, unnest(generate_series(0, nc - 1)) AS t(i)"),
+        # text_sentences — the identical split contract in DuckDB list
+        # ops (regexp_split_to_array + trim filter + terminator strip).
+        "text_sentences": (
+            "WITH t AS (SELECT doc_id, list_filter(list_transform("
+            "regexp_split_to_array(text, '[.!?]+\\s+'), s -> trim(s)), "
+            "s -> s <> '') AS fr FROM documents), "
+            "c AS (SELECT doc_id, list_transform(fr, "
+            "s -> regexp_replace(s, '[.!?]+$', '')) AS cl FROM t) "
+            "SELECT doc_id, CAST(len(cl) AS INTEGER) AS n_sentences, "
+            "CAST(COALESCE(list_max(list_transform(cl, "
+            "s -> length(s))), 0) AS INTEGER) AS max_sentence_chars, "
+            "CAST(COALESCE(list_sum(list_transform(cl, "
+            "s -> length(s))), 0) AS INTEGER) AS sum_sentence_chars, "
+            "COALESCE(cl[1], '') AS first_sentence FROM c"),
         # text_repetition: token/n-gram counts re-derived relationally
         # (unnest + GROUP BY + MAX) rather than by mirroring the engine's
         # sorted-run HOF — an independent formulation of the same counts.

@@ -516,3 +516,35 @@ def feature_hash(df: DataFrame, text: str = "text",
     return (s.groupBy(id_col, "bucket")
             .agg(F.sum("sgn").cast("long").alias("val"))
             .filter(F.col("val") != 0))
+
+
+def sentence_stats(df: DataFrame, *, id_col: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """Sentence segmentation statistics (M40, r5 post-window) — the
+    corpus-prep step between document and token granularity ->
+    (doc_id, n_sentences, max_sentence_chars, sum_sentence_chars,
+    first_sentence).
+
+    The segmentation CONTRACT is the deterministic regex split on
+    [.!?]+ runs followed by whitespace (abbreviation-blind by design —
+    a heuristic segmenter is a documented approximation, and the
+    split rule being part of the contract is what makes two engines
+    agree exactly); empty fragments (leading punctuation, trailing
+    terminator) are dropped; per-sentence lengths count the TRIMMED
+    fragment.  All-native: one regexp split + array HOFs, zero
+    shuffle, zero Python."""
+    frags = (f"filter(transform(split({text}, '[.!?]+\\\\s+'), "
+             "s -> trim(s)), s -> s <> '')")
+    clean = (f"transform({frags}, "
+             "s -> regexp_replace(s, '[.!?]+$', ''))")
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({clean}) AS INT)").alias("n_sentences"),
+        F.expr(f"CAST(coalesce(array_max(transform({clean}, "
+               "s -> length(s))), 0) AS INT)")
+        .alias("max_sentence_chars"),
+        F.expr(f"CAST(coalesce(aggregate(transform({clean}, "
+               "s -> length(s)), 0, (a, b) -> a + b), 0) AS INT)")
+        .alias("sum_sentence_chars"),
+        F.expr(f"coalesce(try_element_at({clean}, 1), '')")
+        .alias("first_sentence"))

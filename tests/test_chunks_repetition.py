@@ -118,3 +118,38 @@ def test_pii_scrub_brute(spark):
     # count as numbers (scrub-order contract)
     assert "99999" in got[2][0] and got[2][2] == 2
     assert got[1] == ("mail me at <EMAIL> or <EMAIL> now", 2, 0)
+
+
+# --------------------------------------------- sentence segmentation
+
+def test_sentence_stats_matches_reference(spark):
+    import re
+    from engine.text.ops import sentence_stats
+    docs = [
+        (0, "Hello world. This is fine! Is it? Yes."),
+        (1, "No terminator here"),
+        (2, "Multi... dots!!  And   spaces?  end."),
+        (3, ""),
+        (4, "Trailing bang!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_sentences, r.max_sentence_chars,
+                      r.sum_sentence_chars, r.first_sentence)
+           for r in sentence_stats(df).collect()}
+    for did, text in docs:
+        frags = [s.strip() for s in re.split(r"[.!?]+\s+", text)]
+        frags = [re.sub(r"[.!?]+$", "", s) for s in frags if s != ""]
+        lens = [len(s) for s in frags]
+        assert got[did] == (len(frags), max(lens, default=0),
+                            sum(lens), frags[0] if frags else ""), did
+
+
+def test_sentence_stats_contract_is_abbreviation_blind(spark):
+    # "Dr. Who" splits at the abbreviation period — the DOCUMENTED
+    # heuristic contract, pinned so a future "smarter" segmenter is a
+    # breaking change, not a drift.
+    from engine.text.ops import sentence_stats
+    df = spark.createDataFrame([(0, "Dr. Who met Mr. Smith.")],
+                               "doc_id long, text string")
+    r = sentence_stats(df).collect()[0]
+    assert r.n_sentences == 3 and r.first_sentence == "Dr"
