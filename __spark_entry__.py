@@ -3385,6 +3385,32 @@ def q_raster_adaptive_threshold(spark, sf):
                               radius=2)
 
 
+def q_text_url_canonical(spark, sf):
+    """M41 (r5, post-window) — URL canonicalization
+    (engine/text/url.py::canonicalize_urls): deterministic messy URLs
+    synthesized from doc_id (mixed-case scheme/host, www, default and
+    custom ports, unsorted query params, fragments — the pii_scrub
+    fixture pattern) canonicalized under the pinned 6-rule contract.
+    All-native regexp + array HOFs; the twin RE-IMPLEMENTS the rules
+    in DuckDB dialect (independent formulation, not shared text)."""
+    _prep(spark)
+    from engine.text.url import canonicalize_urls
+    d = _t(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' "
+        "|| CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END "
+        "|| 'Site' || CAST(doc_id % 7 AS STRING) || '.Com' "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ':80' "
+        "   WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END "
+        "|| '/Path/' || CAST(doc_id AS STRING) "
+        "|| CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END "
+        "|| CASE WHEN doc_id % 2 = 0 "
+        "   THEN '?b=2&a=' || CAST(doc_id % 5 AS STRING) || '&c=3' "
+        "   ELSE '?z=9&y=8' END "
+        "|| CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url")
+    return canonicalize_urls(d)
+
+
 def q_text_sentences(spark, sf):
     """M40 (r5, post-window) — sentence segmentation statistics
     (engine/text/ops.py::sentence_stats): the deterministic-regex
@@ -5716,6 +5742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": q_ann_ivf_batch,
         "ts_autocorr": q_ts_autocorr,
         "text_sentences": q_text_sentences,
+        "text_url_canonical": q_text_url_canonical,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8090,6 +8117,53 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS chunk_len, "
             "substr(text, CAST(i * 80 + 1 AS INTEGER), 96) AS chunk_text "
             "FROM d, unnest(generate_series(0, nc - 1)) AS t(i)"),
+        # text_url_canonical — the 6-rule contract RE-IMPLEMENTED in
+        # DuckDB dialect over the same synthesized fixture (independent
+        # formulation, not shared text).
+        "text_url_canonical": (
+            "WITH d AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END "
+            "|| '://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' "
+            "ELSE '' END || 'Site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.Com' || CASE WHEN doc_id % 3 = 0 THEN ':80' "
+            "WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END "
+            "|| '/Path/' || CAST(doc_id AS VARCHAR) "
+            "|| CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END "
+            "|| CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=' "
+            "|| CAST(doc_id % 5 AS VARCHAR) || '&c=3' "
+            "ELSE '?z=9&y=8' END "
+            "|| CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END "
+            "AS url FROM documents), "
+            "p AS (SELECT doc_id, url, "
+            "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', "
+            "1)) AS scheme, "
+            "regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') "
+            "AS rest FROM d), "
+            "q AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) "
+            "AS hostport, regexp_extract(url, '\\?([^#]*)', 1) "
+            "AS query FROM p), "
+            "r AS (SELECT *, CASE WHEN "
+            "lower(regexp_extract(hostport, '^([^:]*)', 1)) "
+            "LIKE 'www.%' THEN substring(lower(regexp_extract(hostport, "
+            "'^([^:]*)', 1)), 5) ELSE "
+            "lower(regexp_extract(hostport, '^([^:]*)', 1)) END AS host, "
+            "regexp_extract(hostport, ':([0-9]+)$', 1) AS port0, "
+            "regexp_replace(regexp_extract(rest, "
+            "'^[^/?#]*(/[^?#]*)', 1), '/+$', '') AS path, "
+            "list_sort(list_filter(string_split(query, '&'), "
+            "x -> x <> '')) AS params FROM q), "
+            "s AS (SELECT *, CASE WHEN port0 = '' THEN '' "
+            "WHEN scheme = 'http' AND port0 = '80' THEN '' "
+            "WHEN scheme = 'https' AND port0 = '443' THEN '' "
+            "ELSE ':' || port0 END AS keep_port, "
+            "CASE WHEN len(params) = 0 THEN '' "
+            "ELSE '?' || list_aggregate(params, 'string_agg', '&') END "
+            "AS qcanon FROM r) "
+            "SELECT doc_id, url, "
+            "scheme || '://' || host || keep_port || path || qcanon "
+            "AS canon_url, host, "
+            "CASE WHEN keep_port = '' THEN '' ELSE port0 END AS port, "
+            "CAST(len(params) AS INTEGER) AS n_params FROM s"),
         # text_sentences — the identical split contract in DuckDB list
         # ops (regexp_split_to_array + trim filter + terminator strip).
         "text_sentences": (

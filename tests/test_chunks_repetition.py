@@ -153,3 +153,45 @@ def test_sentence_stats_contract_is_abbreviation_blind(spark):
                                "doc_id long, text string")
     r = sentence_stats(df).collect()[0]
     assert r.n_sentences == 3 and r.first_sentence == "Dr"
+
+
+# --------------------------------------------- URL canonicalization
+
+def test_url_canonical_rules(spark):
+    from engine.text.url import canonicalize_urls
+    cases = [
+        # (url, canon, host, port, n_params)
+        ("HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#x",
+         "http://example.com/a/b?a=1&b=2", "example.com", "", 2),
+        ("https://Example.com:443/", "https://example.com", 
+         "example.com", "", 0),
+        ("https://example.com:8443/p?z=1",
+         "https://example.com:8443/p?z=1", "example.com", "8443", 1),
+        ("http://example.com", "http://example.com", "example.com",
+         "", 0),
+        ("https://www.www.site.org/q?a=2&a=1",
+         "https://www.site.org/q?a=1&a=2", "www.site.org", "", 2),
+        ("HTTPS://site.io:80/x", "https://site.io:80/x", "site.io",
+         "80", 0),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "doc_id long, url string")
+    got = {r.doc_id: (r.canon_url, r.host, r.port, r.n_params)
+           for r in canonicalize_urls(df).collect()}
+    for i, (_, canon, host, port, np_) in enumerate(cases):
+        assert got[i] == (canon, host, port, np_), (i, got[i])
+
+
+def test_url_canonical_is_idempotent(spark):
+    # canon(canon(u)) == canon(u) for the fixture family
+    from pyspark.sql import functions as F
+    from engine.text.url import canonicalize_urls
+    import __spark_entry__ as m
+    one = m.queries()["text_url_canonical"](spark,
+                                            "/root/testdata/sf0.001")
+    again = canonicalize_urls(
+        one.select("doc_id", F.col("canon_url").alias("url")))
+    j = (one.select("doc_id", F.col("canon_url").alias("c1"))
+         .join(again.select("doc_id", F.col("canon_url").alias("c2")),
+               "doc_id"))
+    assert j.filter("c1 <> c2").count() == 0
