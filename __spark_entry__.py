@@ -1789,6 +1789,25 @@ def q_raster_mode_pyramid(spark, sf):
     return mode_pyramid(pix, levels=3)
 
 
+def q_raster_viewshed(spark, sf):
+    """C-vs (r5, post-window) — 2-D radial viewshed
+    (engine/geo/raster.py::viewshed) over the dense 48x48 count
+    raster: observer diagonally outside at (-1,-1), exact ray classes
+    via native bounded-HOF gcd reduction, strict elevation-angle
+    dominance along each ray under the floor-scaling order theorem
+    (SCALE >= max(d2)^2, the raster_los proof with 2-D denominators).
+    The twin never scales — it cross-multiplies a NOT-EXISTS with
+    DuckDB's gcd builtin — so agreement proves the scaling theorem on
+    every fixture ray."""
+    _prep(spark)
+    from engine.geo.raster import viewshed
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 48 AS gx",
+        "((c_custkey * 2654435761) DIV 48) % 48 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return viewshed(pix, grid=48)
+
+
 def q_stream_mv(spark, sf):
     """J14 (r4 cont.) — STREAMING incremental view maintenance: the
     event stream lands in an icelite fact table via foreachBatch and
@@ -5743,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_autocorr": q_ts_autocorr,
         "text_sentences": q_text_sentences,
         "text_url_canonical": q_text_url_canonical,
+        "raster_viewshed": q_raster_viewshed,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8884,6 +8904,25 @@ def oracle_sql() -> dict[str, str]:
         "raster_costdist": costdist_sql,
         "osm_route": osm_route_sql,
         "graph_lpa": lpa_sql,
+        # raster_viewshed — ray classes via DuckDB's gcd builtin, then
+        # a cross-multiplied NOT-EXISTS (never floor-scaled): a cell is
+        # blocked iff a strictly-nearer same-ray cell has
+        # w_b^2 * d2_a >= w_a^2 * d2_b (grazing blocks, los).
+        "raster_viewshed": (
+            "WITH pix AS (SELECT (c_custkey * 2654435761) % 48 AS gx, "
+            "((c_custkey * 2654435761) // 48) % 48 AS gy, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+            "t AS (SELECT gx, gy, w, gx + 1 AS vx, gy + 1 AS vy, "
+            "(gx + 1) * (gx + 1) + (gy + 1) * (gy + 1) AS d2 FROM pix), "
+            "r AS (SELECT gx, gy, w, "
+            "CAST(vx // gcd(vx, vy) AS BIGINT) AS rdx, "
+            "CAST(vy // gcd(vx, vy) AS BIGINT) AS rdy, "
+            "CAST(d2 AS BIGINT) AS d2 FROM t) "
+            "SELECT a.gx, a.gy, a.w, a.rdx, a.rdy, a.d2, "
+            "CAST(a.w > 0 AND NOT EXISTS (SELECT 1 FROM r b "
+            "WHERE b.rdx = a.rdx AND b.rdy = a.rdy AND b.d2 < a.d2 "
+            "AND b.w * b.w * a.d2 >= a.w * a.w * b.d2) AS INTEGER) "
+            "AS vis FROM r a"),
         "ml_kmeans": kmeans_sql,
         "raster_mode_pyramid": mode_pyr_sql,
         "ml_perceptron": perceptron_sql,

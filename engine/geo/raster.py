@@ -1496,3 +1496,59 @@ def adaptive_threshold(df: DataFrame, z: int = 6, grid_bits: int = 4,
                     "n_box",
                     (F.col("w") * F.col("n_box")
                      > F.col("box_sum")).cast("int").alias("above")))
+
+
+def viewshed(pixels: DataFrame, x: str = "gx", y: str = "gy",
+             w: str = "w", grid: int = 128) -> DataFrame:
+    """2-D radial viewshed over a sparse COUNT raster (C-vs, r5,
+    post-window) — the full generalization of line_of_sight's 1-D
+    rays: an observer at height 0 sits diagonally outside the grid at
+    (-1, -1); a cell's height is its count w (absent cells TRUE
+    ZEROS, never occluding); a cell is VISIBLE iff w > 0 and its
+    elevation angle w / sqrt(d2), d2 = (gx+1)^2 + (gy+1)^2, STRICTLY
+    exceeds every nearer occupied cell's angle on the SAME RAY
+    (grazing rays are blocked — the los convention).
+
+    Ray identity is exact: cells share a ray iff their direction
+    vectors from the observer are parallel, canonicalized by dividing
+    (gx+1, gy+1) by their gcd — computed NATIVELY as a bounded
+    sequence-filter HOF (coords are grid-bounded by contract, so the
+    divisor scan is <= grid+1 elements, in-plan, zero Python).
+
+    Exactness of the angle order: comparing w_a/sqrt(d2_a) vs
+    w_b/sqrt(d2_b) over non-negative heights squares to the exact
+    integer comparison w_a^2 * d2_b vs w_b^2 * d2_a; the engine
+    carries ang = floor(w^2 * SCALE / d2) with SCALE = (2*grid^2)^2
+    >= max(d2)^2, and two DISTINCT rationals w^2/d2 differ by at
+    least 1/SCALE — so the floor-scaled BIGINT comparison IS the
+    rational comparison (the raster_los theorem, 2-D denominators).
+    The DuckDB twin never scales: it cross-multiplies a NOT-EXISTS.
+
+    Scale shape: ONE window shuffle partitioned by the ray class —
+    rays are independent, executors sweep disjoint rays; the running
+    max over the d2-ordered preceding frame decides visibility.
+    Integer codegen end to end."""
+    assert grid >= 1
+    scale = (2 * grid * grid) ** 2
+    from pyspark.sql import Window
+
+    base = pixels.select(F.col(x).cast("long").alias("gx"),
+                         F.col(y).cast("long").alias("gy"),
+                         F.col(w).cast("long").alias("w"))
+    vx, vy = "(gx + 1)", "(gy + 1)"
+    g = (f"array_max(filter(sequence(1, least({vx}, {vy})), "
+         f"d -> {vx} % d = 0 AND {vy} % d = 0))")
+    d2 = f"({vx} * {vx} + {vy} * {vy})"
+    t = (base
+         .withColumn("_g", F.expr(g))
+         .withColumn("rdx", F.expr(f"{vx} DIV _g"))
+         .withColumn("rdy", F.expr(f"{vy} DIV _g"))
+         .withColumn("d2", F.expr(d2))
+         .withColumn("ang", F.expr(f"(w * w * {scale}L) DIV {d2}")))
+    win = (Window.partitionBy("rdx", "rdy").orderBy("d2")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    return (t.withColumn(
+        "vis", ((F.col("w") > 0)
+                & (F.col("ang") > F.coalesce(F.max("ang").over(win),
+                                             F.lit(-1)))).cast("int"))
+        .select("gx", "gy", "w", "rdx", "rdy", "d2", "vis"))

@@ -113,3 +113,64 @@ def test_los_partition_invariant(spark):
     b = {(r.gx, r.gy, r.vis)
          for r in line_of_sight(df.repartition(13)).collect()}
     assert a == b
+
+
+# ------------------------------------------------- 2-D viewshed
+
+def _vs_ref(cells, grid):
+    """Sequential Fraction-exact reference for viewshed."""
+    from fractions import Fraction
+    from math import gcd
+    out = {}
+    rays = {}
+    for (x, y), w in cells.items():
+        vx, vy = x + 1, y + 1
+        g = gcd(vx, vy)
+        rays.setdefault((vx // g, vy // g), []).append((x, y, w))
+    for ray, cs in rays.items():
+        cs.sort(key=lambda c: (c[0] + 1) ** 2 + (c[1] + 1) ** 2)
+        best = Fraction(-1)
+        for x, y, w in cs:
+            d2 = (x + 1) ** 2 + (y + 1) ** 2
+            ang = Fraction(w * w, d2)
+            out[(x, y)] = int(w > 0 and ang > best)
+            best = max(best, ang)
+    return out
+
+
+def test_viewshed_matches_fraction_reference(spark):
+    import random
+    from engine.geo.raster import viewshed
+    rng = random.Random(19)
+    cells = {(rng.randrange(20), rng.randrange(20)): rng.randrange(0, 9)
+             for _ in range(160)}
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in sorted(cells.items())],
+        "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.vis for r in viewshed(df, grid=20).collect()}
+    assert got == _vs_ref(cells, 20)
+
+
+def test_viewshed_diagonal_ray_occlusion(spark):
+    from engine.geo.raster import viewshed
+    # cells (0,0), (1,1), (3,3) share the diagonal ray.  Heights 2/4/8:
+    # angles 2/sqrt(2) > 4/sqrt(8)? 4/8 = 2, 16/8 = 2 — EQUAL squared
+    # angles (grazing): (1,1) is blocked; (3,3) with 64/32 = 2 also
+    # grazes and is blocked.  Raising (3,3) to 9 -> 81/32 > 2: visible.
+    cells = [(0, 0, 2), (1, 1, 4), (3, 3, 8)]
+    df = spark.createDataFrame(cells, "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.vis for r in viewshed(df, grid=8).collect()}
+    assert got == {(0, 0): 1, (1, 1): 0, (3, 3): 0}
+    df2 = spark.createDataFrame([(0, 0, 2), (1, 1, 4), (3, 3, 9)],
+                                "gx long, gy long, w long")
+    got2 = {(r.gx, r.gy): r.vis for r in viewshed(df2, grid=8).collect()}
+    assert got2[(3, 3)] == 1
+
+
+def test_viewshed_rays_are_independent(spark):
+    from engine.geo.raster import viewshed
+    # a huge tower on one ray must not occlude a different ray
+    cells = [(1, 0, 100), (0, 1, 1)]
+    df = spark.createDataFrame(cells, "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.vis for r in viewshed(df, grid=4).collect()}
+    assert got == {(1, 0): 1, (0, 1): 1}
