@@ -721,6 +721,23 @@ def q_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_seq_match(spark, sf):
+    """F15 (r5, post-window) — contiguous-pattern counting
+    (engine/relops.py::seq_match): per user the non-overlapping count
+    of the CONSECUTIVE run view->click->purchase in the
+    (ts, event_id)-ordered type stream — MATCH_RECOGNIZE-lite, the
+    contiguous complement of funnel's subsequence reach.  The count
+    is the replace-length identity (no regex dialect risk); the twin
+    builds the same ordered string with string_agg ORDER BY and
+    applies the identical arithmetic."""
+    _prep(spark)
+    from engine.relops import seq_match
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type")
+    return seq_match(ev, ["view", "click", "purchase"])
+
+
 def q_img_sobel(spark, sf):
     """C12 (r4 cont.) — per-image Sobel gradient statistics
     (engine/image/sobel.py): exact-integer edge energy / max gradient /
@@ -5763,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentences": q_text_sentences,
         "text_url_canonical": q_text_url_canonical,
         "raster_viewshed": q_raster_viewshed,
+        "seq_match": q_seq_match,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9180,6 +9198,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
             "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
             "FROM b GROUP BY grp, word"),
+        # seq_match — same ordered sentinel string via string_agg ORDER
+        # BY + the identical replace-length identity.
+        "seq_match": (
+            "WITH s AS (SELECT user_id AS user, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "string_agg(substr(event_type, 1, 1), '' "
+            "ORDER BY epoch_us(ts), event_id) AS str "
+            "FROM events GROUP BY user_id) "
+            "SELECT user, n_events, "
+            "CAST((length(str) - length(replace(str, 'vcp', ''))) // 3 "
+            "AS BIGINT) AS n_matches FROM s"),
         # ts_autocorr — the same leads in ANSI windows, one SELECT per
         # lag UNION ALL'd (an independent, non-exploded formulation).
         "ts_autocorr": " UNION ALL ".join(

@@ -739,3 +739,46 @@ def autocorr_components(df: DataFrame, key_col: str, ts_col: str,
             .select("key", F.col("L.lag").alias("lag"), "n", "sum_c",
                     "sumsq_c", F.col("L.n_pairs").alias("n_pairs"),
                     F.col("L.lag_dot").alias("lag_dot")))
+
+
+def seq_match(events: DataFrame, pattern: list[str],
+              user_col: str = "user_id", ts_col: str = "ts",
+              seq_col: str = "event_id",
+              type_col: str = "event_type") -> DataFrame:
+    """Contiguous-pattern counting over per-user event sequences
+    (F15, r5 post-window) — MATCH_RECOGNIZE-lite, the CONTIGUOUS
+    complement of funnel's subsequence semantics: per user the number
+    of NON-OVERLAPPING left-to-right occurrences of `pattern` as a
+    consecutive run in the (ts, seq)-ordered type stream ->
+    (user, n_events, n_matches).
+
+    Exactness: each event type maps to a single sentinel character
+    (first letter — the funnel twin's encoding; callers pass patterns
+    with distinct initials), the per-user string is built by ONE
+    ordered collect (sort_array over (ts, seq, char) structs — a
+    deterministic total order), and the count is the replace-length
+    identity  (len(s) - len(replace(s, p, ''))) / len(p)  — pure
+    integer string arithmetic, no regex dialect risk, identical
+    semantics to left-to-right non-overlapping scanning.
+
+    Scale shape: ONE map-side-combined groupBy(user) agg; the
+    per-user string is bounded by the user's event count (the traj
+    family's bounded-track contract).  Zero Python."""
+    chars = [t[0] for t in pattern]
+    assert len(set(chars)) == len(chars), "pattern initials must differ"
+    pat = "".join(chars)
+    b = events.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("_ts"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.expr(f"substring({type_col}, 1, 1)").alias("_c"))
+    agg = (b.groupBy("user")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list("
+                           "struct(_ts, _seq, _c))), s -> s._c)"), "")
+                .alias("_s")))
+    return agg.select(
+        "user", "n_events",
+        ((F.length("_s") - F.length(F.replace(F.col("_s"), F.lit(pat),
+                                              F.lit(""))))
+         / len(pat)).cast("long").alias("n_matches"))

@@ -79,3 +79,46 @@ def test_greedy_is_optimal_interleaving(spark):
 def test_empty_and_no_completions(spark):
     rows = [(1, T0, 0, "signup")]
     assert _run(spark, rows) == {1: 0, 2: 0, 3: 0}
+
+
+# ------------------------------------------- contiguous sequence match
+
+def test_seq_match_matches_reference(spark):
+    import random
+    from engine.relops import seq_match
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = [(u, i, i, rng.choice(types))
+            for u in range(12) for i in range(rng.randrange(0, 30))]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    got = {r.user: (r.n_events, r.n_matches)
+           for r in seq_match(df, ["view", "click", "purchase"],
+                              ts_col="ts").collect()}
+    ref = {}
+    for u, _, _, t in rows:
+        ref.setdefault(u, []).append(t[0])
+    for u, cs in ref.items():
+        s = "".join(cs)  # rows are already in (ts, seq) order
+        n = 0
+        i = 0
+        while (j := s.find("vcp", i)) != -1:
+            n += 1
+            i = j + 3
+        assert got[u] == (len(cs), n), u
+
+
+def test_seq_match_contiguity_vs_funnel_subsequence(spark):
+    # v x c x p is a funnel completion (subsequence) but NOT a
+    # contiguous match — the distinguishing witness.
+    from engine.relops import seq_match
+    rows = [(1, i, i, t) for i, t in enumerate(
+        ["view", "error", "click", "error", "purchase"])]
+    rows += [(2, i, i, t) for i, t in enumerate(
+        ["view", "click", "purchase", "view", "click", "purchase"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    got = {r.user: r.n_matches
+           for r in seq_match(df, ["view", "click", "purchase"],
+                              ts_col="ts").collect()}
+    assert got == {1: 0, 2: 2}
