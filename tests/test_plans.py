@@ -548,3 +548,83 @@ def test_horn_slope_native_no_nested_loop(spark):
     assert "Generate" in plan, plan   # the volunteer explode
     # the gradient agg is map-side combined (partial below its exchange)
     assert "partial_sum" in plan, plan
+
+
+# ---------------------------------------- r5 continuation plan shapes
+
+def test_zonal_majority_two_agg_shuffles_after_broadcast_join(spark):
+    """Majority: broadcast containment join, then (zone,class) counts
+    and the zone argmax fold — exactly two hash agg exchanges, no
+    window sort over zones."""
+    import __spark_entry__ as m
+    df = m.queries()["zonal_majority"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+
+
+def test_tile_median_collect_is_window_bounded_no_python(spark):
+    """Focal median: one tile_counts agg + one regroup — no Python
+    stage anywhere, the collect_list rides a plain hash aggregate."""
+    import __spark_entry__ as m
+    df = m.queries()["tile_median"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adaptive_threshold_is_separable_no_corner_join(spark):
+    """Box sums come from two RANGE-window passes, never a 4-corner
+    SAT join: exactly the densify join + the sparse join-back, no
+    extra join operators, no Python."""
+    import __spark_entry__ as m
+    df = m.queries()["raster_adaptive_threshold"](
+        spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan
+    assert plan.count("Window") == 2          # the two separable passes
+    assert "CartesianProduct" not in plan
+
+
+def test_seq_match_single_exchange(spark):
+    """The ordered-collect agg reuses one hash partitioning; the
+    string identity is pure projection above it."""
+    import __spark_entry__ as m
+    df = m.queries()["seq_match"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "Window" not in plan
+
+
+def test_autocorr_single_exchange_window_plus_agg(spark):
+    """All leads in one window pass; the per-key agg reuses the
+    window's partitioning — a single hash exchange end to end."""
+    import __spark_entry__ as m
+    df = m.queries()["ts_autocorr"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Python" not in plan
+
+
+def test_batch_topk_broadcasts_queries_not_corpus(spark):
+    """The serving batch rides a broadcast nested loop over the
+    once-scanned corpus; the only hash exchange is the per-query
+    top-k window."""
+    import __spark_entry__ as m
+    df = m.queries()["ann_batch_topk"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_viewshed_single_window_exchange_no_python(spark):
+    """Ray classes partition ONE window shuffle; the gcd reduction is
+    a native bounded HOF, not a Python stage."""
+    import __spark_entry__ as m
+    df = m.queries()["raster_viewshed"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan
+    assert plan.count("Window") == 1
