@@ -103,3 +103,17 @@ def test_perceptron_truncating_division_contract():
     from engine.ml.perceptron import _tdiv
     assert _tdiv(-7, 4) == -1 and _tdiv(7, 4) == 1
     assert _tdiv(-8, 4) == -2 and _tdiv(8, -4) == -2
+
+
+def test_kmeans_negative_coords_division_semantics(spark):
+    # negative centroid sums: the truncating-division contract (Spark
+    # DIV / DuckDB //) must hold against the reference, which shares
+    # the same _tdiv helper — a floored update would diverge here.
+    import random
+    rng = random.Random(31)
+    pts = [(i, rng.randrange(-1000, 1000), rng.randrange(-1000, 1000))
+           for i in range(200)]
+    got = {r.id: r.cluster
+           for r in kmeans_int(_pts_df(spark, pts), k=5,
+                               rounds=3).collect()}
+    assert got == kmeans_py(pts, k=5, rounds=3)
