@@ -5083,6 +5083,46 @@ def q_resample_mixture(spark, sf):
         "doc_id", "source", "u", "n_copies", "epoch")
 
 
+def q_poly_intersect_area(spark, sf):
+    """D42 (r5, post-window) — overlay intersection area / IoU
+    components over the layer x layer overlap pairs: for every
+    covering-candidate pair that strictly bbox-intersects, the EXACT
+    integer-square-degree intersection area (bounds are integer
+    degrees by fixture contract — no float ties) plus both input
+    areas; IoU = inter / (a + b - inter) is a trivial driver-side
+    epilogue while the components stay exact BIGINTs.  The conflation
+    SCORING step on top of poly_overlap's candidate generation (same
+    covering join, same strict half-open predicate); the twin is
+    brute-force all-pairs with identical arithmetic."""
+    _prep(spark)
+    from engine.geo.join import covering_overlap_join
+    from engine.geo.layer import PolygonLayer, rect_polygon
+    rects = _grid_rects()
+    layer = PolygonLayer([rect_polygon(*r) for r in rects])
+    cands = covering_overlap_join(layer, None, spark, level=5)
+    bounds = spark.createDataFrame(
+        rects, "poly_id string, minlon double, minlat double, "
+               "maxlon double, maxlat double").selectExpr(
+        "poly_id", "CAST(minlon AS BIGINT) AS x0",
+        "CAST(minlat AS BIGINT) AS y0",
+        "CAST(maxlon AS BIGINT) AS x1", "CAST(maxlat AS BIGINT) AS y1")
+    a = bounds.selectExpr("poly_id AS poly_a", "x0 AS ax0", "y0 AS ay0",
+                          "x1 AS ax1", "y1 AS ay1")
+    b = bounds.selectExpr("poly_id AS poly_b", "x0 AS bx0", "y0 AS by0",
+                          "x1 AS bx1", "y1 AS by1")
+    j = (cands.join(F.broadcast(a), "poly_a")
+         .join(F.broadcast(b), "poly_b")
+         .filter("poly_a < poly_b")
+         .withColumn("iw", F.expr("least(ax1, bx1) - greatest(ax0, bx0)"))
+         .withColumn("ih", F.expr("least(ay1, by1) - greatest(ay0, by0)"))
+         .filter("iw > 0 AND ih > 0"))
+    return j.select(
+        "poly_a", "poly_b",
+        (F.col("iw") * F.col("ih")).alias("inter_area"),
+        F.expr("(ax1 - ax0) * (ay1 - ay0)").alias("area_a"),
+        F.expr("(bx1 - bx0) * (by1 - by0)").alias("area_b"))
+
+
 def _grid_rects() -> list[tuple[str, float, float, float, float]]:
     """80 deterministic axis-aligned rects with INTEGER-degree bounds
     (exact in both engines; no float ties exist) — the layer x layer
@@ -5781,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_canonical": q_text_url_canonical,
         "raster_viewshed": q_raster_viewshed,
         "seq_match": q_seq_match,
+        "poly_intersect_area": q_poly_intersect_area,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7768,6 +7809,24 @@ def oracle_sql() -> dict[str, str]:
             "AND a.minlon < b.maxlon AND b.minlon < a.maxlon "
             "AND a.minlat < b.maxlat AND b.minlat < a.maxlat"
         ),
+        # poly_intersect_area — brute all-pairs with identical integer
+        # overlay arithmetic over the same inlined bounds.
+        "poly_intersect_area": (
+            "WITH rects(poly_id, minlon, minlat, maxlon, maxlat) AS "
+            "(VALUES " + ", ".join(
+                f"('{pid}', {a}, {b}, {c}, {d})"
+                for pid, a, b, c, d in _grid_rects()) + "), "
+            "r AS (SELECT poly_id, CAST(minlon AS BIGINT) AS x0, "
+            "CAST(minlat AS BIGINT) AS y0, CAST(maxlon AS BIGINT) AS x1, "
+            "CAST(maxlat AS BIGINT) AS y1 FROM rects) "
+            "SELECT a.poly_id AS poly_a, b.poly_id AS poly_b, "
+            "(least(a.x1, b.x1) - greatest(a.x0, b.x0)) * "
+            "(least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS inter_area, "
+            "(a.x1 - a.x0) * (a.y1 - a.y0) AS area_a, "
+            "(b.x1 - b.x0) * (b.y1 - b.y0) AS area_b "
+            "FROM r a JOIN r b ON a.poly_id < b.poly_id "
+            "AND least(a.x1, b.x1) > greatest(a.x0, b.x0) "
+            "AND least(a.y1, b.y1) > greatest(a.y0, b.y0)"),
         # tile_focal — integer tile counts + 3x3 offset sums; the only
         # float exposure is the z6 tile trig CTE shared with the
         # twice-green tile_assign twin (coarse 2^6 grid, integer-derived

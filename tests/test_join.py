@@ -255,3 +255,30 @@ def test_zonal_majority_tie_breaks_to_lowest_class(spark):
     r = zonal_majority(pts, layer, level=6, class_col="cls").collect()[0]
     assert (r.poly_id, r.maj_class, r.maj_n, r.n_classes, r.n) \
         == ("Z", 1, 2, 2, 4)
+
+
+# -------------------------------------------- overlay intersection area
+
+def test_poly_intersect_area_matches_brute(spark):
+    import __spark_entry__ as m
+    got = {(r.poly_a, r.poly_b): (r.inter_area, r.area_a, r.area_b)
+           for r in m.queries()["poly_intersect_area"](
+               spark, "/root/testdata/sf0.001").collect()}
+    rects = {pid: (int(a), int(b), int(c), int(d))
+             for pid, a, b, c, d in m._grid_rects()}
+    exp = {}
+    ids = sorted(rects)
+    for i, pa in enumerate(ids):
+        for pb in ids[i + 1:]:
+            ax0, ay0, ax1, ay1 = rects[pa]
+            bx0, by0, bx1, by1 = rects[pb]
+            iw = min(ax1, bx1) - max(ax0, bx0)
+            ih = min(ay1, by1) - max(ay0, by0)
+            if iw > 0 and ih > 0:
+                exp[(pa, pb)] = (iw * ih,
+                                 (ax1 - ax0) * (ay1 - ay0),
+                                 (bx1 - bx0) * (by1 - by0))
+    assert got == exp and len(exp) > 30
+    # IoU sanity: 0 < inter <= min(areas) for every pair
+    for (pa, pb), (i_, a_, b_) in got.items():
+        assert 0 < i_ <= min(a_, b_)
