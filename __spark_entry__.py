@@ -4073,6 +4073,22 @@ def q_img_histogram(spark, sf):
     return image_histograms(gen_images(spark, 240, seed=42))
 
 
+def q_img_percentiles(spark, sf):
+    """C-ip (r5, post-window) — per-image EXACT luminance percentiles
+    (engine/image/histogram.py::image_percentiles): the discrete order
+    statistic at 1-based rank ceil(p*n/100) for p in {25, 50, 90} —
+    an integer in [0, 765], never an interpolated float (the rank
+    definition IS the contract; np.percentile's linear blend would be
+    engine-version fragile).  One mapInPandas pass, pixels never
+    leave the worker.  Golden-pinned (sf-independent seeded images);
+    the independent oracle is pytest's brute sorted-multiset
+    reference."""
+    _prep(spark)
+    from engine.image.histogram import image_percentiles
+    from engine.synth import gen_images
+    return image_percentiles(gen_images(spark, 240, seed=42))
+
+
 def q_img_otsu(spark, sf):
     """Per-image Otsu threshold (r4 cont., engine/image/otsu.py): the
     classical automatic binarization — argmax of between-class
@@ -5822,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_viewshed": q_raster_viewshed,
         "seq_match": q_seq_match,
         "poly_intersect_area": q_poly_intersect_area,
+        "img_percentiles": q_img_percentiles,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7431,7 +7448,8 @@ def oracle_sql() -> dict[str, str]:
                      "img_sobel", "img_palette", "poly_sample",
                      "img_otsu", "traj_frechet", "img_rle",
                      "img_harris", "traj_simplify", "img_template",
-                     "img_glcm", "img_lbp", "traj_dtw")},
+                     "img_glcm", "img_lbp", "traj_dtw",
+                     "img_percentiles")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -60,3 +60,46 @@ def image_histograms(images: DataFrame) -> DataFrame:
     schema = ("image_id string, bin int, n_pixels long, "
               "lum_min int, lum_max int")
     return images.mapInPandas(_hist, schema=schema)
+
+
+def percentiles_np(pix: np.ndarray, ps=(25, 50, 90)) -> list[int]:
+    """Reference kernel: exact order statistics of the luminance
+    multiset — value at 1-based rank ceil(p*n/100) of the sorted
+    pixel luminances (the DISCRETE percentile, never interpolated)."""
+    lum = np.sort(pix.astype(np.int64).sum(axis=2).ravel())
+    n = lum.size
+    return [int(lum[max(0, -(-p * n // 100) - 1)]) for p in ps]
+
+
+def image_percentiles(images: DataFrame, ps=(25, 50, 90)) -> DataFrame:
+    """Per-image EXACT luminance percentiles (C-ip, r5 post-window) ->
+    (image_id, n_pixels, p25, p50, p90): the value at 1-based rank
+    ceil(p*n/100) of the sorted luminance multiset — the discrete
+    order statistic, an integer in [0, 765], never an interpolation
+    (np.percentile's linear blend would be float and engine-version
+    fragile; the rank definition is the contract).  The robust
+    exposure descriptors beside the 16-bin histogram's shape profile.
+
+    Scale shape: ONE mapInPandas pass, <= 1 skinny row per image,
+    pixels never leave the worker (the codec family contract)."""
+    from engine.image.codec import decode
+
+    cols = [f"p{p}" for p in ps]
+
+    def _pct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "n_pixels": []}
+            for c in cols:
+                out[c] = []
+            for r in pdf.itertuples(index=False):
+                pix = decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                vals = percentiles_np(pix, ps)
+                out["image_id"].append(r.image_id)
+                out["n_pixels"].append(int(pix.shape[0] * pix.shape[1]))
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    schema = ("image_id string, n_pixels long, "
+              + ", ".join(f"{c} long" for c in cols))
+    return images.mapInPandas(_pct, schema=schema)

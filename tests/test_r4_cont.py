@@ -243,3 +243,34 @@ def test_agg_ols_slope_matches_numpy(spark, sf_dir):
             slope = np.polyfit(g.x.to_numpy(float), g.y.to_numpy(float), 1)[0]
             assert np.isclose(row.slope_num / row.slope_den, slope,
                               rtol=1e-7)
+
+
+# ------------------------------------------------ image percentiles
+
+def test_img_percentiles_matches_brute_sort(spark):
+    import numpy as np
+    from engine.image.codec import decode
+    from engine.image.histogram import image_percentiles
+    from engine.synth import gen_images
+    imgs = gen_images(spark, 24, seed=42)
+    got = {r.image_id: (r.n_pixels, r.p25, r.p50, r.p90)
+           for r in image_percentiles(imgs).collect()}
+    for r in imgs.collect():
+        pix = decode(r.bytes, int(r.w), int(r.h), r.fmt)
+        lum = np.sort(pix.astype(np.int64).sum(axis=2).ravel())
+        n = lum.size
+        want = tuple(int(lum[-(-p * n // 100) - 1]) for p in (25, 50, 90))
+        assert got[r.image_id] == (n,) + want
+
+
+def test_img_percentiles_rank_contract_closed_form(spark):
+    # a synthetic 2x2 image with luminances {0, 3, 6, 765}: ranks
+    # ceil(25*4/100)=1 -> 0, ceil(50*4/100)=2 -> 3, ceil(90*4/100)=4
+    # -> 765 — the discrete (never interpolated) definition.
+    import numpy as np
+    from engine.image.histogram import percentiles_np
+    pix = np.zeros((2, 2, 3), np.uint8)
+    pix[0, 1] = (1, 1, 1)
+    pix[1, 0] = (2, 2, 2)
+    pix[1, 1] = (255, 255, 255)
+    assert percentiles_np(pix) == [0, 3, 765]

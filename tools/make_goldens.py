@@ -93,6 +93,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # the dtw2 >= f2 domination theorem + endpoint lower
                # bound in tests/test_dtw.py.
                "traj_dtw",
+               # img_percentiles (r5, post-window): exact discrete
+               # order statistics of the luminance multiset;
+               # independent check = brute sorted reference in
+               # tests/test_r4_cont.py.
+               "img_percentiles",
                # img_rle (r4 cont.): all-integer run-length stats;
                # independent check = brute double-loop run scan in
                # tests/test_rle.py.
