@@ -2845,6 +2845,22 @@ def q_tile_vector_encode_mvt(spark, sf):
                       F.hex("payload").alias("payload_hex"))
 
 
+def q_scan_mvt(spark, sf):
+    """A17 (r5, post-window) — MVT tile SOURCE
+    (engine/geo/vectile.py::read_mvt_tiles): the z6 MVT tiles are
+    encoded and immediately DECODED back through the independent
+    mini-protobuf reader in one distributed pass — encode -> decode =
+    id as a driver surface (the vector-tile family becomes an
+    interchange, not just a sink).  Golden-pinned at sf0.01 like the
+    rest of the vectile family (the feature coords ride the sf-pinned
+    mercator trig); the payload-level roundtrip theorem is
+    tests/test_vectile.py."""
+    _prep(spark)
+    from engine.geo.vectile import encode_vector_tiles, read_mvt_tiles
+    tiles = encode_vector_tiles(_points(spark, sf), z=6, mvt=True)
+    return read_mvt_tiles(tiles)
+
+
 def q_vectile_oversized_stats(spark, sf):
     """Observability for the vector-tile feature cap (r4, VERDICT #3):
     tiles whose raw feature count exceeds max_features, with the dropped
@@ -5839,6 +5855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_match": q_seq_match,
         "poly_intersect_area": q_poly_intersect_area,
         "img_percentiles": q_img_percentiles,
+        "scan_mvt": q_scan_mvt,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7449,7 +7466,7 @@ def oracle_sql() -> dict[str, str]:
                      "img_otsu", "traj_frechet", "img_rle",
                      "img_harris", "traj_simplify", "img_template",
                      "img_glcm", "img_lbp", "traj_dtw",
-                     "img_percentiles")},
+                     "img_percentiles", "scan_mvt")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

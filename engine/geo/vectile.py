@@ -405,3 +405,48 @@ def incremental_tiles_partitioned(spark, layout_path: str,
     encoded = encode_vector_tiles(touched, z, id_col=id_col, lat=lat,
                                   lon=lon)
     return _finish_incremental(affected, encoded, z)
+
+
+def read_mvt_tiles(tiles: DataFrame) -> DataFrame:
+    """Distributed MVT tile SOURCE (A17, r5 post-window) — the decode
+    half that makes the vector-tile surface an interchange, not just a
+    sink: (tile_z, tile_x, tile_y, payload binary) -> one row per
+    feature (tile_z, tile_x, tile_y, layer, extent, version, fid, px,
+    py), via the independent mini-protobuf reader
+    (decode_mvt_payload — tagged-varint walking, no protobuf lib).
+
+    Composed with encode_vector_tiles(mvt=True) this is the
+    encode -> decode = id theorem as a DRIVER surface: the decoded
+    relation must byte-for-byte reproduce the quantized feature sets
+    that went in (tests/test_vectile.py proves the payload level; the
+    driver key proves the distributed path).
+
+    Scale shape: ONE Arrow-batched mapInPandas pass over the tile
+    frame — payload bytes never ride a shuffle; fan-out is bounded by
+    the encoder's max_features cap per tile."""
+    import pandas as pd
+
+    def _dec(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("tile_z", "tile_x", "tile_y",
+                                   "layer", "extent", "version",
+                                   "fid", "px", "py")}
+            for r in pdf.itertuples(index=False):
+                name, extent, version, feats = \
+                    decode_mvt_payload(bytes(r.payload))
+                for fid, x, y in feats:
+                    out["tile_z"].append(int(r.tile_z))
+                    out["tile_x"].append(int(r.tile_x))
+                    out["tile_y"].append(int(r.tile_y))
+                    out["layer"].append(name.decode("ascii"))
+                    out["extent"].append(int(extent))
+                    out["version"].append(int(version))
+                    out["fid"].append(int(fid))
+                    out["px"].append(int(x))
+                    out["py"].append(int(y))
+            yield pd.DataFrame(out)
+
+    schema = ("tile_z int, tile_x long, tile_y long, layer string, "
+              "extent long, version long, fid long, px long, py long")
+    return tiles.select("tile_z", "tile_x", "tile_y", "payload") \
+        .mapInPandas(_dec, schema=schema)

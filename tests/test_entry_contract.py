@@ -23,7 +23,7 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
 # tests/test_raster_merge.py pins tile_raster at sf0.01 explicitly).
 SF_PINNED = {"tile_raster", "tile_vector_encode", "tile_vector_encode_mvt",
              "bpe_tokenize", "bpe_train", "traj_frechet", "traj_simplify",
-             "traj_dtw"}
+             "traj_dtw", "scan_mvt"}
 PINNED_SF_DIR = "/root/testdata/sf0.01"
 
 

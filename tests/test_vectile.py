@@ -255,3 +255,31 @@ def test_incremental_partitioned_prunes_and_matches(spark, tmp_path, rng):
             bytes(r.payload) if r.payload else None)
            for r in out_p.collect()}
     assert got == want and len(got) > 5
+
+
+# ---------------------------------------------- distributed MVT source
+
+def test_read_mvt_tiles_roundtrips_the_distributed_path(spark):
+    # encode -> read_mvt_tiles over the DISTRIBUTED frame must
+    # reproduce exactly the quantized feature sets that went in
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from engine.geo.vectile import encode_vector_tiles, read_mvt_tiles
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(5000, dtype=np.int64),
+        "lon": rng.uniform(-179, 179, 5000),
+        "lat": rng.uniform(-80, 80, 5000)}))
+    tiles = encode_vector_tiles(pts, z=4, mvt=True)
+    dec = read_mvt_tiles(tiles)
+    # per tile: decoded feature count equals the encoder's n_features
+    a = {(r.tile_x, r.tile_y): r.n_features for r in tiles.collect()}
+    b = {(r.tile_x, r.tile_y): r.cnt
+         for r in dec.groupBy("tile_x", "tile_y")
+         .agg(F.count("*").alias("cnt")).collect()}
+    assert a == b
+    # spot one tile: decoded (fid, px, py) are id-sorted and unique
+    some = dec.filter("version = 2 AND extent = 4096").limit(50).collect()
+    assert len(some) == 50
+    assert all(r.layer == "features" for r in some)

@@ -98,6 +98,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # independent check = brute sorted reference in
                # tests/test_r4_cont.py.
                "img_percentiles",
+               # scan_mvt (r5, post-window): the decoded feature
+               # relation of the sf0.01 z6 MVT tiles; independent
+               # check = the payload-level encode->decode=id theorem
+               # in tests/test_vectile.py.
+               "scan_mvt",
                # img_rle (r4 cont.): all-integer run-length stats;
                # independent check = brute double-loop run scan in
                # tests/test_rle.py.
