@@ -438,6 +438,39 @@ def q_join_dwithin(spark, sf):
     return out.select("qid", "id", F.round("dist_m", 1).alias("dist_m"))
 
 
+def q_geo_conflate_join(spark, sf):
+    """D43 (r5, post-window) — POI conflation: the OSM-conflation
+    composite END TO END — spatial blocking (the dwithin candidate
+    machinery: per-query minimal-ring-radius + ONE candidate
+    equi-join + exact haversine filter) REFINED by a name-similarity
+    verify (native levenshtein <= 2; both engines implement the
+    classical distance).  Names are synthesized deterministically on
+    both sides ('poi' || id-hash, with a planted typo class), so the
+    match set is a pure function of the fixture.  The twin is
+    brute-force all-pairs over both predicates — the blocking must
+    miss nothing."""
+    _prep(spark)
+    from engine.geo.knn import dwithin_join
+    q = spark.createDataFrame(
+        [(int(i), float(la), float(lo), float(r))
+         for i, la, lo, r in DWITHIN_QUERIES],
+        schema="qid long, lat double, lon double, radius_m double") \
+        .withColumn("name_a", F.expr("'poi' || CAST(qid % 5 AS STRING)"))
+    pts = _points(spark, sf).withColumn(
+        "name_b", F.expr("'poi' || CAST(id % 7 AS STRING) || "
+                         "CASE WHEN id % 11 = 0 THEN 'x' ELSE '' END"))
+    cand = dwithin_join(q, pts, level=6, id_col="id")
+    named = (cand
+             .join(F.broadcast(q.select("qid", "name_a")), "qid")
+             .join(pts.select("id", "name_b"), "id"))
+    return (named
+            .withColumn("editdist",
+                        F.levenshtein("name_a", "name_b"))
+            .filter("editdist <= 2")
+            .select("qid", "id", F.round("dist_m", 1).alias("dist_m"),
+                    F.col("editdist").cast("int").alias("editdist")))
+
+
 def q_traj_stats(spark, sf):
     """D14 (late r4) — trajectory statistics: events become a GPS-trace
     stream (positions derived from event_id by the same integer hash as
@@ -5856,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_intersect_area": q_poly_intersect_area,
         "img_percentiles": q_img_percentiles,
         "scan_mvt": q_scan_mvt,
+        "geo_conflate_join": q_geo_conflate_join,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7993,6 +8027,24 @@ def oracle_sql() -> dict[str, str]:
             + " AS dist, q.rad FROM q CROSS JOIN pts p) "
             "SELECT qid, id, round(dist, 1) AS dist_m FROM d "
             "WHERE dist <= rad"),
+        # geo_conflate_join — brute all-pairs over BOTH predicates
+        # (haversine radius AND levenshtein <= 2); the blocking path
+        # must reproduce exhaustive search exactly.
+        "geo_conflate_join": (
+            f"WITH {PTS_SQL}, q(qid, lat, lon, rad) AS (VALUES "
+            + ", ".join(f"(CAST({q} AS BIGINT), {la}, {lo}, {r})"
+                        for q, la, lo, r in DWITHIN_QUERIES) + "), "
+            "d AS (SELECT q.qid, p.id, "
+            + HAVERSINE_SQL_TMPL.format(lat1="q.lat", lon1="q.lon",
+                                        lat2="p.lat", lon2="p.lon")
+            + " AS dist, q.rad, "
+            "levenshtein('poi' || CAST(q.qid % 5 AS VARCHAR), "
+            "'poi' || CAST(p.id % 7 AS VARCHAR) || "
+            "CASE WHEN p.id % 11 = 0 THEN 'x' ELSE '' END) AS ed "
+            "FROM q CROSS JOIN pts p) "
+            "SELECT qid, id, round(dist, 1) AS dist_m, "
+            "CAST(ed AS INTEGER) AS editdist FROM d "
+            "WHERE dist <= rad AND ed <= 2"),
         # tile_morph — dilation/erosion over the z6 occupancy raster:
         # same shared trig CTE as the green tile_focal/tile_edges
         # twins; the window count adds a y-range filter (pole clip) and

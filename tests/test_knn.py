@@ -151,3 +151,41 @@ def test_safe_ring_radius_guarantee_property():
     gprev = block_guarantee_np(la[grew], lo[grew], x[grew], y[grew],
                                prev[grew], level)
     assert np.all(~(gprev > rad[grew]))
+
+
+# ------------------------------------------------- conflation composite
+
+def test_conflate_join_equals_brute_force(spark):
+    # the conflation composite at sf0.001: blocking + name verify must
+    # reproduce exhaustive search over BOTH predicates
+    import math
+    import __spark_entry__ as m
+    from oracle.geo import haversine_m
+    sf = "/root/testdata/sf0.001"
+    got = {(r.qid, r.id): (r.dist_m, r.editdist)
+           for r in m.queries()["geo_conflate_join"](spark, sf).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    pts = m._points(spark, sf).collect()
+    exp = {}
+    for qid, qla, qlo, rad in m.DWITHIN_QUERIES:
+        na = f"poi{qid % 5}"
+        for p in pts:
+            d = haversine_m(qlo, qla, p.lon, p.lat)
+            nb = f"poi{p.id % 7}" + ("x" if p.id % 11 == 0 else "")
+            e = lev(na, nb)
+            if d <= rad and e <= 2:
+                exp[(qid, p.id)] = (round(d, 1), e)
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k][1] == exp[k][1]
+        assert abs(got[k][0] - exp[k][0]) < 0.2  # float rounding seam
+    assert len(got) > 0
