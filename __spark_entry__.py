@@ -4780,6 +4780,24 @@ def q_geo_perimeter_ellipsoid(spark, sf):
     return perimeter_ellipsoid(read_geojson(spark, GEOJSON_FIXTURE))
 
 
+def q_scan_geojsonl(spark, sf):
+    """A18 (r5, post-window) — newline-delimited GeoJSON source
+    (engine/geo/geojson.py::read_geojsonl): the fixture layer written
+    as GeoJSONSeq (one Feature per line — the splittable streaming
+    form tippecanoe/ogr2ogr emit; a cluster parallelizes ONE file by
+    line splits where a FeatureCollection needs a whole-file multiLine
+    parse) and read back through the default line-mode json reader
+    with the same native geometry re-parse.  Same summary and the
+    same independent DuckDB twin as scan_geojson — parity across the
+    container variant."""
+    _prep(spark)
+    from engine.geo.geojson import (layer_from_geojson, read_geojsonl,
+                                    write_geojsonl)
+    path = "/tmp/spark_graft_layer12plus.geojsonl"
+    write_geojsonl(layer_from_geojson(GEOJSON_FIXTURE), path)
+    return _part_summary(read_geojsonl(spark, path))
+
+
 def q_scan_geojson(spark, sf):
     """A-family (r5) — standard-interchange polygon source (VERDICT-r4
     missing #4): read the committed RFC 7946 FeatureCollection
@@ -5890,6 +5908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_percentiles": q_img_percentiles,
         "scan_mvt": q_scan_mvt,
         "geo_conflate_join": q_geo_conflate_join,
+        "scan_geojsonl": q_scan_geojsonl,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7648,6 +7667,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_wkt": geojson_sql,
         "scan_shapefile": geojson_sql,
         "geo_perimeter_ellipsoid": perim_sql,
+        "scan_geojsonl": geojson_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

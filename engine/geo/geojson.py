@@ -177,3 +177,53 @@ def write_geojson(layer: PolygonLayer, path: str) -> None:
     round-trip floats, fixed separators, insertion order)."""
     with open(path, "w") as f:
         json.dump(layer_to_geojson(layer), f, separators=(",", ":"))
+
+
+def write_geojsonl(layer: PolygonLayer, path: str) -> None:
+    """Newline-delimited GeoJSON (A18, r5 post-window): one Feature
+    per line — the streaming-friendly interchange big pipelines emit
+    (tippecanoe/ogr2ogr's GeoJSONSeq): splittable by construction, so
+    a cluster reads one FILE in parallel where a FeatureCollection
+    needs multiLine JSON parsing.  Same features, same normalization
+    (layer_to_geojson's writer)."""
+    fc = layer_to_geojson(layer)
+    with open(path, "w") as f:
+        for feat in fc["features"]:
+            f.write(json.dumps(feat, separators=(",", ":")) + "\n")
+
+
+def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
+    """NDJSON feature source -> the read_geojson output shape (one row
+    per polygon part).  The DEFAULT json reader path (one object per
+    line — splittable, predicate-prunable) instead of the multiLine
+    whole-file parse; geometry re-parse and de-closing are the same
+    native expressions as read_geojson."""
+    schema = ("type string, "
+              "properties struct<poly_id string, name string>, "
+              "geometry struct<type string, coordinates string>")
+    feats = (spark.read.schema(schema).json(path)
+             .withColumn("fidx", F.monotonically_increasing_id())
+             .select(
+                 F.coalesce("properties.poly_id", "properties.name",
+                            F.concat(F.lit("feature_"), F.col("fidx")))
+                 .alias("poly_id"),
+                 F.coalesce("properties.name", "properties.poly_id")
+                 .alias("name"),
+                 F.col("geometry.type").alias("gtype"),
+                 F.col("geometry.coordinates").alias("coords")))
+    poly = (feats.filter(F.col("gtype") == "Polygon")
+            .select("poly_id", "name", F.lit(0).alias("part_idx"),
+                    F.from_json("coords", _POLY_COORDS).alias("rings")))
+    mpoly = (feats.filter(F.col("gtype") == "MultiPolygon")
+             .select("poly_id", "name",
+                     F.posexplode(F.from_json("coords", _MPOLY_COORDS))
+                     .alias("part_idx", "rings")))
+    parts = poly.unionByName(mpoly)
+    unclose = ("CASE WHEN size({r}) > 1 AND element_at({r}, 1) = "
+               "element_at({r}, -1) THEN slice({r}, 1, size({r}) - 1) "
+               "ELSE {r} END")
+    return parts.select(
+        "poly_id", "name", "part_idx",
+        F.expr(unclose.format(r="rings[0]")).alias("ring_xy"),
+        F.expr("transform(slice(rings, 2, size(rings) - 1), "
+               f"r -> {unclose.format(r='r')})").alias("holes_xy"))

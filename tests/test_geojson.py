@@ -164,3 +164,39 @@ def test_spatial_join_via_geojson_layer(spark, sf_dir):
 
     assert join_rows(_mixed_layer()) == join_rows(
         layer_from_geojson(FIXTURE))
+
+
+# ------------------------------------------------ NDJSON (GeoJSONSeq)
+
+def test_geojsonl_roundtrip_matches_fc_reader(spark, tmp_path):
+    from engine.geo.geojson import (layer_from_geojson, read_geojson,
+                                    read_geojsonl, write_geojsonl)
+    src = "/root/repo/oracle/layer12plus.geojson"
+    p = str(tmp_path / "l.geojsonl")
+    write_geojsonl(layer_from_geojson(src), p)
+    # one feature per line, no FeatureCollection wrapper
+    lines = open(p).read().strip().split("\n")
+    assert all(l.startswith('{"type":"Feature"') for l in lines)
+    key = lambda df: sorted(
+        (r.poly_id, r.part_idx, len(r.ring_xy), len(r.holes_xy),
+         tuple(sorted(map(tuple, r.ring_xy))))
+        for r in df.collect())
+    assert key(read_geojsonl(spark, p)) == key(read_geojson(spark, src))
+
+
+def test_geojsonl_is_line_splittable(spark, tmp_path):
+    # the reader must tolerate the file arriving as multiple splits:
+    # simulate by writing the same lines into two files in a directory
+    from engine.geo.geojson import (layer_from_geojson, read_geojsonl,
+                                    write_geojsonl)
+    src = "/root/repo/oracle/layer12plus.geojson"
+    whole = str(tmp_path / "w.geojsonl")
+    write_geojsonl(layer_from_geojson(src), whole)
+    lines = open(whole).read().strip().split("\n")
+    d = tmp_path / "parts"
+    d.mkdir()
+    (d / "a.geojsonl").write_text("\n".join(lines[:6]) + "\n")
+    (d / "b.geojsonl").write_text("\n".join(lines[6:]) + "\n")
+    a = read_geojsonl(spark, whole).count()
+    b = read_geojsonl(spark, str(d)).count()
+    assert a == b > 0
