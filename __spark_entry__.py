@@ -1508,6 +1508,30 @@ def q_eval_auc(spark, sf):
     return auc_components(scored, label="y", score="score")
 
 
+def q_agg_histogram(spark, sf):
+    """E18 (r5, post-window) — equal-width histogram aggregate with
+    DATA-DEPENDENT bounds: per event_type the exact 16-bin histogram
+    of the cents values, bin = (v - lo) * 16 DIV (hi - lo + 1) over
+    the group's own [lo, hi] — the +1 denominator puts hi in bin 15
+    without a clamp, all-integer, tie-free.  Two map-side-combined
+    aggs (bounds, then buckets) with the k-row bounds frame
+    broadcast-joined back; the equal-WIDTH complement of
+    length_buckets' equal-depth cut.  -> (key, bin, n, lo_cents,
+    hi_cents)."""
+    _prep(spark)
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").alias("key"), _cents("value").alias("v"))
+    bounds = ev.groupBy("key").agg(F.min("v").alias("lo_cents"),
+                                   F.max("v").alias("hi_cents"))
+    return (ev.join(F.broadcast(bounds), "key")
+            .withColumn("bin", F.expr(
+                "CAST((v - lo_cents) * 16 DIV "
+                "(hi_cents - lo_cents + 1) AS INT)"))
+            .groupBy("key", "bin", "lo_cents", "hi_cents")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select("key", "bin", "n", "lo_cents", "hi_cents"))
+
+
 def q_agg_bitmap(spark, sf):
     """E17 (r5, post-window) — exact presence bitmap
     (engine/sketch.py::presence_bitmap): per o_orderpriority the
@@ -5909,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_mvt": q_scan_mvt,
         "geo_conflate_join": q_geo_conflate_join,
         "scan_geojsonl": q_scan_geojsonl,
+        "agg_histogram": q_agg_histogram,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9338,6 +9363,17 @@ def oracle_sql() -> dict[str, str]:
         # floor bucket.  The streaming key equals the batch bars by
         # the partial-merge law (tests/test_ohlc_merge.py), so both
         # share this twin verbatim.
+        # agg_histogram — identical two-phase integer bucket arithmetic.
+        "agg_histogram": (
+            "WITH e AS (SELECT event_type AS key, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+            "b AS (SELECT key, MIN(v) AS lo_cents, MAX(v) AS hi_cents "
+            "FROM e GROUP BY key) "
+            "SELECT e.key, CAST((e.v - b.lo_cents) * 16 // "
+            "(b.hi_cents - b.lo_cents + 1) AS INTEGER) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n, b.lo_cents, b.hi_cents "
+            "FROM e JOIN b ON e.key = b.key "
+            "GROUP BY 1, 2, 4, 5"),
         # agg_bitmap — identical word/bit packing with DuckDB bit ops;
         # bit_or over BIGINT is two's-complement on both engines, so
         # the bitmap words and popcounts are hash-exact.

@@ -53,3 +53,32 @@ def test_span_guard_fires(spark):
     rows = [("a", 0, 1), ("a", 10_000_000, 2)]
     with pytest.raises(Exception, match="max_span|ASSERT|assert"):
         _run(spark, rows, max_span=1000)
+
+
+# ---------------------------------------------- equal-width histogram
+
+def test_agg_histogram_properties(spark):
+    import __spark_entry__ as m
+    rows = m.queries()["agg_histogram"](spark,
+                                        "/root/testdata/sf0.001").collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .selectExpr("event_type AS key",
+                    "CAST(round(value * 100) AS LONG) AS v").collect()
+    vals = {}
+    for e in ev:
+        vals.setdefault(e.key, []).append(e.v)
+    for key, rs in by_key.items():
+        lo, hi = min(vals[key]), max(vals[key])
+        assert all(r.lo_cents == lo and r.hi_cents == hi for r in rs)
+        assert all(0 <= r.bin <= 15 for r in rs)
+        assert sum(r.n for r in rs) == len(vals[key])
+        # brute reference bins
+        ref = {}
+        for v in vals[key]:
+            b = (v - lo) * 16 // (hi - lo + 1)
+            ref[b] = ref.get(b, 0) + 1
+        assert {r.bin: r.n for r in rs} == ref
