@@ -1043,6 +1043,34 @@ def q_graph_lpa(spark, sf):
     return label_propagation(ed, rounds=3)
 
 
+def q_win_ols(spark, sf):
+    """F16 (r5, post-window) — rolling OLS components: per event row
+    the trailing-8-row exact regression sufficient statistics over
+    (x = event_id, y = cents) within its event_type — n, Σx, Σy, Σxy,
+    Σx² as pure BIGINTs (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is a
+    driver epilogue; agg_ols is the global form, this is the
+    windowed).  ONE ordered-window shuffle; five sums ride the same
+    ROWS frame."""
+    _prep(spark)
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").alias("key"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id").cast("long").alias("x"),
+        _cents("value").alias("y"))
+    w = (Window.partitionBy("key").orderBy("us", "x")
+         .rowsBetween(-7, Window.currentRow))
+    return ev.select(
+        "key", "x", "y",
+        F.count("*").over(w).cast("long").alias("n_w"),
+        F.sum("x").over(w).cast("long").alias("sum_x"),
+        F.sum("y").over(w).cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long")
+        .alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long")
+        .alias("sum_x2"))
+
+
 def q_win_range(spark, sf):
     """F8 (r4 cont.) — RANGE-frame window (value-based bounds, the
     frame family rows-frames can't express): per-user running cents sum
@@ -5934,6 +5962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_conflate_join": q_geo_conflate_join,
         "scan_geojsonl": q_scan_geojsonl,
         "agg_histogram": q_agg_histogram,
+        "win_ols": q_win_ols,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9138,6 +9167,19 @@ def oracle_sql() -> dict[str, str]:
         # win_range / fn_bitwise / agg_mode / agg_winsorized — exact
         # integer twins; bitwise uses DuckDB operator spellings for the
         # same semantics, the rest share the relational definition.
+        # win_ols — the same five sums on the identical ROWS frame.
+        "win_ols": (
+            "WITH e AS (SELECT event_type AS key, epoch_us(ts) AS us, "
+            "event_id AS x, CAST(round(value * 100) AS BIGINT) AS y "
+            "FROM events) "
+            "SELECT key, x, y, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_w, "
+            "CAST(SUM(x) OVER w AS BIGINT) AS sum_x, "
+            "CAST(SUM(y) OVER w AS BIGINT) AS sum_y, "
+            "CAST(SUM(x * y) OVER w AS BIGINT) AS sum_xy, "
+            "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
+            "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
+            "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
         "win_range": (
             "SELECT event_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
             "OVER (PARTITION BY user_id ORDER BY event_id "

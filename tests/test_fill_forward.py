@@ -82,3 +82,27 @@ def test_agg_histogram_properties(spark):
             b = (v - lo) * 16 // (hi - lo + 1)
             ref[b] = ref.get(b, 0) + 1
         assert {r.bin: r.n for r in rs} == ref
+
+
+# ------------------------------------------------- rolling OLS
+
+def test_win_ols_matches_brute_trailing_window(spark):
+    import __spark_entry__ as m
+    rows = m.queries()["win_ols"](spark,
+                                  "/root/testdata/sf0.001").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r.x)  # us order == event_id order here
+        for i, r in enumerate(rs):
+            win = rs[max(0, i - 7):i + 1]
+            assert r.n_w == len(win)
+            assert r.sum_x == sum(w.x for w in win)
+            assert r.sum_y == sum(w.y for w in win)
+            assert r.sum_xy == sum(w.x * w.y for w in win)
+            assert r.sum_x2 == sum(w.x * w.x for w in win)
+        # the slope epilogue is well-defined once the window has
+        # two distinct x: denominator n*Sx2 - Sx^2 > 0
+        full = [r for r in rs if r.n_w == 8]
+        assert all(r.n_w * r.sum_x2 - r.sum_x ** 2 > 0 for r in full)
