@@ -4818,6 +4818,29 @@ def q_geo_destination(spark, sf):
                     F.round(F.col("_d.lon2"), 7).alias("lon2")))
 
 
+def q_geo_project_3857(spark, sf):
+    """B12 (r5, post-window) — explicit CRS projection
+    (engine/geo/dist.py::mercator_3857_sql): EPSG:4326 -> EPSG:3857
+    (Web Mercator metres, the tile-server CRS) with the INVERSE
+    applied in the same plan — the round-trip columns (lat_rt,
+    lon_rt, rounded 1e-7 deg) make inverse∘forward = id a
+    driver-checked identity, not a comment.  Identical expression
+    text on both engines (the haversine parity class); metres rounded
+    to 1e-3 (mm).  Closes the 'engine only speaks 4326' gap a GIS
+    user hits when wiring a tile server."""
+    _prep(spark)
+    from engine.geo.dist import inv_mercator_3857_sql, mercator_3857_sql
+    pts = _points(spark, sf).filter("lat > -85 AND lat < 85")
+    xe, ye = mercator_3857_sql("lon", "lat")
+    lon_i, lat_i = inv_mercator_3857_sql("x_m", "y_m")
+    return (pts.select("id", "lon", "lat",
+                       F.expr(f"round({xe}, 3)").alias("x_m"),
+                       F.expr(f"round({ye}, 3)").alias("y_m"))
+            .select("id", "lon", "lat", "x_m", "y_m",
+                    F.expr(f"round({lon_i}, 7)").alias("lon_rt"),
+                    F.expr(f"round({lat_i}, 7)").alias("lat_rt")))
+
+
 def q_geo_perimeter_ellipsoid(spark, sf):
     """B10 (r5, post-window) — WGS84 ellipsoidal ring perimeter
     (engine/geo/measure.py::perimeter_ellipsoid) over the GeoJSON
@@ -5963,6 +5986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_geojsonl": q_scan_geojsonl,
         "agg_histogram": q_agg_histogram,
         "win_ols": q_win_ols,
+        "geo_project_3857": q_geo_project_3857,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6617,6 +6641,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(list_sum(list_transform(generate_series(1, len(xs)), "
         "i -> xs[i] * ys[i % len(xs) + 1] - xs[i % len(xs) + 1] * ys[i])) "
         "AS BIGINT) AS area2_q6 FROM q")
+
+    # geo_project_3857 — identical forward/inverse expression text (the
+    # haversine parity class); the inverse reads the ROUNDED metre
+    # columns exactly as the engine does.
+    from engine.geo.dist import inv_mercator_3857_sql, mercator_3857_sql
+    _p_x, _p_y = mercator_3857_sql("lon", "lat")
+    _p_lon, _p_lat = inv_mercator_3857_sql("x_m", "y_m")
+    project_3857_sql = (
+        f"WITH {PTS_SQL}, p AS (SELECT id, lon, lat, "
+        f"round({_p_x}, 3) AS x_m, round({_p_y}, 3) AS y_m "
+        "FROM pts WHERE lat > -85 AND lat < 85) "
+        "SELECT id, lon, lat, x_m, y_m, "
+        f"round({_p_lon}, 7) AS lon_rt, "
+        f"round({_p_lat}, 7) AS lat_rt FROM p")
 
     # geo_perimeter_ellipsoid — the geojson_sql ring extraction, then
     # the IDENTICAL Andoyer text per wrap-joined edge, floor-mm
@@ -7722,6 +7760,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_shapefile": geojson_sql,
         "geo_perimeter_ellipsoid": perim_sql,
         "scan_geojsonl": geojson_sql,
+        "geo_project_3857": project_3857_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

@@ -362,3 +362,25 @@ def make_andoyer_pair_udf():
             lon2.to_numpy(np.float64), lat2.to_numpy(np.float64)))
 
     return andoyer_pair_udf
+
+
+_R_3857 = 6378137.0  # WGS84 semi-major axis — the Web Mercator sphere
+
+
+def mercator_3857_sql(lon: str, lat: str) -> tuple[str, str]:
+    """EPSG:3857 (Web Mercator) forward projection as dialect-neutral
+    SQL text (the haversine parity class: the engine compiles the
+    SAME characters Spark-side, so floats are bit-identical):
+    x = R*radians(lon), y = R*ln(tan(pi/4 + radians(lat)/2))."""
+    x = f"({_R_3857!r} * radians({lon}))"
+    y = (f"({_R_3857!r} * ln(tan(pi() / 4.0 + radians({lat}) / 2.0)))")
+    return x, y
+
+
+def inv_mercator_3857_sql(x: str, y: str) -> tuple[str, str]:
+    """EPSG:3857 inverse: lon = degrees(x/R),
+    lat = degrees(2*atan(exp(y/R)) - pi/2)."""
+    lon = f"degrees(({x}) / {_R_3857!r})"
+    lat = (f"degrees(2.0 * atan(exp(({y}) / {_R_3857!r})) "
+           "- pi() / 2.0)")
+    return lon, lat

@@ -101,3 +101,34 @@ def test_duckdb_text_parity():
     lat2, lon2 = destination_np(lo, la, brg, 100_000.0)
     assert np.max(np.abs(np.array([g[0] for g in got]) - lat2)) < 1e-10
     assert np.max(np.abs(np.array([g[1] for g in got]) - lon2)) < 1e-10
+
+
+# ------------------------------------------------ EPSG:3857 projection
+
+def test_project_3857_known_values_and_roundtrip(spark):
+    import math
+    import __spark_entry__ as m
+    rows = m.queries()["geo_project_3857"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    R = 6378137.0
+    for r in rows[:200]:
+        # forward formulas against independent python math
+        assert abs(r.x_m - round(R * math.radians(r.lon), 3)) <= 0.001
+        y = R * math.log(math.tan(math.pi / 4 + math.radians(r.lat) / 2))
+        assert abs(r.y_m - round(y, 3)) <= 0.001
+        # round trip: inverse of the mm-rounded metres recovers the
+        # coordinate to well under 1e-6 deg (~0.1 m)
+        assert abs(r.lon_rt - r.lon) < 1e-6
+        assert abs(r.lat_rt - r.lat) < 1e-6
+
+
+def test_project_3857_equator_and_origin_closed_forms():
+    import math
+    R = 6378137.0
+    # lon=180 -> x = R*pi (the projection's half-width constant)
+    assert abs(R * math.radians(180.0) - 20037508.342789244) < 1e-6
+    # lat=0 -> y ~ 0 (tan(pi/4) is one ULP off 1.0 in floats; the mm
+    # rounding in the operator makes the emitted value exactly 0.0)
+    assert abs(R * math.log(math.tan(math.pi / 4))) < 1e-8
+    assert round(R * math.log(math.tan(math.pi / 4)), 3) == 0.0
