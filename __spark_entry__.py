@@ -1575,6 +1575,38 @@ def q_agg_bitmap(spark, sf):
     return presence_bitmap(od, "o_orderpriority", "v", domain=1024)
 
 
+def q_enc_varint_cost(spark, sf):
+    """L7 (r5, post-window) — storage cost model: the exact
+    delta-zigzag-varint encoded size of each user's (ts, event_id)-
+    ordered event_id stream — the byte arithmetic the OSM PBF writer
+    actually performs (engine/geo/osmpbf.py), surfaced as a PLANNING
+    operator: total_bytes vs the 8-bytes/value raw column answers
+    "is delta encoding worth it for this key order" before any file
+    is written.  zigzag is the arithmetic form (2d / -2d-1, no bit
+    ops — portable text); varint length is the explicit 128^k CASE
+    ladder; both identical on the two engines.  ONE ordered-window
+    shuffle + one map-side-combined fold."""
+    _prep(spark)
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id").cast("long").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("us", "v")
+    d = F.coalesce(F.col("v") - F.lag("v").over(w), F.col("v"))
+    zz = F.when(d >= 0, 2 * d).otherwise(-2 * d - 1)
+    ladder = "CASE " + " ".join(
+        f"WHEN zz < {128 ** k} THEN {k}" for k in range(1, 9)) \
+        + " ELSE 9 END"
+    return (ev.withColumn("zz", zz)
+            .withColumn("nb", F.expr(ladder))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("nb").cast("long").alias("varint_bytes"),
+                 (F.count("*") * 8).cast("long").alias("raw_bytes"),
+                 F.max("nb").cast("int").alias("max_value_bytes")))
+
+
 def q_ts_autocorr(spark, sf):
     """F14 (r5, post-window) — exact autocorrelation components
     (engine/relops.py::autocorr_components): per event_type and lag
@@ -5987,6 +6019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_histogram": q_agg_histogram,
         "win_ols": q_win_ols,
         "geo_project_3857": q_geo_project_3857,
+        "enc_varint_cost": q_enc_varint_cost,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9481,6 +9514,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp, word, CAST(bit_or(m) AS BIGINT) AS bits, "
             "CAST(bit_count(bit_or(m)) AS BIGINT) AS pop "
             "FROM b GROUP BY grp, word"),
+        # enc_varint_cost — identical delta/zigzag/ladder arithmetic.
+        "enc_varint_cost": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "event_id AS v FROM events), "
+            "d AS (SELECT user_id, "
+            "COALESCE(v - lag(v) OVER (PARTITION BY user_id "
+            "ORDER BY us, v), v) AS dd FROM e), "
+            "z AS (SELECT user_id, CASE WHEN dd >= 0 THEN 2 * dd "
+            "ELSE -2 * dd - 1 END AS zz FROM d) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CASE " + " ".join(
+                f"WHEN zz < {128 ** k} THEN {k}"
+                for k in range(1, 9)) + " ELSE 9 END) AS BIGINT) "
+            "AS varint_bytes, "
+            "CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes, "
+            "CAST(MAX(CASE " + " ".join(
+                f"WHEN zz < {128 ** k} THEN {k}"
+                for k in range(1, 9)) + " ELSE 9 END) AS INTEGER) "
+            "AS max_value_bytes FROM z GROUP BY user_id"),
         # seq_match — same ordered sentinel string via string_agg ORDER
         # BY + the identical replace-length identity.
         "seq_match": (

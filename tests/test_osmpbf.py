@@ -373,3 +373,35 @@ def test_way_graph_edges_and_route(spark, tmp_path):
                            max_hops=4)
     assert dist == {1: 0, 2: 3000, 3: 6000, 4: 9000}
     assert 5 not in dist  # the non-highway spur never joined the graph
+
+
+# ----------------------------------------------- varint cost model
+
+def test_enc_varint_cost_matches_real_encoder_bytes(spark):
+    # the cost model must equal the BYTES the real varint encoder
+    # emits for the same zigzagged deltas — model == implementation
+    import __spark_entry__ as m
+    from engine.geo.osmpbf import _varint  # the actual wire encoder
+    got = {r.user_id: (r.n, r.varint_bytes, r.raw_bytes,
+                       r.max_value_bytes)
+           for r in m.queries()["enc_varint_cost"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .selectExpr("user_id",
+                    "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+                    "event_id AS v").collect()
+    series = {}
+    for e in ev:
+        series.setdefault(e.user_id, []).append((e.us, e.v))
+    for uid, rows in series.items():
+        rows.sort()
+        prev = None
+        total, mx = 0, 0
+        for _, v in rows:
+            d = v if prev is None else v - prev
+            zz = 2 * d if d >= 0 else -2 * d - 1
+            nb = len(_varint(zz))
+            total += nb
+            mx = max(mx, nb)
+            prev = v
+        assert got[uid] == (len(rows), total, 8 * len(rows), mx), uid
