@@ -628,3 +628,36 @@ def test_viewshed_single_window_exchange_no_python(spark):
     plan = plan_of(df, "simple")
     assert "Python" not in plan
     assert plan.count("Window") == 1
+
+
+def test_costdist_adjacency_is_equijoin_not_theta(spark):
+    """The 8-offset volunteer explode + hash equi-join builds the grid
+    adjacency — no nested-loop/theta join anywhere in the plan."""
+    import __spark_entry__ as m
+    df = m.queries()["raster_costdist"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_mode_pyramid_is_python_free_level_aggs(spark):
+    """Three levels = sequential agg pairs; no Python stage, no join,
+    no window anywhere."""
+    import __spark_entry__ as m
+    df = m.queries()["raster_mode_pyramid"](spark,
+                                            "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_enc_varint_cost_single_exchange(spark):
+    """The lag window and the per-user fold share one hash
+    partitioning; the ladder is pure codegen projection."""
+    import __spark_entry__ as m
+    df = m.queries()["enc_varint_cost"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
