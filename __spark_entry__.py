@@ -4605,6 +4605,52 @@ def q_osm_route(spark, sf):
     return sssp_int(edges, srcs, src="u", dst="v", max_hops=6)
 
 
+# Deterministic OsmChange fixture (osm_diff_apply): 2,600 change rows
+# over a 6,500-wide element index space — ids overlapping the PBF node
+# fixture are modifies/deletes, ids beyond it are creates, and the
+# (c * 17) % 6500 stride collides on purpose so single elements receive
+# MULTIPLE versions inside one diff (the OsmChange resolution case).
+OSM_N_CHANGES, OSM_CH_SPACE = 2600, 6500
+
+
+def _osm_changes(spark):
+    return spark.range(OSM_N_CHANGES).selectExpr(
+        "id AS seq",
+        f"(id * 17) % {OSM_CH_SPACE} AS i",
+    ).selectExpr(
+        "seq",
+        "CAST(1000 + 7 * i AS BIGINT) AS id",
+        "CAST(2 + seq % 3 AS INT) AS version",
+        "seq % 4 != 2 AS visible",
+        "CAST(((i * 48271 + seq) % 1800000000 - 900000000) * 100 AS BIGINT)"
+        " AS lat_nano",
+        "CAST(((i * 69621 + 2 * seq) % 3600000000 - 1800000000) * 100"
+        " AS BIGINT) AS lon_nano",
+    )
+
+
+def q_osm_diff_apply(spark, sf):
+    """A/H composite (r5 cont., post-window) — OsmChange diff apply
+    (engine/geo/osmpbf.py::apply_node_diff): the reference repo's
+    NAMESAKE operation, "OSM-style bounded spatial diffing" — replay a
+    changeset of create/modify/delete node actions onto the PBF base
+    fixture and emit the post-diff node state.  Resolution contract
+    (pinned in the engine docstring + tests): effective change per
+    element = highest (version, seq); visible=false drops; absent-id
+    delete is a no-op; absent-id visible change inserts.  Plan: ONE
+    map-side-combined struct-argmax agg over the (tiny) change stream
+    + ONE full-outer hash join against the base — the base table
+    shuffles exactly once, the shape a planet-scale daily-diff apply
+    needs.  The twin recomputes base AND changes from range()
+    arithmetic and resolves with an independent row_number
+    formulation, so parity proves PBF decode + argmax semantics +
+    outer-join apply in one theorem."""
+    _prep(spark)
+    from engine.geo.osmpbf import apply_node_diff, read_osm_nodes
+    base = read_osm_nodes(spark, _osm_fixture())
+    return apply_node_diff(base, _osm_changes(spark))
+
+
 def q_scan_shapefile(spark, sf):
     """A-family (r5, post-window) — ESRI Shapefile interchange
     (engine/geo/shapefile.py): the GeoJSON fixture layer written as a
@@ -6020,6 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_ols": q_win_ols,
         "geo_project_3857": q_geo_project_3857,
         "enc_varint_cost": q_enc_varint_cost,
+        "osm_diff_apply": q_osm_diff_apply,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9533,6 +9580,40 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN zz < {128 ** k} THEN {k}"
                 for k in range(1, 9)) + " ELSE 9 END) AS INTEGER) "
             "AS max_value_bytes FROM z GROUP BY user_id"),
+        # osm_diff_apply — base AND changes recomputed from range()
+        # arithmetic (DuckDB never reads the PBF); resolution by an
+        # independent row_number formulation vs the engine's
+        # struct-argmax.
+        "osm_diff_apply": (
+            "WITH b AS (SELECT CAST(1000 + 7 * i AS BIGINT) AS id, "
+            "CAST(((i * 2654435761) % 1800000000 - 900000000) * 100 "
+            "AS BIGINT) AS b_lat, "
+            "CAST(((i * 40503) % 3600000000 - 1800000000) * 100 "
+            "AS BIGINT) AS b_lon "
+            f"FROM (SELECT range AS i FROM range({OSM_N_NODES}))), "
+            "cs AS (SELECT range AS seq, "
+            f"(range * 17) % {OSM_CH_SPACE} AS i "
+            f"FROM range({OSM_N_CHANGES})), "
+            "cr AS (SELECT seq, CAST(1000 + 7 * i AS BIGINT) AS id, "
+            "CAST(2 + seq % 3 AS INTEGER) AS version, "
+            "seq % 4 != 2 AS visible, "
+            "CAST(((i * 48271 + seq) % 1800000000 - 900000000) * 100 "
+            "AS BIGINT) AS lat_nano, "
+            "CAST(((i * 69621 + 2 * seq) % 3600000000 - 1800000000) * 100 "
+            "AS BIGINT) AS lon_nano FROM cs), "
+            "eff AS (SELECT * FROM cr QUALIFY row_number() OVER "
+            "(PARTITION BY id ORDER BY version DESC, seq DESC) = 1) "
+            "SELECT COALESCE(b.id, e.id) AS id, "
+            "CASE WHEN e.id IS NOT NULL THEN e.lat_nano ELSE b.b_lat END "
+            "AS lat_nano, "
+            "CASE WHEN e.id IS NOT NULL THEN e.lon_nano ELSE b.b_lon END "
+            "AS lon_nano, "
+            "CAST(CASE WHEN e.id IS NOT NULL THEN e.version ELSE 1 END "
+            "AS INTEGER) AS version, "
+            "CASE WHEN e.id IS NULL THEN 'base' "
+            "WHEN b.id IS NULL THEN 'create' ELSE 'modify' END AS src "
+            "FROM b FULL JOIN eff e ON b.id = e.id "
+            "WHERE e.id IS NULL OR e.visible"),
         # seq_match — same ordered sentinel string via string_agg ORDER
         # BY + the identical replace-length identity.
         "seq_match": (

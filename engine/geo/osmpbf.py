@@ -749,3 +749,59 @@ def way_graph_edges(ways, nodes, tag_key: str = "highway"):
                   + F.abs(F.col("lo") - F.col("lb2"))).alias("w")))
     return e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v"), "w"))
+
+
+def apply_node_diff(base, changes, seq_col: str = "seq"):
+    """OsmChange apply (r5 cont.) — the reference repo's literal domain,
+    "OSM-style bounded spatial diffing": replay a changeset of
+    create/modify/delete node actions onto a base node table and emit
+    the post-diff state.  Semantics pinned to OsmChange replication
+    rules:
+
+    * every change row carries (id, version, visible, lat_nano,
+      lon_nano, seq); the EFFECTIVE change per element is the highest
+      (version, seq) row — version is OSM's per-element edit counter,
+      seq is the changeset document order, so a modify-then-delete of
+      one element inside one diff resolves to the delete (pinned by
+      test);
+    * effective visible=false drops the element (OSM soft delete);
+      a delete targeting an id absent from base is a no-op (osmosis
+      --simplify-change tolerance, not an error);
+    * effective visible=true overrides coordinates and version; an id
+      absent from base is an insert (src='create'), present is a
+      replace (src='modify'); untouched base rows survive as
+      src='base' with version 1.
+
+    Scale shape: ONE map-side-combined max(struct(version, seq, ...))
+    agg over the change stream (dailies/minutelies are ~1e6 rows vs a
+    1e12-row base, so the agg side is tiny) followed by ONE full-outer
+    hash join on id; the base table never shuffles more than once and
+    no Python touches a row.  At planet scale the join is
+    partition-prunable when base is bucketed by id — the diff frame's
+    ids hash to the same buckets.
+    """
+    from pyspark.sql import functions as F
+
+    eff = (changes.groupBy("id").agg(F.max(F.struct(
+        F.col("version").alias("version"),
+        F.col(seq_col).alias("seq"),
+        F.col("visible").alias("visible"),
+        F.col("lat_nano").alias("lat_nano"),
+        F.col("lon_nano").alias("lon_nano"))).alias("e")))
+    b = base.select("id", F.col("lat_nano").alias("b_lat"),
+                    F.col("lon_nano").alias("b_lon"))
+    j = b.join(eff, "id", "full_outer")
+    has_e = F.col("e").isNotNull()
+    keep = (~has_e) | F.col("e.visible")
+    return (j.filter(keep)
+            .select(
+                "id",
+                F.when(has_e, F.col("e.lat_nano")).otherwise(F.col("b_lat"))
+                 .alias("lat_nano"),
+                F.when(has_e, F.col("e.lon_nano")).otherwise(F.col("b_lon"))
+                 .alias("lon_nano"),
+                F.when(has_e, F.col("e.version")).otherwise(F.lit(1))
+                 .cast("int").alias("version"),
+                F.when(~has_e, F.lit("base"))
+                 .when(F.col("b_lat").isNull(), F.lit("create"))
+                 .otherwise(F.lit("modify")).alias("src")))

@@ -405,3 +405,73 @@ def test_enc_varint_cost_matches_real_encoder_bytes(spark):
             mx = max(mx, nb)
             prev = v
         assert got[uid] == (len(rows), total, 8 * len(rows), mx), uid
+
+
+# ------------------------------------------------ OsmChange diff apply
+
+def _replay_reference(base_rows, change_rows):
+    """Sequential OsmChange replay: sort by (version, seq) and apply in
+    order — the last applied action per id is exactly the effective
+    (max version, max seq) one, so this independently realizes the
+    pinned resolution contract."""
+    state = {bid: (lat, lon, 1, "base") for bid, lat, lon in base_rows}
+    for bid, ver, vis, lat, lon, _seq in sorted(
+            change_rows, key=lambda r: (r[1], r[5])):
+        if not vis:
+            state.pop(bid, None)
+        else:
+            src = "modify" if any(b[0] == bid for b in base_rows) else "create"
+            state[bid] = (lat, lon, ver, src)
+    return {bid: v for bid, v in state.items()}
+
+
+def test_apply_node_diff_vs_sequential_replay(spark):
+    from engine.geo.osmpbf import apply_node_diff
+
+    base_rows = [(10, 100, 200), (11, 101, 201), (12, 102, 202),
+                 (13, 103, 203), (14, 104, 204)]
+    # id, version, visible, lat, lon, seq — includes: plain modify (10),
+    # modify-then-delete in one diff (11), delete-then-modify by higher
+    # version arriving EARLIER in seq (12), delete of absent id (99),
+    # create (20), create-then-modify (21), untouched (13, 14).
+    change_rows = [
+        (10, 2, True, 110, 210, 0),
+        (11, 2, True, 111, 211, 1), (11, 3, False, 0, 0, 2),
+        (12, 3, True, 112, 212, 3), (12, 2, False, 0, 0, 4),
+        (99, 2, False, 0, 0, 5),
+        (20, 1, True, 120, 220, 6),
+        (21, 1, True, 121, 221, 7), (21, 2, True, 131, 231, 8),
+    ]
+    base = spark.createDataFrame(
+        [(i, lat, lon) for i, lat, lon in base_rows],
+        "id long, lat_nano long, lon_nano long")
+    ch = spark.createDataFrame(
+        [(i, v, vis, lat, lon, s) for i, v, vis, lat, lon, s in change_rows],
+        "id long, version int, visible boolean, lat_nano long, "
+        "lon_nano long, seq long")
+    got = {r["id"]: (r["lat_nano"], r["lon_nano"], r["version"], r["src"])
+           for r in apply_node_diff(base, ch).collect()}
+    want = _replay_reference(base_rows, change_rows)
+    assert got == want
+    # the pinned cases, spelled out
+    assert got[10] == (110, 210, 2, "modify")
+    assert 11 not in got                      # modify-then-delete -> gone
+    assert got[12] == (112, 212, 3, "modify")  # higher version wins, not seq
+    assert 99 not in got                      # absent-id delete: no-op
+    assert got[20] == (120, 220, 1, "create")
+    assert got[21] == (131, 231, 2, "create")
+    assert got[13] == (103, 203, 1, "base")
+
+
+def test_apply_node_diff_same_version_seq_tiebreak(spark):
+    """Equal versions resolve by changeset document order (seq)."""
+    from engine.geo.osmpbf import apply_node_diff
+
+    base = spark.createDataFrame([(1, 0, 0)],
+                                 "id long, lat_nano long, lon_nano long")
+    ch = spark.createDataFrame(
+        [(1, 2, True, 5, 5, 0), (1, 2, True, 9, 9, 1)],
+        "id long, version int, visible boolean, lat_nano long, "
+        "lon_nano long, seq long")
+    [r] = apply_node_diff(base, ch).collect()
+    assert (r["lat_nano"], r["version"]) == (9, 2)
