@@ -4651,6 +4651,33 @@ def q_osm_diff_apply(spark, sf):
     return apply_node_diff(base, _osm_changes(spark))
 
 
+def q_graph_msf(spark, sf):
+    """N7 (r5 cont., post-window) — minimum spanning forest via
+    distributed Borůvka (engine/graph.py::msf_boruvka): each round
+    every component picks its minimum outgoing edge under the total
+    order (w, u, v) — non-unique weights allowed, the consistent
+    order keeps the selection cycle-free and the forest DETERMINISTIC
+    — then components contract via the pointer-jumping CC engine over
+    the chosen pairs only; active components at least halve per round
+    (<= ceil(log2 V) rounds), and the per-round wide shuffle is ONE
+    map-side-combined min(struct) agg over the inter-component edge
+    frame, which itself shrinks as components merge.  The network-
+    design classic (road/utility backbone extraction) beside
+    sssp/components/pagerank.  Fixture: sf-independent multigraph
+    from range() arithmetic (700 nodes, 2100 edges, colliding
+    weights).  Oracle: golden pin; the independent check is
+    tests/test_graph.py's sequential KRUSKAL under the same order
+    (sort + union-find — a different algorithm entirely) plus the
+    forest laws (acyclicity, |F| = V - C, per-component spans)."""
+    _prep(spark)
+    from engine.graph import msf_boruvka
+    edges = spark.range(2100).selectExpr(
+        "CAST((id * 37) % 700 AS BIGINT) AS u",
+        "CAST((id * 91 + 13) % 700 AS BIGINT) AS v",
+        "CAST((id * 48271) % 1000 AS BIGINT) AS w")
+    return msf_boruvka(edges)
+
+
 def q_scan_shapefile(spark, sf):
     """A-family (r5, post-window) — ESRI Shapefile interchange
     (engine/geo/shapefile.py): the GeoJSON fixture layer written as a
@@ -6067,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_project_3857": q_geo_project_3857,
         "enc_varint_cost": q_enc_varint_cost,
         "osm_diff_apply": q_osm_diff_apply,
+        "graph_msf": q_graph_msf,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7691,7 +7719,12 @@ def oracle_sql() -> dict[str, str]:
                      "img_otsu", "traj_frechet", "img_rle",
                      "img_harris", "traj_simplify", "img_template",
                      "img_glcm", "img_lbp", "traj_dtw",
-                     "img_percentiles", "scan_mvt")},
+                     "img_percentiles", "scan_mvt",
+                     # graph_msf (r5 cont.): sf-independent Borůvka
+                     # forest; independent check = sequential Kruskal
+                     # (different algorithm) + forest laws in
+                     # tests/test_graph.py.
+                     "graph_msf")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

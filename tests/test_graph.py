@@ -372,3 +372,79 @@ def test_lpa_partitioning_invariance(spark):
     b = sorted(map(tuple,
                    label_propagation(_edf(spark, edges, 7)).collect()))
     assert a == b
+
+
+# ------------------------------------------------ minimum spanning forest
+
+def _wedf(spark, edges, parts=None):
+    df = spark.createDataFrame(edges, "u long, v long, w long")
+    return df.repartition(parts) if parts else df
+
+
+def test_msf_matches_kruskal_random(spark):
+    from engine.graph import msf_boruvka, msf_py
+    rng = random.Random(41)
+    edges = [(rng.randrange(50), rng.randrange(50), rng.randrange(20))
+             for _ in range(130)]
+    got = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
+    assert got == msf_py(edges)
+
+
+def test_msf_forest_laws_random(spark):
+    """|F| = V - C, acyclicity, and spanning: replaying the forest
+    through an independent union-find must touch every node and never
+    close a cycle; total weight equals Kruskal's."""
+    from engine.graph import msf_boruvka, msf_py
+    rng = random.Random(99)
+    edges = [(rng.randrange(40), rng.randrange(40), rng.randrange(8))
+             for _ in range(70)]
+    forest = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
+    nodes = {u for u, v, _ in edges if u != v} | {
+        v for u, v, _ in edges if u != v}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _ in forest:
+        ru, rv = find(u), find(v)
+        assert ru != rv, "cycle in forest"
+        parent[ru] = rv
+    n_comp = len({find(n) for n in nodes})
+    assert len(forest) == len(nodes) - n_comp
+    assert sum(w for _, _, w in forest) == sum(
+        w for _, _, w in msf_py(edges))
+
+
+def test_msf_disconnected_and_parallel_edges(spark):
+    from engine.graph import msf_boruvka, msf_py
+    # two components + parallel edges with different weights + self loop
+    edges = [(0, 1, 5), (1, 0, 3), (1, 2, 9), (0, 2, 9),
+             (3, 3, 1), (4, 5, 2), (5, 6, 2), (4, 6, 2)]
+    got = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
+    assert got == msf_py(edges)
+    # the parallel (0,1) pair resolved to the lighter w=3 edge
+    assert (0, 1, 3) in got and (0, 1, 5) not in got
+
+
+def test_msf_partitioning_invariance(spark):
+    from engine.graph import msf_boruvka
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30), rng.randrange(6))
+             for _ in range(60)]
+    a = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
+    b = sorted(map(tuple, msf_boruvka(_wedf(spark, edges, 5)).collect()))
+    assert a == b
+
+
+def test_msf_driver_fixture_matches_kruskal(spark):
+    """The exact q_graph_msf fixture vs sequential Kruskal — the
+    independent verification behind the committed golden pin."""
+    from engine.graph import msf_boruvka, msf_py
+    edges = [((k * 37) % 700, (k * 91 + 13) % 700, (k * 48271) % 1000)
+             for k in range(2100)]
+    got = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
+    assert got == msf_py(edges)

@@ -130,7 +130,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # histogram stats; independent check = brute
                # double-loop + flat/gradient closed forms in
                # tests/test_lbp.py.
-               "img_lbp")
+               "img_lbp",
+               # graph_msf (r5 cont.): sf-independent Borůvka minimum
+               # spanning forest; independent check = sequential
+               # Kruskal (sort + union-find) + forest laws in
+               # tests/test_graph.py.
+               "graph_msf")
 
 
 def main() -> None:
