@@ -4923,6 +4923,29 @@ def q_geo_destination(spark, sf):
                     F.round(F.col("_d.lon2"), 7).alias("lon2")))
 
 
+def q_geo_rhumb(spark, sf):
+    """C8g (r5 cont., post-window) — rhumb line / loxodrome
+    (engine/geo/dist.py::rhumb_sql): distance and CONSTANT bearing
+    from every point to the Paris anchor along the course that cuts
+    all meridians at one angle — the chart-navigation companion to
+    the great-circle family (haversine / crosstrack / ellipsoid /
+    destination / slerp / 3857), and the sixth member of the
+    navigation surface.  Identical expression text on both engines
+    (the haversine parity class), antimeridian wrap through an
+    identical-text CASE, east-west degenerate q -> cos(phi1) pinned;
+    distance rounded to mm, bearing to 1e-7 deg.  The rhumb >=
+    great-circle law and equator/meridian closed forms are
+    tests/test_destination.py."""
+    _prep(spark)
+    from engine.geo.dist import rhumb_sql
+    dist, brg = rhumb_sql("lon", "lat", "2.3", "48.85")
+    return (_points(spark, sf)
+            .filter("lat > -85 AND lat < 85")
+            .select("id",
+                    F.expr(f"round({dist}, 3)").alias("rhumb_m"),
+                    F.expr(f"round({brg}, 7)").alias("rhumb_brg_deg")))
+
+
 def q_geo_project_3857(spark, sf):
     """B12 (r5, post-window) — explicit CRS projection
     (engine/geo/dist.py::mercator_3857_sql): EPSG:4326 -> EPSG:3857
@@ -6095,6 +6118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_varint_cost": q_enc_varint_cost,
         "osm_diff_apply": q_osm_diff_apply,
         "graph_msf": q_graph_msf,
+        "geo_rhumb": q_geo_rhumb,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -6763,6 +6787,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id, lon, lat, x_m, y_m, "
         f"round({_p_lon}, 7) AS lon_rt, "
         f"round({_p_lat}, 7) AS lat_rt FROM p")
+
+    # geo_rhumb — identical rhumb distance/bearing expression text (the
+    # haversine parity class), same anchor and rounding as the engine.
+    from engine.geo.dist import rhumb_sql as _rhumb_sql
+    _rh_d, _rh_b = _rhumb_sql("lon", "lat", "2.3", "48.85")
+    rhumb_oracle_sql = (
+        f"WITH {PTS_SQL} "
+        "SELECT id, "
+        f"round({_rh_d}, 3) AS rhumb_m, "
+        f"round({_rh_b}, 7) AS rhumb_brg_deg "
+        "FROM pts WHERE lat > -85 AND lat < 85")
 
     # geo_perimeter_ellipsoid — the geojson_sql ring extraction, then
     # the IDENTICAL Andoyer text per wrap-joined edge, floor-mm
@@ -7874,6 +7909,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_perimeter_ellipsoid": perim_sql,
         "scan_geojsonl": geojson_sql,
         "geo_project_3857": project_3857_sql,
+        "geo_rhumb": rhumb_oracle_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

@@ -384,3 +384,37 @@ def inv_mercator_3857_sql(x: str, y: str) -> tuple[str, str]:
     lat = (f"degrees(2.0 * atan(exp(({y}) / {_R_3857!r})) "
            "- pi() / 2.0)")
     return lon, lat
+
+
+# --- C8g (r5 cont.): rhumb line (loxodrome) -------------------------
+# The constant-bearing course navigators actually steer: distance and
+# initial (= constant) bearing between two points along the line that
+# crosses every meridian at the same angle.  Standard spherical forms
+# over the mercator latitude psi = ln(tan(pi/4 + phi/2)):
+#   dpsi = psi2 - psi1,  q = dphi/dpsi  (q -> cos(phi1) as dpsi -> 0)
+#   dist = R * sqrt(dphi^2 + q^2 * dlam^2)   (dlam wrapped to [-pi,pi])
+#   brg  = atan2(dlam, dpsi) normalized to [0, 360)
+
+
+def rhumb_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> tuple[str, str]:
+    """Rhumb distance (metres) + constant bearing (degrees) as
+    dialect-neutral SQL text — the haversine parity class: Spark
+    compiles the SAME characters, so floats are bit-identical up to
+    libm ULP (outputs are rounded by callers).  The east-west
+    degenerate case (dpsi ~ 0) takes q = cos(phi1) on both engines
+    through an identical-text CASE."""
+    dphi = f"(radians({lat2}) - radians({lat1}))"
+    dpsi = (f"(ln(tan(pi() / 4.0 + radians({lat2}) / 2.0)) "
+            f"- ln(tan(pi() / 4.0 + radians({lat1}) / 2.0)))")
+    dl0 = f"(radians({lon2}) - radians({lon1}))"
+    dlam = (f"(CASE WHEN ({dl0}) > pi() THEN ({dl0}) - 2.0 * pi() "
+            f"WHEN ({dl0}) < -(pi()) THEN ({dl0}) + 2.0 * pi() "
+            f"ELSE ({dl0}) END)")
+    q = (f"(CASE WHEN abs({dpsi}) > 1e-12 THEN ({dphi}) / ({dpsi}) "
+         f"ELSE cos(radians({lat1})) END)")
+    dist = (f"(6371000.0 * sqrt(({dphi}) * ({dphi}) "
+            f"+ ({q}) * ({q}) * ({dlam}) * ({dlam})))")
+    raw = f"degrees(atan2({dlam}, {dpsi}))"
+    brg = (f"(CASE WHEN ({raw}) < 0.0 THEN ({raw}) + 360.0 "
+           f"ELSE ({raw}) END)")
+    return dist, brg

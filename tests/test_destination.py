@@ -132,3 +132,77 @@ def test_project_3857_equator_and_origin_closed_forms():
     # rounding in the operator makes the emitted value exactly 0.0)
     assert abs(R * math.log(math.tan(math.pi / 4))) < 1e-8
     assert round(R * math.log(math.tan(math.pi / 4)), 3) == 0.0
+
+
+# -------------------------------------------- rhumb line (C8g, r5 cont.)
+
+def _rhumb_ref(lon1, lat1, lon2, lat2):
+    """Independent python-math rhumb reference (written from the
+    textbook forms, not from rhumb_sql's text)."""
+    import math
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dphi = p2 - p1
+    dpsi = (math.log(math.tan(math.pi / 4 + p2 / 2))
+            - math.log(math.tan(math.pi / 4 + p1 / 2)))
+    dlam = math.radians(lon2) - math.radians(lon1)
+    if dlam > math.pi:
+        dlam -= 2 * math.pi
+    elif dlam < -math.pi:
+        dlam += 2 * math.pi
+    q = dphi / dpsi if abs(dpsi) > 1e-12 else math.cos(p1)
+    dist = 6371000.0 * math.hypot(dphi, q * dlam)
+    brg = math.degrees(math.atan2(dlam, dpsi)) % 360.0
+    return dist, brg
+
+
+def test_rhumb_sql_matches_python_reference():
+    from engine.geo.dist import rhumb_sql
+    d_e, b_e = rhumb_sql("lon1", "lat1", "lon2", "lat2")
+    cases = [(10.0, 20.0, 2.3, 48.85), (-150.0, -60.0, 170.0, -62.0),
+             (0.0, 0.0, 90.0, 0.0), (5.0, 10.0, 5.0, -30.0),
+             (179.5, 10.0, -179.5, 12.0)]
+    con = duckdb.connect()
+    for lon1, lat1, lon2, lat2 in cases:
+        got = con.execute(
+            f"SELECT {d_e}, {b_e} FROM (SELECT {lon1} AS lon1, "
+            f"{lat1} AS lat1, {lon2} AS lon2, {lat2} AS lat2)").fetchone()
+        want = _rhumb_ref(lon1, lat1, lon2, lat2)
+        assert got[0] == pytest.approx(want[0], rel=1e-12)
+        assert got[1] == pytest.approx(want[1], abs=1e-9)
+
+
+def test_rhumb_closed_forms_and_geodesic_law():
+    from engine.geo.dist import rhumb_sql
+    con = duckdb.connect()
+    d_e, b_e = rhumb_sql("lon1", "lat1", "lon2", "lat2")
+
+    def rh(lon1, lat1, lon2, lat2):
+        return con.execute(
+            f"SELECT {d_e}, {b_e} FROM (SELECT CAST({lon1} AS DOUBLE) "
+            f"AS lon1, CAST({lat1} AS DOUBLE) AS lat1, "
+            f"CAST({lon2} AS DOUBLE) AS lon2, "
+            f"CAST({lat2} AS DOUBLE) AS lat2)").fetchone()
+
+    # along the equator: dist = R * dlam, bearing 90
+    d, b = rh(10.0, 0.0, 20.0, 0.0)
+    assert d == pytest.approx(6371000.0 * np.radians(10.0), rel=1e-12)
+    assert b == pytest.approx(90.0, abs=1e-9)
+    # along a meridian: dist = R * dphi, bearing 0 / 180
+    d, b = rh(7.0, -10.0, 7.0, 25.0)
+    assert d == pytest.approx(6371000.0 * np.radians(35.0), rel=1e-12)
+    assert b == pytest.approx(0.0, abs=1e-9)
+    d, b = rh(7.0, 25.0, 7.0, -10.0)
+    assert b == pytest.approx(180.0, abs=1e-9)
+    # westward wrap across the antimeridian stays short
+    d_wrap, b_wrap = rh(179.0, 5.0, -179.0, 5.0)
+    assert d_wrap == pytest.approx(
+        6371000.0 * np.radians(2.0) * np.cos(np.radians(5.0)), rel=1e-9)
+    assert b_wrap == pytest.approx(90.0, abs=1e-6)
+    # rhumb >= great circle, everywhere off-course
+    for lon1, lat1, lon2, lat2 in [(10, 50, 100, 60), (-70, -30, 20, 40),
+                                   (0, 70, 180, 70)]:
+        d_rh, _ = rh(lon1, lat1, lon2, lat2)
+        d_gc = float(haversine_np(
+            np.array([float(lon1)]), np.array([float(lat1)]),
+            float(lon2), float(lat2))[0])
+        assert d_rh >= d_gc - 1e-6
