@@ -1071,6 +1071,35 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_win_median(spark, sf):
+    """F17 (r5 cont., post-window) — exact rolling median: per event
+    row the trailing-7-row LOWER median (1-based rank ceil(n/2) —
+    an element of the window, never an interpolated float) of the
+    cents series within its event_type — the robust companion to
+    win_ols's rolling mean-trend, the thing a monitoring pipeline
+    plots as 'median latency, trailing N'.  All native HOFs:
+    collect_list over the ROWS frame -> array_sort -> element_at;
+    O(k log k) per row with k pinned at 8, and ONE ordered-window
+    shuffle shared by the count.  The twin re-derives it in DuckDB's
+    independent list dialect (list window agg + list_sort + 1-based
+    indexing)."""
+    _prep(spark)
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").alias("key"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id").cast("long").alias("x"),
+        _cents("value").alias("y"))
+    w = (Window.partitionBy("key").orderBy("us", "x")
+         .rowsBetween(-7, Window.currentRow))
+    arr = F.array_sort(F.collect_list("y").over(w))
+    return ev.select(
+        "key", "x",
+        F.size(arr).cast("int").alias("n_w"),
+        F.element_at(arr, ((F.size(arr) + F.lit(1)) / F.lit(2))
+                     .cast("int")).cast("long").alias("med_cents"))
+
+
 def q_win_range(spark, sf):
     """F8 (r4 cont.) — RANGE-frame window (value-based bounds, the
     frame family rows-frames can't express): per-user running cents sum
@@ -6119,6 +6148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_diff_apply": q_osm_diff_apply,
         "graph_msf": q_graph_msf,
         "geo_rhumb": q_geo_rhumb,
+        "win_median": q_win_median,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9368,6 +9398,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # win_median — DuckDB's independent list dialect: list() window
+        # agg over the same ROWS frame, list_sort, 1-based indexing at
+        # rank (n+1)//2.
+        "win_median": (
+            "WITH e AS (SELECT event_type AS key, epoch_us(ts) AS us, "
+            "event_id AS x, CAST(round(value * 100) AS BIGINT) AS y "
+            "FROM events), "
+            "s AS (SELECT key, x, list(y) OVER w AS l FROM e "
+            "WINDOW w AS (PARTITION BY key ORDER BY us, x "
+            "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) "
+            "SELECT key, x, CAST(len(l) AS INTEGER) AS n_w, "
+            "CAST(list_sort(l)[(len(l) + 1) // 2] AS BIGINT) "
+            "AS med_cents FROM s"),
         "win_range": (
             "SELECT event_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
             "OVER (PARTITION BY user_id ORDER BY event_id "

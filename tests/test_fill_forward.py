@@ -106,3 +106,28 @@ def test_win_ols_matches_brute_trailing_window(spark):
         # two distinct x: denominator n*Sx2 - Sx^2 > 0
         full = [r for r in rs if r.n_w == 8]
         assert all(r.n_w * r.sum_x2 - r.sum_x ** 2 > 0 for r in full)
+
+
+# ------------------------------------------------- rolling median
+
+def test_win_median_matches_brute_trailing_window(spark):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {(r.key, r.x): (r.n_w, r.med_cents)
+           for r in m.queries()["win_median"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["y"] = (ev["value"] * 100).round().astype("int64")
+    ev["us"] = ev["ts"].astype("int64")
+    n_checked = 0
+    for key, g in ev.groupby("event_type"):
+        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+        ys = list(g["y"])
+        for i, x in enumerate(g["event_id"]):
+            win = sorted(ys[max(0, i - 7):i + 1])
+            # lower median: 1-based rank ceil(n/2)
+            want = win[(len(win) + 1) // 2 - 1]
+            assert got[(key, x)] == (len(win), want)
+            n_checked += 1
+    assert n_checked == len(got) > 0
