@@ -1071,6 +1071,28 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_ts_kendall(spark, sf):
+    """F18 (r5 cont., post-window) — exact Mann-Kendall trend
+    components (engine/relops.py::mann_kendall_components): per user
+    the pairwise concordance statistics (n, n_pairs, s = concordant −
+    discordant, tie pairs) of the time-ordered cents series — the
+    distribution-free monotonic-trend test (the anomaly family's
+    trend detector beside MAD's outliers and CUSUM's changepoint);
+    statistics stay BIGINT, the variance/z epilogue is driver-side.
+    ONE bounded per-key self-join + ONE map-side-combined agg; the
+    twin is the identical pair combinatorics in ANSI SQL (exact
+    integer semantics leave no formulation freedom)."""
+    _prep(spark)
+    from engine.relops import mann_kendall_components
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", _cents("value").alias("cents"))
+    out = mann_kendall_components(ev, "user_id", "ts", "event_id",
+                                  "cents")
+    return out.select(F.col("k").alias("user_id"), "n", "n_pairs", "s",
+                      "n_tie_pairs")
+
+
 def q_win_median(spark, sf):
     """F17 (r5 cont., post-window) — exact rolling median: per event
     row the trailing-7-row LOWER median (1-based rank ceil(n/2) —
@@ -6149,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msf": q_graph_msf,
         "geo_rhumb": q_geo_rhumb,
         "win_median": q_win_median,
+        "ts_kendall": q_ts_kendall,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9398,6 +9421,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # ts_kendall — identical pair combinatorics (exact integer
+        # semantics leave no formulation freedom); (ts, event_id)
+        # lexicographic pair order on both sides.
+        "ts_kendall": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "event_id AS seq, CAST(round(value * 100) AS BIGINT) AS v "
+            "FROM events), "
+            "p AS (SELECT a.user_id, a.v AS v1, b.v AS v2 "
+            "FROM e a JOIN e b ON a.user_id = b.user_id "
+            "AND (a.us < b.us OR (a.us = b.us AND a.seq < b.seq))), "
+            "st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN v2 > v1 THEN 1 WHEN v2 < v1 THEN -1 "
+            "ELSE 0 END) AS BIGINT) AS s, "
+            "CAST(SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_tie_pairs FROM p GROUP BY user_id), "
+            "nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM e GROUP BY user_id) "
+            "SELECT nn.user_id, nn.n, COALESCE(st.n_pairs, 0) AS n_pairs, "
+            "COALESCE(st.s, 0) AS s, "
+            "COALESCE(st.n_tie_pairs, 0) AS n_tie_pairs "
+            "FROM nn LEFT JOIN st ON nn.user_id = st.user_id"),
         # win_median — DuckDB's independent list dialect: list() window
         # agg over the same ROWS frame, list_sort, 1-based indexing at
         # rank (n+1)//2.

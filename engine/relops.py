@@ -782,3 +782,52 @@ def seq_match(events: DataFrame, pattern: list[str],
         ((F.length("_s") - F.length(F.replace(F.col("_s"), F.lit(pat),
                                               F.lit(""))))
          / len(pat)).cast("long").alias("n_matches"))
+
+
+def mann_kendall_components(df, key_col: str, ts_col: str, seq_col: str,
+                            v_col: str):
+    """F18 (r5 cont.) — exact Mann-Kendall trend components per key:
+    over all time-ordered pairs i < j of the key's series (order =
+    (ts, seq) lexicographic, a deterministic total order), the
+    distribution-free monotonic-trend statistic
+
+        s = #(v_j > v_i) - #(v_j < v_i)   (concordant - discordant)
+
+    plus n, n_pairs = n(n-1)/2 and the tie-pair count — the integer
+    sufficient statistics of the Mann-Kendall test; the variance
+    epilogue var(S) = n(n-1)(2n+5)/18 - tie corrections and the
+    normal approximation stay driver-side, the statistics never
+    divide (the agg_ols doctrine).
+
+    Scale shape: ONE per-key self-equi-join (both sides partitioned
+    by key; the pair frame is Σ n_k² with per-key n bounded by
+    contract — the traj_hausdorff front door: pre-bucket hot keys
+    upstream) + ONE map-side-combined agg.  Zero Python; sgn is a
+    CASE expression."""
+    from pyspark.sql import functions as F
+
+    b = df.select(F.col(key_col).alias("k"),
+                  F.col(ts_col).alias("ts"),
+                  F.col(seq_col).cast("long").alias("seq"),
+                  F.col(v_col).cast("long").alias("v"))
+    a1 = b.select("k", F.col("ts").alias("ts1"), F.col("seq").alias("s1"),
+                  F.col("v").alias("v1"))
+    a2 = b.select("k", F.col("ts").alias("ts2"), F.col("seq").alias("s2"),
+                  F.col("v").alias("v2"))
+    pairs = a1.join(a2, "k").filter(
+        (F.col("ts1") < F.col("ts2"))
+        | ((F.col("ts1") == F.col("ts2")) & (F.col("s1") < F.col("s2"))))
+    sgn = (F.when(F.col("v2") > F.col("v1"), 1)
+           .when(F.col("v2") < F.col("v1"), -1).otherwise(0))
+    stats = (pairs.groupBy("k")
+             .agg(F.count("*").cast("long").alias("n_pairs"),
+                  F.sum(sgn).cast("long").alias("s"),
+                  F.sum(F.when(F.col("v1") == F.col("v2"), 1)
+                        .otherwise(0)).cast("long").alias("n_tie_pairs")))
+    n = b.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+    return (n.join(stats, "k", "left")
+            .select("k", "n",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("s", F.lit(0)).alias("s"),
+                    F.coalesce("n_tie_pairs", F.lit(0))
+                    .alias("n_tie_pairs")))

@@ -131,3 +131,48 @@ def test_win_median_matches_brute_trailing_window(spark):
             assert got[(key, x)] == (len(win), want)
             n_checked += 1
     assert n_checked == len(got) > 0
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+def test_ts_kendall_matches_brute_pairs(spark):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {r.user_id: (r.n, r.n_pairs, r.s, r.n_tie_pairs)
+           for r in m.queries()["ts_kendall"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    ev["us"] = ev["ts"].astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        vs = list(g.sort_values(["us", "event_id"])["v"])
+        n = len(vs)
+        s = d = t = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if vs[j] > vs[i]:
+                    s += 1
+                elif vs[j] < vs[i]:
+                    s -= 1
+                    d += 1
+                else:
+                    t += 1
+        assert got[uid] == (n, n * (n - 1) // 2, s, t)
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_mann_kendall_closed_forms(spark):
+    """Strictly increasing series: s = n_pairs; constant series:
+    s = 0, all pairs tie; singleton: zeros."""
+    from engine.relops import mann_kendall_components
+    rows = ([("inc", i, i, 10 * i) for i in range(6)]
+            + [("const", i, i, 7) for i in range(5)]
+            + [("single", 0, 0, 3)])
+    df = spark.createDataFrame(rows, "k string, ts long, seq long, v long")
+    got = {r.k: (r.n, r.n_pairs, r.s, r.n_tie_pairs)
+           for r in mann_kendall_components(df, "k", "ts", "seq", "v")
+           .collect()}
+    assert got["inc"] == (6, 15, 15, 0)
+    assert got["const"] == (5, 10, 0, 10)
+    assert got["single"] == (1, 0, 0, 0)
