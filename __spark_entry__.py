@@ -1071,6 +1071,29 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_agg_moments(spark, sf):
+    """E17 (r5 cont., post-window) — exact central-moment sufficient
+    statistics: per event type the integer power sums (n, Σv, Σv²,
+    Σv³, Σv⁴) of the whole-currency value — skewness and kurtosis are
+    driver-side epilogues (m2/m3/m4 expand in the power sums by the
+    binomial identities) while the statistics stay associative,
+    order-free, and hash-exact (the agg_ols doctrine).  Units are
+    part of the contract: whole currency (round(value)), giving the
+    documented overflow bound n·max(v)⁴ < 2⁶³ headroom through
+    sf100; per-cent moments would overflow s4 at sf0.1 — the
+    pre-bucket front door applies to wider domains.  ONE map-side-
+    combined agg, zero Python."""
+    _prep(spark)
+    v = F.expr("CAST(round(value) AS BIGINT)")
+    return (_t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(v).cast("long").alias("s1"),
+                 F.sum(v * v).cast("long").alias("s2"),
+                 F.sum(v * v * v).cast("long").alias("s3"),
+                 F.sum(v * v * v * v).cast("long").alias("s4")))
+
+
 def q_ts_kendall(spark, sf):
     """F18 (r5 cont., post-window) — exact Mann-Kendall trend
     components (engine/relops.py::mann_kendall_components): per user
@@ -6172,6 +6195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rhumb": q_geo_rhumb,
         "win_median": q_win_median,
         "ts_kendall": q_ts_kendall,
+        "agg_moments": q_agg_moments,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9421,6 +9445,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # agg_moments — identical power-sum arithmetic (exact integer
+        # semantics leave no formulation freedom).
+        "agg_moments": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(round(value) AS BIGINT) AS v FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(v) AS BIGINT) AS s1, "
+            "CAST(SUM(v * v) AS BIGINT) AS s2, "
+            "CAST(SUM(v * v * v) AS BIGINT) AS s3, "
+            "CAST(SUM(v * v * v * v) AS BIGINT) AS s4 "
+            "FROM e GROUP BY event_type"),
         # ts_kendall — identical pair combinatorics (exact integer
         # semantics leave no formulation freedom); (ts, event_id)
         # lexicographic pair order on both sides.

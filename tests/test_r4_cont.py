@@ -274,3 +274,29 @@ def test_img_percentiles_rank_contract_closed_form(spark):
     pix[1, 0] = (2, 2, 2)
     pix[1, 1] = (255, 255, 255)
     assert percentiles_np(pix) == [0, 3, 765]
+
+
+def test_agg_moments_matches_numpy_and_binomial_identities(spark):
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {r.event_type: r for r in m.queries()["agg_moments"](
+        spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    # SQL round() is half-away-from-zero; numpy's is half-to-even —
+    # values are non-negative so floor(v + 0.5) realizes the contract
+    ev["v"] = np.floor(ev["value"] + 0.5).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        v = g["v"].to_numpy()
+        r = got[et]
+        assert (r.n, r.s1, r.s2, r.s3, r.s4) == (
+            len(v), int(v.sum()), int((v ** 2).sum()),
+            int((v ** 3).sum()), int((v ** 4).sum()))
+        # binomial-identity epilogue: central m2 from power sums equals
+        # numpy's population variance
+        m2 = (r.s2 - r.s1 ** 2 / r.n) / r.n
+        assert m2 == pytest.approx(float(v.var()), rel=1e-12)
+        m3 = (r.s3 - 3 * r.s1 * r.s2 / r.n + 2 * r.s1 ** 3 / r.n ** 2) / r.n
+        assert m3 == pytest.approx(float(((v - v.mean()) ** 3).mean()),
+                                   rel=1e-9, abs=1e-6)
