@@ -1071,6 +1071,29 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_ml_stump(spark, sf):
+    """M42 (r5 cont., post-window) — exact decision-stump training
+    (engine/ml/stump.py::stump_train): the supervised companion to
+    ml_perceptron under the same determinism doctrine — find the
+    (threshold, polarity) minimizing training misclassifications
+    over integer features, ties to (errors, t, gt<le), all in closed
+    form from prefix sums over the aggregated distinct-value relation
+    (the eval_auc shape: the cumulative window rides the domain-
+    bounded distinct frame, never a raw-row global sort).  Labels are
+    a deterministic noisy-threshold function of the account balance,
+    so the learned stump and its error count are pure fixture
+    functions.  The twin unrolls the identical prefix arithmetic +
+    ORDER-BY-LIMIT-1 argmin."""
+    _prep(spark)
+    from engine.ml.stump import stump_train
+    pts = _t(spark, sf, "customer").select(
+        _cents("c_acctbal").alias("x"),
+        (F.expr("CAST(round(c_acctbal * 100) AS BIGINT) "
+                "+ ((c_custkey * 7919) % 100000 - 50000)")
+         > F.lit(300000)).cast("int").alias("y"))
+    return stump_train(pts, "x", "y")
+
+
 def q_agg_moments(spark, sf):
     """E17 (r5 cont., post-window) — exact central-moment sufficient
     statistics: per event type the integer power sums (n, Σv, Σv²,
@@ -6196,6 +6219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_median": q_win_median,
         "ts_kendall": q_ts_kendall,
         "agg_moments": q_agg_moments,
+        "ml_stump": q_ml_stump,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9445,6 +9469,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # ml_stump — identical prefix-sum error arithmetic over the
+        # distinct-value relation + ORDER-BY-LIMIT-1 argmin under the
+        # same (e, t, p) tie order.
+        "ml_stump": (
+            "WITH pts AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) "
+            "AS x, CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) "
+            "+ ((c_custkey * 7919) % 100000 - 50000) > 300000 "
+            "THEN 1 ELSE 0 END AS y FROM customer), "
+            "px AS (SELECT x, SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) "
+            "AS c0, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1 "
+            "FROM pts GROUP BY x), "
+            "cum AS (SELECT x, "
+            "SUM(c0) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS cum0, "
+            "SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS cum1, "
+            "SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1 FROM px), "
+            "cand AS (SELECT x AS t, 0 AS p, "
+            "(n0 - cum0) + cum1 AS e, n0 + n1 AS n FROM cum "
+            "UNION ALL SELECT x AS t, 1 AS p, "
+            "cum0 + (n1 - cum1) AS e, n0 + n1 AS n FROM cum) "
+            "SELECT CAST(t AS BIGINT) AS threshold, "
+            "CASE WHEN p = 0 THEN 'gt' ELSE 'le' END AS polarity, "
+            "CAST(e AS BIGINT) AS n_errors, CAST(n AS BIGINT) AS n "
+            "FROM cand ORDER BY e, t, p LIMIT 1"),
         # agg_moments — identical power-sum arithmetic (exact integer
         # semantics leave no formulation freedom).
         "agg_moments": (

@@ -117,3 +117,37 @@ def test_kmeans_negative_coords_division_semantics(spark):
            for r in kmeans_int(_pts_df(spark, pts), k=5,
                                rounds=3).collect()}
     assert got == kmeans_py(pts, k=5, rounds=3)
+
+
+# ---------------------------------------------- decision stump (M42)
+
+def test_stump_matches_brute_random(spark):
+    import random
+
+    from engine.ml.stump import stump_py, stump_train
+    rng = random.Random(17)
+    rows = [(rng.randrange(-50, 50), rng.randrange(2)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "x long, y int")
+    [r] = stump_train(df, "x", "y").collect()
+    assert (r.threshold, r.polarity, r.n_errors, r.n) == stump_py(rows)
+
+
+def test_stump_separable_and_constant_closed_forms(spark):
+    from engine.ml.stump import stump_train
+    # perfectly separable at x > 10: zero errors, threshold = largest
+    # x of the low class (ties to lowest t among zero-error splits)
+    rows = [(x, 0) for x in range(0, 11)] + [(x, 1) for x in range(11, 20)]
+    df = spark.createDataFrame(rows, "x long, y int")
+    [r] = stump_train(df).collect()
+    assert (r.threshold, r.polarity, r.n_errors) == (10, "gt", 0)
+    # all-one labels: the all-1 classifier ('le' at max x) is exact
+    df1 = spark.createDataFrame([(x, 1) for x in range(5)], "x long, y int")
+    [r1] = stump_train(df1).collect()
+    assert (r1.n_errors, r1.polarity, r1.threshold) == (0, "le", 4)
+    # noisy labels: brute equality again on a correlated pattern
+    rows2 = [(x, int(x % 7 != 0) if x > 25 else int(x % 5 == 0))
+             for x in range(60)]
+    from engine.ml.stump import stump_py
+    df2 = spark.createDataFrame(rows2, "x long, y int")
+    [r2] = stump_train(df2).collect()
+    assert (r2.threshold, r2.polarity, r2.n_errors, r2.n) == stump_py(rows2)
