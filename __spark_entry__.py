@@ -1071,6 +1071,32 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_snapshot_files(spark, sf):
+    """A18 (r5 cont., post-window) — Iceberg metadata tables
+    (engine/icelite.py::files_table): the `files` relation — one row
+    per data file keyed by the snapshot that added it, with row count
+    and integer min/max bounds taken from COMMIT-TIME parquet-footer
+    stats recorded in the manifest (the Iceberg manifest-stats
+    design: metadata queries and scan pruning never touch data).
+    Four deterministic single-file commits (orders sliced by
+    o_orderkey % 4); the twin recomputes every file's stats FROM THE
+    DATA in SQL — parity is exactly the proof that the manifest
+    bounds a pruning reader would trust are correct.  The companion
+    `history_table` relation is pytest-verified (wall timestamps are
+    deliberately excluded from both)."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="filesmeta-")
+    t = IceliteTable(f"{root}/tbl")
+    od = _t(spark, sf, "orders")
+    for k in range(4):
+        t.commit_append(
+            od.filter(F.col("o_orderkey") % 4 == k).repartition(1),
+            stage=f"slice-{k}")
+    return (t.files_table(spark, ("o_orderkey", "o_custkey"))
+            .drop("path"))
+
+
 def q_ml_stump(spark, sf):
     """M42 (r5 cont., post-window) — exact decision-stump training
     (engine/ml/stump.py::stump_train): the supervised companion to
@@ -6220,6 +6246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_kendall": q_ts_kendall,
         "agg_moments": q_agg_moments,
         "ml_stump": q_ml_stump,
+        "snapshot_files": q_snapshot_files,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9469,6 +9496,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # snapshot_files — the twin recomputes each committed file's
+        # stats FROM THE DATA (the engine emits manifest footer stats
+        # only), so parity proves the commit-time manifest bounds.
+        "snapshot_files": (
+            "SELECT CAST(o_orderkey % 4 + 1 AS BIGINT) AS sid, "
+            "'append' AS op, "
+            "'slice-' || CAST(o_orderkey % 4 AS VARCHAR) AS stage, "
+            "CAST(0 AS INTEGER) AS file_seq, "
+            "CAST(COUNT(*) AS BIGINT) AS rows, "
+            "CAST(MIN(o_orderkey) AS BIGINT) AS min_o_orderkey, "
+            "CAST(MAX(o_orderkey) AS BIGINT) AS max_o_orderkey, "
+            "CAST(MIN(o_custkey) AS BIGINT) AS min_o_custkey, "
+            "CAST(MAX(o_custkey) AS BIGINT) AS max_o_custkey "
+            "FROM orders GROUP BY o_orderkey % 4"),
         # ml_stump — identical prefix-sum error arithmetic over the
         # distinct-value relation + ORDER-BY-LIMIT-1 argmin under the
         # same (e, t, p) tie order.

@@ -162,9 +162,46 @@ class IceliteTable:
         )
         return rel_commit, added
 
+    @staticmethod
+    def _file_stats(path: str) -> dict[str, Any]:
+        """Per-file column statistics from the parquet FOOTER only
+        (Iceberg manifests carry exactly this: value counts + integer
+        lower/upper bounds collected at commit time, so metadata
+        queries and scan pruning never touch data).  Row-group stats
+        are aggregated; only integer columns with complete stats are
+        recorded."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        ok: dict[str, bool] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                good = (st is not None and st.has_min_max
+                        and col.physical_type in ("INT32", "INT64")
+                        and isinstance(st.min, int))
+                ok[name] = ok.get(name, True) and good
+                if good:
+                    mins[name] = (st.min if name not in mins
+                                  else min(mins[name], st.min))
+                    maxs[name] = (st.max if name not in maxs
+                                  else max(maxs[name], st.max))
+        return {"rows": md.num_rows,
+                "mins": {k: v for k, v in mins.items() if ok.get(k)},
+                "maxs": {k: v for k, v in maxs.items() if ok.get(k)}}
+
     def _commit_meta(self, df: DataFrame, added: list[str], op: str,
                      stage: str | None, props: dict | None,
                      keep_parent_files: bool, branch: str = "main") -> int:
+        # footer-only stats for the files this commit adds (immutable
+        # once written, so collected outside the metadata lock)
+        stats = {p: self._file_stats(os.path.join(self.root, p))
+                 for p in added}
         with self._commit_locked():
             st = self._state()
             snaps, refs = st["snapshots"], st["refs"]
@@ -181,6 +218,7 @@ class IceliteTable:
                 "files": parent_files + added,
                 "added": added,
                 "schema": df.schema.json(),
+                "stats": stats,
             }
             with open(os.path.join(self.meta_dir,
                                    f"manifest-{sid:08d}.json"), "w") as f:
@@ -365,6 +403,75 @@ class IceliteTable:
         _, added = self._write_data(df)
         return self._commit_meta(df, added, op, stage, props,
                                  keep_parent_files=False, branch=branch)
+
+    # ------------------------------------------ metadata tables (A18)
+    # Iceberg exposes its manifests as queryable relations
+    # (table.files / table.history / table.snapshots); these are the
+    # icelite equivalents.  Both are METADATA-ONLY: they read the
+    # snapshot log + manifests, never a data file — bounded by the
+    # file/snapshot count (the metrics_table class), so createDataFrame
+    # over the driver-side list is the right plan at any table size
+    # where manifests themselves fit (Iceberg's own design point).
+
+    def files_table(self, spark: SparkSession,
+                    stat_cols: tuple[str, ...] = ()) -> DataFrame:
+        """The `files` metadata relation: one row per data file, keyed
+        by the snapshot that ADDED it — (sid, op, stage, file_seq,
+        path, rows, min_<c>/max_<c> for each requested stat column),
+        everything from commit-time footer stats recorded in the
+        manifest (never recomputed from data — parity of this relation
+        against a data recompute is exactly the proof the manifest
+        stats are trustworthy for pruning)."""
+        from pyspark.sql.types import (LongType, IntegerType, StringType,
+                                       StructField)
+
+        rows = []
+        for s in self.snapshots():
+            man = self._manifest(s["sid"])
+            stats = man.get("stats", {})
+            for seq, rel in enumerate(sorted(man.get("added", []))):
+                st = stats.get(rel, {})
+                row = [s["sid"], s["op"], s.get("stage"), seq, rel,
+                       st.get("rows")]
+                for c in stat_cols:
+                    row.append(st.get("mins", {}).get(c))
+                    row.append(st.get("maxs", {}).get(c))
+                rows.append(tuple(row))
+        fields = [StructField("sid", LongType(), False),
+                  StructField("op", StringType(), False),
+                  StructField("stage", StringType(), True),
+                  StructField("file_seq", IntegerType(), False),
+                  StructField("path", StringType(), False),
+                  StructField("rows", LongType(), True)]
+        for c in stat_cols:
+            fields.append(StructField(f"min_{c}", LongType(), True))
+            fields.append(StructField(f"max_{c}", LongType(), True))
+        return spark.createDataFrame(rows, StructType(fields))
+
+    def history_table(self, spark: SparkSession) -> DataFrame:
+        """The `history`/`snapshots` metadata relation: the ordered
+        snapshot log — (sid, parent, op, stage, branch, n_files,
+        n_added).  Wall-clock timestamps are deliberately excluded
+        (non-deterministic; callers needing them read the raw log)."""
+        from pyspark.sql.types import (LongType, IntegerType, StringType,
+                                       StructField)
+
+        rows = []
+        for s in self.snapshots():
+            man = self._manifest(s["sid"])
+            rows.append((s["sid"], s.get("parent"), s["op"],
+                         s.get("stage"), s.get("branch", "main"),
+                         len(man.get("files", [])),
+                         len(man.get("added", []))))
+        schema = StructType([
+            StructField("sid", LongType(), False),
+            StructField("parent", LongType(), True),
+            StructField("op", StringType(), False),
+            StructField("stage", StringType(), True),
+            StructField("branch", StringType(), False),
+            StructField("n_files", IntegerType(), False),
+            StructField("n_added", IntegerType(), False)])
+        return spark.createDataFrame(rows, schema)
 
     def compact(self, spark: SparkSession, target_files: int = 4) -> int:
         """Small-file compaction: rewrite the CURRENT view into

@@ -367,3 +367,59 @@ def test_tags_survive_unrelated_metadata_ops(spark, tmp_path):
     t.rollback(s1)
     assert t.tags() == {"rel": s1}
     assert t.scan_tag(spark, "rel").count() == 4
+
+
+# ------------------------------------------- metadata tables (A18)
+
+def test_files_table_stats_match_data_recompute(spark, tmp_path):
+    """Manifest footer stats == a recompute from the data files —
+    the trust proof behind metadata-only pruning; multi-file commits
+    attribute every file to the snapshot that added it."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    df = spark.range(100).selectExpr("id AS k", "id * 7 % 31 AS v")
+    t.commit_append(df.repartition(3, "k"), stage="a")
+    t.commit_append(
+        spark.range(100, 140).selectExpr("id AS k", "id * 7 % 31 AS v")
+        .repartition(1), stage="b")
+    ft = t.files_table(spark, ("k", "v")).collect()
+    assert sorted(r.sid for r in ft) == [1, 1, 1, 2]
+    assert sum(r.rows for r in ft) == 140
+    # recompute each file's stats from its data
+    import pyarrow.parquet as pq
+    for r in ft:
+        tab = pq.read_table(f"{tmp_path}/tbl/{r.path}").to_pandas()
+        assert r.rows == len(tab)
+        assert r.min_k == tab["k"].min() and r.max_k == tab["k"].max()
+        assert r.min_v == tab["v"].min() and r.max_v == tab["v"].max()
+        assert r.op == "append" and r.stage == ("a" if r.sid == 1 else "b")
+
+
+def test_history_table_tracks_ops_and_parents(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    df = spark.range(10).selectExpr("id AS k")
+    t.commit_append(df, stage="x")
+    t.commit_append(df.selectExpr("k + 10 AS k"), stage="y")
+    t.compact(spark, target_files=1)
+    h = {r.sid: r for r in t.history_table(spark).collect()}
+    assert [h[s].op for s in (1, 2, 3)] == ["append", "append", "compact"]
+    assert (h[1].parent, h[2].parent, h[3].parent) == (None, 1, 2)
+    assert h[2].n_files == h[2].n_added + h[1].n_files
+    assert h[3].n_files == h[3].n_added  # replace-class commit
+    assert all(r.branch == "main" for r in h.values())
+
+
+def test_files_table_tolerates_statless_manifest(spark, tmp_path):
+    """Manifests written before stats existed surface null stats, not
+    an error."""
+    import json as _json
+    import os as _os
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(5).selectExpr("id AS k").repartition(1))
+    mp = _os.path.join(str(tmp_path / "tbl"), "meta", "manifest-00000001.json")
+    with open(mp) as f:
+        man = _json.load(f)
+    del man["stats"]
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    [r] = t.files_table(spark, ("k",)).collect()
+    assert r.rows is None and r.min_k is None and r.max_k is None
