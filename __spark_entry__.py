@@ -1071,6 +1071,23 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_text_stem(spark, sf):
+    """M43 (r5 cont., post-window) — S-stemmer statistics
+    (engine/text/ops.py::stem_stats): per document the token count,
+    stemmed-token count, and distinct-stem count under the PINNED
+    Harman S-stemmer (ies→y / es→-s / s→'' with the published
+    exception lists; the branch is chosen by the ENDING, exceptions
+    stay unchanged rather than falling through — pinned by test).
+    The rule set is the contract: which plural forms conflate is part
+    of IR reproducibility (the text_url_canonical doctrine).  All
+    explicit substring arithmetic — no regex lookbehind, RE2-safe —
+    zero shuffle, zero Python; the twin re-implements the rules in
+    DuckDB's independent list dialect."""
+    _prep(spark)
+    from engine.text.ops import stem_stats
+    return stem_stats(_t(spark, sf, "documents"))
+
+
 def q_snapshot_files(spark, sf):
     """A18 (r5 cont., post-window) — Iceberg metadata tables
     (engine/icelite.py::files_table): the `files` relation — one row
@@ -6247,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_moments": q_agg_moments,
         "ml_stump": q_ml_stump,
         "snapshot_files": q_snapshot_files,
+        "text_stem": q_text_stem,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9496,6 +9514,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # text_stem — the same pinned rule set re-implemented in
+        # DuckDB's list dialect (list_transform/list_filter lambdas).
+        "text_stem": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+            "x -> x != '') AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, list_transform(toks, x -> "
+            "CASE "
+            "WHEN length(x) >= 4 AND substring(x, length(x) - 2, 3) = 'ies' "
+            "THEN (CASE WHEN substring(x, length(x) - 3, 4) "
+            "IN ('aies', 'eies') THEN x "
+            "ELSE substring(x, 1, length(x) - 3) || 'y' END) "
+            "WHEN length(x) >= 4 AND substring(x, length(x) - 1, 2) = 'es' "
+            "THEN (CASE WHEN substring(x, length(x) - 2, 3) "
+            "IN ('aes', 'ees', 'oes') THEN x "
+            "ELSE substring(x, 1, length(x) - 1) END) "
+            "WHEN length(x) >= 3 AND substring(x, length(x), 1) = 's' "
+            "THEN (CASE WHEN substring(x, length(x) - 1, 2) "
+            "IN ('us', 'ss') THEN x "
+            "ELSE substring(x, 1, length(x) - 1) END) "
+            "ELSE x END) AS stems FROM t) "
+            "SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, "
+            "CAST(len(list_filter(list_zip(toks, stems), "
+            "p -> p[1] != p[2])) AS INTEGER) AS n_stemmed, "
+            "CAST(len(list_distinct(stems)) AS INTEGER) "
+            "AS n_distinct_stems FROM s"),
         # snapshot_files — the twin recomputes each committed file's
         # stats FROM THE DATA (the engine emits manifest footer stats
         # only), so parity proves the commit-time manifest bounds.

@@ -548,3 +548,50 @@ def sentence_stats(df: DataFrame, *, id_col: str = "doc_id",
         .alias("sum_sentence_chars"),
         F.expr(f"coalesce(try_element_at({clean}, 1), '')")
         .alias("first_sentence"))
+
+
+def stem_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """M43 (r5 cont.) — S-stemmer statistics per document under the
+    PINNED Harman rule set (the rule set IS the contract — stemmers
+    differ across IR stacks, so which plural forms conflate is part
+    of reproducibility, exactly the text_url_canonical doctrine):
+
+      1. suffix 'ies' (len>=4): 'aies'/'eies' unchanged, else '...y'
+      2. suffix 'es'  (len>=4): 'aes'/'ees'/'oes' unchanged, else drop 's'
+      3. suffix 's'   (len>=3): 'us'/'ss' unchanged, else drop 's'
+
+    the branch is chosen by the ENDING (an exception word stays
+    unchanged — it does not fall through to a later rule, per the
+    published pseudo-code); tokens are the house word contract
+    (lowercase split on [^a-z]+).  Emits (doc_id, n_tokens,
+    n_stemmed, n_distinct_stems) — the conflation-rate profile an IR
+    pipeline checks before swapping stemmers.  All-native HOFs and
+    explicit substring arithmetic (no regex lookbehind — RE2-safe on
+    both engines); zero shuffle beyond the base scan, zero Python."""
+    from pyspark.sql import functions as F
+
+    toks = (f"filter(split(lower({text_col}), '[^a-z]+'), "
+            "x -> x != '')")
+    stem = (
+        "CASE "
+        "WHEN length(x) >= 4 AND substring(x, length(x) - 2, 3) = 'ies' "
+        "THEN (CASE WHEN substring(x, length(x) - 3, 4) "
+        "IN ('aies', 'eies') THEN x "
+        "ELSE concat(substring(x, 1, length(x) - 3), 'y') END) "
+        "WHEN length(x) >= 4 AND substring(x, length(x) - 1, 2) = 'es' "
+        "THEN (CASE WHEN substring(x, length(x) - 2, 3) "
+        "IN ('aes', 'ees', 'oes') THEN x "
+        "ELSE substring(x, 1, length(x) - 1) END) "
+        "WHEN length(x) >= 3 AND substring(x, length(x), 1) = 's' "
+        "THEN (CASE WHEN substring(x, length(x) - 1, 2) IN ('us', 'ss') "
+        "THEN x ELSE substring(x, 1, length(x) - 1) END) "
+        "ELSE x END")
+    stems = f"transform({toks}, x -> {stem})"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("int").alias("n_tokens"),
+        F.expr(f"size(filter(zip_with({toks}, {stems}, "
+               "(a, b) -> a != b), c -> c))").cast("int")
+        .alias("n_stemmed"),
+        F.expr(f"size(array_distinct({stems}))").cast("int")
+        .alias("n_distinct_stems"))

@@ -195,3 +195,62 @@ def test_url_canonical_is_idempotent(spark):
          .join(again.select("doc_id", F.col("canon_url").alias("c2")),
                "doc_id"))
     assert j.filter("c1 <> c2").count() == 0
+
+
+# ------------------------------------------------- S-stemmer (M43)
+
+def _s_stem_ref(w):
+    if len(w) >= 4 and w.endswith("ies"):
+        return w if w[-4:] in ("aies", "eies") else w[:-3] + "y"
+    if len(w) >= 4 and w.endswith("es"):
+        return w if w[-3:] in ("aes", "ees", "oes") else w[:-1]
+    if len(w) >= 3 and w.endswith("s"):
+        return w if w[-2:] in ("us", "ss") else w[:-1]
+    return w
+
+
+def test_stem_rule_witnesses(spark):
+    from engine.text.ops import stem_stats
+    words = ("cities applies ties goes shoes sees bus glass cats "
+             "trees is es mass texas notaries")
+    # reference per word
+    refs = {w: _s_stem_ref(w) for w in words.split()}
+    assert refs["cities"] == "city" and refs["applies"] == "apply"
+    assert refs["ties"] == "ty"
+    assert refs["goes"] == "goes"      # oes exception, NOT fall-through
+    assert refs["shoes"] == "shoes"
+    assert refs["sees"] == "sees"      # ees exception
+    assert refs["trees"] == "trees"
+    assert refs["bus"] == "bus" and refs["glass"] == "glass"
+    assert refs["cats"] == "cat"
+    assert refs["is"] == "is"          # len<3 guard on rule 3? len 2
+    assert refs["es"] == "es"
+    assert refs["texas"] == "texa"     # pinned: no proper-noun list
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    [r] = stem_stats(df).collect()
+    toks = words.split()
+    stems = [refs[w] for w in toks]
+    assert r.n_tokens == len(toks)
+    assert r.n_stemmed == sum(1 for w in toks if refs[w] != w)
+    assert r.n_distinct_stems == len(set(stems))
+
+
+def test_stem_stats_matches_python_reference_on_corpus(spark):
+    import re
+
+    import pandas as pd
+
+    from engine.text.ops import stem_stats
+    got = {r.doc_id: (r.n_tokens, r.n_stemmed, r.n_distinct_stems)
+           for r in stem_stats(
+               __import__("__spark_entry__")._t(
+                   spark, "/root/testdata/sf0.001", "documents"))
+           .collect()}
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for _, row in docs.iterrows():
+        toks = [t for t in re.split("[^a-z]+", row["text"].lower()) if t]
+        stems = [_s_stem_ref(t) for t in toks]
+        want = (len(toks), sum(1 for a, b in zip(toks, stems) if a != b),
+                len(set(stems)))
+        assert got[row["doc_id"]] == want
+    assert len(got) == len(docs)
