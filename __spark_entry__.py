@@ -784,6 +784,25 @@ def q_img_sobel(spark, sf):
     return image_sobel(gen_images(spark, 240, seed=42))
 
 
+def q_img_median3(spark, sf):
+    """C19 (r5 cont., post-window) — per-image 3x3 median-filter
+    statistics (engine/image/median.py): the NON-LINEAR smoothing
+    classic (salt-and-pepper denoising) beside the linear Sobel/
+    Harris kernels — exact lower median (5th of 9, an element, never
+    an interpolated float) of integer luminance over interior pixels,
+    reduced to sum/changed-count/max-deviation per image.  One
+    mapInPandas pass, pixels never leave the worker.  Golden-pinned
+    like the other synthetic-image keys; the independent oracle is
+    pytest's brute per-pixel 9-element sort plus the constant-image
+    and single-spike closed forms (a lone spike is ERASED by the
+    median — the property that distinguishes it from every linear
+    filter in the family)."""
+    _prep(spark)
+    from engine.image.median import image_median3
+    from engine.synth import gen_images
+    return image_median3(gen_images(spark, 240, seed=42))
+
+
 def q_img_harris(spark, sf):
     """C-hr (r5, post-window) — per-image Harris corner response stats
     (engine/image/harris.py): exact-integer structure tensor (3x3 box
@@ -6265,6 +6284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_stump": q_ml_stump,
         "snapshot_files": q_snapshot_files,
         "text_stem": q_text_stem,
+        "img_median3": q_img_median3,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7905,7 +7925,12 @@ def oracle_sql() -> dict[str, str]:
                      # forest; independent check = sequential Kruskal
                      # (different algorithm) + forest laws in
                      # tests/test_graph.py.
-                     "graph_msf")},
+                     "graph_msf",
+                     # img_median3 (r5 cont.): all-integer 3x3 median
+                     # filter stats; independent check = brute 9-sort
+                     # reference + spike-erasure closed forms in
+                     # tests/test_median3.py.
+                     "img_median3")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

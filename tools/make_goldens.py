@@ -135,7 +135,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # spanning forest; independent check = sequential
                # Kruskal (sort + union-find) + forest laws in
                # tests/test_graph.py.
-               "graph_msf")
+               "graph_msf",
+               # img_median3 (r5 cont.): all-integer 3x3 median-filter
+               # stats; independent check = brute 9-sort reference +
+               # spike-erasure closed forms in tests/test_median3.py.
+               "img_median3")
 
 
 def main() -> None:
