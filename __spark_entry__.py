@@ -2490,6 +2490,59 @@ def q_stream_bitmap(spark, sf):
                     F.expr("bit_count(bits)").cast("long").alias("pop")))
 
 
+def q_stream_scd2(spark, sf):
+    """J17 (r5 cont., post-window) — streaming SCD2 maintenance: the
+    warehouse-dimension face of the streaming family.  Per micro-
+    batch the raw change rows append to an icelite feed table, then
+    the dimension is INCREMENTALLY maintained: only the batch's
+    AFFECTED keys are recomputed (semi-join against the feed history,
+    the tile_incremental affected-set idiom — work ∝ affected keys'
+    history, not table size), spliced over the untouched keys via an
+    anti-join, and committed as a replace snapshot (a key-partitioned
+    dim would replace affected partitions only; the splice is the
+    same logic).  Because runs of one attribute value can SPAN batch
+    boundaries, per-batch-only SCD2 would be wrong — the recompute-
+    affected-keys design is what makes streamed == batch exact, and
+    the driver checks exactly that: the final dimension equals
+    scd2_build over the whole feed (same oracle text as the batch
+    key).  Resume rides the stream checkpoint + icelite snapshots
+    (the stream_tile_maintenance pairing)."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.icelite import IceliteTable
+    from engine.relops import scd2_build
+    root = tempfile.mkdtemp(prefix="stream-scd2-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+    feed = IceliteTable(f"{root}/feed")
+    dim = IceliteTable(f"{root}/dim")
+
+    def _sink(batch_df, batch_id):
+        rows = batch_df.select("user_id", "ts", "event_type", "event_id")
+        if rows.isEmpty():
+            return
+        feed.commit_append(rows, stage=f"batch-{batch_id}")
+        keys = rows.select("user_id").distinct()
+        hist = feed.scan(spark).join(F.broadcast(keys), "user_id",
+                                     "semi")
+        recomputed = scd2_build(hist, "user_id", "ts", "event_type",
+                                "event_id")
+        if dim.exists() and dim.current_snapshot_id() is not None:
+            keep = dim.scan(spark).join(F.broadcast(keys), "user_id",
+                                        "anti")
+            recomputed = keep.unionByName(recomputed)
+        dim.commit_replace(recomputed, stage=f"dim-{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return dim.scan(spark).select(
+        "user_id", "event_type", "valid_from_us", "valid_to_us",
+        "version", "is_current")
+
+
 def q_cohort_retention(spark, sf):
     """F9 (r4 cont.) — cohort retention matrix over the events table:
     users are cohorted by their first active 7-day bucket (integer
@@ -6285,6 +6338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_files": q_snapshot_files,
         "text_stem": q_text_stem,
         "img_median3": q_img_median3,
+        "stream_scd2": q_stream_scd2,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -10339,6 +10393,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM o GROUP BY 1, 2"),
         # scd2_build — lag dup-collapse + lead validity intervals,
         # integer epoch-micros end to end.
+        # stream_scd2 — identical oracle to the batch key: the final
+        # maintained dimension must equal scd2_build over the whole
+        # feed (the streamed-equals-batch theorem).
+        "stream_scd2": (
+            "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) "
+            "AS us FROM events), "
+            "f AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id) AS prev FROM e), "
+            "g AS (SELECT user_id, event_type, event_id, us FROM f "
+            "WHERE prev IS NULL OR prev <> event_type), "
+            "h AS (SELECT user_id, event_type, us AS valid_from_us, "
+            "lead(us) OVER w2 AS valid_to_us, "
+            "CAST(row_number() OVER w2 AS INTEGER) AS version FROM g "
+            "WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)) "
+            "SELECT user_id, event_type, valid_from_us, valid_to_us, "
+            "version, CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END "
+            "AS is_current FROM h"),
         "scd2_build": (
             "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) "
             "AS us FROM events), "

@@ -168,3 +168,73 @@ def test_stream_checkpoint_restart_processes_only_new_files(
     got = sorted(tuple(r) for r in end.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+# --------------------------------------- J17: streaming SCD2 (r5 cont.)
+
+def test_stream_scd2_equals_batch_end_to_end(spark):
+    import __spark_entry__ as m
+    from engine.relops import scd2_build
+    got = sorted(map(tuple, m.queries()["stream_scd2"](
+        spark, "/root/testdata/sf0.001").collect()))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = sorted(map(tuple, scd2_build(
+        ev, "user_id", "ts", "event_type", "event_id").collect()))
+    assert got == want
+
+
+def test_stream_scd2_boundary_spanning_run_collapses(spark, tmp_path):
+    """A run of one attribute value split across two micro-batches must
+    collapse to ONE version row — the case a per-batch-only SCD2
+    builder gets wrong (it would emit two rows for the run)."""
+    import os
+
+    import pandas as pd
+
+    from engine.icelite import IceliteTable
+    from engine.relops import scd2_build
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # key u1: 'a','a' in batch 0 | 'a','b' in batch 1 -> runs a(v1), b(v2)
+    for i, (t, et) in enumerate([(0, "a"), (1, "a"), (2, "a"), (3, "b")]):
+        rows.append({"event_id": i, "user_id": 1, "event_type": et,
+                     "ts": base + pd.Timedelta(minutes=t), "value": 1.0,
+                     "props": "{}"})
+    pdf = pd.DataFrame(rows)
+    d = tmp_path / "chunks"
+    os.makedirs(d)
+    pdf.iloc[:2].to_parquet(d / "chunk-000.parquet", index=False,
+                            coerce_timestamps="us")
+    pdf.iloc[2:].to_parquet(d / "chunk-001.parquet", index=False,
+                            coerce_timestamps="us")
+
+    sdf = st.read_event_stream(spark, str(d))
+    feed = IceliteTable(str(tmp_path / "feed"))
+    dim = IceliteTable(str(tmp_path / "dim"))
+
+    def _sink(batch_df, batch_id):
+        rws = batch_df.select("user_id", "ts", "event_type", "event_id")
+        if rws.isEmpty():
+            return
+        feed.commit_append(rws, stage=f"b{batch_id}")
+        keys = rws.select("user_id").distinct()
+        hist = feed.scan(spark).join(F.broadcast(keys), "user_id", "semi")
+        rec = scd2_build(hist, "user_id", "ts", "event_type", "event_id")
+        if dim.exists() and dim.current_snapshot_id() is not None:
+            rec = (dim.scan(spark)
+                   .join(F.broadcast(keys), "user_id", "anti")
+                   .unionByName(rec))
+        dim.commit_replace(rec, stage=f"d{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    out = sorted((r.event_type, r.version, r.is_current)
+                 for r in dim.scan(spark).collect())
+    # ONE row for the spanning 'a' run, one current 'b' row
+    assert out == [("a", 1, 0), ("b", 2, 1)]
+    # and at least two dim snapshots were committed (it really streamed)
+    assert len(dim.snapshots()) >= 2
