@@ -4890,6 +4890,26 @@ def q_graph_msf(spark, sf):
     return msf_boruvka(edges)
 
 
+def q_graph_toposort(spark, sf):
+    """N8 (r5 cont., post-window) — topological layering
+    (engine/graph.py::toposort_layers): (node, level) with level =
+    longest path from any source, computed by max-plus relaxation
+    (the sssp skeleton with MAX) to a FIXPOINT — the fixpoint round
+    is the acyclicity proof, and non-convergence raises (cycle
+    detection is part of the contract, pinned by test).  Level is the
+    scheduling primitive: one level = one concurrent wave, level
+    count = critical path.  Fixture: sf-independent layered DAG from
+    range() arithmetic (9 layers, consecutive-layer edges).  The
+    twin unrolls the identical relaxation as chained CTEs (the sssp
+    oracle class)."""
+    _prep(spark)
+    from engine.graph import toposort_layers
+    edges = spark.range(1500).selectExpr(
+        "CAST(50 * (id % 9) + (id * 13) % 50 AS BIGINT) AS u",
+        "CAST(50 * ((id % 9) + 1) + (id * 29) % 50 AS BIGINT) AS v")
+    return toposort_layers(edges, max_depth=12)
+
+
 def q_scan_shapefile(spark, sf):
     """A-family (r5, post-window) — ESRI Shapefile interchange
     (engine/geo/shapefile.py): the GeoJSON fixture layer written as a
@@ -6339,6 +6359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stem": q_text_stem,
         "img_median3": q_img_median3,
         "stream_scd2": q_stream_scd2,
+        "graph_toposort": q_graph_toposort,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7007,6 +7028,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id, lon, lat, x_m, y_m, "
         f"round({_p_lon}, 7) AS lon_rt, "
         f"round({_p_lat}, 7) AS lat_rt FROM p")
+
+    # graph_toposort — the identical max-plus relaxation unrolled as
+    # chained CTEs (the sssp oracle class); 10 rounds cover the
+    # fixture's depth-9 DAG with a fixpoint round to spare.
+    _topo_parts = [
+        "WITH e AS (SELECT CAST(50 * (k % 9) + (k * 13) % 50 AS BIGINT) "
+        "AS u, CAST(50 * ((k % 9) + 1) + (k * 29) % 50 AS BIGINT) AS v "
+        "FROM (SELECT range AS k FROM range(1500))), "
+        "l0 AS (SELECT node, CAST(0 AS BIGINT) AS level FROM "
+        "(SELECT u AS node FROM e UNION SELECT v FROM e))"]
+    for _t_ in range(1, 11):
+        _topo_parts.append(
+            f", l{_t_} AS (SELECT p.node, "
+            "CAST(GREATEST(p.level, COALESCE(m.mx, 0)) AS BIGINT) "
+            f"AS level FROM l{_t_ - 1} p LEFT JOIN "
+            f"(SELECT e.v AS node, MAX(q.level + 1) AS mx FROM l{_t_ - 1} q "
+            "JOIN e ON e.u = q.node GROUP BY e.v) m ON m.node = p.node)")
+    toposort_sql = "".join(_topo_parts) + " SELECT node, level FROM l10"
 
     # geo_rhumb — identical rhumb distance/bearing expression text (the
     # haversine parity class), same anchor and rounding as the engine.
@@ -8135,6 +8174,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_geojsonl": geojson_sql,
         "geo_project_3857": project_3857_sql,
         "geo_rhumb": rhumb_oracle_sql,
+        "graph_toposort": toposort_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

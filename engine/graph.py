@@ -544,3 +544,67 @@ def msf_py(edge_list) -> list:
             out.append((u2, v2, ww))
             seen.add((u2, v2))
     return sorted(out)
+
+
+def toposort_layers(edges: DataFrame, src: str = "u", dst: str = "v",
+                    max_depth: int = 32,
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """N8 (r5 cont.) — topological layering of a DAG -> (node, level)
+    with level = the LONGEST path length (in edges) from any source —
+    Kahn's algorithm's strip-rounds, computed by max-plus relaxation
+    (the sssp_int skeleton with max instead of min): level(v) =
+    max(0, max over incoming (level(u) + 1)).  Level is the
+    scheduling primitive: nodes of one level have no dependencies
+    among themselves and can run concurrently; the level count is the
+    critical-path length.
+
+    CYCLE DETECTION is part of the contract: on a cyclic input the
+    relaxation never reaches a fixpoint (levels grow without bound),
+    so non-convergence within `max_depth` rounds raises — callers
+    pass max_depth >= the graph's true depth + 1 (the fixpoint round
+    is the proof of acyclicity within the bound).
+
+    Scale shape: static edge frame hash-partitioned once by dst;
+    each round shuffles only the skinny (node, level) frame through
+    one equi-join + one map-side-combined MAX, materialized per round
+    (localCheckpoint, or reliable under `checkpoint_dir`)."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    e = materialize(e.repartition("v"), eager=True,
+                    checkpoint_dir=checkpoint_dir)
+    lvl = (e.select(F.col("u").alias("node"))
+           .union(e.select("v")).distinct()
+           .withColumn("level", F.lit(0).cast("long")))
+    lvl = materialize(lvl, eager=True, checkpoint_dir=checkpoint_dir)
+    for _ in range(max_depth):
+        cand = (lvl.join(e, lvl.node == e.u)
+                .select(F.col("v").alias("node"),
+                        (F.col("level") + 1).alias("level")))
+        new = materialize(
+            lvl.unionByName(cand)
+               .groupBy("node").agg(F.max("level").alias("level")),
+            eager=True, checkpoint_dir=checkpoint_dir)
+        changed = (new.alias("n")
+                   .join(lvl.alias("o"), "node")
+                   .filter("n.level != o.level").limit(1).count())
+        lvl = new
+        if changed == 0:
+            return lvl.select("node", "level")
+    raise RuntimeError(
+        f"toposort_layers: no fixpoint in {max_depth} rounds — "
+        "the graph has a cycle or is deeper than max_depth")
+
+
+def toposort_py(edge_list, max_depth: int = 32) -> dict:
+    """Sequential reference: iterate level(v) = max(level(u)+1) to the
+    fixpoint; raises on cycles like the engine."""
+    nodes = {u for u, _ in edge_list} | {v for _, v in edge_list}
+    lvl = {n: 0 for n in nodes}
+    for _ in range(max_depth):
+        nxt = dict(lvl)
+        for u, v in edge_list:
+            nxt[v] = max(nxt[v], lvl[u] + 1)
+        if nxt == lvl:
+            return lvl
+        lvl = nxt
+    raise RuntimeError("toposort_py: cycle or depth > max_depth")

@@ -448,3 +448,46 @@ def test_msf_driver_fixture_matches_kruskal(spark):
              for k in range(2100)]
     got = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
     assert got == msf_py(edges)
+
+
+# ------------------------------------------------ topological layering
+
+def test_toposort_matches_reference_random_dag(spark):
+    from engine.graph import toposort_layers, toposort_py
+    rng = random.Random(13)
+    # random DAG: edges always ascend, depth bounded by node count
+    edges = []
+    for _ in range(120):
+        u = rng.randrange(40)
+        v = rng.randrange(u + 1, 42)
+        edges.append((u, v))
+    got = {r.node: r.level
+           for r in toposort_layers(_edf(spark, edges).toDF("u", "v"),
+                                    max_depth=45).collect()}
+    assert got == toposort_py(edges, max_depth=45)
+
+
+def test_toposort_levels_are_a_valid_schedule(spark):
+    """Every edge goes strictly up in level, and every non-source node
+    has a predecessor exactly one level below (tightness of the
+    longest-path characterization)."""
+    from engine.graph import toposort_layers
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 4), (5, 4)]
+    got = {r.node: r.level
+           for r in toposort_layers(
+               _edf(spark, edges).toDF("u", "v")).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    for u, v in edges:
+        assert got[v] > got[u]
+    preds = {}
+    for u, v in edges:
+        preds.setdefault(v, []).append(u)
+    for v, ps in preds.items():
+        assert got[v] == 1 + max(got[u] for u in ps)
+
+
+def test_toposort_detects_cycle(spark):
+    from engine.graph import toposort_layers
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    with pytest.raises(Exception, match="cycle"):
+        toposort_layers(_edf(spark, edges).toDF("u", "v"), max_depth=10)
