@@ -1766,6 +1766,44 @@ def q_enc_varint_cost(spark, sf):
                  F.max("nb").cast("int").alias("max_value_bytes")))
 
 
+def q_enc_rle_cost(spark, sf):
+    """L8 (r5 cont., post-window) — the RUN-LENGTH face of the storage
+    cost family (beside enc_varint_cost's delta-varint): the exact
+    RLE-encoded size of each user's (ts, event_id)-ordered event_type
+    symbol stream under the pinned wire model (per run: 1 symbol byte
+    + varint(run_length) bytes, the same 128^k ladder) — answers
+    "does this key order make the column RLE-compressible" before a
+    file is written; parquet's own RLE/dictionary hybrid follows the
+    same run statistics.  Two windows sharing ONE (user) partitioning
+    (lag boundary flag + running run-id) + two map-side-combined
+    aggs; identical arithmetic on both engines."""
+    _prep(spark)
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("event_type").alias("sym"))
+    w = Window.partitionBy("user_id").orderBy("us", "seq")
+    bnd = F.when(F.lag("sym").over(w).isNull()
+                 | (F.lag("sym").over(w) != F.col("sym")), 1).otherwise(0)
+    runid = F.sum(bnd).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (ev.withColumn("rid", runid)
+            .groupBy("user_id", "rid")
+            .agg(F.count("*").cast("long").alias("rl")))
+    ladder = "CASE " + " ".join(
+        f"WHEN rl < {128 ** k} THEN {k}" for k in range(1, 9)) \
+        + " ELSE 9 END"
+    return (runs.withColumn("nb", F.expr(ladder))
+            .groupBy("user_id")
+            .agg(F.sum("rl").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("n_runs"),
+                 F.sum(F.col("nb") + 1).cast("long").alias("rle_bytes"),
+                 F.sum("rl").cast("long").alias("raw_bytes"),
+                 F.max("rl").cast("long").alias("max_run")))
+
+
 def q_ts_autocorr(spark, sf):
     """F14 (r5, post-window) — exact autocorrelation components
     (engine/relops.py::autocorr_components): per event_type and lag
@@ -6360,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_median3": q_img_median3,
         "stream_scd2": q_stream_scd2,
         "graph_toposort": q_graph_toposort,
+        "enc_rle_cost": q_enc_rle_cost,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -10024,6 +10063,33 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN zz < {128 ** k} THEN {k}"
                 for k in range(1, 9)) + " ELSE 9 END) AS INTEGER) "
             "AS max_value_bytes FROM z GROUP BY user_id"),
+        # enc_rle_cost — identical run-boundary windows + the same
+        # 128^k ladder on run lengths.
+        "enc_rle_cost": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "event_id AS seq, event_type AS sym FROM events), "
+            "b AS (SELECT user_id, sym, CASE WHEN lag(sym) OVER w "
+            "IS NULL OR lag(sym) OVER w <> sym THEN 1 ELSE 0 END AS bd "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, seq)), "
+            "r AS (SELECT user_id, SUM(bd) OVER (PARTITION BY user_id "
+            "ORDER BY rowid_ord ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS rid FROM (SELECT user_id, bd, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY us, seq) "
+            "AS rowid_ord FROM (SELECT user_id, us, seq, sym, "
+            "CASE WHEN lag(sym) OVER w2 IS NULL OR lag(sym) OVER w2 "
+            "<> sym THEN 1 ELSE 0 END AS bd FROM e WINDOW w2 AS "
+            "(PARTITION BY user_id ORDER BY us, seq)))), "
+            "rl AS (SELECT user_id, rid, CAST(COUNT(*) AS BIGINT) AS rl "
+            "FROM r GROUP BY user_id, rid) "
+            "SELECT user_id, CAST(SUM(rl) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS n_runs, "
+            "CAST(SUM((CASE " + " ".join(
+                f"WHEN rl < {128 ** k} THEN {k}"
+                for k in range(1, 9)) + " ELSE 9 END) + 1) AS BIGINT) "
+            "AS rle_bytes, "
+            "CAST(SUM(rl) AS BIGINT) AS raw_bytes, "
+            "CAST(MAX(rl) AS BIGINT) AS max_run "
+            "FROM rl GROUP BY user_id"),
         # osm_diff_apply — base AND changes recomputed from range()
         # arithmetic (DuckDB never reads the PBF); resolution by an
         # independent row_number formulation vs the engine's

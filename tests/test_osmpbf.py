@@ -475,3 +475,32 @@ def test_apply_node_diff_same_version_seq_tiebreak(spark):
         "lon_nano long, seq long")
     [r] = apply_node_diff(base, ch).collect()
     assert (r["lat_nano"], r["version"]) == (9, 2)
+
+
+# ------------------------------------------------ RLE cost model (L8)
+
+def test_enc_rle_cost_matches_sequential_encoder(spark):
+    """The cost model equals a REAL sequential RLE encode (symbol byte
+    + varint(run_len)) of each user's ordered symbol stream."""
+    import pandas as pd
+
+    import __spark_entry__ as m
+    from engine.geo.osmpbf import _varint
+
+    got = {r.user_id: (r.n, r.n_runs, r.rle_bytes, r.raw_bytes, r.max_run)
+           for r in m.queries()["enc_rle_cost"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["us"] = ev["ts"].astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        syms = list(g.sort_values(["us", "event_id"])["event_type"])
+        runs = []
+        for s in syms:
+            if runs and runs[-1][0] == s:
+                runs[-1][1] += 1
+            else:
+                runs.append([s, 1])
+        rle_bytes = sum(1 + len(_varint(n)) for _, n in runs)
+        assert got[uid] == (len(syms), len(runs), rle_bytes, len(syms),
+                            max(n for _, n in runs))
+    assert len(got) == ev["user_id"].nunique()
