@@ -1090,6 +1090,22 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_text_collocations(spark, sf):
+    """M44 (r5 cont., post-window) — collocation / PMI components
+    (engine/text/ops.py::collocations): the corpus's top-50 adjacent
+    bigrams by count with the exact integer PMI sufficient statistics
+    (n_pair, n_w1, n_w2, n_bigrams) — PMI's log is a driver epilogue,
+    counts never divide; unigram counts use the bigram-position
+    universe so each winner's full contingency table is recoverable.
+    One in-plan bigram explode + map-side-combined count; top-k on
+    the already-aggregated vocabulary² frame; two broadcast
+    join-backs.  The twin builds pairs by an independent positional
+    self-join formulation."""
+    _prep(spark)
+    from engine.text.ops import collocations
+    return collocations(_t(spark, sf, "documents"), top_k=50)
+
+
 def q_text_stem(spark, sf):
     """M43 (r5 cont., post-window) — S-stemmer statistics
     (engine/text/ops.py::stem_stats): per document the token count,
@@ -6399,6 +6415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": q_stream_scd2,
         "graph_toposort": q_graph_toposort,
         "enc_rle_cost": q_enc_rle_cost,
+        "text_collocations": q_text_collocations,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9672,6 +9689,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # text_collocations — pairs by an independent positional
+        # self-join; same (count DESC, w1, w2) top-k order.
+        "text_collocations": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+            "x -> x != '') AS toks FROM documents), "
+            "v AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, "
+            "unnest(toks) AS w FROM t), "
+            "p AS (SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b "
+            "ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair "
+            "FROM p GROUP BY w1, w2), "
+            "u1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w1 "
+            "FROM p GROUP BY w1), "
+            "u2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_w2 "
+            "FROM p GROUP BY w2), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM p), "
+            "top AS (SELECT * FROM pc "
+            "ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 50) "
+            "SELECT top.w1, top.w2, top.n_pair, u1.n_w1, u2.n_w2, "
+            "nt.n_bigrams FROM top "
+            "JOIN u1 ON top.w1 = u1.w1 JOIN u2 ON top.w2 = u2.w2 "
+            "CROSS JOIN nt"),
         # text_stem — the same pinned rule set re-implemented in
         # DuckDB's list dialect (list_transform/list_filter lambdas).
         "text_stem": (

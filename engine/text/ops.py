@@ -595,3 +595,45 @@ def stem_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         .alias("n_stemmed"),
         F.expr(f"size(array_distinct({stems}))").cast("int")
         .alias("n_distinct_stems"))
+
+
+def collocations(df, text_col: str = "text", top_k: int = 50):
+    """M44 (r5 cont.) — collocation (PMI) components: the corpus's
+    top_k adjacent-word bigrams by count, each with the exact integer
+    sufficient statistics of pointwise mutual information —
+    (w1, w2, n_pair, n_w1, n_w2, n_bigrams) — PMI = log(n_pair·N /
+    (n_w1·n_w2)) is a driver epilogue; the counts never divide and
+    the log never enters the plan (the agg_ols doctrine applied to
+    lexical statistics).  Unigram counts use the SAME positional
+    universe as the pairs (w1-position occurrences over all bigrams,
+    the standard collocation contingency convention) so the four
+    cells of each bigram's contingency table are recoverable.
+    Deterministic top-k order: (count DESC, w1 ASC, w2 ASC).
+
+    Scale shape: one scan -> in-plan bigram explode -> map-side-
+    combined (w1, w2) count; top_k via the aggregated frame's global
+    sort-limit (topk_global idiom — the frame is vocabulary², already
+    collapsed); unigram join-back is TWO broadcast joins against the
+    k-row winners.  Tokens are the house word contract (lowercase
+    split on [^a-z]+)."""
+    from pyspark.sql import functions as F
+
+    toks = (f"filter(split(lower({text_col}), '[^a-z]+'), "
+            "x -> x != '')")
+    bigrams = (f"transform(sequence(1, greatest(size({toks}) - 1, 0)), "
+               f"i -> struct(element_at({toks}, i) AS w1, "
+               f"element_at({toks}, i + 1) AS w2))")
+    pairs = (df.select(F.explode(F.expr(bigrams)).alias("b"))
+             .select("b.w1", "b.w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long")
+                                       .alias("n_pair"))
+    u1 = pairs.groupBy("w1").agg(F.count("*").cast("long").alias("n_w1"))
+    u2 = pairs.groupBy("w2").agg(F.count("*").cast("long").alias("n_w2"))
+    n_total = pairs.groupBy().agg(F.count("*").cast("long")
+                                  .alias("n_bigrams"))
+    top = (pc.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+           .limit(top_k))
+    return (top.join(F.broadcast(u1), "w1")
+            .join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(n_total))
+            .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_bigrams"))

@@ -254,3 +254,47 @@ def test_stem_stats_matches_python_reference_on_corpus(spark):
                 len(set(stems)))
         assert got[row["doc_id"]] == want
     assert len(got) == len(docs)
+
+
+# ---------------------------------------------- collocations (M44)
+
+def test_collocations_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from engine.text.ops import collocations
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = []
+    for txt in docs["text"]:
+        toks = [t for t in re.split("[^a-z]+", txt.lower()) if t]
+        pairs += list(zip(toks, toks[1:]))
+    pc = Counter(pairs)
+    u1 = Counter(w1 for w1, _ in pairs)
+    u2 = Counter(w2 for _, w2 in pairs)
+    want_top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    want = {(w1, w2): (n, u1[w1], u2[w2], len(pairs))
+            for (w1, w2), n in want_top}
+    got = {(r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2, r.n_bigrams)
+           for r in collocations(
+               spark.createDataFrame(docs[["doc_id", "text"]]),
+               top_k=50).collect()}
+    assert got == want
+
+
+def test_collocations_tiny_and_tie_order(spark):
+    from engine.text.ops import collocations
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c x")], "doc_id long, text string")
+    # bigrams: (a,b)x2, (b,a), (b,c)x2, (c,x) -> 6 total
+    rows = collocations(df, top_k=3).collect()
+    key = [(r.w1, r.w2) for r in rows]
+    # count desc, then lexicographic: (a,b)2, (b,c)2, then (b,a)1
+    assert sorted(key[:2]) == [("a", "b"), ("b", "c")]
+    assert key[2] == ("b", "a")
+    by = {(r.w1, r.w2): r for r in rows}
+    assert by[("a", "b")].n_pair == 2
+    assert by[("a", "b")].n_w1 == 2          # 'a' in w1 position twice
+    assert by[("b", "c")].n_w2 == 2          # 'c' in w2 position twice
+    assert all(r.n_bigrams == 6 for r in rows)
