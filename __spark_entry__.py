@@ -3688,6 +3688,43 @@ def q_hull_min_rect(spark, sf):
     return min_rect_per_group(pts, ["gx", "gy"], x="xi", y="yi")
 
 
+def q_poly_min_circle(spark, sf):
+    """B13 (r5 cont., post-window) — per-group exact minimum
+    enclosing circle (engine/geo/hull.py::min_circle_per_group): the
+    smallest-disk coverage primitive (facility placement, antenna
+    range) completing the hull family (hull → diameter → min-rect →
+    MIN-CIRCLE).  The MEC's support set is 2-3 hull points, so
+    candidates = hull pairs (diametral) ∪ hull triples
+    (circumcircle) in the unified exact-rational form (ux, uy, d, n);
+    validity is EXACT integer containment, selection the float key
+    (n/d², ux/d, uy/d) computed by IDENTICAL IEEE steps on both
+    engines (the min_rect doctrine).  Points ride a 16-bit group-
+    local grid so the twin's HUGEINT products stay under 2^127.
+    Twin: hull vertices by the independent NOT-EXISTS edge
+    characterization, the same candidate algebra, NOT-EXISTS
+    validity, row_number argmin."""
+    _prep(spark)
+    from engine.geo.cells import merc_xy_sql
+    from engine.geo.hull import min_circle_per_group
+    xi, yi = merc_xy_sql("lon", "lat")
+    pts = _points(spark, sf).select(
+        F.expr(xi).alias("xi"), F.expr(yi).alias("yi"))
+    pts = pts.select(
+        F.expr("CAST(xi >> 27 AS BIGINT)").alias("gx"),
+        F.expr("CAST(yi >> 27 AS BIGINT)").alias("gy"),
+        F.expr("CAST((xi >> 11) & 65535 AS BIGINT)").alias("px"),
+        F.expr("CAST((yi >> 11) & 65535 AS BIGINT)").alias("py"))
+    out = min_circle_per_group(pts, ["gx", "gy"], x="px", y="py")
+    # output the RADIUS, not r² — r² at grid scale carries 16
+    # significant digits, past double precision, so 6-decimal rounding
+    # is engine-dependent noise; sqrt brings it to 12 digits where
+    # half-up rounding is exact on both engines
+    return out.select("gx", "gy", "n_hull",
+                      F.round(F.sqrt("r2"), 6).alias("r"),
+                      F.round("cx", 6).alias("cx"),
+                      F.round("cy", 6).alias("cy"))
+
+
 def q_cell_hilbert(spark, sf):
     """Hilbert-curve cell id (late r4) at level 16 over the exact
     integer grid (engine/geo/hilbert.py): single native aggregate-HOF
@@ -6416,6 +6453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_toposort": q_graph_toposort,
         "enc_rle_cost": q_enc_rle_cost,
         "text_collocations": q_text_collocations,
+        "poly_min_circle": q_poly_min_circle,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9064,6 +9102,81 @@ def oracle_sql() -> dict[str, str]:
             "bb.bbox_area, COALESCE(mn.mrr, 0.0) AS mrr_area "
             "FROM bb LEFT JOIN nh ON nh.gx = bb.gx AND nh.gy = bb.gy "
             "LEFT JOIN mn ON mn.gx = bb.gx AND mn.gy = bb.gy"),
+        # poly_min_circle — hull vertices by the independent NOT-EXISTS
+        # edge characterization, then the same unified candidate
+        # algebra (ux, uy, d, n) in HUGEINT, exact NOT-EXISTS validity,
+        # and the identical float argmin key.
+        "poly_min_circle": (
+            f"WITH {PTS_SQL}, {XY_SQL}, "
+            "p AS (SELECT DISTINCT CAST(xi >> 27 AS BIGINT) AS gx, "
+            "CAST(yi >> 27 AS BIGINT) AS gy, "
+            "CAST((xi >> 11) & 65535 AS HUGEINT) AS x, "
+            "CAST((yi >> 11) & 65535 AS HUGEINT) AS y FROM xy), "
+            "e AS (SELECT a.gx, a.gy, a.x AS ax, a.y AS ay "
+            "FROM p a JOIN p b ON a.gx = b.gx AND a.gy = b.gy "
+            "AND (a.x <> b.x OR a.y <> b.y) "
+            "WHERE NOT EXISTS (SELECT 1 FROM p c "
+            "WHERE c.gx = a.gx AND c.gy = a.gy "
+            "AND (c.x <> a.x OR c.y <> a.y) "
+            "AND (c.x <> b.x OR c.y <> b.y) "
+            "AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0 "
+            "OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0 "
+            "AND NOT (c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x) "
+            "AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)))))), "
+            "v AS (SELECT DISTINCT gx, gy, ax AS x, ay AS y FROM e), "
+            "cp AS (SELECT a.gx, a.gy, a.x + b.x AS ux, a.y + b.y AS uy, "
+            "CAST(2 AS HUGEINT) AS d, "
+            "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS n "
+            "FROM v a JOIN v b ON a.gx = b.gx AND a.gy = b.gy "
+            "AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))), "
+            "ct AS (SELECT a.gx, a.gy, "
+            "(a.x * a.x + a.y * a.y) * (b.y - c.y) "
+            "+ (b.x * b.x + b.y * b.y) * (c.y - a.y) "
+            "+ (c.x * c.x + c.y * c.y) * (a.y - b.y) AS ux, "
+            "(a.x * a.x + a.y * a.y) * (c.x - b.x) "
+            "+ (b.x * b.x + b.y * b.y) * (a.x - c.x) "
+            "+ (c.x * c.x + c.y * c.y) * (b.x - a.x) AS uy, "
+            "2 * ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) "
+            "AS d, a.x AS ax, a.y AS ay FROM v a "
+            "JOIN v b ON a.gx = b.gx AND a.gy = b.gy "
+            "AND (a.x < b.x OR (a.x = b.x AND a.y < b.y)) "
+            "JOIN v c ON b.gx = c.gx AND b.gy = c.gy "
+            "AND (b.x < c.x OR (b.x = c.x AND b.y < c.y)) "
+            "WHERE (b.x - a.x) * (c.y - a.y) "
+            "- (b.y - a.y) * (c.x - a.x) <> 0), "
+            "cand AS (SELECT gx, gy, ux, uy, d, n FROM cp "
+            "UNION ALL SELECT gx, gy, ux, uy, d, "
+            "(ax * d - ux) * (ax * d - ux) "
+            "+ (ay * d - uy) * (ay * d - uy) AS n FROM ct), "
+            "ok AS (SELECT * FROM cand "
+            "WHERE NOT EXISTS (SELECT 1 FROM v q "
+            "WHERE q.gx = cand.gx AND q.gy = cand.gy "
+            "AND (q.x * cand.d - cand.ux) * (q.x * cand.d - cand.ux) "
+            "+ (q.y * cand.d - cand.uy) * (q.y * cand.d - cand.uy) "
+            "> cand.n)), "
+            "sel AS (SELECT gx, gy, "
+            "CAST(n AS DOUBLE) / (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) "
+            "AS r2, CAST(ux AS DOUBLE) / CAST(d AS DOUBLE) AS cx, "
+            "CAST(uy AS DOUBLE) / CAST(d AS DOUBLE) AS cy FROM ok), "
+            "pick AS (SELECT gx, gy, r2, cx, cy, row_number() OVER "
+            "(PARTITION BY gx, gy ORDER BY r2, cx, cy) AS rn FROM sel), "
+            "nh AS (SELECT gx, gy, "
+            "CAST(COUNT(*) AS INTEGER) AS n_hull FROM v GROUP BY 1, 2), "
+            "single AS (SELECT gx, gy, MIN(x) AS sx, MIN(y) AS sy, "
+            "CAST(COUNT(*) AS INTEGER) AS np FROM p GROUP BY 1, 2) "
+            "SELECT s.gx, s.gy, "
+            "CAST(CASE WHEN s.np = 1 THEN 1 ELSE nh.n_hull END "
+            "AS INTEGER) AS n_hull, "
+            "round(CASE WHEN s.np = 1 THEN 0.0 ELSE sqrt(pick.r2) END, 6) "
+            "AS r, "
+            "round(CASE WHEN s.np = 1 THEN CAST(s.sx AS DOUBLE) "
+            "ELSE pick.cx END, 6) AS cx, "
+            "round(CASE WHEN s.np = 1 THEN CAST(s.sy AS DOUBLE) "
+            "ELSE pick.cy END, 6) AS cy "
+            "FROM single s "
+            "LEFT JOIN nh ON nh.gx = s.gx AND nh.gy = s.gy "
+            "LEFT JOIN pick ON pick.gx = s.gx AND pick.gy = s.gy "
+            "AND pick.rn = 1"),
         # cell_hilbert: same reflect+swap state machine, unrolled to one
         # CTE per bit (engine/geo/hilbert.py::hilbert_duck_sql); the
         # XOR digit is arithmetic on both sides so no operator

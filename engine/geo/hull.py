@@ -243,3 +243,87 @@ def hull_diameter(pts: DataFrame, group_cols: Sequence[str],
              "bx": [b[0]], "by": [b[1]]})
 
     return surv.groupBy(*g).applyInPandas(_diam, schema=out_schema)
+
+
+# ------------------------------- minimum enclosing circle (B13, r5 cont.)
+
+def min_circle_py(pts: Sequence[tuple[int, int]]) -> tuple:
+    """Exact minimum enclosing circle of integer points by candidate
+    enumeration over the HULL vertices: the MEC's support set is 2 or
+    3 hull points, so the candidate set {diametral circle of each
+    hull pair} ∪ {circumcircle of each non-collinear hull triple} is
+    complete.  Every candidate is the unified exact-rational form
+    (ux, uy, d, n): center = (ux/d, uy/d), r² = n/d² — pairs are
+    (xa+xb, ya+yb, 2, |a−b|²), triples the circumcenter determinant
+    with d = 2·cross.  VALIDITY (all hull points inside) is exact
+    integer arithmetic: (px·d − ux)² + (py·d − uy)² <= n.  Selection
+    among valid candidates is the float key (n/d², ux/d, uy/d) —
+    the MEC is unique, so distinct circles float-tying in all three
+    keys cannot arise from 16-bit inputs, and the float ops are the
+    IDENTICAL IEEE steps the DuckDB twin runs on the same integers
+    (the min_rect doctrine).  -> (n_pts, n_hull, r2, cx, cy)."""
+    uniq = sorted(set(pts))
+    hull = chain_hull_py(uniq)
+    h = len(hull)
+    if h == 1:
+        (x, y), = hull
+        return len(uniq), 1, 0.0, float(x), float(y)
+    best = None
+    cands = []
+    for i in range(h):
+        xa, ya = hull[i]
+        for j in range(i + 1, h):
+            xb, yb = hull[j]
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            cands.append((xa + xb, ya + yb, 2, d2))
+            for k in range(j + 1, h):
+                xc, yc = hull[k]
+                cr = (xb - xa) * (yc - ya) - (yb - ya) * (xc - xa)
+                if cr == 0:
+                    continue
+                d = 2 * cr
+                a2 = xa * xa + ya * ya
+                b2 = xb * xb + yb * yb
+                c2 = xc * xc + yc * yc
+                ux = a2 * (yb - yc) + b2 * (yc - ya) + c2 * (ya - yb)
+                uy = a2 * (xc - xb) + b2 * (xa - xc) + c2 * (xb - xa)
+                n = (xa * d - ux) ** 2 + (ya * d - uy) ** 2
+                cands.append((ux, uy, d, n))
+    for ux, uy, d, n in cands:
+        if all((px * d - ux) ** 2 + (py * d - uy) ** 2 <= n
+               for px, py in hull):
+            key = (float(n) / (float(d) * float(d)),
+                   float(ux) / float(d), float(uy) / float(d))
+            if best is None or key < best:
+                best = key
+    r2, cx, cy = best
+    return len(uniq), h, r2, cx, cy
+
+
+def min_circle_per_group(pts: DataFrame, group_cols: Sequence[str],
+                         x: str = "xi", y: str = "yi") -> DataFrame:
+    """Per-group exact minimum enclosing circle — the smallest-disk
+    coverage primitive (facility placement, antenna range).  Same
+    three-stage shape as hull/min-rect: octagon prune -> per-group
+    Arrow batch (hull + O(h³) candidate enumeration + O(h⁴) exact
+    validity, h bounded by hull growth ~ log n) -> one row per group.
+    Callers feed SMALL integer coordinates (the 16-bit group-local
+    grid in the driver key) so the twin's HUGEINT arithmetic has
+    headroom (n <= 2^105 < 2^127)."""
+    g = list(group_cols)
+    surv = _octagon_survivors(pts, g, x, y)
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in
+         zip(g, (surv.schema[c].dataType.simpleString() for c in g))]
+        + ["n_hull int", "r2 double", "cx double", "cy double"])
+
+    def _mec(key, pdf):
+        # note: the octagon prune drops interior points, so a raw-point
+        # count here would undercount — hull-derived outputs only
+        _, h, r2, cx, cy = min_circle_py(
+            list(zip(pdf["_x"], pdf["_y"])))
+        return pd.DataFrame(
+            {**{c: [k] for c, k in zip(g, key)},
+             "n_hull": [h], "r2": [r2], "cx": [cx], "cy": [cy]})
+
+    return surv.groupBy(*g).applyInPandas(_mec, schema=out_schema)

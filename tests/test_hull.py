@@ -212,3 +212,115 @@ def test_min_rect_rotation_beats_bbox(spark):
     df = spark.createDataFrame(rows, "gid long, xi long, yi long")
     row = min_rect_per_group(df, ["gid"], "xi", "yi").collect()[0]
     assert row.mrr_area < 0.01 * row.bbox_area
+
+
+# --------------------------- minimum enclosing circle (B13, r5 cont.)
+
+def _welzl(pts):
+    """Independent exact MEC: Welzl's algorithm with Fraction
+    arithmetic (recursive, deterministic order — a different algorithm
+    family from the engine's candidate enumeration)."""
+    import sys
+    from fractions import Fraction
+
+    sys.setrecursionlimit(10000)
+
+    def circle2(a, b):
+        cx = Fraction(a[0] + b[0], 2)
+        cy = Fraction(a[1] + b[1], 2)
+        r2 = (cx - a[0]) ** 2 + (cy - a[1]) ** 2
+        return cx, cy, r2
+
+    def circle3(a, b, c):
+        d = 2 * ((b[0] - a[0]) * (c[1] - a[1])
+                 - (b[1] - a[1]) * (c[0] - a[0]))
+        if d == 0:
+            return None
+        a2 = a[0] ** 2 + a[1] ** 2
+        b2 = b[0] ** 2 + b[1] ** 2
+        c2 = c[0] ** 2 + c[1] ** 2
+        ux = Fraction(a2 * (b[1] - c[1]) + b2 * (c[1] - a[1])
+                      + c2 * (a[1] - b[1]), d)
+        uy = Fraction(a2 * (c[0] - b[0]) + b2 * (a[0] - c[0])
+                      + c2 * (b[0] - a[0]), d)
+        return ux, uy, (ux - a[0]) ** 2 + (uy - a[1]) ** 2
+
+    def inside(c, p):
+        cx, cy, r2 = c
+        return (cx - p[0]) ** 2 + (cy - p[1]) ** 2 <= r2
+
+    def mec(ps, boundary):
+        if not ps or len(boundary) == 3:
+            if len(boundary) == 0:
+                return Fraction(0), Fraction(0), Fraction(-1)
+            if len(boundary) == 1:
+                return (Fraction(boundary[0][0]),
+                        Fraction(boundary[0][1]), Fraction(0))
+            if len(boundary) == 2:
+                return circle2(*boundary)
+            return circle3(*boundary)
+        p = ps[-1]
+        c = mec(ps[:-1], boundary)
+        if c[2] >= 0 and inside(c, p):
+            return c
+        return mec(ps[:-1], boundary + [p])
+
+    return mec(sorted(set(pts)), [])
+
+
+def test_min_circle_matches_welzl_random():
+    import random
+
+    from engine.geo.hull import min_circle_py
+    rng = random.Random(31)
+    for trial in range(20):
+        pts = [(rng.randrange(1000), rng.randrange(1000))
+               for _ in range(rng.randrange(2, 40))]
+        n_pts, n_hull, r2, cx, cy = min_circle_py(pts)
+        wx, wy, wr2 = _welzl(pts)
+        assert r2 == pytest.approx(float(wr2), rel=1e-12)
+        assert cx == pytest.approx(float(wx), abs=1e-9)
+        assert cy == pytest.approx(float(wy), abs=1e-9)
+
+
+def test_min_circle_exact_laws_and_degenerates():
+    from fractions import Fraction
+
+    from engine.geo.hull import chain_hull_py, min_circle_py
+    # all points inside (exact, via the welzl rational circle) and
+    # >=2 support points exactly on the boundary
+    pts = [(0, 0), (10, 0), (5, 9), (5, 3), (2, 2), (8, 1)]
+    wx, wy, wr2 = _welzl(pts)
+    on = sum(1 for p in set(pts)
+             if (wx - p[0]) ** 2 + (wy - p[1]) ** 2 == wr2)
+    assert on >= 2
+    assert all((wx - p[0]) ** 2 + (wy - p[1]) ** 2 <= wr2 for p in pts)
+    # engine agrees
+    _, _, r2, cx, cy = min_circle_py(pts)
+    assert r2 == pytest.approx(float(wr2), rel=1e-12)
+    # collinear points: diametral circle of the extremes
+    col = [(i, 2 * i) for i in range(7)]
+    _, n_hull, r2c, cxc, cyc = min_circle_py(col)
+    assert (cxc, cyc) == (3.0, 6.0)
+    assert r2c == pytest.approx((3 ** 2 + 6 ** 2), rel=1e-12)
+    # single + duplicated point
+    assert min_circle_py([(5, 7), (5, 7)])[1:] == (1, 0.0, 5.0, 7.0)
+    # two points: center is the midpoint
+    _, _, r2b, cxb, cyb = min_circle_py([(0, 0), (4, 0)])
+    assert (r2b, cxb, cyb) == (4.0, 2.0, 0.0)
+
+
+def test_min_circle_per_group_matches_kernel(spark):
+    import random
+
+    from engine.geo.hull import min_circle_per_group, min_circle_py
+    rng = random.Random(5)
+    rows = [(i % 3, rng.randrange(500), rng.randrange(500))
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "g int, xi long, yi long")
+    got = {r.g: (r.n_hull, r.r2, r.cx, r.cy)
+           for r in min_circle_per_group(df, ["g"]).collect()}
+    for g in range(3):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        _, h, r2, cx, cy = min_circle_py(pts)
+        assert got[g] == (h, r2, cx, cy)
