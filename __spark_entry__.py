@@ -1485,6 +1485,32 @@ def q_dq_report(spark, sf):
         "AS (rule, n)")
 
 
+def q_dq_rules(spark, sf):
+    """L9 (r5 cont., post-window) — declarative expectations
+    (engine/dq.py::expect): the generic rule engine over lineitem —
+    five predicate rules (quantity domain, positive price,
+    linenumber domain, discount domain, tax domain) in ONE map-side-combined
+    pass (adding a rule adds a column, not a scan), plus the two
+    table-level kinds a row predicate cannot express: key uniqueness
+    ((l_orderkey, l_linenumber)) and referential containment
+    (l_orderkey ⊆ orders, one broadcast anti-join probe).  NULL
+    semantics pinned: a rule passes only on TRUE (the Great-
+    Expectations convention).  The WAP audit gate consumes
+    min(passed)."""
+    _prep(spark)
+    from engine.dq import expect
+    li = _t(spark, sf, "lineitem")
+    return expect(
+        li,
+        {"qty_domain": "l_quantity >= 1 AND l_quantity <= 50",
+         "price_positive": "l_extendedprice > 0",
+         "linenumber_domain": "l_linenumber >= 1 AND l_linenumber <= 7",
+         "discount_domain": "l_discount >= 0.0 AND l_discount <= 0.10",
+         "tax_domain": "l_tax >= 0.0 AND l_tax <= 0.08"},
+        unique_key=("l_orderkey", "l_linenumber"),
+        fk=(("l_orderkey",), _t(spark, sf, "orders"), ("o_orderkey",)))
+
+
 def q_ts_fill_forward(spark, sf):
     """F10 (r4 cont.) — time-series gap filling with LOCF
     (engine/relops.py::ts_fill_forward): per-user HOURLY spend series
@@ -6454,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_rle_cost": q_enc_rle_cost,
         "text_collocations": q_text_collocations,
         "poly_min_circle": q_poly_min_circle,
+        "dq_rules": q_dq_rules,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9802,6 +9829,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # dq_rules — one SELECT per rule UNION ALL'd, identical
+        # NOT coalesce(pred, FALSE) null semantics.
+        "dq_rules": (
+            "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem), "
+            "viol AS ("
+            + " UNION ALL ".join(
+                f"SELECT '{name}' AS rule, "
+                "CAST(SUM(CASE WHEN NOT COALESCE(" + pred +
+                ", FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v "
+                "FROM lineitem"
+                for name, pred in (
+                    ("qty_domain",
+                     "l_quantity >= 1 AND l_quantity <= 50"),
+                    ("price_positive", "l_extendedprice > 0"),
+                    ("linenumber_domain",
+                     "l_linenumber >= 1 AND l_linenumber <= 7"),
+                    ("discount_domain",
+                     "l_discount >= 0.0 AND l_discount <= 0.10"),
+                    ("tax_domain", "l_tax >= 0.0 AND l_tax <= 0.08")))
+            + "), "
+            "uq AS (SELECT 'unique:l_orderkey,l_linenumber' AS rule, "
+            "CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v FROM "
+            "(SELECT COUNT(*) AS c FROM lineitem "
+            "GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), "
+            "fk AS (SELECT 'fk:l_orderkey' AS rule, "
+            "CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey)), "
+            "allr AS (SELECT * FROM viol UNION ALL "
+            "SELECT * FROM uq UNION ALL SELECT * FROM fk) "
+            "SELECT allr.rule, nn.n AS n_checked, allr.v AS n_violations, "
+            "CAST(CASE WHEN allr.v = 0 THEN 1 ELSE 0 END AS INTEGER) "
+            "AS passed FROM allr CROSS JOIN nn"),
         # text_collocations — pairs by an independent positional
         # self-join; same (count DESC, w1, w2) top-k order.
         "text_collocations": (
