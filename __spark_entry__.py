@@ -1485,6 +1485,31 @@ def q_dq_report(spark, sf):
         "AS (rule, n)")
 
 
+def q_agg_gini(spark, sf):
+    """E18 (r5 cont., post-window) — exact Gini coefficient
+    components: per event type the integer sufficient statistics of
+    the Gini inequality index over the cents distribution — n, Σx,
+    and the rank-weighted sum Σ i·x_(i) over the ascending
+    (value, event_id)-ordered series (the deterministic total order
+    makes rank well-defined under ties; the tie rule is PART OF THE
+    CONTRACT and pinned by test).  G = (2·Σi·x_i)/(n·Σx) − (n+1)/n
+    is a driver epilogue; the statistics never divide (the agg_ols
+    doctrine).  ONE ordered-window shuffle (row_number) + ONE
+    map-side-combined agg reusing the same key partitioning."""
+    _prep(spark)
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("event_id").cast("long").alias("seq"),
+        _cents("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "seq")
+    return (ev.withColumn("i", F.row_number().over(w).cast("long"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("x").cast("long").alias("sum_x"),
+                 F.sum(F.col("i") * F.col("x")).cast("long")
+                 .alias("sum_ix")))
+
+
 def q_dq_rules(spark, sf):
     """L9 (r5 cont., post-window) — declarative expectations
     (engine/dq.py::expect): the generic rule engine over lineitem —
@@ -6481,6 +6506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "poly_min_circle": q_poly_min_circle,
         "dq_rules": q_dq_rules,
+        "agg_gini": q_agg_gini,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -9829,6 +9855,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # agg_gini — identical rank window + power-sum arithmetic.
+        "agg_gini": (
+            "WITH e AS (SELECT event_type, event_id AS seq, "
+            "CAST(round(value * 100) AS BIGINT) AS x FROM events), "
+            "r AS (SELECT event_type, x, CAST(row_number() OVER "
+            "(PARTITION BY event_type ORDER BY x, seq) AS BIGINT) AS i "
+            "FROM e) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, "
+            "CAST(SUM(i * x) AS BIGINT) AS sum_ix "
+            "FROM r GROUP BY event_type"),
         # dq_rules — one SELECT per rule UNION ALL'd, identical
         # NOT coalesce(pred, FALSE) null semantics.
         "dq_rules": (

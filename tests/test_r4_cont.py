@@ -300,3 +300,34 @@ def test_agg_moments_matches_numpy_and_binomial_identities(spark):
         m3 = (r.s3 - 3 * r.s1 * r.s2 / r.n + 2 * r.s1 ** 3 / r.n ** 2) / r.n
         assert m3 == pytest.approx(float(((v - v.mean()) ** 3).mean()),
                                    rel=1e-9, abs=1e-6)
+
+
+def test_agg_gini_matches_numpy_and_closed_forms(spark):
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {r.event_type: (r.n, r.sum_x, r.sum_ix)
+           for r in m.queries()["agg_gini"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["x"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        # the pinned tie rule: ascending (value, event_id)
+        xs = g.sort_values(["x", "event_id"])["x"].to_numpy()
+        n = len(xs)
+        want = (n, int(xs.sum()),
+                int((np.arange(1, n + 1) * xs).sum()))
+        assert got[et] == want
+        # Gini epilogue sanity: 0 <= G < 1 for non-negative data
+        gini = (2 * want[2]) / (n * want[1]) - (n + 1) / n
+        assert 0 <= gini < 1
+    # closed forms: constant series -> G = 0; one-hot series ->
+    # G = (n-1)/n
+    const = np.full(8, 5)
+    i = np.arange(1, 9)
+    g_const = (2 * (i * const).sum()) / (8 * const.sum()) - 9 / 8
+    assert g_const == 0
+    onehot = np.array([0] * 7 + [100])
+    g_hot = (2 * (i * onehot).sum()) / (8 * onehot.sum()) - 9 / 8
+    assert g_hot == (8 - 1) / 8
