@@ -784,6 +784,24 @@ def q_img_sobel(spark, sf):
     return image_sobel(gen_images(spark, 240, seed=42))
 
 
+def q_img_orient_hist(spark, sf):
+    """C20 (r5 cont., post-window) — gradient-orientation octant
+    histogram, HOG-lite (engine/image/orient.py): Sobel gradients on
+    interior pixels binned into 8 exact 45° octants by a pure integer
+    decision procedure (two conditional exact rotations + explicit
+    axis cases — float atan2 binning is ULP-fragile exactly at the
+    |gx| == |gy| boundaries, pinned by the exhaustive-grid pytest).
+    The first stage of every HOG/SIFT descriptor pipeline, reduced to
+    its exact-integer core; one mapInPandas pass, pixels never leave
+    the worker.  Golden-pinned; independent oracle = the atan2-based
+    reference with explicit boundary handling plus ramp/constant
+    closed forms (tests/test_orient.py)."""
+    _prep(spark)
+    from engine.image.orient import image_orient_hist
+    from engine.synth import gen_images
+    return image_orient_hist(gen_images(spark, 240, seed=42))
+
+
 def q_img_median3(spark, sf):
     """C19 (r5 cont., post-window) — per-image 3x3 median-filter
     statistics (engine/image/median.py): the NON-LINEAR smoothing
@@ -6507,6 +6525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_min_circle": q_poly_min_circle,
         "dq_rules": q_dq_rules,
         "agg_gini": q_agg_gini,
+        "img_orient_hist": q_img_orient_hist,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -8170,7 +8189,12 @@ def oracle_sql() -> dict[str, str]:
                      # filter stats; independent check = brute 9-sort
                      # reference + spike-erasure closed forms in
                      # tests/test_median3.py.
-                     "img_median3")},
+                     "img_median3",
+                     # img_orient_hist (r5 cont.): all-integer octant
+                     # gradient histogram; independent check = atan2
+                     # reference with explicit boundaries + exhaustive
+                     # (gx, gy) grid in tests/test_orient.py.
+                     "img_orient_hist")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -139,7 +139,12 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # img_median3 (r5 cont.): all-integer 3x3 median-filter
                # stats; independent check = brute 9-sort reference +
                # spike-erasure closed forms in tests/test_median3.py.
-               "img_median3")
+               "img_median3",
+               # img_orient_hist (r5 cont.): all-integer octant
+               # gradient histogram; independent check = atan2
+               # reference + exhaustive boundary grid in
+               # tests/test_orient.py.
+               "img_orient_hist")
 
 
 def main() -> None:
