@@ -5050,6 +5050,38 @@ def q_graph_msf(spark, sf):
     return msf_boruvka(edges)
 
 
+def q_osm_tag_stats(spark, sf):
+    """A/M composite (r5 cont., post-window) — OSM tag statistics:
+    the taginfo-style profile every OSM pipeline runs first — per
+    (entity, tag key): occurrence count, distinct-value count, and
+    the argmax value under the deterministic (count DESC, value ASC)
+    order — over BOTH PBF entity streams (node tags and way tags),
+    exercising the map-explode path of the decoder the projection
+    keys never touch.  One explode + two map-side-combined aggs +
+    one min(struct) argmax fold per entity, unioned.  The twin
+    recomputes every tag from the fixture's range() arithmetic
+    (kind/name on nodes by i%3, highway on even ways)."""
+    _prep(spark)
+    from engine.geo.osmpbf import read_osm_nodes, read_osm_ways
+    path = _osm_fixture()
+
+    def stats(df, entity):
+        kv = df.select(F.explode("tags").alias("k", "v"))
+        per_kv = kv.groupBy("k", "v").agg(F.count("*").alias("c"))
+        return (per_kv.groupBy("k")
+                .agg(F.sum("c").cast("long").alias("n"),
+                     F.count("*").cast("long").alias("n_distinct"),
+                     F.min(F.struct((-F.col("c")).alias("nc"),
+                                    F.col("v").alias("v"))).alias("t"))
+                .select(F.lit(entity).alias("entity"),
+                        F.col("k").alias("tag_key"), "n", "n_distinct",
+                        F.col("t.v").alias("top_value"),
+                        (-F.col("t.nc")).cast("long").alias("top_n")))
+
+    return (stats(read_osm_nodes(spark, path), "node")
+            .unionByName(stats(read_osm_ways(spark, path), "way")))
+
+
 def q_graph_toposort(spark, sf):
     """N8 (r5 cont., post-window) — topological layering
     (engine/graph.py::toposort_layers): (node, level) with level =
@@ -6526,6 +6558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_rules": q_dq_rules,
         "agg_gini": q_agg_gini,
         "img_orient_hist": q_img_orient_hist,
+        "osm_tag_stats": q_osm_tag_stats,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7194,6 +7227,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id, lon, lat, x_m, y_m, "
         f"round({_p_lon}, 7) AS lon_rt, "
         f"round({_p_lat}, 7) AS lat_rt FROM p")
+
+    # osm_tag_stats — tags recomputed from the fixture arithmetic;
+    # argmax by an independent row_number formulation.
+    _tag_ent = []
+    for _ent, _src in (
+            ("node",
+             "SELECT 'kind' AS k, substr('abc', CAST(i % 3 AS INTEGER) "
+             "+ 1, 1) AS v FROM (SELECT range AS i FROM "
+             f"range({OSM_N_NODES})) "
+             "UNION ALL SELECT 'name', 'n' || CAST(i AS VARCHAR) "
+             f"FROM (SELECT range AS i FROM range({OSM_N_NODES})) "
+             "WHERE i % 3 = 0"),
+            ("way",
+             "SELECT 'highway' AS k, 'x' AS v FROM "
+             f"(SELECT range AS w FROM range({OSM_N_WAYS})) "
+             "WHERE w % 2 = 0")):
+        _tag_ent.append(
+            f"SELECT '{_ent}' AS entity, k AS tag_key, n, n_distinct, "
+            "top_value, top_n FROM ("
+            "SELECT k, SUM(c) OVER (PARTITION BY k) AS n, "
+            "COUNT(*) OVER (PARTITION BY k) AS n_distinct, "
+            "v AS top_value, c AS top_n, "
+            "row_number() OVER (PARTITION BY k ORDER BY c DESC, v ASC) "
+            "AS rn FROM (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM ({_src}) GROUP BY k, v)) WHERE rn = 1")
+    tag_stats_sql = (
+        "SELECT entity, tag_key, CAST(n AS BIGINT) AS n, "
+        "CAST(n_distinct AS BIGINT) AS n_distinct, top_value, "
+        "CAST(top_n AS BIGINT) AS top_n FROM ("
+        + " UNION ALL ".join(_tag_ent) + ")")
 
     # graph_toposort — the identical max-plus relaxation unrolled as
     # chained CTEs (the sssp oracle class); 10 rounds cover the
@@ -8346,6 +8409,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_project_3857": project_3857_sql,
         "geo_rhumb": rhumb_oracle_sql,
         "graph_toposort": toposort_sql,
+        "osm_tag_stats": tag_stats_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

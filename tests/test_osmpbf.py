@@ -504,3 +504,30 @@ def test_enc_rle_cost_matches_sequential_encoder(spark):
         assert got[uid] == (len(syms), len(runs), rle_bytes, len(syms),
                             max(n for _, n in runs))
     assert len(got) == ev["user_id"].nunique()
+
+
+# ------------------------------------------------ tag statistics
+
+def test_osm_tag_stats_closed_forms(spark):
+    import __spark_entry__ as m
+    rows = {(r.entity, r.tag_key): r
+            for r in m.queries()["osm_tag_stats"](
+                spark, "/root/testdata/sf0.001").collect()}
+    n = m.OSM_N_NODES
+    kind = rows[("node", "kind")]
+    # i % 3 == 0 gets 'a' and is the most frequent (ceil(n/3)), ties
+    # impossible at n % 3 == 2? n = 5000: a: 1667, b: 1667, c: 1666 —
+    # a vs b tie resolves to 'a' by the value ASC rule
+    counts = {c: sum(1 for i in range(n) if "abc"[i % 3] == c)
+              for c in "abc"}
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (kind.n, kind.n_distinct) == (n, 3)
+    assert (kind.top_value, kind.top_n) == top
+    name = rows[("node", "name")]
+    n_named = sum(1 for i in range(n) if i % 3 == 0)
+    assert (name.n, name.n_distinct, name.top_n) == (n_named, n_named, 1)
+    assert name.top_value == "n0"      # all counts 1 -> lex-min value
+    hwy = rows[("way", "highway")]
+    n_hw = sum(1 for w in range(m.OSM_N_WAYS) if w % 2 == 0)
+    assert (hwy.n, hwy.n_distinct, hwy.top_value, hwy.top_n) == (
+        n_hw, 1, "x", n_hw)
