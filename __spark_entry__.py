@@ -397,6 +397,38 @@ def q_join_asof(spark, sf):
     )
 
 
+def q_join_asof_nearest(spark, sf):
+    """D44 (r5 cont., post-window) — NEAREST-match as-of join
+    (engine/relops.py::asof_join direction='nearest'): for each
+    purchase the click mark minimizing |Δts| within the user, the
+    third direction of the as-of family (backward r1, forward via
+    the same code path, nearest here) — pandas merge_asof's own
+    nearest-tie behavior is NOT the contract: the tie is PINNED to
+    the backward row and realized by combining explicit backward +
+    forward merges (engine docstring).  Marks are deduped to unique
+    (user, ts) first, making the match deterministic.  The twin is
+    an independent argmin formulation (LEFT JOIN + row_number over
+    (|Δ|, is_forward))."""
+    _prep(spark)
+    from engine.relops import asof_join
+    ev = _t(spark, sf, "events")
+    purch = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    marks = (ev.filter(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.min(_cents("value")).alias("mark_cents")))
+    aj = asof_join(purch, marks, on="ts", by="user_id",
+                   direction="nearest")
+    return aj.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.col("ts_r").cast("string").alias("m_ts_s"),
+        "mark_cents",
+        (F.expr("unix_micros(CAST(ts_r AS TIMESTAMP))")
+         - F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .cast("long").alias("delta_us"))
+
+
 def q_join_semi(spark, sf):
     _prep(spark)
     return _t(spark, sf, "customer").join(
@@ -6559,6 +6591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini": q_agg_gini,
         "img_orient_hist": q_img_orient_hist,
         "osm_tag_stats": q_osm_tag_stats,
+        "join_asof_nearest": q_join_asof_nearest,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -7826,6 +7859,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, l.user_id, CAST(l.ts AS VARCHAR) AS ts_s, "
             "CAST(r.ts AS VARCHAR) AS r_ts_s, r.value AS r_value "
             "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts"),
+        # join_asof_nearest — independent argmin formulation: LEFT JOIN
+        # + row_number over (|delta|, is_forward) with the same pinned
+        # backward tie rule.
+        "join_asof_nearest": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "m AS (SELECT user_id, ts, "
+            "CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS mark_cents FROM events WHERE event_type = 'click' "
+            "GROUP BY user_id, ts), "
+            "j AS (SELECT l.event_id, l.user_id, l.ts, m.ts AS m_ts, "
+            "m.mark_cents, "
+            "row_number() OVER (PARTITION BY l.event_id ORDER BY "
+            "CASE WHEN m.ts IS NULL THEN 0 "
+            "ELSE abs(epoch_us(m.ts) - epoch_us(l.ts)) END, "
+            "CASE WHEN m.ts > l.ts THEN 1 ELSE 0 END) AS rn "
+            "FROM l LEFT JOIN m ON m.user_id = l.user_id) "
+            "SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s, "
+            "CAST(m_ts AS VARCHAR) AS m_ts_s, mark_cents, "
+            "CAST(epoch_us(m_ts) - epoch_us(ts) AS BIGINT) AS delta_us "
+            "FROM j WHERE rn = 1"),
         "join_semi": (
             "SELECT c_custkey, c_name FROM customer c "
             "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),

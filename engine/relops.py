@@ -16,13 +16,22 @@ from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
-              suffix: str = "_r") -> DataFrame:
-    """For each left row, attach the latest right row with
-    right.on <= left.on within the same `by` key (inclusive).
+              suffix: str = "_r", direction: str = "backward") -> DataFrame:
+    """For each left row, attach the matching right row within the same
+    `by` key: `direction='backward'` (default) takes the latest right
+    row with right.on <= left.on (inclusive); `'forward'` the earliest
+    with right.on >= left.on; `'nearest'` (r5 cont.) the row minimizing
+    |right.on - left.on| with the TIE PINNED to the backward (earlier)
+    row — implemented as backward+forward merges combined under that
+    explicit rule, so the contract does not ride pandas' own
+    nearest-tie behavior.  Callers wanting deterministic output under
+    'nearest' must feed a right side with unique `on` per key (the
+    driver key dedupes marks first).
 
     Output schema: all left columns + right's non-key columns (nullable,
     suffixed on collision).
     """
+    assert direction in ("backward", "forward", "nearest")
     # Re-alias every column on both sides to mint fresh expression ids:
     # when left and right derive from the SAME scan (self-as-of), Spark's
     # cogroup attribute dedup otherwise prunes the right side down to the
@@ -53,11 +62,32 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
                 merged[rename[c]] = None
         else:
             rdf = rdf.sort_values(on, kind="mergesort")
-            merged = pd.merge_asof(
-                ldf, rdf.rename(columns={**rename, on: r_on}),
-                left_on=on, right_on=r_on, by=by,
-                direction="backward", allow_exact_matches=True,
-            )
+            rr = rdf.rename(columns={**rename, on: r_on})
+            if direction != "nearest":
+                merged = pd.merge_asof(
+                    ldf, rr, left_on=on, right_on=r_on, by=by,
+                    direction=direction, allow_exact_matches=True,
+                )
+            else:
+                mb = pd.merge_asof(
+                    ldf, rr, left_on=on, right_on=r_on, by=by,
+                    direction="backward", allow_exact_matches=True,
+                ).reset_index(drop=True)
+                mf = pd.merge_asof(
+                    ldf, rr, left_on=on, right_on=r_on, by=by,
+                    direction="forward", allow_exact_matches=True,
+                ).reset_index(drop=True)
+                # subtraction is domain-agnostic (numeric or datetime;
+                # NaT/NaN propagate); backward wins when both exist and
+                # db <= df (the pinned tie rule), and whenever forward
+                # is absent
+                db = mb[on] - mb[r_on]
+                dfw = mf[r_on] - mf[on]
+                take_b = dfw.isna() | (~db.isna() & (db <= dfw))
+                # row-wise splice (same schemas both sides; .loc keeps
+                # dtypes where DataFrame.where would silently downcast)
+                merged = mb.copy()
+                merged.loc[~take_b, :] = mf.loc[~take_b, :]
         return merged[out_cols]
 
     def _wrap(_key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:

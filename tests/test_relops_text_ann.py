@@ -469,3 +469,57 @@ def test_ivf_batch_recall1_and_margin(spark):
         assert all(r.cos_sim == 1.0 for r in rows[:4])
         if len(rows) > 4:  # natural rank-5 strictly below the tie
             assert rows[4].cos_sim < 1.0
+
+
+# ----------------------------------- nearest as-of (D44, r5 cont.)
+
+def test_asof_nearest_pinned_semantics(spark):
+    from engine.relops import asof_join
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "u", 40), (4, "v", 5)],
+        "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 0, 100), ("u", 20, 200), ("u", 50, 300)],
+        "k string, t long, v long")
+    got = {r.lid: (r.t_r, r.v)
+           for r in asof_join(left, right, on="t", by="k",
+                              direction="nearest").collect()}
+    assert got[1] == (0, 100)      # |10-0|=10 < |10-20|=10? equal ->
+    # backward tie rule: db=10, df=10 -> backward (t=0) wins
+    assert got[2] == (20, 200)     # 5 back vs 25 fwd
+    assert got[3] == (50, 300)     # 20 back vs 10 fwd -> forward
+    assert got[4] == (None, None)  # key with no right rows
+
+
+def test_asof_nearest_matches_brute_random(spark):
+    import random
+
+    from engine.relops import asof_join
+    rng = random.Random(11)
+    left = [(i, "k%d" % (i % 3), rng.randrange(1000))
+            for i in range(60)]
+    # unique (key, t) on the right, as the contract requires
+    rts = {("k%d" % (j % 3), rng.randrange(1000)) for j in range(40)}
+    right = [(k, t, i * 10) for i, (k, t) in enumerate(sorted(rts))]
+    ldf = spark.createDataFrame(left, "lid long, k string, t long")
+    rdf = spark.createDataFrame(right, "k string, t long, v long")
+    got = {r.lid: (r.t_r, r.v)
+           for r in asof_join(ldf, rdf, on="t", by="k",
+                              direction="nearest").collect()}
+    for lid, k, t in left:
+        cands = [(rt, v) for rk, rt, v in right if rk == k]
+        if not cands:
+            assert got[lid] == (None, None)
+            continue
+        best = min(cands, key=lambda c: (abs(c[0] - t), c[0] > t))
+        assert got[lid] == best, (lid, k, t)
+
+
+def test_asof_forward_direction(spark):
+    from engine.relops import asof_join
+    left = spark.createDataFrame([(1, "u", 10)], "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 5, 1), ("u", 12, 2)], "k string, t long, v long")
+    [r] = asof_join(left, right, on="t", by="k",
+                    direction="forward").collect()
+    assert (r.t_r, r.v) == (12, 2)
