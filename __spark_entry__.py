@@ -1173,6 +1173,44 @@ def q_text_stem(spark, sf):
     return stem_stats(_t(spark, sf, "documents"))
 
 
+def q_snapshot_orphans(spark, sf):
+    """A19 (r5 cont., post-window) — orphan-file cleanup
+    (engine/icelite.py::orphan_files/remove_orphans, Iceberg
+    remove_orphan_files parity): the maintenance op that reclaims
+    data files written by writers that crashed between the data write
+    and the metadata commit — the ONLY way an unreferenced file
+    appears under icelite's metadata-last commit protocol, so orphans
+    are always safe to delete.  The fixture commits three orders
+    slices then simulates a crashed writer (a raw _write_data with no
+    metadata commit); the key emits the full lifecycle (live/orphan
+    counts, removed count, post-state, table row counts before and
+    after) — the twin pins every count and recomputes the row counts,
+    so a cleanup that ever touched a LIVE file would red the key."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="orphans-")
+    t = IceliteTable(f"{root}/tbl")
+    od = _t(spark, sf, "orders")
+    for k in range(3):
+        t.commit_append(
+            od.filter(F.col("o_orderkey") % 3 == k).repartition(1),
+            stage=f"slice-{k}")
+    rows_before = t.scan(spark).count()
+    # crashed writer: data landed, metadata commit never ran
+    t._write_data(od.limit(50).repartition(1))
+    n_live = sum(len(t._manifest(s["sid"])["added"])
+                 for s in t.snapshots())
+    orphans = t.orphan_files()
+    removed = t.remove_orphans()
+    after = t.orphan_files()
+    rows_after = t.scan(spark).count()
+    return spark.createDataFrame(
+        [(n_live, len(orphans), removed, len(after),
+          rows_before, rows_after)],
+        "n_live_files int, n_orphans int, n_removed int, "
+        "n_orphans_after int, rows_before long, rows_after long")
+
+
 def q_snapshot_files(spark, sf):
     """A18 (r5 cont., post-window) — Iceberg metadata tables
     (engine/icelite.py::files_table): the `files` relation — one row
@@ -6592,6 +6630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_orient_hist": q_img_orient_hist,
         "osm_tag_stats": q_osm_tag_stats,
         "join_asof_nearest": q_join_asof_nearest,
+        "snapshot_orphans": q_snapshot_orphans,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -10091,6 +10130,15 @@ def oracle_sql() -> dict[str, str]:
             "p -> p[1] != p[2])) AS INTEGER) AS n_stemmed, "
             "CAST(len(list_distinct(stems)) AS INTEGER) "
             "AS n_distinct_stems FROM s"),
+        # snapshot_orphans — every lifecycle count pinned; row counts
+        # recomputed (cleanup touching a live file reds the key).
+        "snapshot_orphans": (
+            "SELECT CAST(3 AS INTEGER) AS n_live_files, "
+            "CAST(1 AS INTEGER) AS n_orphans, "
+            "CAST(1 AS INTEGER) AS n_removed, "
+            "CAST(0 AS INTEGER) AS n_orphans_after, "
+            "CAST(COUNT(*) AS BIGINT) AS rows_before, "
+            "CAST(COUNT(*) AS BIGINT) AS rows_after FROM orders"),
         # snapshot_files — the twin recomputes each committed file's
         # stats FROM THE DATA (the engine emits manifest footer stats
         # only), so parity proves the commit-time manifest bounds.

@@ -483,6 +483,55 @@ class IceliteTable:
         cur = self.scan(spark)
         return self.commit_replace(cur.coalesce(target_files), op="compact")
 
+    def orphan_files(self) -> list[str]:
+        """Iceberg `remove_orphan_files` parity, detection half: data
+        files present on disk but referenced by NO snapshot's manifest
+        — the residue of writers that crashed between `_write_data`
+        and the metadata commit (the commit protocol makes this the
+        ONLY way an unreferenced file appears; commits are
+        metadata-last, so an orphan is always safe to delete).
+        Returns table-relative paths, sorted."""
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(self._manifest(s["sid"])["files"])
+        on_disk = []
+        if os.path.isdir(self.data_dir):
+            for d in sorted(os.listdir(self.data_dir)):
+                full = os.path.join(self.data_dir, d)
+                if not os.path.isdir(full):
+                    continue
+                for f in sorted(os.listdir(full)):
+                    if f.endswith(".parquet"):
+                        on_disk.append(f"data/{d}/{f}")
+        return sorted(p for p in on_disk if p not in referenced)
+
+    def remove_orphans(self) -> int:
+        """Delete every orphan data file (and any then-empty commit
+        dir); returns the number removed.  Runs under the commit lock
+        so a concurrent committer cannot be mid-metadata-write while
+        we scan — a file whose commit has not finished its metadata
+        transaction is indistinguishable from a crashed writer's, so
+        at cluster scale callers gate this on writer quiescence
+        (Iceberg's own remove_orphan_files has the same caveat and
+        defaults to an age cutoff)."""
+        with self._commit_locked():
+            orphans = self.orphan_files()
+            for rel in orphans:
+                os.remove(os.path.join(self.root, rel))
+            # a commit dir holding no parquet holds only writer residue
+            # (_SUCCESS, .crc) — manifests reference only parquet files,
+            # so the dir is reclaimable wholesale
+            for d in sorted(os.listdir(self.data_dir)):
+                full = os.path.join(self.data_dir, d)
+                if not os.path.isdir(full):
+                    continue
+                names = os.listdir(full)
+                if not any(n.endswith(".parquet") for n in names):
+                    for n in names:
+                        os.remove(os.path.join(full, n))
+                    os.rmdir(full)
+            return len(orphans)
+
     def expire_snapshots(self, keep_last: int = 1) -> tuple[list[int], int]:
         """Snapshot expiry (Iceberg `expireSnapshots` parity) — the
         retention half of table maintenance: drop all but the last

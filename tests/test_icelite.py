@@ -423,3 +423,37 @@ def test_files_table_tolerates_statless_manifest(spark, tmp_path):
         _json.dump(man, f)
     [r] = t.files_table(spark, ("k",)).collect()
     assert r.rows is None and r.min_k is None and r.max_k is None
+
+
+# --------------------------------------------- orphan cleanup (A19)
+
+def test_orphan_detection_and_removal(spark, tmp_path):
+    import os as _os
+    t = IceliteTable(str(tmp_path / "tbl"))
+    df = spark.range(20).selectExpr("id AS k")
+    t.commit_append(df.repartition(1), stage="a")
+    t.commit_append(df.selectExpr("k + 20 AS k").repartition(2),
+                    stage="b")
+    assert t.orphan_files() == []
+    # crashed writer: two parquet files land, no metadata commit
+    t._write_data(df.selectExpr("k + 99 AS k").repartition(2))
+    orphans = t.orphan_files()
+    assert len(orphans) == 2
+    before = sorted(r.k for r in t.scan(spark).collect())
+    assert t.remove_orphans() == 2
+    assert t.orphan_files() == []
+    # live data untouched, time travel intact
+    assert sorted(r.k for r in t.scan(spark).collect()) == before
+    assert t.scan(spark, snapshot_id=1).count() == 20
+    # the orphan commit dir (parquet-less residue) is reclaimed
+    dirs = _os.listdir(_os.path.join(str(tmp_path / "tbl"), "data"))
+    assert len(dirs) == 2
+
+
+def test_orphan_removal_idempotent_and_empty_table(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "t2"))
+    # no data dir yet
+    assert t.orphan_files() == []
+    t.commit_append(spark.range(3).selectExpr("id AS k").repartition(1))
+    assert t.remove_orphans() == 0
+    assert t.remove_orphans() == 0
