@@ -1140,6 +1140,22 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_text_readability(spark, sf):
+    """M46 (r5 cont., post-window) — exact readability components
+    (engine/text/ops.py::readability_components): per document the
+    integer sufficient statistics (n_words, n_sentences, n_syllables)
+    of Flesch / Flesch-Kincaid — the float formulas stay driver-side;
+    the word, sentence, and syllable PROXIES are pinned contracts
+    (house token split; the sentence_stats rule floored at 1;
+    greatest(1, #[aeiou]+ runs) per word, 'y' excluded) because real
+    syllabification is dictionary-bound and the rule set IS the
+    reproducibility.  All-native HOFs, zero shuffle; the twin
+    re-implements the rules in DuckDB's list dialect."""
+    _prep(spark)
+    from engine.text.ops import readability_components
+    return readability_components(_t(spark, sf, "documents"))
+
+
 def q_text_collocations(spark, sf):
     """M44 (r5 cont., post-window) — collocation / PMI components
     (engine/text/ops.py::collocations): the corpus's top-50 adjacent
@@ -6631,6 +6647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_tag_stats": q_osm_tag_stats,
         "join_asof_nearest": q_join_asof_nearest,
         "snapshot_orphans": q_snapshot_orphans,
+        "text_readability": q_text_readability,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -10081,6 +10098,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT allr.rule, nn.n AS n_checked, allr.v AS n_violations, "
             "CAST(CASE WHEN allr.v = 0 THEN 1 ELSE 0 END AS INTEGER) "
             "AS passed FROM allr CROSS JOIN nn"),
+        # text_readability — the same pinned proxies in DuckDB's list
+        # dialect.
+        "text_readability": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+            "x -> x != '') AS toks, "
+            "list_filter(list_transform("
+            "string_split_regex(text, '[.!?]+\\s+'), s -> trim(s)), "
+            "s -> s != '') AS frags FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words, "
+            "CAST(CASE WHEN len(toks) > 0 THEN "
+            "greatest(1, len(frags)) ELSE 0 END AS INTEGER) "
+            "AS n_sentences, "
+            "CAST(coalesce(list_sum(list_transform(toks, "
+            "w -> greatest(1, "
+            "len(regexp_extract_all(w, '[aeiou]+'))))), 0) AS INTEGER) "
+            "AS n_syllables FROM t"),
         # text_collocations — pairs by an independent positional
         # self-join; same (count DESC, w1, w2) top-k order.
         "text_collocations": (

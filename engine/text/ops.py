@@ -637,3 +637,40 @@ def collocations(df, text_col: str = "text", top_k: int = 50):
             .join(F.broadcast(u2), "w2")
             .crossJoin(F.broadcast(n_total))
             .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_bigrams"))
+
+
+def readability_components(df, *, id_col: str = "doc_id",
+                           text: str = "text"):
+    """M46 (r5 cont.) — exact readability components per document:
+    (n_words, n_sentences, n_syllables) — the integer sufficient
+    statistics of Flesch reading ease / Flesch-Kincaid grade, whose
+    float formulas (206.835 − 1.015·w/s − 84.6·syl/w, ...) stay
+    driver-side epilogues.  Pinned proxies, because real syllable
+    counting is dictionary-bound and real sentence splitting is
+    heuristic — the RULES are the reproducibility contract:
+
+      * words     = the house token contract (lowercase [^a-z]+ split)
+      * sentences = the sentence_stats contract ([.!?]+ runs +
+        whitespace, abbreviation-blind), floored at 1 for any doc
+        with at least one word (Flesch divides by it)
+      * syllables(word) = greatest(1, #[aeiou]+ runs) — 'y' excluded
+        by contract (pinned by test: 'rhythm' counts 1 via the floor)
+
+    All-native HOFs, zero shuffle, zero Python."""
+    from pyspark.sql import functions as F
+
+    toks = (f"filter(split(lower({text}), '[^a-z]+'), "
+            "x -> x != '')")
+    syl = (f"aggregate(transform({toks}, "
+           "w -> greatest(1, size(regexp_extract_all(w, '[aeiou]+', 0)))), "
+           "0, (a, b) -> a + b)")
+    frags = (f"filter(transform(split({text}, '[.!?]+\\\\s+'), "
+             "s -> trim(s)), s -> s <> '')")
+    n_words = f"size({toks})"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST({n_words} AS INT)").alias("n_words"),
+        F.expr(f"CAST(CASE WHEN {n_words} > 0 THEN "
+               f"greatest(1, size({frags})) ELSE 0 END AS INT)")
+        .alias("n_sentences"),
+        F.expr(f"CAST({syl} AS INT)").alias("n_syllables"))

@@ -298,3 +298,49 @@ def test_collocations_tiny_and_tie_order(spark):
     assert by[("a", "b")].n_w1 == 2          # 'a' in w1 position twice
     assert by[("b", "c")].n_w2 == 2          # 'c' in w2 position twice
     assert all(r.n_bigrams == 6 for r in rows)
+
+
+# ---------------------------------------------- readability (M46)
+
+def test_readability_components_pinned_proxies(spark):
+    from engine.text.ops import readability_components
+    docs = [
+        (1, "The cat sat. The dog ran! Was it fun?"),
+        (2, "rhythm"),                     # zero vowel runs -> floor 1
+        (3, "beautiful queueing"),         # multi-run words
+        (4, ""),                           # empty doc -> all zeros
+        (5, "no terminator here"),         # 1 sentence by the floor
+    ]
+    got = {r.doc_id: (r.n_words, r.n_sentences, r.n_syllables)
+           for r in readability_components(
+               spark.createDataFrame(docs, "doc_id long, text string"))
+           .collect()}
+    assert got[1] == (9, 3, 9)       # all monosyllabic by the proxy
+    assert got[2] == (1, 1, 1)       # 'rhythm': floor(1)
+    # beautiful: eau+i+u = 3 runs? b-eau-t-i-f-u-l -> 'eau','i','u' = 3;
+    # queueing: 'ueuei' = one run -> 1
+    assert got[3] == (2, 1, 4)
+    assert got[4] == (0, 0, 0)
+    assert got[5] == (3, 1, 7)       # no=1, terminator=4, here=2
+
+
+def test_readability_matches_python_reference_on_corpus(spark):
+    import re
+
+    import pandas as pd
+
+    from engine.text.ops import readability_components
+    got = {r.doc_id: (r.n_words, r.n_sentences, r.n_syllables)
+           for r in readability_components(
+               __import__("__spark_entry__")._t(
+                   spark, "/root/testdata/sf0.001", "documents"))
+           .collect()}
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for _, row in docs.iterrows():
+        toks = [t for t in re.split("[^a-z]+", row["text"].lower()) if t]
+        frags = [s.strip() for s in re.split(r"[.!?]+\s+", row["text"])
+                 if s.strip()]
+        n_sent = max(1, len(frags)) if toks else 0
+        syl = sum(max(1, len(re.findall("[aeiou]+", t))) for t in toks)
+        assert got[row["doc_id"]] == (len(toks), n_sent, syl)
+    assert len(got) == len(docs)
