@@ -5109,6 +5109,38 @@ def q_osm_diff_apply(spark, sf):
     return apply_node_diff(base, _osm_changes(spark))
 
 
+def q_scan_gpx(spark, sf):
+    """A20 (r5 cont., post-window) — GPX track interchange
+    (engine/geo/gpx.py): the GPS-track XML format every handheld
+    exporter emits, parsed with NATIVE string expressions only (the
+    scan_wkt discipline — no XML lib, no Python row stage), one file
+    per track so parse parallelism = file count, document order
+    preserved (trkpt order is DATA).  The fixture writes each user's
+    event-derived track as exact micro-degree decimal text; the key
+    emits endpoint + raw-L1 summaries in exact micro-degree integers,
+    and the twin recomputes them from the events arithmetic — DuckDB
+    never reads the GPX, so parity proves write → XML → native parse
+    lossless (the scan_osm_pbf cross-format class)."""
+    _prep(spark)
+    from engine.geo.gpx import (gpx_track_summary, read_gpx,
+                                write_gpx_tracks)
+    pdf = (_t(spark, sf, "events")
+           .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                   "event_id")
+           .toPandas())
+    pdf["lat_u"] = (pdf["event_id"] * 40503 + 7) % 170000000 - 85000000
+    pdf["lon_u"] = ((pdf["event_id"] * 2654435761) % 360000000
+                    - 180000000)
+    tracks = []
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        tracks.append((f"u{uid}",
+                       list(zip(g["lat_u"].tolist(),
+                                g["lon_u"].tolist()))))
+    out = tempfile.mkdtemp(prefix="gpx-")
+    write_gpx_tracks(out, tracks)
+    return gpx_track_summary(read_gpx(spark, f"{out}/*.gpx"))
+
+
 def q_graph_msf(spark, sf):
     """N7 (r5 cont., post-window) — minimum spanning forest via
     distributed Borůvka (engine/graph.py::msf_boruvka): each round
@@ -6648,6 +6680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_nearest": q_join_asof_nearest,
         "snapshot_orphans": q_snapshot_orphans,
         "text_readability": q_text_readability,
+        "scan_gpx": q_scan_gpx,
     }
     out = {key: base[key] for key in _R5_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -10565,6 +10598,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(rl) AS BIGINT) AS raw_bytes, "
             "CAST(MAX(rl) AS BIGINT) AS max_run "
             "FROM rl GROUP BY user_id"),
+        # scan_gpx — summaries recomputed from the events arithmetic
+        # (DuckDB never reads the GPX; cross-format losslessness).
+        "scan_gpx": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST((event_id * 40503 + 7) % 170000000 - 85000000 "
+            "AS BIGINT) AS lat_u, "
+            "CAST((event_id * 2654435761) % 360000000 - 180000000 "
+            "AS BIGINT) AS lon_u FROM events), "
+            "o AS (SELECT *, row_number() OVER w AS rn_a, "
+            "row_number() OVER wd AS rn_d, "
+            "lag(lat_u) OVER w AS pla, lag(lon_u) OVER w AS plo "
+            "FROM e WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id), "
+            "wd AS (PARTITION BY user_id ORDER BY ts DESC, "
+            "event_id DESC)) "
+            "SELECT 'u' || CAST(user_id AS VARCHAR) AS track, "
+            "CAST(COUNT(*) AS INTEGER) AS n_pts, "
+            "CAST(MAX(CASE WHEN rn_a = 1 THEN lat_u END) AS BIGINT) "
+            "AS first_lat_u, "
+            "CAST(MAX(CASE WHEN rn_a = 1 THEN lon_u END) AS BIGINT) "
+            "AS first_lon_u, "
+            "CAST(MAX(CASE WHEN rn_d = 1 THEN lat_u END) AS BIGINT) "
+            "AS last_lat_u, "
+            "CAST(MAX(CASE WHEN rn_d = 1 THEN lon_u END) AS BIGINT) "
+            "AS last_lon_u, "
+            "CAST(COALESCE(SUM(abs(lat_u - pla) + abs(lon_u - plo)), 0) "
+            "AS BIGINT) AS l1_udeg "
+            "FROM o GROUP BY user_id"),
         # osm_diff_apply — base AND changes recomputed from range()
         # arithmetic (DuckDB never reads the PBF); resolution by an
         # independent row_number formulation vs the engine's
