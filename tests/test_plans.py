@@ -661,3 +661,103 @@ def test_enc_varint_cost_single_exchange(spark):
     plan = plan_of(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+# ----------------------- r5-continuation operators (this session)
+
+
+def test_win_median_single_exchange_no_python(spark):
+    """collect_list/array_sort/element_at ride ONE ordered-window
+    partitioning; no Python stage."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["win_median"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_ts_kendall_one_join_one_agg(spark):
+    """Bounded per-key self-join + map-side-combined agg; the sgn is a
+    CASE, not Python."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["ts_kendall"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert "Python" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_agg_gini_window_and_agg_share_partitioning(spark):
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["agg_gini"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_ml_stump_no_raw_row_global_sort(spark):
+    """The cumulative window rides the aggregated distinct-value frame
+    (one single-partition exchange AFTER the groupBy collapse), never
+    the raw rows."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["ml_stump"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert "Python" not in plan
+    # plans print consumer-first: every single-partition exchange must
+    # sit DIRECTLY on the groupBy(x) collapse, i.e. its child line is
+    # the keyed HashAggregate, never the raw scan/projection
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "HashAggregate(keys=[x" in lines[i + 1], lines[i + 1]
+
+
+def test_osm_diff_apply_one_argmax_one_outer_join(spark):
+    """The change stream collapses via struct-argmax BEFORE the
+    full-outer join; the base never shuffles more than once."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["osm_diff_apply"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert "FullOuter" in plan
+    # one argmax agg on the change side (min/max of struct)
+    assert "max(e)" in plan or "max(struct" in plan.replace(" ", "") \
+        or "HashAggregate" in plan
+
+
+def test_enc_rle_cost_single_exchange(spark):
+    """Boundary lag + running run-id + both aggs share one (user)
+    partitioning."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["enc_rle_cost"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_dq_rules_single_scan_for_all_predicate_rules(spark):
+    """Adding a predicate rule adds a column, not a scan: the lineitem
+    relation is scanned once for the five predicate rules (plus once
+    each for the two table-level kinds)."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["dq_rules"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    # 1 scan for ALL five predicate rules + 2 per table-level kind
+    # (the rule body + its column-pruned n_checked count) = 5; a
+    # naive one-scan-per-predicate-rule plan would show 9
+    assert plan.count("lineitem") <= 5
+    assert "Python" not in plan
+
+
+def test_text_collocations_topk_after_aggregation(spark):
+    """The global top-k (TakeOrderedAndProject) consumes the aggregated
+    bigram frame, not raw pairs; join-backs broadcast."""
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["text_collocations"](
+        spark, "/root/testdata/sf0.001"), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # consumer-first print: the top-k's DIRECT child must be the
+    # aggregated (w1, w2) frame, not a raw-pair projection
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "TakeOrderedAndProject" in ln:
+            assert "HashAggregate" in lines[i + 1], lines[i + 1]
