@@ -442,8 +442,32 @@ def lpa_py(edge_list, rounds: int = 3) -> dict:
     return lab
 
 
+def _minlabel_unionfind(pairs) -> dict:
+    """Driver-side union-find with min-reachable-id labels — the
+    small-side contraction path of msf_boruvka (same fixpoint as
+    engine/text/dedup.py::connected_components)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict = {}
+    for x in list(parent):
+        r = find(x)
+        roots[r] = min(roots.get(r, r), x)
+    return {x: roots[find(x)] for x in parent}
+
+
 def msf_boruvka(edges: DataFrame, src: str = "u", dst: str = "v",
                 w: str = "w", max_rounds: int = 24,
+                small_cc_threshold: int = 2_000_000,
                 checkpoint_dir: str | None = None) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka -> the MSF edge
     relation (u, v, w) with u < v.
@@ -500,11 +524,31 @@ def msf_boruvka(edges: DataFrame, src: str = "u", dst: str = "v",
             break
         msf = chosen if msf is None else msf.union(chosen)
         msf = materialize(msf, eager=True, checkpoint_dir=checkpoint_dir)
-        # contract: components over the chosen pairs, then relabel
+        # contract: components over the chosen pairs, then relabel.
+        # The merge graph has one row per chosen edge — at most one
+        # per surviving component, a frame that SHRINKS geometrically
+        # — so below `small_cc_threshold` rows the contraction runs as
+        # a driver-side union-find (one bounded collect; identical
+        # min-label fixpoint, pinned by test) instead of ~log rounds
+        # of convergence-probed distributed CC, cutting the dominant
+        # per-round job-synchronization latency.  Above the threshold
+        # (early rounds of planet-scale graphs) the distributed
+        # pointer-jumping engine runs unchanged.
         merge_pairs = (chosen.join(cu, "u").join(cv, "v")
                        .select(F.col("cu").alias("id_a"),
                                F.col("cv").alias("id_b")))
-        cc = connected_components(merge_pairs, checkpoint_dir=checkpoint_dir)
+        merge_pairs = materialize(merge_pairs, eager=True,
+                                  checkpoint_dir=checkpoint_dir)
+        if merge_pairs.count() <= small_cc_threshold:
+            labels = _minlabel_unionfind(
+                (r.id_a, r.id_b) for r in merge_pairs.collect())
+            spark = comp.sparkSession
+            cc = spark.createDataFrame(
+                list(labels.items()), "id long, cluster_id long")
+            cc = F.broadcast(cc)
+        else:
+            cc = connected_components(merge_pairs,
+                                      checkpoint_dir=checkpoint_dir)
         comp = materialize(
             comp.join(cc.select(F.col("id").alias("comp"),
                                 F.col("cluster_id")), "comp", "left")

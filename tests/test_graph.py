@@ -491,3 +491,17 @@ def test_toposort_detects_cycle(spark):
     edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
     with pytest.raises(Exception, match="cycle"):
         toposort_layers(_edf(spark, edges).toDF("u", "v"), max_depth=10)
+
+
+def test_msf_small_and_distributed_contraction_agree(spark):
+    """The bounded-collect union-find contraction and the distributed
+    pointer-jumping CC produce the identical forest (same min-label
+    fixpoint) — forcing the distributed path via threshold 0."""
+    from engine.graph import msf_boruvka
+    rng = random.Random(77)
+    edges = [(rng.randrange(40), rng.randrange(40), rng.randrange(12))
+             for _ in range(90)]
+    fast = sorted(map(tuple, msf_boruvka(_wedf(spark, edges)).collect()))
+    dist = sorted(map(tuple, msf_boruvka(
+        _wedf(spark, edges), small_cc_threshold=0).collect()))
+    assert fast == dist
