@@ -4183,6 +4183,28 @@ def q_raster_flowdir(spark, sf):
     return flow_dir_d8(pix)
 
 
+def q_raster_strahler(spark, sf):
+    """C3t (r5 cont., post-window) — Strahler stream order
+    (engine/geo/raster.py::strahler_orders) over the D8 flow forest
+    of the sparse 128×128 count raster: the hydrology family's final
+    member (flowdir → flowacc → basins → STRAHLER).  Resolution is
+    HOP-BOUNDED (24 synchronous rounds, the sssp class): cells whose
+    dependency depth exceeds the bound emit the explicit 0 marker,
+    never a wrong order — the fixed round count is what makes the
+    unrolled-CTE twin exact and the engine's job count deterministic.
+    Per round one equi-join + two map-side-combined aggs, with the
+    (max child order, #children at it) pair from a single
+    (parent, child_ord)-count + argmax fold (the mode_pyramid
+    idiom)."""
+    _prep(spark)
+    from engine.geo.raster import strahler_orders
+    pix = (_t(spark, sf, "customer").selectExpr(
+        "(c_custkey * 2654435761) % 128 AS gx",
+        "(c_custkey * 40503 + 7) % 128 AS gy")
+        .groupBy("gx", "gy").agg(F.count("*").alias("w")))
+    return strahler_orders(pix, max_rounds=24)
+
+
 def q_raster_tpi(spark, sf):
     """TPI (r4 cont., engine/geo/raster.py::tpi_index): per occupied
     cell of the sparse 128x128 count raster, the 8x-scaled Topographic
@@ -6677,6 +6699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini": q_agg_gini,
         "img_orient_hist": q_img_orient_hist,
         "osm_tag_stats": q_osm_tag_stats,
+        "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
         "snapshot_orphans": q_snapshot_orphans,
         "text_readability": q_text_readability,
@@ -7350,6 +7373,54 @@ def oracle_sql() -> dict[str, str]:
         f"round({_p_lon}, 7) AS lon_rt, "
         f"round({_p_lat}, 7) AS lat_rt FROM p")
 
+    # raster_strahler — the flowdir twin's direction derivation, then
+    # the identical hop-bounded rounds unrolled as chained CTEs (the
+    # sssp oracle class); (max child order, #children at it) via
+    # MAX + arg_max over the (parent, child_ord) counts.
+    _str_head = (
+        "WITH pix AS MATERIALIZED (SELECT "
+        "(c_custkey * 2654435761) % 128 AS gx, "
+        "(c_custkey * 40503 + 7) % 128 AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM customer GROUP BY 1, 2), "
+        "d(dir, dx, dy, m) AS (VALUES (0, 1, 0, 2), (1, 1, 1, 1), "
+        "(2, 0, 1, 2), (3, -1, 1, 1), (4, -1, 0, 2), (5, -1, -1, 1), "
+        "(6, 0, -1, 2), (7, 1, -1, 1)), "
+        "sc AS (SELECT p.gx, p.gy, d.dir, "
+        "(p.w - n.w) * (p.w - n.w) * d.m AS score "
+        "FROM pix p CROSS JOIN d JOIN pix n "
+        "ON n.gx = p.gx + d.dx AND n.gy = p.gy + d.dy "
+        "WHERE p.w > n.w), "
+        "bb AS (SELECT gx, gy, dir, row_number() OVER "
+        "(PARTITION BY gx, gy ORDER BY score DESC, dir ASC) AS rn "
+        "FROM sc), "
+        "fd AS (SELECT p.gx, p.gy, coalesce(bb.dir, -1) AS dir "
+        "FROM pix p LEFT JOIN (SELECT * FROM bb WHERE rn = 1) bb "
+        "ON bb.gx = p.gx AND bb.gy = p.gy), "
+        "e AS (SELECT gx AS ux, gy AS uy, gx + d.dx AS px, "
+        "gy + d.dy AS py FROM fd JOIN d ON d.dir = fd.dir "
+        "WHERE fd.dir >= 0), "
+        "s0 AS (SELECT gx AS cx, gy AS cy, 0 AS ord FROM fd)")
+    _str_rounds = []
+    for _t_ in range(1, 25):
+        _str_rounds.append(
+            f", s{_t_} AS MATERIALIZED (SELECT s.cx, s.cy, "
+            "CASE WHEN s.ord > 0 THEN s.ord "
+            "WHEN pa.cx IS NULL THEN 1 "
+            "WHEN pa.n_final = pa.n_children AND pa.mo > 0 "
+            "THEN pa.mo + CASE WHEN pa.mc >= 2 THEN 1 ELSE 0 END "
+            "ELSE 0 END AS ord "
+            f"FROM s{_t_ - 1} s LEFT JOIN ("
+            "SELECT px AS cx, py AS cy, SUM(n) AS n_children, "
+            "SUM(CASE WHEN c_ord > 0 THEN n ELSE 0 END) AS n_final, "
+            "MAX(c_ord) AS mo, arg_max(n, c_ord) AS mc "
+            "FROM (SELECT e.px, e.py, q.ord AS c_ord, COUNT(*) AS n "
+            f"FROM e JOIN s{_t_ - 1} q ON q.cx = e.ux AND q.cy = e.uy "
+            "GROUP BY e.px, e.py, q.ord) GROUP BY px, py) pa "
+            "ON pa.cx = s.cx AND pa.cy = s.cy)")
+    strahler_sql = (_str_head + "".join(_str_rounds)
+                    + " SELECT cx AS gx, cy AS gy, "
+                      "CAST(ord AS INTEGER) AS strahler FROM s24")
+
     # osm_tag_stats — tags recomputed from the fixture arithmetic;
     # argmax by an independent row_number formulation.
     _tag_ent = []
@@ -7391,7 +7462,7 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT u AS node FROM e UNION SELECT v FROM e))"]
     for _t_ in range(1, 11):
         _topo_parts.append(
-            f", l{_t_} AS (SELECT p.node, "
+            f", l{_t_} AS MATERIALIZED (SELECT p.node, "
             "CAST(GREATEST(p.level, COALESCE(m.mx, 0)) AS BIGINT) "
             f"AS level FROM l{_t_ - 1} p LEFT JOIN "
             f"(SELECT e.v AS node, MAX(q.level + 1) AS mx FROM l{_t_ - 1} q "
@@ -8553,6 +8624,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_rhumb": rhumb_oracle_sql,
         "graph_toposort": toposort_sql,
         "osm_tag_stats": tag_stats_sql,
+        "raster_strahler": strahler_sql,
         "scan_osm_pbf": osm_nodes_sql,
         "osm_way_assembly": osm_ways_sql,
         "osm_extract_bbox": osm_extract_sql,

@@ -1552,3 +1552,106 @@ def viewshed(pixels: DataFrame, x: str = "gx", y: str = "gy",
                 & (F.col("ang") > F.coalesce(F.max("ang").over(win),
                                              F.lit(-1)))).cast("int"))
         .select("gx", "gy", "w", "rdx", "rdy", "d2", "vis"))
+
+
+def strahler_orders(pixels: DataFrame, x: str = "gx", y: str = "gy",
+                    w: str = "w", max_rounds: int = 24,
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """C3t (r5 cont.) — Strahler stream order over the D8 flow forest:
+    the hydrology family's final member (flowdir → flowacc → basins →
+    STRAHLER), the stream-classification number printed on every river
+    map.  ord(leaf) = 1; an internal cell's order is its children's
+    max m, bumped to m+1 iff >= 2 children attain m.
+
+    Order resolution is HOP-BOUNDED like sssp_int: exactly
+    `max_rounds` synchronous rounds, each finalizing every cell whose
+    children are all final; cells whose dependency depth exceeds the
+    bound emit 0 (an explicit unresolved marker, never a wrong
+    order) — the fixed round count is what makes the DuckDB twin an
+    exact unrolled-CTE oracle and keeps the engine's job count
+    deterministic (no convergence probes).
+
+    Per round: ONE hash equi-join routing child orders to parents +
+    TWO map-side-combined aggs — (parent, child_ord) counts, then the
+    max-struct fold that yields (max child order, #children at it) in
+    one pass (the mode_pyramid argmax idiom; no second join against a
+    per-parent max).  The cell frame is bounded by the grid, not the
+    row count; round state is materialized (localCheckpoint or
+    reliable under `checkpoint_dir`)."""
+    fd = flow_dir_d8(pixels, x=x, y=y, w=w)
+    dxs = [1, 1, 0, -1, -1, -1, 0, 1]
+    dys = [0, 1, 1, 1, 0, -1, -1, -1]
+    dx_arr = F.array(*[F.lit(v) for v in dxs])
+    dy_arr = F.array(*[F.lit(v) for v in dys])
+    cells = fd.select(F.col("gx").alias("cx"), F.col("gy").alias("cy"),
+                      "dir")
+    edges = (cells.filter(F.col("dir") >= 0)
+             .select(F.col("cx").alias("ux"), F.col("cy").alias("uy"),
+                     (F.col("cx")
+                      + F.element_at(dx_arr, F.col("dir") + 1))
+                     .alias("px"),
+                     (F.col("cy")
+                      + F.element_at(dy_arr, F.col("dir") + 1))
+                     .alias("py")))
+    edges = materialize(edges, eager=True, checkpoint_dir=checkpoint_dir)
+    st = materialize(
+        cells.select("cx", "cy", F.lit(0).cast("int").alias("ord")),
+        eager=True, checkpoint_dir=checkpoint_dir)
+    for _ in range(max_rounds):
+        ch = (edges.join(st.select(F.col("cx").alias("ux"),
+                                   F.col("cy").alias("uy"),
+                                   F.col("ord").alias("c_ord")),
+                         ["ux", "uy"])
+              .groupBy("px", "py", "c_ord")
+              .agg(F.count("*").cast("long").alias("n")))
+        par = (ch.groupBy("px", "py")
+               .agg(F.sum("n").alias("n_children"),
+                    F.sum(F.when(F.col("c_ord") > 0, F.col("n"))
+                          .otherwise(0)).alias("n_final"),
+                    F.max(F.struct(F.col("c_ord").alias("o"),
+                                   F.col("n").alias("cnt"))).alias("m")))
+        st = materialize(
+            st.join(par.select(F.col("px").alias("cx"),
+                               F.col("py").alias("cy"),
+                               "n_children", "n_final", "m"),
+                    ["cx", "cy"], "left")
+              .select(
+                  "cx", "cy",
+                  F.when(F.col("ord") > 0, F.col("ord"))
+                  .when(F.col("n_children").isNull(), F.lit(1))
+                  .when((F.col("n_final") == F.col("n_children"))
+                        & (F.col("m.o") > 0),
+                        F.col("m.o")
+                        + F.when(F.col("m.cnt") >= 2, 1).otherwise(0))
+                  .otherwise(F.lit(0)).cast("int").alias("ord")),
+            eager=True, checkpoint_dir=checkpoint_dir)
+    return st.select(F.col("cx").alias("gx"), F.col("cy").alias("gy"),
+                     F.col("ord").alias("strahler"))
+
+
+def strahler_py(cells, dirs, max_rounds: int = 24) -> dict:
+    """Sequential reference: same synchronous rounds over a dict."""
+    dxs = [1, 1, 0, -1, -1, -1, 0, 1]
+    dys = [0, 1, 1, 1, 0, -1, -1, -1]
+    parent = {}
+    for (cx, cy), d in dirs.items():
+        if d >= 0:
+            parent[(cx, cy)] = (cx + dxs[d], cy + dys[d])
+    children: dict = {c: [] for c in cells}
+    for u, p in parent.items():
+        children[p].append(u)
+    ords = {c: 0 for c in cells}
+    for _ in range(max_rounds):
+        nxt = dict(ords)
+        for c in cells:
+            if ords[c] > 0:
+                continue
+            ch = children[c]
+            if not ch:
+                nxt[c] = 1
+            elif all(ords[u] > 0 for u in ch):
+                m = max(ords[u] for u in ch)
+                nxt[c] = m + (1 if sum(ords[u] == m for u in ch) >= 2
+                              else 0)
+        ords = nxt
+    return ords

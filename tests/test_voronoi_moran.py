@@ -443,3 +443,55 @@ def test_basins_max_rounds_raises_loudly(spark):
         [(x, y, w) for (x, y), w in cells.items()], "gx long, gy long, w long")
     with _pytest.raises(RuntimeError, match="basin_labels"):
         basin_labels(df, max_rounds=3)
+
+
+# ---------------------------------------------- Strahler order (C3t)
+
+def test_strahler_closed_forms(spark):
+    from engine.geo.raster import strahler_orders
+    # chain 3 cells flowing east: every cell has <=1 child -> all order 1
+    chain = [(0, 0, 30), (1, 0, 20), (2, 0, 10)]
+    df = spark.createDataFrame(chain, "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.strahler
+           for r in strahler_orders(df).collect()}
+    assert got == {(0, 0): 1, (1, 0): 1, (2, 0): 1}
+    # two order-1 streams joining -> confluence bumps to 2
+    conf = [(0, 0, 30), (0, 2, 30), (0, 1, 10), (1, 1, 5)]
+    # (0,0) flows S to (0,1)?  dirs: (0,0)->(0,1) is dy=+1?  grid: let
+    # both outer cells drain into (0,1), which drains into (1,1)
+    df2 = spark.createDataFrame(conf, "gx long, gy long, w long")
+    got2 = {(r.gx, r.gy): r.strahler
+            for r in strahler_orders(df2).collect()}
+    assert got2[(0, 0)] == 1 and got2[(0, 2)] == 1
+    assert got2[(0, 1)] == 2          # two children both at order 1
+    assert got2[(1, 1)] == 2          # single child at 2 -> stays 2
+
+
+def test_strahler_matches_sequential_reference(spark):
+    import numpy as np
+
+    from engine.geo.raster import flow_dir_d8, strahler_orders, strahler_py
+    rng = np.random.RandomState(9)
+    cells = {(int(x), int(y)): int(w) for x, y, w in zip(
+        rng.randint(0, 20, 300), rng.randint(0, 20, 300),
+        rng.randint(1, 100, 300))}
+    rows = [(x, y, w) for (x, y), w in cells.items()]
+    df = spark.createDataFrame(rows, "gx long, gy long, w long")
+    dirs = {(r.gx, r.gy): r.dir for r in flow_dir_d8(df).collect()}
+    want = strahler_py(set(cells), dirs, max_rounds=24)
+    got = {(r.gx, r.gy): r.strahler
+           for r in strahler_orders(df, max_rounds=24).collect()}
+    assert got == want
+    assert max(got.values()) >= 2     # the fixture exercises confluences
+
+
+def test_strahler_hop_bound_marks_unresolved(spark):
+    from engine.geo.raster import strahler_orders
+    # a depth-4 chain with max_rounds=2: the deepest cells stay 0
+    chain = [(i, 0, 50 - i) for i in range(5)]
+    df = spark.createDataFrame(chain, "gx long, gy long, w long")
+    got = {(r.gx, r.gy): r.strahler
+           for r in strahler_orders(df, max_rounds=2).collect()}
+    # leaf resolves round 1; its parent round 2; beyond stays 0
+    assert got[(0, 0)] == 1 and got[(1, 0)] == 1
+    assert 0 in got.values()
