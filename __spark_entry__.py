@@ -612,6 +612,42 @@ def q_traj_simplify(spark, sf):
     return simplify_tracks(ev, tol_deg=10.0)
 
 
+def q_traj_geofence(spark, sf):
+    """D45 (r5 cont., post-window) — geofence transition detection:
+    the fleet-tracking primitive — per GPS track the enter / exit /
+    switch events against the rectangular zone layer (half-open
+    bottom/left-inside edges, the house PIP convention; overlapping
+    zones resolve to the LOWEST poly_id via an ordered CASE, so the
+    R1/R3 overlap is a pinned determinism witness).  ONE ordered
+    window (lag) per track over the in-plan zone CASE — no join, the
+    zone test rides codegen; only CHANGE rows ship.  The twin is the
+    identical CASE + lag in ANSI SQL."""
+    _prep(spark)
+    from pyspark.sql import Window
+    zone_case = "CASE " + " ".join(
+        f"WHEN lon >= {a} AND lon < {c} AND lat >= {b} AND lat < {d} "
+        f"THEN '{pid}'"
+        for pid, a, b, c, d in RECTS) + " END"
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        (F.expr("(event_id * 2654435761) % 360000000") / F.lit(1000000.0)
+         - F.lit(180.0)).alias("lon"),
+        (F.expr("(event_id * 40503 + 7) % 170000000") / F.lit(1000000.0)
+         - F.lit(85.0)).alias("lat"),
+    ).withColumn("zone", F.expr(zone_case))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.withColumn("prev", F.lag("zone").over(w))
+          .withColumn("rn", F.row_number().over(w))
+          .filter((F.col("rn") > 1)
+                  & ~F.col("zone").eqNullSafe(F.col("prev"))))
+    return tr.select(
+        "user_id", "event_id", F.col("ts").cast("string").alias("ts_s"),
+        F.col("prev").alias("from_zone"), F.col("zone").alias("to_zone"),
+        F.when(F.col("prev").isNull(), "enter")
+        .when(F.col("zone").isNull(), "exit")
+        .otherwise("switch").alias("kind"))
+
+
 def q_traj_densify(spark, sf):
     """D35 (r5, post-window) — great-circle track densification
     (engine/geo/traj.py::densify_tracks): every GPS step longer than
@@ -6701,6 +6737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
+        "traj_geofence": q_traj_geofence,
         "snapshot_orphans": q_snapshot_orphans,
         "text_readability": q_text_readability,
         "scan_gpx": q_scan_gpx,
@@ -10670,6 +10707,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(rl) AS BIGINT) AS raw_bytes, "
             "CAST(MAX(rl) AS BIGINT) AS max_run "
             "FROM rl GROUP BY user_id"),
+        # traj_geofence — identical ordered-CASE zone + lag formulation.
+        "traj_geofence": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "((event_id * 2654435761) % 360000000)/1000000.0 - 180.0 "
+            "AS lon, "
+            "((event_id * 40503 + 7) % 170000000)/1000000.0 - 85.0 "
+            "AS lat FROM events), "
+            "z AS (SELECT user_id, ts, event_id, CASE "
+            + " ".join(
+                f"WHEN lon >= {a} AND lon < {c} AND lat >= {b} "
+                f"AND lat < {d} THEN '{pid}'"
+                for pid, a, b, c, d in RECTS)
+            + " END AS zone FROM e), "
+            "t AS (SELECT user_id, ts, event_id, zone, "
+            "lag(zone) OVER w AS prev, row_number() OVER w AS rn "
+            "FROM z WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_s, "
+            "prev AS from_zone, zone AS to_zone, "
+            "CASE WHEN prev IS NULL THEN 'enter' "
+            "WHEN zone IS NULL THEN 'exit' ELSE 'switch' END AS kind "
+            "FROM t WHERE rn > 1 AND (zone IS DISTINCT FROM prev)"),
         # scan_gpx — summaries recomputed from the events arithmetic
         # (DuckDB never reads the GPX; cross-format losslessness).
         "scan_gpx": (

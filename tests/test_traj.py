@@ -295,3 +295,59 @@ def test_hausdorff_theorems(spark):
     assert got[(0, 0)] == (0, 0, 0)
     assert got[(0, 1)] == (0, (50 - 10) ** 2 + (50 - 10) ** 2, 3200)
     assert got[(2, 3)] == (25, 25, 25)
+
+
+# ---------------------------------------------- geofencing (D45)
+
+def test_geofence_transitions_reference(spark):
+    """Brute per-track replay over the sf0.001 corpus: zone by the
+    ordered rect CASE (lowest id wins in overlaps), transitions where
+    the zone changes after the first point."""
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {(r.user_id, r.event_id): (r.from_zone, r.to_zone, r.kind)
+           for r in m.queries()["traj_geofence"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["lon"] = (ev["event_id"] * 2654435761) % 360000000 / 1e6 - 180.0
+    ev["lat"] = (ev["event_id"] * 40503 + 7) % 170000000 / 1e6 - 85.0
+    ev["us"] = ev["ts"].astype("int64")
+
+    def zone(lon, lat):
+        for pid, a, b, c, d in m.RECTS:
+            if a <= lon < c and b <= lat < d:
+                return pid
+        return None
+
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        prev = None
+        for i, (_, row) in enumerate(g.iterrows()):
+            z = zone(row["lon"], row["lat"])
+            if i > 0 and z != prev:
+                kind = ("enter" if prev is None
+                        else "exit" if z is None else "switch")
+                want[(uid, row["event_id"])] = (prev, z, kind)
+            prev = z
+    assert got == want
+    assert {k for *_, k in got.values()} == {"enter", "exit", "switch"}
+
+
+def test_geofence_overlap_resolves_to_lowest_id(spark):
+    """A point inside both R1 and R3 must report R1 (ordered CASE) —
+    the determinism witness for overlapping zones."""
+    import __spark_entry__ as m
+    # R1 = (-30, 0, 60, 60), R3 = (0, 40, 30, 70): overlap region
+    lon, lat = 10.0, 50.0
+    assert (m.RECTS[1][1] <= lon < m.RECTS[1][3]
+            and m.RECTS[1][2] <= lat < m.RECTS[1][4])
+    assert (m.RECTS[3][1] <= lon < m.RECTS[3][3]
+            and m.RECTS[3][2] <= lat < m.RECTS[3][4])
+    zone_case = "CASE " + " ".join(
+        f"WHEN lon >= {a} AND lon < {c} AND lat >= {b} AND lat < {d} "
+        f"THEN '{pid}'" for pid, a, b, c, d in m.RECTS) + " END"
+    [r] = spark.createDataFrame([(lon, lat)], "lon double, lat double") \
+        .selectExpr(f"{zone_case} AS z").collect()
+    assert r.z == "R1"
