@@ -1625,6 +1625,39 @@ def q_dq_report(spark, sf):
         "AS (rule, n)")
 
 
+def q_agg_cov(spark, sf):
+    """E19 (r5 cont., post-window) — covariance-matrix sufficient
+    statistics: per return flag the exact integer Gram components of
+    the 3-vector (quantity, extended price, discount) in cents — n,
+    the three first moments, and the six distinct second moments
+    (X'X upper triangle) — sample covariance / correlation / PCA's
+    input matrix are driver-side epilogues via cov(a,b) =
+    (Σab − ΣaΣb/n)/(n−1); the statistics stay associative and
+    hash-exact (the agg_ols doctrine generalized from one regressor
+    to the full Gram matrix).  Overflow audit: price cents ≤ ~1e7,
+    squared 1e14, × 6e6 rows at sf1 ≈ 6e20 — EXCEEDS int64 at sf1
+    for Σprice², so price rides WHOLE currency units (≤1e5; squared
+    1e10 × 6e6 = 6e16 ✓ through sf100) while quantity/discount stay
+    cents; units are part of the contract.  ONE map-side-combined
+    agg, zero Python."""
+    _prep(spark)
+    q = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    p = F.expr("CAST(round(l_extendedprice) AS BIGINT)")
+    d = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    return (_t(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(q).cast("long").alias("s_q"),
+                 F.sum(p).cast("long").alias("s_p"),
+                 F.sum(d).cast("long").alias("s_d"),
+                 F.sum(q * q).cast("long").alias("s_qq"),
+                 F.sum(p * p).cast("long").alias("s_pp"),
+                 F.sum(d * d).cast("long").alias("s_dd"),
+                 F.sum(q * p).cast("long").alias("s_qp"),
+                 F.sum(q * d).cast("long").alias("s_qd"),
+                 F.sum(p * d).cast("long").alias("s_pd")))
+
+
 def q_agg_gini(spark, sf):
     """E18 (r5 cont., post-window) — exact Gini coefficient
     components: per event type the integer sufficient statistics of
@@ -6733,6 +6766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_min_circle": q_poly_min_circle,
         "dq_rules": q_dq_rules,
         "agg_gini": q_agg_gini,
+        "agg_cov": q_agg_cov,
         "img_orient_hist": q_img_orient_hist,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
@@ -10195,6 +10229,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # agg_cov — identical Gram-component arithmetic.
+        "agg_cov": (
+            "WITH e AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice) AS BIGINT) AS p, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS d "
+            "FROM lineitem) "
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(q) AS BIGINT) AS s_q, "
+            "CAST(SUM(p) AS BIGINT) AS s_p, "
+            "CAST(SUM(d) AS BIGINT) AS s_d, "
+            "CAST(SUM(q * q) AS BIGINT) AS s_qq, "
+            "CAST(SUM(p * p) AS BIGINT) AS s_pp, "
+            "CAST(SUM(d * d) AS BIGINT) AS s_dd, "
+            "CAST(SUM(q * p) AS BIGINT) AS s_qp, "
+            "CAST(SUM(q * d) AS BIGINT) AS s_qd, "
+            "CAST(SUM(p * d) AS BIGINT) AS s_pd "
+            "FROM e GROUP BY l_returnflag"),
         # agg_gini — identical rank window + power-sum arithmetic.
         "agg_gini": (
             "WITH e AS (SELECT event_type, event_id AS seq, "

@@ -331,3 +331,33 @@ def test_agg_gini_matches_numpy_and_closed_forms(spark):
     onehot = np.array([0] * 7 + [100])
     g_hot = (2 * (i * onehot).sum()) / (8 * onehot.sum()) - 9 / 8
     assert g_hot == (8 - 1) / 8
+
+
+def test_agg_cov_matches_numpy_epilogue(spark):
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {r.l_returnflag: r for r in m.queries()["agg_cov"](
+        spark, "/root/testdata/sf0.001").collect()}
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li["q"] = np.floor(li["l_quantity"] * 100 + 0.5).astype("int64")
+    li["p"] = np.floor(li["l_extendedprice"] + 0.5).astype("int64")
+    li["d"] = np.floor(li["l_discount"] * 100 + 0.5).astype("int64")
+    for rf, g in li.groupby("l_returnflag"):
+        r = got[rf]
+        q, p, d = (g[c].to_numpy() for c in "qpd")
+        assert (r.n, r.s_q, r.s_p, r.s_d) == (
+            len(q), q.sum(), p.sum(), d.sum())
+        assert (r.s_qq, r.s_pp, r.s_dd) == (
+            (q * q).sum(), (p * p).sum(), (d * d).sum())
+        assert (r.s_qp, r.s_qd, r.s_pd) == (
+            (q * p).sum(), (q * d).sum(), (p * d).sum())
+        # covariance epilogue == numpy's (sample, ddof=1)
+        cov_qp = (r.s_qp - r.s_q * r.s_p / r.n) / (r.n - 1)
+        assert cov_qp == pytest.approx(
+            float(np.cov(q, p, ddof=1)[0, 1]), rel=1e-12)
+        # correlation epilogue in [-1, 1]
+        vq = (r.s_qq - r.s_q ** 2 / r.n) / (r.n - 1)
+        vp = (r.s_pp - r.s_p ** 2 / r.n) / (r.n - 1)
+        assert abs(cov_qp / (vq * vp) ** 0.5) <= 1
