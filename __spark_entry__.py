@@ -870,6 +870,23 @@ def q_img_orient_hist(spark, sf):
     return image_orient_hist(gen_images(spark, 240, seed=42))
 
 
+def q_img_phash_rot(spark, sf):
+    """C21 (r5 cont., post-window) — rotation-canonical pHash
+    (engine/image/phash.py::phash_rot_canonical): the four rot90
+    orientations' hashes per image + the canonical minimum (a pure
+    function of the orientation orbit — an image and its rotations
+    share it by construction, so mixed-orientation duplicate scans
+    bucket together where plain pHash misses them).  One mapInPandas
+    pass, decode once, four views of one buffer.  Golden-pinned; the
+    independent checks are the orbit-invariance theorem (canonical
+    equal across augment-rotated copies) and the rot-commutes
+    identity in tests/test_phash_rot.py."""
+    _prep(spark)
+    from engine.image.phash import phash_rot_canonical
+    from engine.synth import gen_images
+    return phash_rot_canonical(gen_images(spark, 240, seed=42))
+
+
 def q_img_median3(spark, sf):
     """C19 (r5 cont., post-window) — per-image 3x3 median-filter
     statistics (engine/image/median.py): the NON-LINEAR smoothing
@@ -6768,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini": q_agg_gini,
         "agg_cov": q_agg_cov,
         "img_orient_hist": q_img_orient_hist,
+        "img_phash_rot": q_img_phash_rot,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
@@ -8542,7 +8560,12 @@ def oracle_sql() -> dict[str, str]:
                      # gradient histogram; independent check = atan2
                      # reference with explicit boundaries + exhaustive
                      # (gx, gy) grid in tests/test_orient.py.
-                     "img_orient_hist")},
+                     "img_orient_hist",
+                     # img_phash_rot (r5 cont.): orientation-orbit
+                     # canonical pHash; independent check = orbit
+                     # invariance + rot-commutes identity in
+                     # tests/test_phash_rot.py.
+                     "img_phash_rot")},
         # Pinned expected tables: these two keys are pure functions of the
         # seeded generators/layer (sf-independent, partition-count
         # independent — aggregates and covering sizes, not splits), so the

@@ -114,3 +114,53 @@ def phash_near_dups(df: DataFrame, *, id_col: str = "image_id",
                 F.col("_ph_a").bitwiseXOR(F.col("_ph_b"))))
             .filter(F.col("dist") <= max_dist)
             .select("id_a", "id_b", "dist"))
+
+
+def phash_rot_canonical(images: "DataFrame") -> "DataFrame":
+    """C21 (r5 cont.) — rotation-canonical perceptual hash: the four
+    rot90 orientations' 64-bit pHashes per image plus the CANONICAL
+    hash (their minimum as unsigned 64-bit — a pure function of the
+    orientation ORBIT, so an image and its rotations share one
+    canonical value by construction).  The dedup front door for
+    corpora where scans/photos arrive in mixed orientations — plain
+    phash_near_dups misses a rotated duplicate (DCT signs move with
+    the axes), the canonical hash catches it exactly.
+
+    Note pHash is computed on the 32×32 resample of each ORIENTATION,
+    and np.rot90 of the original commutes with the resample (both are
+    axis-aligned), so hashing rotated decodes equals rotating first —
+    the property pinned by test against engine/image/augment.py.
+
+    Scale shape: ONE mapInPandas pass — decode once, four cheap
+    orientation views of the same buffer, pixels never leave the
+    worker (the image-family contract)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    from engine.image.codec import decode
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ph0": [], "ph90": [], "ph180": [],
+                   "ph270": [], "ph_canonical": []}
+            for r in pdf.itertuples(index=False):
+                pix = decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                hs = []
+                p = pix
+                for _ in range(4):
+                    hs.append(int(phash64(p)))
+                    p = np.rot90(p, axes=(0, 1))
+                canon = min(h & 0xFFFFFFFFFFFFFFFF for h in hs)
+                out["image_id"].append(r.image_id)
+                for k, h in zip(("ph0", "ph90", "ph180", "ph270"), hs):
+                    # store as signed int64 (the phash column convention)
+                    out[k].append(h - (1 << 64) if h >= (1 << 63) else h)
+                out["ph_canonical"].append(
+                    canon - (1 << 64) if canon >= (1 << 63) else canon)
+            yield pd.DataFrame(out)
+
+    schema = ("image_id string, ph0 long, ph90 long, ph180 long, "
+              "ph270 long, ph_canonical long")
+    return images.mapInPandas(_go, schema=schema)

@@ -144,7 +144,11 @@ GOLDEN_KEYS = ("gen_images", "img_decode_stats", "pip_refine",
                # gradient histogram; independent check = atan2
                # reference + exhaustive boundary grid in
                # tests/test_orient.py.
-               "img_orient_hist")
+               "img_orient_hist",
+               # img_phash_rot (r5 cont.): orientation-orbit canonical
+               # pHash; independent check = orbit invariance +
+               # rot-commutes identity in tests/test_phash_rot.py.
+               "img_phash_rot")
 
 
 def main() -> None:
