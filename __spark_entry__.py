@@ -1193,6 +1193,38 @@ def q_win_ols(spark, sf):
         .alias("sum_x2"))
 
 
+def q_text_shared_ngrams(spark, sf):
+    """M47 (r5 cont., post-window) — cross-document shared-n-gram
+    pairs: the boilerplate/near-dup EVIDENCE relation CCNet-class
+    pipelines compute between documents — doc pairs sharing >= 3
+    distinct word 5-grams (engine/text/ops.py::ngrams_col, the
+    decontaminate gram contract), with the shared count.  The scale
+    discipline is the dedup family's: candidates come from ONE exact
+    equi-join on the gram string (never all-pairs), and grams in more
+    than 20 documents are EXCLUDED first (the hot-key guard — true
+    boilerplate explodes the pair join quadratically and carries no
+    pair-specific signal; the guard is part of the contract, applied
+    identically by the twin).  Two map-side-combined aggs + one
+    self-equi-join; at corpus scale the gram key is hash-bucketable
+    exactly like the minhash band join."""
+    _prep(spark)
+    from engine.text.ops import ngrams_col
+    grams = (_t(spark, sf, "documents")
+             .select("doc_id", F.explode(ngrams_col("text", 5))
+                     .alias("g"))
+             .distinct())
+    freq = (grams.groupBy("g").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 20))
+    keep = grams.join(freq.select("g"), "g")
+    a = keep.select(F.col("doc_id").alias("doc_a"), "g")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "g")
+    return (a.join(b, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
+
+
 def q_text_readability(spark, sf):
     """M46 (r5 cont., post-window) — exact readability components
     (engine/text/ops.py::readability_components): per document the
@@ -6786,6 +6818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cov": q_agg_cov,
         "img_orient_hist": q_img_orient_hist,
         "img_phash_rot": q_img_phash_rot,
+        "text_shared_ngrams": q_text_shared_ngrams,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
@@ -10315,6 +10348,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT allr.rule, nn.n AS n_checked, allr.v AS n_violations, "
             "CAST(CASE WHEN allr.v = 0 THEN 1 ELSE 0 END AS INTEGER) "
             "AS passed FROM allr CROSS JOIN nn"),
+        # text_shared_ngrams — identical gram construction (the
+        # ngrams_col slice contract) + guard + join in DuckDB lists.
+        "text_shared_ngrams": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, unnest(list_distinct("
+            "list_transform(generate_series(1, "
+            "greatest(len(w) - 4, 1)), "
+            "i -> array_to_string(w[i:i+4], ' ')))) AS g FROM t), "
+            "fr AS (SELECT g FROM g GROUP BY g "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT g.doc_id, g.g FROM g JOIN fr ON fr.g = g.g) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 3"),
         # text_readability — the same pinned proxies in DuckDB's list
         # dialect.
         "text_readability": (

@@ -344,3 +344,62 @@ def test_readability_matches_python_reference_on_corpus(spark):
         syl = sum(max(1, len(re.findall("[aeiou]+", t))) for t in toks)
         assert got[row["doc_id"]] == (len(toks), n_sent, syl)
     assert len(got) == len(docs)
+
+
+# ---------------------------------------- shared n-gram pairs (M47)
+
+def test_shared_ngrams_matches_python_reference(spark):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in m.queries()["text_shared_ngrams"](
+               spark, "/root/testdata/sf0.01").collect()}
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    by_doc = {}
+    for _, row in docs.iterrows():
+        w = row["text"].split(" ")
+        n = max(len(w) - 4, 1)
+        by_doc[row["doc_id"]] = {" ".join(w[i:i + 5])
+                                 for i in range(n)}
+    from collections import Counter
+    df_ct = Counter(g for gs in by_doc.values() for g in gs)
+    keep = {g for g, c in df_ct.items() if c <= 20}
+    inv = {}
+    for d, gs in by_doc.items():
+        for g in gs & keep:
+            inv.setdefault(g, []).append(d)
+    pair_ct = Counter()
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_ct[(ds[i], ds[j])] += 1
+    want = {p: c for p, c in pair_ct.items() if c >= 3}
+    assert got == want
+    assert len(got) > 0          # the corpus genuinely shares grams
+
+
+def test_shared_ngrams_hot_gram_guard(spark):
+    """A gram in >20 docs must contribute no pairs."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+    rows = [(i, "common five word boiler plate here") for i in range(25)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta"),
+             (101, "alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="sng-")
+    df.write.parquet(f"{d}/documents.parquet")
+    for t in m.TABLES:
+        if t != "documents":
+            spark.createDataFrame([], "x int").write.mode(
+                "ignore").parquet(f"{d}/{t}.parquet")
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in m.queries()["text_shared_ngrams"](spark, d)
+           .collect()}
+    # the 25-doc boilerplate gram is guarded out; docs 100/101 share
+    # 'alpha beta gamma delta epsilon' + 'beta gamma delta epsilon
+    # zeta' = 2 grams -> below the >=3 floor, so no pairs at all
+    assert got == {}
