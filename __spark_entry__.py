@@ -1362,7 +1362,7 @@ def q_ml_stump(spark, sf):
 
 
 def q_agg_moments(spark, sf):
-    """E17 (r5 cont., post-window) — exact central-moment sufficient
+    """E20 (r5 cont., post-window) — exact central-moment sufficient
     statistics: per event type the integer power sums (n, Σv, Σv²,
     Σv³, Σv⁴) of the whole-currency value — skewness and kurtosis are
     driver-side epilogues (m2/m3/m4 expand in the power sums by the
@@ -1675,7 +1675,7 @@ def q_dq_report(spark, sf):
 
 
 def q_agg_cov(spark, sf):
-    """E19 (r5 cont., post-window) — covariance-matrix sufficient
+    """E22 (r5 cont., post-window) — covariance-matrix sufficient
     statistics: per return flag the exact integer Gram components of
     the 3-vector (quantity, extended price, discount) in cents — n,
     the three first moments, and the six distinct second moments
@@ -1708,7 +1708,7 @@ def q_agg_cov(spark, sf):
 
 
 def q_agg_gini(spark, sf):
-    """E18 (r5 cont., post-window) — exact Gini coefficient
+    """E21 (r5 cont., post-window) — exact Gini coefficient
     components: per event type the integer sufficient statistics of
     the Gini inequality index over the cents distribution — n, Σx,
     and the rank-weighted sum Σ i·x_(i) over the ascending
