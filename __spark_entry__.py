@@ -1984,6 +1984,33 @@ def q_eval_auc(spark, sf):
     return auc_components(scored, label="y", score="score")
 
 
+def q_eval_calibration(spark, sf):
+    """M48 (r5 cont., post-window) — calibration / reliability-bin
+    components: the evaluation beside eval_auc's ranking quality —
+    per equal-width score decile the exact integer sufficient
+    statistics (n, n_pos, Σscore) over the same derived label+score
+    fixture; observed rate n_pos/n vs mean predicted Σscore/(n·S)
+    per bin IS the reliability diagram, and ECE = Σ n_b·|gap_b|/N is
+    a driver epilogue — the statistics never divide (the agg_ols
+    doctrine applied to classifier evaluation).  Bin = score·10 DIV
+    (max_score+1) against the FIXED fixture score domain [0, 1250) —
+    data-independent bounds, so bins are stable across sf.  ONE
+    map-side-combined agg, zero Python."""
+    _prep(spark)
+    scored = _t(spark, sf, "customer").selectExpr(
+        "CASE WHEN (c_custkey * 2654435761) % 100 < 40 THEN 1 ELSE 0 "
+        "END AS y",
+        "(c_custkey * 40503 + 11) % 1000 + "
+        "(CASE WHEN (c_custkey * 2654435761) % 100 < 40 THEN 250 "
+        "ELSE 0 END) AS score")
+    return (scored
+            .withColumn("bin", F.expr("CAST(floor(score * 10 / 1250) AS INT)"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("n_pos"),
+                 F.sum("score").cast("long").alias("sum_score")))
+
+
 def q_agg_histogram(spark, sf):
     """E18 (r5, post-window) — equal-width histogram aggregate with
     DATA-DEPENDENT bounds: per event_type the exact 16-bin histogram
@@ -6819,6 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_orient_hist": q_img_orient_hist,
         "img_phash_rot": q_img_phash_rot,
         "text_shared_ngrams": q_text_shared_ngrams,
+        "eval_calibration": q_eval_calibration,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
@@ -10285,6 +10313,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x * x) OVER w AS BIGINT) AS sum_x2 "
             "FROM e WINDOW w AS (PARTITION BY key ORDER BY us, x "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"),
+        # eval_calibration — identical fixture arithmetic + fixed-domain
+        # binning (explicit floor — DuckDB CAST(float->int) ROUNDS
+        # where Spark truncates, the r5-cont divergence class).
+        "eval_calibration": (
+            "WITH s AS (SELECT CASE WHEN (c_custkey * 2654435761) "
+            "% 100 < 40 THEN 1 ELSE 0 END AS y, "
+            "(c_custkey * 40503 + 11) % 1000 + "
+            "(CASE WHEN (c_custkey * 2654435761) % 100 < 40 THEN 250 "
+            "ELSE 0 END) AS score FROM customer) "
+            "SELECT CAST(floor(score * 10 / 1250) AS INTEGER) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(y) AS BIGINT) AS n_pos, "
+            "CAST(SUM(score) AS BIGINT) AS sum_score "
+            "FROM s GROUP BY 1"),
         # agg_cov — identical Gram-component arithmetic.
         "agg_cov": (
             "WITH e AS (SELECT l_returnflag, "

@@ -64,3 +64,32 @@ def test_auc_partitioning_independent(spark):
     a = auc_components(df).collect()
     b = auc_components(df.repartition(13, "score")).collect()
     assert a == b
+
+
+# --------------------------------------- calibration bins (M48)
+
+def test_calibration_bins_reference_and_epilogue(spark):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {r.bin: (r.n, r.n_pos, r.sum_score)
+           for r in m.queries()["eval_calibration"](
+               spark, "/root/testdata/sf0.001").collect()}
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    want = {}
+    for c in cust["c_custkey"]:
+        y = 1 if (c * 2654435761) % 100 < 40 else 0
+        score = (c * 40503 + 11) % 1000 + (250 if y else 0)
+        b = score * 10 // 1250
+        n, p, s = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, p + y, s + score)
+    assert got == want
+    # reliability epilogue: observed rate rises with the bin (the
+    # planted +250 positive shift makes high bins positive-heavy)
+    rates = [got[b][1] / got[b][0] for b in sorted(got)]
+    assert rates[-1] > rates[0]
+    # ECE epilogue is a well-defined float in [0, 1]
+    n_tot = sum(v[0] for v in got.values())
+    ece = sum(v[0] * abs(v[1] / v[0] - v[2] / (v[0] * 1250))
+              for v in got.values()) / n_tot
+    assert 0 <= ece <= 1
