@@ -2897,6 +2897,52 @@ def q_stream_scd2(spark, sf):
         "version", "is_current")
 
 
+def q_stream_dq(spark, sf):
+    """J18 (r5 cont., post-window) — streaming data quality: per
+    micro-batch the declarative rule report (engine/dq.py::expect,
+    predicate rules only — n_checked and n_violations are SUMS, so
+    the per-batch reports MERGE exactly: streamed totals == the batch
+    report over the whole feed, the CMS/HLL/bitmap merge-law class
+    applied to quality auditing).  Each batch ships one bounded
+    rule-table row per rule, never raw events; the read-time merge is
+    one map-side-combined regroup, and `passed` is recomputed from
+    the merged totals (a pass flag does NOT merge — only the counts
+    do, pinned by test).  Same oracle class as the batch key: the
+    twin evaluates the rules over the full events table."""
+    _prep(spark)
+    from engine import streaming as st
+    from engine.dq import expect
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="stream-dq-")
+    chunks = f"{root}/chunks"
+    st.write_event_chunks_df(_t(spark, sf, "events"), chunks, n_chunks=4)
+    sdf = st.read_event_stream(spark, f"{chunks}/chunk-*")
+    table = IceliteTable(f"{root}/tbl")
+    rules = {"value_nonneg": "value >= 0.0",
+             "value_domain": "value <= 1000.0",
+             "type_domain": ("event_type IN ('view', 'click', 'cart', "
+                             "'purchase', 'signup')"),
+             "ts_present": "ts IS NOT NULL"}
+
+    def _sink(batch_df, batch_id):
+        rep = expect(batch_df, rules)
+        if rep.isEmpty():
+            return
+        table.commit_append(rep.drop("passed"),
+                            stage=f"batch-{batch_id}")
+
+    q = (sdf.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (table.scan(spark).groupBy("rule")
+            .agg(F.sum("n_checked").cast("long").alias("n_checked"),
+                 F.sum("n_violations").cast("long")
+                 .alias("n_violations"))
+            .withColumn("passed",
+                        (F.col("n_violations") == 0).cast("int")))
+
+
 def q_cohort_retention(spark, sf):
     """F9 (r4 cont.) — cohort retention matrix over the events table:
     users are cohorted by their first active 7-day bucket (integer
@@ -6847,6 +6893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_phash_rot": q_img_phash_rot,
         "text_shared_ngrams": q_text_shared_ngrams,
         "eval_calibration": q_eval_calibration,
+        "stream_dq": q_stream_dq,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
@@ -10356,6 +10403,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(x) AS BIGINT) AS sum_x, "
             "CAST(SUM(i * x) AS BIGINT) AS sum_ix "
             "FROM r GROUP BY event_type"),
+        # stream_dq — the batch evaluation of the same rules over the
+        # whole feed (the merge law makes streaming == batch).
+        "stream_dq": (
+            "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events), "
+            "viol AS ("
+            + " UNION ALL ".join(
+                f"SELECT '{name}' AS rule, "
+                "CAST(SUM(CASE WHEN NOT COALESCE(" + pred +
+                ", FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v "
+                "FROM events"
+                for name, pred in (
+                    ("value_nonneg", "value >= 0.0"),
+                    ("value_domain", "value <= 1000.0"),
+                    ("type_domain",
+                     "event_type IN ('view', 'click', 'cart', "
+                     "'purchase', 'signup')"),
+                    ("ts_present", "ts IS NOT NULL")))
+            + ") "
+            "SELECT viol.rule, nn.n AS n_checked, viol.v AS "
+            "n_violations, CAST(CASE WHEN viol.v = 0 THEN 1 ELSE 0 END "
+            "AS INTEGER) AS passed FROM viol CROSS JOIN nn"),
         # dq_rules — one SELECT per rule UNION ALL'd, identical
         # NOT coalesce(pred, FALSE) null semantics.
         "dq_rules": (

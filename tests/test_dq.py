@@ -39,3 +39,32 @@ def test_expect_all_green_and_gate(spark):
     assert all(r.passed == 1 and r.n_violations == 0 for r in rows)
     # the WAP audit gate consumes min(passed)
     assert rep.agg(F.min("passed")).first()[0] == 1
+
+
+def test_streamed_dq_totals_equal_batch_and_flag_recompute(spark):
+    """The merge law: summed per-batch reports equal the batch report
+    over the whole feed — and `passed` must be RECOMPUTED from merged
+    totals (a batch-level pass flag does not merge: one red batch
+    reds the total even if later batches are clean)."""
+    from engine.dq import expect
+    import __spark_entry__ as m
+    got = {r.rule: (r.n_checked, r.n_violations, r.passed)
+           for r in m.queries()["stream_dq"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rules = {"value_nonneg": "value >= 0.0",
+             "value_domain": "value <= 1000.0",
+             "type_domain": ("event_type IN ('view', 'click', 'cart', "
+                             "'purchase', 'signup')"),
+             "ts_present": "ts IS NOT NULL"}
+    want = {r.rule: (r.n_checked, r.n_violations, r.passed)
+            for r in expect(ev, rules).collect()}
+    assert got == want
+    # flag-recompute witness: a rule violated in exactly one batch
+    # has passed=0 in the merged report even when other batches are
+    # clean (construct directly)
+    a = expect(spark.createDataFrame([(5,)], "v int"), {"p": "v > 0"})
+    b = expect(spark.createDataFrame([(-5,)], "v int"), {"p": "v > 0"})
+    merged = a.unionByName(b).groupBy("rule").sum("n_violations")
+    assert merged.collect()[0][1] == 1   # merged counts say red
+    assert a.collect()[0].passed == 1    # though batch A was green
