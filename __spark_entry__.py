@@ -1406,6 +1406,34 @@ def q_ts_kendall(spark, sf):
                       "n_tie_pairs")
 
 
+def q_win_streaks(spark, sf):
+    """F19 (r5 cont., post-window) — gaps-and-islands longest streak:
+    per user the active-day count and the LONGEST run of consecutive
+    active days — the classic islands derivation in its integer form:
+    distinct epoch-days, island id = day − dense row index (constant
+    exactly within a consecutive run), one count per island, max per
+    user.  Days are integer epoch_us DIV 86400e6 (no calendar math —
+    the cohort_retention convention).  ONE (user) partitioning shared
+    by the dedup, the row-number window, and both aggs; zero
+    Python."""
+    _prep(spark)
+    from pyspark.sql import Window
+    days = (_t(spark, sf, "events")
+            .select("user_id",
+                    F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+                           "DIV 86400000000 AS BIGINT)").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w))
+    runs = (isl.groupBy("user_id", "island")
+            .agg(F.count("*").cast("long").alias("len")))
+    return (runs.groupBy("user_id")
+            .agg(F.sum("len").cast("long").alias("n_active_days"),
+                 F.max("len").cast("long").alias("longest_streak"),
+                 F.count("*").cast("long").alias("n_streaks")))
+
+
 def q_win_median(spark, sf):
     """F17 (r5 cont., post-window) — exact rolling median: per event
     row the trailing-7-row LOWER median (1-based rank ceil(n/2) —
@@ -6894,6 +6922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_shared_ngrams": q_text_shared_ngrams,
         "eval_calibration": q_eval_calibration,
         "stream_dq": q_stream_dq,
+        "win_streaks": q_win_streaks,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
@@ -10621,6 +10650,19 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(st.s, 0) AS s, "
             "COALESCE(st.n_tie_pairs, 0) AS n_tie_pairs "
             "FROM nn LEFT JOIN st ON nn.user_id = st.user_id"),
+        # win_streaks — identical islands arithmetic (day − row_number).
+        "win_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day "
+            "FROM events), "
+            "i AS (SELECT user_id, day, day - row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS island FROM d), "
+            "r AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) "
+            "AS len FROM i GROUP BY user_id, island) "
+            "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, "
+            "CAST(MAX(len) AS BIGINT) AS longest_streak, "
+            "CAST(COUNT(*) AS BIGINT) AS n_streaks "
+            "FROM r GROUP BY user_id"),
         # win_median — DuckDB's independent list dialect: list() window
         # agg over the same ROWS frame, list_sort, 1-based indexing at
         # rank (n+1)//2.

@@ -176,3 +176,44 @@ def test_mann_kendall_closed_forms(spark):
     assert got["inc"] == (6, 15, 15, 0)
     assert got["const"] == (5, 10, 0, 10)
     assert got["single"] == (1, 0, 0, 0)
+
+
+# ------------------------------------------------- streaks (F19)
+
+def test_win_streaks_matches_python_reference(spark):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    got = {r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks)
+           for r in m.queries()["win_streaks"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000  # us epoch
+    for uid, g in ev.groupby("user_id"):
+        days = sorted(set(g["day"]))
+        streaks = []
+        for d in days:
+            if streaks and d == streaks[-1][1] + 1:
+                streaks[-1][1] = d
+            else:
+                streaks.append([d, d])
+        lens = [b - a + 1 for a, b in streaks]
+        assert got[uid] == (len(days), max(lens), len(lens))
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_win_streaks_islands_closed_forms(spark):
+    from pyspark.sql import functions as F
+    rows = [("u", d) for d in (1, 2, 3, 7, 9, 10)] + [("v", 5)]
+    df = spark.createDataFrame(rows, "user_id string, day long")
+    # run the same derivation inline
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = df.distinct().withColumn(
+        "island", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("n"))
+    got = {r.user_id: sorted(rr.n for rr in runs.collect()
+                             if rr.user_id == r.user_id)
+           for r in runs.collect()}
+    assert got["u"] == [1, 2, 3]     # runs 1-3, 7, 9-10
+    assert got["v"] == [1]
