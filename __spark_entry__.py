@@ -1312,6 +1312,40 @@ def q_snapshot_orphans(spark, sf):
         "n_orphans_after int, rows_before long, rows_after long")
 
 
+def q_snapshot_prune_scan(spark, sf):
+    """A21 (r5 cont., post-window) — manifest-stat pruned scan
+    (engine/icelite.py::scan_pruned): the EXECUTABLE half of the
+    files-metadata story — four RANGE-disjoint single-file commits of
+    orders (quartile slices by o_orderkey), then a range scan planned
+    from the manifest's commit-time [min, max] bounds: only
+    intersecting files open, the exact predicate still runs on the
+    survivors, so the result always equals full-scan-with-filter and
+    pruning is pure I/O elision.  The key emits the pruning evidence
+    (files total vs scanned — 4 vs 2 by construction, pinned by the
+    twin) alongside the scanned aggregate; a pruning bug that drops a
+    live row or a wrong manifest bound reds the key."""
+    _prep(spark)
+    from engine.icelite import IceliteTable
+    root = tempfile.mkdtemp(prefix="prune-")
+    t = IceliteTable(f"{root}/tbl")
+    od = _t(spark, sf, "orders")
+    n = od.count()
+    for k in range(4):
+        lo_k = k * n // 4
+        hi_k = (k + 1) * n // 4
+        t.commit_append(
+            od.filter(f"o_orderkey > {lo_k} AND o_orderkey <= {hi_k}")
+            .repartition(1), stage=f"q{k}")
+    lo, hi = n // 3, 2 * n // 3            # spans exactly 2 quartiles
+    df, n_total, n_scanned = t.scan_pruned(spark, "o_orderkey", lo, hi)
+    return (df.agg(F.count("*").cast("long").alias("n_rows"),
+                   F.sum(_cents("o_totalprice")).cast("long")
+                   .alias("sum_cents"))
+            .select(F.lit(n_total).cast("int").alias("n_files_total"),
+                    F.lit(n_scanned).cast("int").alias("n_files_scanned"),
+                    "n_rows", "sum_cents"))
+
+
 def q_snapshot_files(spark, sf):
     """A18 (r5 cont., post-window) — Iceberg metadata tables
     (engine/icelite.py::files_table): the `files` relation — one row
@@ -6923,6 +6957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_calibration": q_eval_calibration,
         "stream_dq": q_stream_dq,
         "win_streaks": q_win_streaks,
+        "snapshot_prune_scan": q_snapshot_prune_scan,
         "osm_tag_stats": q_osm_tag_stats,
         "raster_strahler": q_raster_strahler,
         "join_asof_nearest": q_join_asof_nearest,
@@ -10570,6 +10605,18 @@ def oracle_sql() -> dict[str, str]:
             "p -> p[1] != p[2])) AS INTEGER) AS n_stemmed, "
             "CAST(len(list_distinct(stems)) AS INTEGER) "
             "AS n_distinct_stems FROM s"),
+        # snapshot_prune_scan — file counts pinned (4 quartile files,
+        # a thirds-range predicate intersects exactly 2); the scanned
+        # aggregate recomputed over orders with the same predicate.
+        "snapshot_prune_scan": (
+            "WITH nn AS (SELECT COUNT(*) AS n FROM orders) "
+            "SELECT CAST(4 AS INTEGER) AS n_files_total, "
+            "CAST(2 AS INTEGER) AS n_files_scanned, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents "
+            "FROM orders, nn WHERE o_orderkey >= nn.n // 3 "
+            "AND o_orderkey <= 2 * nn.n // 3"),
         # snapshot_orphans — every lifecycle count pinned; row counts
         # recomputed (cleanup touching a live file reds the key).
         "snapshot_orphans": (

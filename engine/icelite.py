@@ -210,9 +210,16 @@ class IceliteTable:
                     f"icelite: unknown branch {branch!r} — create_branch first")
             parent = refs.get(branch)
             sid = (snaps[-1]["sid"] + 1) if snaps else 1
-            parent_files = (
-                self._manifest(parent)["files"]
-                if (parent is not None and keep_parent_files) else [])
+            parent_files: list[str] = []
+            if parent is not None and keep_parent_files:
+                pman = self._manifest(parent)
+                parent_files = pman["files"]
+                # carry surviving files' stats forward — a manifest must
+                # bound EVERY file it lists, or pruned scans fall back
+                # to always-keep for the older ones
+                pstats = pman.get("stats", {})
+                stats = {**{p: pstats[p] for p in parent_files
+                            if p in pstats}, **stats}
             manifest = {
                 "sid": sid,
                 "files": parent_files + added,
@@ -602,6 +609,44 @@ class IceliteTable:
         if not files:
             return spark.createDataFrame([], self.schema(sid))
         return spark.read.schema(self.schema(sid)).parquet(*files)
+
+    def scan_pruned(self, spark: SparkSession, col: str,
+                    lo: int, hi: int,
+                    snapshot_id: int | None = None,
+                    branch: str = "main") -> tuple[DataFrame, int, int]:
+        """A21 — manifest-stat pruned scan: the EXECUTABLE half of the
+        files-metadata story — plan the file list from the manifest's
+        commit-time [min, max] bounds for `col` (files_table exposes
+        them; this CONSUMES them), opening only files whose range
+        intersects [lo, hi], then apply the exact predicate to the
+        survivors.  Files lacking stats for `col` are always KEPT
+        (pruning blind is a correctness bug, pinned by test) — the
+        Iceberg rule.  Returns (df, n_files_total, n_files_scanned);
+        the predicate still runs on the survivors, so the result is
+        ALWAYS exactly the full-scan-with-filter result — pruning is
+        pure I/O elision, which is the whole claim a twin can
+        verify."""
+        sid = (snapshot_id if snapshot_id is not None
+               else self.current_snapshot_id(branch))
+        if sid is None:
+            raise FileNotFoundError(
+                f"icelite table has no snapshots: {self.root}")
+        man = self._manifest(sid)
+        stats = man.get("stats", {})
+        keep = []
+        for rel in man["files"]:
+            st = stats.get(rel, {})
+            mn = st.get("mins", {}).get(col)
+            mx = st.get("maxs", {}).get(col)
+            if mn is None or mx is None or (mn <= hi and mx >= lo):
+                keep.append(os.path.join(self.root, rel))
+        schema = self.schema(sid)
+        if not keep:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*keep)
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df, len(man["files"]), len(keep)
 
     def scan_added(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Incremental read: only rows appended by `snapshot_id`."""

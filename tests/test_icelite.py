@@ -457,3 +457,57 @@ def test_orphan_removal_idempotent_and_empty_table(spark, tmp_path):
     t.commit_append(spark.range(3).selectExpr("id AS k").repartition(1))
     assert t.remove_orphans() == 0
     assert t.remove_orphans() == 0
+
+
+# --------------------------------------- manifest-pruned scan (A21)
+
+def test_scan_pruned_equals_filtered_full_scan(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    for k in range(4):
+        t.commit_append(
+            spark.range(k * 100, (k + 1) * 100).selectExpr("id AS k")
+            .repartition(1), stage=f"s{k}")
+    df, n_total, n_scanned = t.scan_pruned(spark, "k", 150, 249)
+    assert (n_total, n_scanned) == (4, 2)
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(150, 250))
+    # disjoint range prunes everything
+    df0, _, n0 = t.scan_pruned(spark, "k", 10_000, 20_000)
+    assert n0 == 0 and df0.count() == 0
+    # full range scans everything
+    _, _, nall = t.scan_pruned(spark, "k", 0, 400)
+    assert nall == 4
+
+
+def test_scan_pruned_keeps_statless_files(spark, tmp_path):
+    """A file whose manifest entry lacks bounds for the column must be
+    KEPT — pruning blind would drop live rows."""
+    import json as _json
+    import os as _os
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 50).selectExpr("id AS k")
+                    .repartition(1))
+    t.commit_append(spark.range(50, 100).selectExpr("id AS k")
+                    .repartition(1))
+    mp = _os.path.join(str(tmp_path / "tbl"), "meta",
+                       "manifest-00000002.json")
+    with open(mp) as f:
+        man = _json.load(f)
+    # strip the FIRST file's stats
+    first = man["files"][0]
+    man["stats"].pop(first, None)
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    df, _, n_scanned = t.scan_pruned(spark, "k", 60, 70)
+    assert n_scanned == 2          # statless file kept despite no overlap
+    assert sorted(r.k for r in df.collect()) == list(range(60, 71))
+
+
+def test_manifest_stats_carry_forward_across_commits(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(0, 10).selectExpr("id AS k")
+                    .repartition(1))
+    t.commit_append(spark.range(10, 20).selectExpr("id AS k")
+                    .repartition(1))
+    man = t._manifest(t.current_snapshot_id())
+    assert set(man["stats"]) == set(man["files"])
